@@ -1,0 +1,106 @@
+"""Order-invariant (reproducing) global sums via extended fixed point.
+
+Re-design of the reference's ``MOM_coms`` EFP machinery
+(/root/reference/src/framework/MOM_coms.F90:93-741): global sums whose
+results are bitwise independent of the summation order, and hence of
+the domain decomposition (device count / layout).  Each float64 value
+is decomposed exactly into ``NLIMB`` signed int64 limbs in base
+``2**LIMB_BITS``; integer limb sums are associative, so ``jnp.sum`` over
+any on-device order plus ``jax.lax.psum`` across devices gives the same
+limbs as a serial sum.  The limbs→float reconstruction is done with
+exact Python big-int arithmetic on the host.
+
+Requires ``jax_enable_x64`` for the int64 path; a float64-free build can
+still call :func:`efp_sum` but will get a plain (non-reproducing) sum.
+
+Dynamic range: values with ``|x| < 2**EXP_MAX`` are represented with an
+absolute resolution of ``2**EXP_MIN``; out-of-range magnitudes raise in
+`efp_from_float` (host) and are clamped on device (the reference
+similarly traps overflow, MOM_coms.F90:629 carry_overflow).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "NLIMB", "efp_sum", "efp_to_float", "efp_add", "efp_zero",
+    "reproducing_sum",
+]
+
+NLIMB = 6
+LIMB_BITS = 32
+EXP_MIN = -116                     # scale of limb 0 = 2**EXP_MIN
+EXP_MAX = EXP_MIN + NLIMB * LIMB_BITS   # 76: max representable magnitude
+
+_SCALES = [2.0 ** (EXP_MIN + LIMB_BITS * l) for l in range(NLIMB)]
+
+
+def _x64_ready() -> bool:
+    return jax.config.jax_enable_x64
+
+
+def efp_zero() -> jnp.ndarray:
+    return jnp.zeros((NLIMB,), dtype=jnp.int64)
+
+
+def efp_sum(x: jnp.ndarray, mask: jnp.ndarray | None = None,
+            axis_names: tuple[str, ...] = ()) -> jnp.ndarray:
+    """Decompose ``x`` (float64 array) into limbs and sum → int64[NLIMB].
+
+    ``mask`` (same shape, 0/1) selects contributing elements.  When
+    called inside ``shard_map``, pass the mesh ``axis_names`` to psum
+    across devices.  Up to ~2**30 elements can be summed before limb
+    overflow; carry normalization happens in :func:`efp_to_float`.
+    """
+    x = x.astype(jnp.float64)
+    if mask is not None:
+        x = x * mask.astype(x.dtype)
+    # clamp to representable range (overflow would silently wrap int64)
+    lim = 2.0 ** (EXP_MAX - 1)
+    x = jnp.clip(x, -lim, lim)
+    # Decompose |x| and carry the sign on the limbs: flooring a negative
+    # value at a scale larger than |x| would yield q=-1 and a remainder
+    # ~scale whose low bits fall below fp64 precision.
+    sign = jnp.where(x < 0, -1, 1).astype(jnp.int64)
+    limbs = []
+    r = jnp.abs(x)
+    for l in range(NLIMB - 1, -1, -1):
+        scale = 2.0 ** (EXP_MIN + LIMB_BITS * l)
+        q = jnp.floor(r / scale)
+        r = r - q * scale
+        # cast each element to int64 BEFORE summing: a float64 sum of
+        # ~2**30 limbs of magnitude ~2**32 would exceed the 53-bit
+        # exact-integer range and lose reproducibility.
+        limbs.append(jnp.sum(sign * q.astype(jnp.int64)))
+    out = jnp.stack(limbs[::-1])   # limb 0 = least significant
+    for ax in axis_names:
+        out = jax.lax.psum(out, ax)
+    return out
+
+
+def efp_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return a + b
+
+
+def efp_to_float(limbs) -> float:
+    """Exact limbs → float64 on the host (Python big-int arithmetic)."""
+    limbs = np.asarray(limbs)
+    total = 0
+    for l in range(NLIMB):
+        total += int(limbs[l]) << (LIMB_BITS * l)
+    # total is in units of 2**EXP_MIN
+    return float(total) * (2.0 ** EXP_MIN)
+
+
+def reproducing_sum(x, mask=None, axis_names: tuple[str, ...] = ()) -> float:
+    """Host-level convenience: order-invariant global sum of an array."""
+    if _x64_ready():
+        return efp_to_float(jax.jit(efp_sum, static_argnames=("axis_names",))(
+            x, mask, axis_names=axis_names))
+    xa = jnp.asarray(x)
+    if mask is not None:
+        xa = xa * jnp.asarray(mask, dtype=xa.dtype)
+    return float(jnp.sum(xa.astype(jnp.float32)))
