@@ -1,0 +1,282 @@
+"""Finite-volume PPM continuity solver.
+
+Re-design of /root/reference/src/core/MOM_continuity_PPM.F90 (dispatch
+MOM_continuity.F90): directionally-split thickness update with
+piecewise-parabolic reconstruction of layer thickness, positive-definite
+(or Colella-Woodward monotonic) limiting, upwind parabola-sweep face
+fluxes, and the Newton velocity-correction iteration that makes column
+transports match a supplied barotropic transport (the
+baroclinic↔barotropic consistency glue, zonal_flux_adjust
+MOM_continuity_PPM.F90:1171-1200).
+
+All operations are vectorized over the full (nk, njh, nih) block with
+`jnp.roll` shifts; Fortran's do_I masks and variable loop bounds become
+`jnp.where` masks and halo-validity bookkeeping (each directional sweep
+consumes 2 halo cells of validity; callers must present h, u, v with ≥4
+valid halo rings, as the reference requests via cont_stencil).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.core.grid import Grid
+from mom6_tpu.core.vertical_grid import VerticalGrid
+from mom6_tpu.parallel.stencil import ip1, im1, jp1, jm1
+
+__all__ = ["ContinuityCfg", "ContinuityResult", "continuity_ppm",
+           "ppm_edges_x", "ppm_edges_y", "zonal_mass_flux",
+           "meridional_mass_flux", "continuity_stencil"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuityCfg:
+    """CONTINUITY_SCHEME options (MOM_continuity_PPM.F90 control struct)."""
+    upwind_1st: bool = False       # UPWIND_1ST_CONTINUITY
+    simple_2nd: bool = False       # SIMPLE_2ND_PPM_CONTINUITY
+    monotonic: bool = False        # MONOTONIC_CONTINUITY (CW84 limiter)
+    vol_cfl: bool = False          # CONT_PPM_VOLUME_BASED_CFL
+    newton_iters: int = 6          # fixed iteration count for flux adjust
+    cfl_limit: float = 0.9         # max CFL for velocity corrections
+
+
+def continuity_stencil(cfg: ContinuityCfg) -> int:
+    """Halo width the solver needs (MOM_continuity.F90:21)."""
+    if cfg.upwind_1st:
+        return 2
+    return 2 if cfg.simple_2nd else 3
+
+
+class ContinuityResult(NamedTuple):
+    h: jnp.ndarray
+    uh: jnp.ndarray
+    vh: jnp.ndarray
+    u_cor: Optional[jnp.ndarray] = None
+    v_cor: Optional[jnp.ndarray] = None
+
+
+# ---------------------------------------------------------------------
+# PPM edge reconstruction
+# ---------------------------------------------------------------------
+
+def _ppm_edges(h, mask, shift_p, shift_m, cfg: ContinuityCfg, h_min: float):
+    """Shared x/y edge-value construction.
+
+    shift_p(f) = value one cell in +direction; shift_m = −direction.
+    Returns (h_minus, h_plus): reconstructed thickness at the cell's
+    lower-index edge (W or S) and higher-index edge (E or N).
+    """
+    if cfg.upwind_1st:
+        return h, h
+
+    m_p = shift_p(mask)
+    m_m = shift_m(mask)
+    h_p = m_p * shift_p(h) + (1.0 - m_p) * h     # neighbor or self at walls
+    h_m = m_m * shift_m(h) + (1.0 - m_m) * h
+
+    if cfg.simple_2nd:
+        h_minus = 0.5 * (h_m + h)
+        h_plus = 0.5 * (h_p + h)
+        return h_minus, h_plus
+
+    # 2nd-order slope with the Lin (1994) monotonic constraint
+    hp_raw, hm_raw = shift_p(h), shift_m(h)
+    slp = 0.5 * (hp_raw - hm_raw)
+    dMx = jnp.maximum(jnp.maximum(hp_raw, hm_raw), h) - h
+    dMn = h - jnp.minimum(jnp.minimum(hp_raw, hm_raw), h)
+    slp = jnp.sign(slp) * jnp.minimum(jnp.abs(slp),
+                                      2.0 * jnp.minimum(dMx, dMn))
+    slp = jnp.where(shift_p(mask) * mask * shift_m(mask) > 0.0, slp, 0.0)
+
+    one6 = 1.0 / 6.0
+    h_minus = 0.5 * (h_m + h) + one6 * (shift_m(slp) - slp)
+    h_plus = 0.5 * (h_p + h) + one6 * (slp - shift_p(slp))
+
+    if cfg.monotonic:
+        # Colella & Woodward 1984 monotonic limiter
+        # if (h_plus - h)*(h - h_minus) <= 0: piecewise constant
+        pc = (h_plus - h) * (h - h_minus) <= 0.0
+        dh = h_plus - h_minus
+        curv = 6.0 * h - 3.0 * (h_minus + h_plus)
+        h_minus = jnp.where(pc, h, jnp.where(dh * curv > dh * dh,
+                                             3.0 * h - 2.0 * h_plus, h_minus))
+        h_plus = jnp.where(pc, h, jnp.where(dh * curv < -dh * dh,
+                                            3.0 * h - 2.0 * h_minus, h_plus))
+    else:
+        # positive-definite limiter (PPM_limit_pos): prevent interior
+        # minima of the parabola undershooting h_min
+        curv = 3.0 * (h_minus + h_plus - 2.0 * h)
+        dh = h_plus - h_minus
+        interior_min = (curv > 0.0) & (jnp.abs(dh) < curv)
+        denom = curv * curv + 3.0 * dh * dh
+        need_scale = 12.0 * curv * (h - h_min) < denom
+        scale = jnp.where(denom > 0.0,
+                          12.0 * curv * jnp.maximum(h - h_min, 0.0)
+                          / jnp.where(denom > 0.0, denom, 1.0), 1.0)
+        flat = interior_min & (h <= h_min)
+        shrink = interior_min & (~flat) & need_scale
+        h_minus = jnp.where(flat, h,
+                            jnp.where(shrink, h + scale * (h_minus - h),
+                                      h_minus))
+        h_plus = jnp.where(flat, h,
+                           jnp.where(shrink, h + scale * (h_plus - h),
+                                     h_plus))
+    return h_minus, h_plus
+
+
+def ppm_edges_x(grid: Grid, h, cfg: ContinuityCfg, h_min: float):
+    """(h_W, h_E) thickness at west/east edges of each cell."""
+    return _ppm_edges(h, grid.mask2dT, ip1, im1, cfg, h_min)
+
+
+def ppm_edges_y(grid: Grid, h, cfg: ContinuityCfg, h_min: float):
+    """(h_S, h_N) thickness at south/north edges of each cell."""
+    return _ppm_edges(h, grid.mask2dT, jp1, jm1, cfg, h_min)
+
+
+# ---------------------------------------------------------------------
+# Face fluxes
+# ---------------------------------------------------------------------
+
+def _flux_1dir(u, h, h_minus, h_plus, dt, dlen_face, Idx_up, Idx_dn,
+               Iarea_up, Iarea_dn, shift_p, vol_cfl, face_mask, visc_rem):
+    """Upwind PPM face flux and its velocity derivative.
+
+    Face i lies between cell i ("up" side for u>0) and cell i+1 ("dn"
+    side for u<0).  Exact integral of the parabola swept past the face
+    in dt (zonal_flux_layer, MOM_continuity_PPM.F90:640-706).
+    """
+    h_dn = shift_p(h)
+    hW_dn = shift_p(h_minus)   # "minus" edge of downwind cell
+    hE_up = h_plus             # "plus" edge of upwind cell
+    hW_up = h_minus
+    hE_dn = shift_p(h_plus)
+
+    if vol_cfl:
+        cfl_p = (u * dt) * (dlen_face * Iarea_up)
+        cfl_m = (-u * dt) * (dlen_face * Iarea_dn)
+    else:
+        cfl_p = u * dt * Idx_up
+        cfl_m = -u * dt * Idx_dn
+
+    curv3_p = hW_up + hE_up - 2.0 * h
+    flux_p = dlen_face * u * (
+        hE_up + cfl_p * (0.5 * (hW_up - hE_up) + curv3_p * (cfl_p - 1.5)))
+    marg_p = hE_up + cfl_p * ((hW_up - hE_up) + 3.0 * curv3_p * (cfl_p - 1.0))
+
+    curv3_m = hW_dn + hE_dn - 2.0 * h_dn
+    flux_m = dlen_face * u * (
+        hW_dn + cfl_m * (0.5 * (hE_dn - hW_dn) + curv3_m * (cfl_m - 1.5)))
+    marg_m = hW_dn + cfl_m * ((hE_dn - hW_dn) + 3.0 * curv3_m * (cfl_m - 1.0))
+
+    pos = u > 0.0
+    neg = u < 0.0
+    flux = jnp.where(pos, flux_p, jnp.where(neg, flux_m, 0.0)) * face_mask
+    h_marg = jnp.where(pos, marg_p,
+                       jnp.where(neg, marg_m, 0.5 * (hW_dn + hE_up)))
+    dflux_du = dlen_face * h_marg * visc_rem * face_mask
+    return flux, dflux_du
+
+
+def _flux_adjust(u, h, h_minus, h_plus, dt, flux_args, hbt, visc_rem,
+                 cfg: ContinuityCfg, dx_face):
+    """Newton iteration for a per-face barotropic correction du such
+    that sum_k flux_k(u_k + visc_rem_k*du) = hbt (zonal_flux_adjust).
+
+    Fixed iteration count with CFL-bounded clipping in place of the
+    reference's Newton-with-bisection loop — branchless and jit-safe.
+    """
+    du = jnp.zeros_like(hbt)
+    du_lim = cfg.cfl_limit * dx_face / dt
+    for _ in range(cfg.newton_iters):
+        u_try = u + visc_rem * du[None]
+        flux, dfdu = _flux_1dir(u_try, h, h_minus, h_plus, dt, *flux_args,
+                                visc_rem=visc_rem)
+        err = jnp.sum(flux, axis=0) - hbt
+        denom = jnp.sum(dfdu, axis=0)
+        step = -err / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        du = jnp.clip(du + step, -du_lim, du_lim)
+    u_cor = u + visc_rem * du[None]
+    flux, _ = _flux_1dir(u_cor, h, h_minus, h_plus, dt, *flux_args,
+                         visc_rem=visc_rem)
+    return flux, u_cor
+
+
+def zonal_mass_flux(grid: Grid, u, h, h_W, h_E, dt, cfg: ContinuityCfg,
+                    uhbt=None, visc_rem_u=None):
+    """uh at east faces; optionally Newton-corrected to match uhbt.
+
+    Returns (uh, duhdu, u_cor)."""
+    vr = visc_rem_u if visc_rem_u is not None else jnp.ones_like(u)
+    args = (grid.dyCu, grid.IdxT, ip1(grid.IdxT),
+            grid.IareaT, ip1(grid.IareaT), ip1,
+            cfg.vol_cfl, grid.mask2dCu)
+    uh, duhdu = _flux_1dir(u, h, h_W, h_E, dt, *args, visc_rem=vr)
+    u_cor = None
+    if uhbt is not None:
+        uh, u_cor = _flux_adjust(u, h, h_W, h_E, dt, args, uhbt, vr, cfg,
+                                 dx_face=grid.dxCu)
+    return uh, duhdu, u_cor
+
+
+def meridional_mass_flux(grid: Grid, v, h, h_S, h_N, dt, cfg: ContinuityCfg,
+                         vhbt=None, visc_rem_v=None):
+    """vh at north faces; optionally Newton-corrected to match vhbt."""
+    vr = visc_rem_v if visc_rem_v is not None else jnp.ones_like(v)
+    args = (grid.dxCv, grid.IdyT, jp1(grid.IdyT),
+            grid.IareaT, jp1(grid.IareaT), jp1,
+            cfg.vol_cfl, grid.mask2dCv)
+    vh, dvhdv = _flux_1dir(v, h, h_S, h_N, dt, *args, visc_rem=vr)
+    v_cor = None
+    if vhbt is not None:
+        vh, v_cor = _flux_adjust(v, h, h_S, h_N, dt, args, vhbt, vr, cfg,
+                                 dx_face=grid.dyCv)
+    return vh, dvhdv, v_cor
+
+
+# ---------------------------------------------------------------------
+# Full directionally-split update
+# ---------------------------------------------------------------------
+
+def continuity_ppm(grid: Grid, vgrid: VerticalGrid, u, v, h, dt,
+                   cfg: ContinuityCfg = ContinuityCfg(),
+                   uhbt=None, vhbt=None,
+                   visc_rem_u=None, visc_rem_v=None,
+                   x_first: bool = True) -> ContinuityResult:
+    """h(n+1), uh, vh from the directionally split PPM update
+    (continuity_PPM, MOM_continuity_PPM.F90:86).
+
+    The sweep order alternates per call via ``x_first`` mirroring
+    G%first_direction (MOM.F90:1371).  Inputs must have ≥4 valid halo
+    rings; the result's compute domain is fully valid, halos are not.
+    """
+    h_min = vgrid.angstrom
+    hmin2 = 2.0 * vgrid.angstrom
+
+    def x_sweep(hx):
+        h_W, h_E = ppm_edges_x(grid, hx, cfg, hmin2)
+        uh, _, u_cor = zonal_mass_flux(grid, u, hx, h_W, h_E, dt, cfg,
+                                       uhbt=uhbt, visc_rem_u=visc_rem_u)
+        h_new = jnp.maximum(
+            hx - dt * grid.IareaT * (uh - im1(uh)), h_min)
+        return h_new, uh, u_cor
+
+    def y_sweep(hy):
+        h_S, h_N = ppm_edges_y(grid, hy, cfg, hmin2)
+        vh, _, v_cor = meridional_mass_flux(grid, v, hy, h_S, h_N, dt, cfg,
+                                            vhbt=vhbt, visc_rem_v=visc_rem_v)
+        h_new = jnp.maximum(
+            hy - dt * grid.IareaT * (vh - jm1(vh)), h_min)
+        return h_new, vh, v_cor
+
+    if x_first:
+        h1, uh, u_cor = x_sweep(h)
+        h2, vh, v_cor = y_sweep(h1)
+    else:
+        h1, vh, v_cor = y_sweep(h)
+        h2, uh, u_cor = x_sweep(h1)
+    return ContinuityResult(h=h2, uh=uh, vh=vh, u_cor=u_cor, v_cor=v_cor)

@@ -1,0 +1,180 @@
+"""Implicit vertical viscosity (and the visc_rem coupling fractions).
+
+Re-design of /root/reference/src/parameterizations/vertical/
+MOM_vert_friction.F90: `vertvisc_coef` (:1168) builds interface
+coupling coefficients a = Kv/dz and face thicknesses; `vertvisc`
+(:526) performs the layer-thickness-weighted implicit tridiagonal
+solve per velocity column including surface stress and bottom drag;
+`vertvisc_remnant` (:1064) computes the fraction of momentum (or of a
+barotropic acceleration) a layer retains through the implicit solve —
+the visc_rem_u/v arrays threaded through continuity and the barotropic
+solver; `vertvisc_limit_vel` (:2259) truncates CFL-violating
+velocities.
+
+The sequential-in-k Thomas recursion runs as a `lax.scan` over layers,
+vectorized across the whole (njh, nih) horizontal block — columns are
+the vector lanes, layers the (short) sequential axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.core.grid import Grid
+from mom6_tpu.parallel.stencil import ip1, jp1
+
+__all__ = ["VertViscCfg", "vertvisc_coef", "vertvisc", "vertvisc_remnant",
+           "vertvisc_limit_vel", "implicit_visc_solve"]
+
+_H_NEGLECT = 1e-20
+
+
+@dataclasses.dataclass(frozen=True)
+class VertViscCfg:
+    kv: float = 1e-4              # KV background vertical viscosity [m2 s-1]
+    hbbl: float = 10.0            # HBBL bottom boundary layer thickness [m]
+    cdrag: float = 0.003          # CDRAG quadratic bottom drag
+    drag_bg_vel: float = 0.0      # DRAG_BG_VEL [m s-1]
+    bottomdraglaw: bool = True    # BOTTOMDRAGLAW (quadratic via BBL)
+    linear_drag: bool = False     # LINEAR_DRAG
+    maxvel: float = 6.0           # MAXVEL truncation [m s-1]
+    cfl_trunc: float = 0.9        # CFL_TRUNCATE
+
+
+class ViscCoefs(NamedTuple):
+    a_u: jnp.ndarray     # (nk+1, njh, nih) coupling coeff at u columns [m s-1]
+    a_v: jnp.ndarray
+    h_u: jnp.ndarray     # (nk, njh, nih) effective thickness at u faces [m]
+    h_v: jnp.ndarray
+
+
+def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
+                  cfg: VertViscCfg = VertViscCfg()) -> ViscCoefs:
+    """Build interface coupling coefficients at u and v columns.
+
+    kv_int: optional (nk+1, njh, nih) interface viscosity at h points
+    (from set_diffusivity/CVMix); defaults to the constant cfg.kv.
+    Bottom coupling uses a quadratic-drag piston velocity
+    cdrag*(|u_bot| + drag_bg_vel) (set_viscous_BBL's kv_bbl/bbl_thick
+    collapsed to its drag-law essence).
+    """
+    nk = h.shape[0]
+
+    def face_coefs(h_face, u_face, kv_face):
+        # interior interfaces K=1..nk-1: a = Kv / dz between layer centers
+        dz = 0.5 * (h_face[:-1] + h_face[1:]) + _H_NEGLECT
+        a_int = kv_face[1:-1] / dz
+        a_top = jnp.zeros_like(h_face[0])[None]
+        # bottom: piston velocity from the drag law
+        if cfg.bottomdraglaw:
+            if cfg.linear_drag:
+                piston = cfg.cdrag * cfg.drag_bg_vel * jnp.ones_like(h_face[0])
+            else:
+                piston = cfg.cdrag * (jnp.abs(u_face[-1]) + cfg.drag_bg_vel)
+            a_bot = (piston + kv_face[-1] / (0.5 * h_face[-1]
+                                             + 0.5 * cfg.hbbl))[None]
+        else:
+            a_bot = (kv_face[-1] / (0.5 * h_face[-1] + _H_NEGLECT))[None]
+        return jnp.concatenate([a_top, a_int, a_bot], axis=0)
+
+    h_u = 0.5 * (h + ip1(h))
+    h_v = 0.5 * (h + jp1(h))
+    if kv_int is None:
+        kv_u = jnp.full((nk + 1,) + h.shape[1:], cfg.kv, h.dtype)
+        kv_v = kv_u
+    else:
+        kv_u = 0.5 * (kv_int + ip1(kv_int))
+        kv_v = 0.5 * (kv_int + jp1(kv_int))
+
+    a_u = face_coefs(h_u, u, kv_u) * grid.mask2dCu[None]
+    a_v = face_coefs(h_v, v, kv_v) * grid.mask2dCv[None]
+    return ViscCoefs(a_u=a_u, a_v=a_v, h_u=h_u, h_v=h_v)
+
+
+def implicit_visc_solve(u, h_col, a, dt, rhs_extra=None, ray=None):
+    """Thickness-weighted implicit viscosity Thomas solve.
+
+    Solves (h + dt*L) u' = h*u (+ rhs_extra in layer 0), where L is the
+    tridiagonal coupling through interface coefficients a (nk+1 levels)
+    plus Rayleigh drag ray (nk levels).  Exactly the recursion of
+    MOM_vert_friction.F90 vertvisc (:656-707), vectorized over columns.
+    """
+    nk = u.shape[0]
+    if ray is None:
+        ray = jnp.zeros_like(u)
+    rhs = h_col * u
+    if rhs_extra is not None:
+        rhs = rhs.at[0].add(rhs_extra)
+
+    a_top = a[:-1]      # a(K) for layer k (top interface)
+    a_bot = a[1:]       # a(K+1) (bottom interface)
+
+    def fwd(carry, xs):
+        b1_prev, d1_prev, u_prev = carry
+        h_k, ray_k, a_t, a_b, rhs_k = xs
+        c1_k = dt * a_t * b1_prev
+        b_denom = h_k + dt * (ray_k + a_t * d1_prev)
+        b1 = 1.0 / (b_denom + dt * a_b)
+        d1 = b_denom * b1
+        u_k = (rhs_k + dt * a_t * u_prev) * b1
+        return (b1, d1, u_k), (u_k, c1_k)
+
+    ones = jnp.ones_like(u[0])
+    zeros = jnp.zeros_like(u[0])
+    (_, _, _), (u_fwd, c1) = jax.lax.scan(
+        fwd, (zeros, ones, zeros), (h_col, ray, a_top, a_bot, rhs))
+
+    def bwd(u_next, xs):
+        u_k, c1_next = xs
+        u_new = u_k + c1_next * u_next
+        return u_new, u_new
+
+    # backward substitution from k=nk-1 down
+    _, u_rev = jax.lax.scan(
+        bwd, u_fwd[-1],
+        (u_fwd[:-1][::-1], c1[1:][::-1]))
+    return jnp.concatenate([u_rev[::-1], u_fwd[-1:]], axis=0)
+
+
+def vertvisc(grid: Grid, u, v, h, coefs: ViscCoefs, dt,
+             taux=None, tauy=None, rho0: float = 1035.0,
+             ray_u=None, ray_v=None):
+    """Apply the implicit viscosity solve to both velocity components.
+
+    taux/tauy: surface stress [Pa] at u/v points."""
+    stress_u = None if taux is None else (dt / rho0) * taux * grid.mask2dCu
+    stress_v = None if tauy is None else (dt / rho0) * tauy * grid.mask2dCv
+    hu = coefs.h_u + _H_NEGLECT
+    hv = coefs.h_v + _H_NEGLECT
+    u_new = implicit_visc_solve(u, hu, coefs.a_u, dt, stress_u, ray_u)
+    v_new = implicit_visc_solve(v, hv, coefs.a_v, dt, stress_v, ray_v)
+    return u_new * grid.mask2dCu, v_new * grid.mask2dCv
+
+
+def vertvisc_remnant(grid: Grid, coefs: ViscCoefs, dt):
+    """visc_rem_u/v: fraction of barotropic acceleration each layer
+    retains through the implicit solve (vertvisc_remnant,
+    MOM_vert_friction.F90:1064) — the solve applied to u≡1."""
+    ones_u = jnp.ones_like(coefs.h_u)
+    ones_v = jnp.ones_like(coefs.h_v)
+    hu = coefs.h_u + _H_NEGLECT
+    hv = coefs.h_v + _H_NEGLECT
+    rem_u = implicit_visc_solve(ones_u, hu, coefs.a_u, dt)
+    rem_v = implicit_visc_solve(ones_v, hv, coefs.a_v, dt)
+    return rem_u * grid.mask2dCu, rem_v * grid.mask2dCv
+
+
+def vertvisc_limit_vel(grid: Grid, u, v, dt, cfg: VertViscCfg):
+    """CFL + absolute velocity truncation (vertvisc_limit_vel).
+
+    Returns (u, v, trunc_count)."""
+    u_lim = jnp.minimum(cfg.cfl_trunc * grid.dxCu / dt, cfg.maxvel)
+    v_lim = jnp.minimum(cfg.cfl_trunc * grid.dyCv / dt, cfg.maxvel)
+    truncs = (jnp.sum(jnp.abs(u) > u_lim) + jnp.sum(jnp.abs(v) > v_lim))
+    u = jnp.clip(u, -u_lim, u_lim)
+    v = jnp.clip(v, -v_lim, v_lim)
+    return u, v, truncs

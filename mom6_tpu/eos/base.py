@@ -1,0 +1,40 @@
+"""EOS interface.
+
+Counterpart of ``MOM_EOS_base_type``
+(/root/reference/src/equation_of_state/MOM_EOS_base_type.F90): density
+and specific volume with first derivatives; all methods are pure
+vectorized jnp functions usable inside jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+class EOS:
+    """Base equation of state: rho(T, S, p)."""
+
+    name = "?"
+
+    def density(self, T, S, p, rho_ref: float = 0.0):
+        """In-situ density [kg m-3] (minus rho_ref, computed to avoid
+        cancellation where the subclass supports it)."""
+        raise NotImplementedError
+
+    def spec_vol(self, T, S, p, spv_ref: float = 0.0):
+        return 1.0 / self.density(T, S, p) - spv_ref
+
+    def density_derivs(self, T, S, p):
+        """(drho_dT, drho_dS) via jax.grad-free analytic forms when
+        overridden; default uses forward-mode autodiff."""
+        drho_dT = jax.jvp(lambda t: self.density(t, S, p), (T,),
+                          (jnp.ones_like(T),))[1]
+        drho_dS = jax.jvp(lambda s: self.density(T, s, p), (S,),
+                          (jnp.ones_like(S),))[1]
+        return drho_dT, drho_dS
+
+    def compressibility(self, T, S, p):
+        """drho_dp [s2 m-2] via autodiff unless overridden."""
+        return jax.jvp(lambda q: self.density(T, S, q), (p,),
+                       (jnp.ones_like(p),))[1]

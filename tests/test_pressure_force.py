@@ -1,0 +1,78 @@
+import numpy as np
+import jax.numpy as jnp
+
+from mom6_tpu.parallel.domain import Domain
+from mom6_tpu.core.grid import cartesian_grid
+from mom6_tpu.core.vertical_grid import VerticalGrid
+from mom6_tpu.core.pressure_force import (
+    pressure_force, interface_heights, PressureForceCfg)
+from mom6_tpu.eos import LinearEOS
+
+
+def setup(nk=3):
+    d = Domain(ni=16, nj=12, halo=4, reentrant_x=True, reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=1600.0, lenlat_km=1200.0)
+    vg = VerticalGrid.uniform(nk=nk, gint=0.01)
+    return d, g, vg
+
+
+def test_interface_heights():
+    d, g, vg = setup()
+    h = d.pad(jnp.full((3, 12, 16), 100.0))
+    e = interface_heights(vg, h, g.bathyT)
+    assert e.shape[0] == 4
+    inner = d.interior(e[0])
+    np.testing.assert_allclose(np.asarray(inner), -4000.0 + 300.0)
+    np.testing.assert_allclose(np.asarray(d.interior(e[-1])), -4000.0)
+
+
+def test_flat_state_zero_force_layered():
+    d, g, vg = setup()
+    h = d.pad(jnp.full((3, 12, 16), 1000.0))
+    h = d.fill_halos(h)
+    res = pressure_force(g, vg, h)
+    np.testing.assert_allclose(np.asarray(d.interior(res.PFu)), 0.0,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.interior(res.PFv)), 0.0,
+                               atol=1e-12)
+
+
+def test_flat_state_zero_force_eos():
+    d, g, vg = setup()
+    h = d.fill_halos(d.pad(jnp.full((3, 12, 16), 1000.0)))
+    T = d.fill_halos(d.pad(jnp.full((3, 12, 16), 10.0)))
+    S = d.fill_halos(d.pad(jnp.full((3, 12, 16), 35.0)))
+    eos = LinearEOS()
+    res = pressure_force(g, vg, h, T, S, eos)
+    np.testing.assert_allclose(np.asarray(d.interior(res.PFu)), 0.0,
+                               atol=1e-10)
+
+
+def test_surface_tilt_acceleration():
+    """A free-surface tilt gives PFu = -g deta/dx in a 1-layer fluid."""
+    d, g, vg = setup(nk=1)
+    dx = float(g.dxT[6, 6])
+    # eta slope: 1 m over the full domain width
+    ni = 16
+    slope = 1.0 / (ni * dx)
+    x = (np.arange(24) - 4 + 0.5) * dx
+    eta = slope * x
+    h_int = 4000.0 + np.broadcast_to(eta, (1, 20, 24))
+    h = jnp.asarray(h_int)
+    T = jnp.full((1, 20, 24), 5.0)
+    S = jnp.full((1, 20, 24), 35.0)
+    eos = LinearEOS(rho_t0_s0=1035.0, drho_dt=0.0, drho_ds=0.0)
+    res = pressure_force(g, vg, h, T, S, eos)
+    # rho == Rho0 exactly → PFu = -g*slope everywhere in the interior
+    got = np.asarray(res.PFu)[0, 8:12, 8:12]
+    np.testing.assert_allclose(got, -9.8 * slope, rtol=1e-10)
+
+
+def test_pbce_layered():
+    d, g, vg = setup()
+    h = d.fill_halos(d.pad(jnp.full((3, 12, 16), 1000.0)))
+    res = pressure_force(g, vg, h)
+    pbce = np.asarray(d.interior(res.pbce))
+    # pbce[0] = g (free surface); deeper layers pick up g' contributions
+    np.testing.assert_allclose(pbce[0], 9.8, rtol=1e-12)
+    assert np.all(pbce[1] > pbce[0] - 1e-9)
