@@ -1,0 +1,282 @@
+"""Barotropic (2D shallow-water) solver for split time stepping.
+
+Re-design of /root/reference/src/core/MOM_barotropic.F90:423 btstep:
+subcycles the vertically-integrated dynamics ``nstep = ceil(dt/dtbt)``
+times with a dissipative predictor-corrector (backward weight ``bebt``),
+returning time-filtered mean transports (uhbtav), the free surface, and
+the per-layer barotropic anomaly accelerations that the baroclinic
+update adds to its own accelerations (accel_layer_[uv],
+MOM_barotropic.F90:2578).
+
+Key couplings reproduced:
+* ``frhat``/``wt`` thickness-fraction weights (btcalc, :3394) project
+  layer velocities/accelerations onto the barotropic mode;
+* ``gtot_{E,W,N,S}`` effective reduced gravities from ``pbce``;
+* Coriolis anomaly about ``Cor_ref`` (the projection of the 3D
+  Coriolis acceleration already present in bc_accel) with
+  depth-weighted Sadourny-energy averaging (:1439-1487);
+* pressure anomaly ``gtot*(eta_PF_BT − eta_PF)`` (:2054);
+* per-substep viscous decay ``bt_rem = av_rem**(1/nstep)``;
+* transports from linearized face areas ``Datu*ubt`` (the nonlinear
+  BT_cont face-area curves are a planned refinement).
+
+The substep loop is a ``lax.fori_loop`` with a width-1 halo exchange
+per substep (the reference's wide-halo communication-avoiding march,
+:782-786, is a planned optimization for multi-chip runs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.core.grid import Grid
+from mom6_tpu.core.vertical_grid import VerticalGrid
+from mom6_tpu.parallel.domain import Domain
+from mom6_tpu.parallel.stencil import ip1, im1, jp1, jm1
+
+__all__ = ["BarotropicCfg", "btstep", "btcalc", "set_dtbt", "BTResult"]
+
+_H_NEGLECT = 1e-20
+
+
+def _bt_w(domain) -> int:
+    return min(3, domain.halo)
+
+
+@dataclasses.dataclass(frozen=True)
+class BarotropicCfg:
+    bebt: float = 0.2          # BEBT dissipative backward-Euler weight
+    dtbt_frac: float = 0.25    # DTBT<0 fraction of max stable step
+    nstep: int = 32            # substeps per baroclinic dt (set_dtbt)
+    bt_project: bool = False   # BT_PROJECT_VELOCITY
+    coriolis_scale: float = 1.0
+
+
+class BTResult(NamedTuple):
+    eta: jnp.ndarray            # final free surface anomaly [m]
+    eta_av: jnp.ndarray         # time-mean eta over the step
+    uhbtav: jnp.ndarray         # time-mean zonal barotropic transport
+    vhbtav: jnp.ndarray
+    accel_layer_u: jnp.ndarray  # per-layer BT anomaly accel [m s-2]
+    accel_layer_v: jnp.ndarray
+    ubt_av: jnp.ndarray         # time-mean barotropic velocities
+    vbt_av: jnp.ndarray
+
+
+def btcalc(grid: Grid, h):
+    """frhatu/frhatv: fraction of total column thickness in each layer
+    at u and v faces (btcalc with ARITHMETIC hvel_scheme,
+    MOM_barotropic.F90:3492)."""
+    h_u = 0.5 * (h + ip1(h))
+    h_v = 0.5 * (h + jp1(h))
+    frhatu = h_u * (grid.mask2dCu / (jnp.sum(h_u, 0) + _H_NEGLECT))
+    frhatv = h_v * (grid.mask2dCv / (jnp.sum(h_v, 0) + _H_NEGLECT))
+    return frhatu, frhatv
+
+
+def set_dtbt(domain: Domain, grid, vgrid, cfg: BarotropicCfg, dt: float,
+             max_depth: float | None = None) -> int:
+    """Host-side: number of substeps from the barotropic gravity-wave
+    CFL (set_dtbt, MOM_barotropic.F90:2801).  Returns static nstep."""
+    import numpy as np
+    D = float(jnp.max(grid.bathyT)) if max_depth is None else max_depth
+    c = math.sqrt(vgrid.g_Earth * max(D, 1.0))
+    dx = float(jnp.min(jnp.where(grid.dxT > 0, grid.dxT, jnp.inf)))
+    dy = float(jnp.min(jnp.where(grid.dyT > 0, grid.dyT, jnp.inf)))
+    dmin = min(dx, dy)
+    # Empirical stability of this forward-backward/bebt subcycle: the
+    # 2D checkerboard mode requires per-axis CFL ≲ 0.5 (measured:
+    # stable at 0.47, unstable at 0.62 — see tests/test_split_rk2).
+    dtbt_max = 0.9 * dmin / (2.0 * c)
+    nstep = max(1, int(math.ceil(dt / dtbt_max)))
+    return nstep
+
+
+def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
+           u_in, v_in, eta_in, h,
+           bc_accel_u, bc_accel_v, pbce, u_cor, v_cor,
+           dt: float, cfg: BarotropicCfg,
+           visc_rem_u=None, visc_rem_v=None,
+           taux=None, tauy=None, eta_pf=None,
+           nstep: int | None = None) -> BTResult:
+    """One barotropic solve over the baroclinic step dt.
+
+    u_in/v_in: layer velocities whose BT part seeds ubt.
+    u_cor/v_cor: velocities used in CorAdCalc (u_av) — the reference
+    values for the Coriolis anomaly.
+    eta_pf: the eta already used in the 3D pressure force (its
+    contribution is in bc_accel; the BT PG applies only anomalies).
+    """
+    nz = h.shape[0]
+    nstep = cfg.nstep if nstep is None else nstep
+    dtbt = dt / nstep
+    bebt = cfg.bebt
+
+    if visc_rem_u is None:
+        visc_rem_u = jnp.ones_like(u_in)
+    if visc_rem_v is None:
+        visc_rem_v = jnp.ones_like(v_in)
+    # Datu/q are consumed at ring 3 inside the subcycle and derive from
+    # eta via one-cell shifts, so eta needs its full halo valid.
+    eta_in = domain.fill_halos(eta_in)
+    if eta_pf is None:
+        eta_pf = eta_in
+
+    frhatu, frhatv = btcalc(grid, h)
+    wt_u = frhatu * visc_rem_u
+    wt_v = frhatv * visc_rem_v
+
+    # initial/projection quantities
+    ubt0 = jnp.sum(frhatu * u_in, axis=0)
+    vbt0 = jnp.sum(frhatv * v_in, axis=0)
+    ubt_Cor = jnp.sum(wt_u * u_cor, axis=0)
+    vbt_Cor = jnp.sum(wt_v * v_cor, axis=0)
+    BT_force_u = jnp.sum(wt_u * bc_accel_u, axis=0)
+    BT_force_v = jnp.sum(wt_v * bc_accel_v, axis=0)
+
+    # total depths (Boussinesq) at faces/centers
+    D_cell = grid.bathyT + eta_in                     # water column [m]
+    D_cell = jnp.maximum(D_cell, 0.0)
+    DCor_u = 0.5 * (D_cell + ip1(D_cell))
+    DCor_v = 0.5 * (D_cell + jp1(D_cell))
+    Datu = grid.dyCu * DCor_u * grid.mask2dCu         # face areas [m2]
+    Datv = grid.dxCv * DCor_v * grid.mask2dCv
+
+    if taux is not None:
+        BT_force_u = BT_force_u + (taux / vgrid.Rho0) * visc_rem_u[0] \
+            / (DCor_u + _H_NEGLECT)
+    if tauy is not None:
+        BT_force_v = BT_force_v + (tauy / vgrid.Rho0) * visc_rem_v[0] \
+            / (DCor_v + _H_NEGLECT)
+
+    # effective reduced gravities across each face direction
+    gtot_E = jnp.sum(pbce * wt_u, axis=0)
+    gtot_W = jnp.sum(pbce * im1(wt_u), axis=0)
+    gtot_N = jnp.sum(pbce * wt_v, axis=0)
+    gtot_S = jnp.sum(pbce * jm1(wt_v), axis=0)
+
+    # depth-weighted Coriolis q at corners (q absorbs the 1/4 factor)
+    sumA = (grid.areaT + ip1(jp1(grid.areaT))) + (ip1(grid.areaT)
+                                                  + jp1(grid.areaT))
+    sumAD = ((grid.areaT * D_cell + ip1(jp1(grid.areaT * D_cell)))
+             + (ip1(grid.areaT * D_cell) + jp1(grid.areaT * D_cell)))
+    q = 0.25 * (cfg.coriolis_scale * grid.CoriolisBu) * sumA \
+        / jnp.maximum(sumAD, _H_NEGLECT)
+
+    Dv_q = DCor_v  # depth weights for the Coriolis averaging
+    Du_q = DCor_u
+
+    def cor_u(vbt):
+        dvv = Dv_q * vbt
+        A = q * (ip1(dvv) + dvv)
+        return A + jm1(A)
+
+    def cor_v(ubt):
+        duu = Du_q * ubt
+        B = q * (duu + jp1(duu))
+        return -(B + im1(B))
+
+    Cor_ref_u = cor_u(vbt_Cor)
+    Cor_ref_v = cor_v(ubt_Cor)
+
+    # per-substep viscous remnant decay
+    av_rem_u = jnp.sum(frhatu * visc_rem_u, axis=0)
+    av_rem_v = jnp.sum(frhatv * visc_rem_v, axis=0)
+    Instep = 1.0 / nstep
+    bt_rem_u = jnp.where(av_rem_u > 0, av_rem_u ** Instep, 0.0) \
+        * grid.mask2dCu
+    bt_rem_v = jnp.where(av_rem_v > 0, av_rem_v ** Instep, 0.0) \
+        * grid.mask2dCv
+
+    wt = 1.0 / nstep     # uniform filter weights (ramped filter later)
+
+    fill = domain.fill_halos
+
+    def div(uhbt, vhbt):
+        return ((uhbt - im1(uhbt)) + (vhbt - jm1(vhbt))) * grid.IareaT
+
+    def substep(n, carry):
+        eta, ubt, vbt, sums = carry
+        uhbt = Datu * ubt
+        vhbt = Datv * vbt
+        eta_pred = eta - dtbt * div(uhbt, vhbt)
+        eta_bt_pf = (1.0 - bebt) * eta + bebt * eta_pred
+        d_eta = eta_bt_pf - eta_pf
+
+        pf_u = (d_eta * gtot_E - ip1(d_eta * gtot_W)) * grid.IdxCu
+        pf_v = (d_eta * gtot_N - jp1(d_eta * gtot_S)) * grid.IdyCv
+
+        def u_first(ub, vb):
+            cu = cor_u(vb) - Cor_ref_u
+            ub2 = bt_rem_u * (ub + dtbt * ((BT_force_u + cu) + pf_u))
+            cv = cor_v(ub2) - Cor_ref_v
+            vb2 = bt_rem_v * (vb + dtbt * ((BT_force_v + cv) + pf_v))
+            return ub2, vb2, cu, cv
+
+        def v_first(ub, vb):
+            cv = cor_v(ub) - Cor_ref_v
+            vb2 = bt_rem_v * (vb + dtbt * ((BT_force_v + cv) + pf_v))
+            cu = cor_u(vb2) - Cor_ref_u
+            ub2 = bt_rem_u * (ub + dtbt * ((BT_force_u + cu) + pf_u))
+            return ub2, vb2, cu, cv
+
+        ubt2, vbt2, cu, cv = jax.lax.cond(n % 2 == 0, u_first, v_first,
+                                          ubt, vbt)
+
+        uhbt2 = Datu * ubt2
+        vhbt2 = Datv * vbt2
+        eta2 = eta - dtbt * div(uhbt2, vhbt2)
+
+        # The substep's validity chain consumes 3 rings: eta2 interior
+        # needs ubt2 at ring 1, whose PF needs eta_pred at ring 2,
+        # which needs transports at ring 3 — so refresh 3 rings.
+        eta2, ubt2, vbt2 = fill((eta2, ubt2, vbt2), width=_bt_w(domain))
+
+        s = sums
+        s = dict(
+            uhbt=s["uhbt"] + wt * uhbt2,
+            vhbt=s["vhbt"] + wt * vhbt2,
+            eta=s["eta"] + wt * eta2,
+            accel_u=s["accel_u"] + wt * (cu + pf_u),
+            accel_v=s["accel_v"] + wt * (cv + pf_v),
+            ubt=s["ubt"] + wt * ubt2,
+            vbt=s["vbt"] + wt * vbt2,
+        )
+        return (eta2, ubt2, vbt2, s)
+
+    zero2 = jnp.zeros_like(eta_in)
+    sums0 = dict(uhbt=zero2, vhbt=zero2, eta=zero2, accel_u=zero2,
+                 accel_v=zero2, ubt=zero2, vbt=zero2)
+    eta0, ubt0, vbt0 = fill((eta_in, ubt0, vbt0), width=_bt_w(domain))
+    eta_f, ubt_f, vbt_f, sums = jax.lax.fori_loop(
+        0, nstep, substep, (eta0, ubt0, vbt0, sums0))
+    # The per-substep accumulations were made before that substep's halo
+    # refresh, so the sums' halo rings are stale; downstream consumers
+    # (continuity's Newton matching at wrap/shard faces, accel_layer's
+    # ip1/jp1) need ≥1 valid ring — refresh them here.
+    sums = fill(sums, width=_bt_w(domain))
+
+    u_accel_bt = sums["accel_u"]
+    v_accel_bt = sums["accel_v"]
+    e_anom = sums["eta"] - eta_pf
+
+    # distribute to layers with the pbce-gtot correction (:2578)
+    accel_layer_u = u_accel_bt[None] - (
+        ip1((pbce - gtot_W[None]) * e_anom[None])
+        - (pbce - gtot_E[None]) * e_anom[None]) * grid.IdxCu[None]
+    accel_layer_v = v_accel_bt[None] - (
+        jp1((pbce - gtot_S[None]) * e_anom[None])
+        - (pbce - gtot_N[None]) * e_anom[None]) * grid.IdyCv[None]
+    accel_layer_u = accel_layer_u * grid.mask2dCu
+    accel_layer_v = accel_layer_v * grid.mask2dCv
+
+    return BTResult(eta=eta_f, eta_av=sums["eta"],
+                    uhbtav=sums["uhbt"], vhbtav=sums["vhbt"],
+                    accel_layer_u=accel_layer_u,
+                    accel_layer_v=accel_layer_v,
+                    ubt_av=sums["ubt"], vbt_av=sums["vbt"])

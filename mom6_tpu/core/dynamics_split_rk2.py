@@ -1,0 +1,189 @@
+"""Split barotropic/baroclinic RK2 time stepping — the production
+dynamics path.
+
+Re-design of /root/reference/src/core/MOM_dynamics_split_RK2.F90:289
+step_MOM_dyn_split_RK2:
+
+  PREDICTOR:  PF(h) → pbce/eta_PF; CorAd on the previous time-mean
+  velocities (u_av) and transports; bc_accel = CA+PF+diffu;
+  visc_rem(dt_pred); btstep → per-layer barotropic anomaly accel;
+  up = u + be*dt*(bc_accel + accel_bt); implicit vertical viscosity;
+  continuity over the FULL dt with the predictor's mean barotropic
+  transports (Newton-matched), yielding hp and the new u_av.
+
+  CORRECTOR:  PF(hp); hor_visc(u_av); CorAd(u_av on h_av=(h+hp)/2);
+  btstep → final accel/eta/transports; u ← u + dt*(bc_accel+accel_bt);
+  vertical viscosity; continuity(u, h→h(n+1), uhbtav) giving the next
+  u_av; accumulate uhtr.
+
+The split state (u_av, v_av, h_av, uh, vh, eta, diffu) persists across
+steps exactly as the reference's control structure + restart fields do
+(register_restarts_dyn_split_RK2, :1181).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.core.grid import Grid
+from mom6_tpu.core.state import State
+from mom6_tpu.core.vertical_grid import VerticalGrid
+from mom6_tpu.core.forcing import MechForcing
+from mom6_tpu.core.barotropic import BarotropicCfg, btstep
+from mom6_tpu.core.continuity_ppm import ContinuityCfg, continuity_ppm
+from mom6_tpu.core.coriolis_adv import CoriolisCfg, coriolis_adv
+from mom6_tpu.core.pressure_force import (PressureForceCfg, pressure_force,
+                                          interface_heights)
+from mom6_tpu.core.vert_friction import (VertViscCfg, vertvisc,
+                                         vertvisc_coef, vertvisc_remnant,
+                                         vertvisc_limit_vel)
+from mom6_tpu.param.lateral.hor_visc import HorViscCfg, horizontal_viscosity
+from mom6_tpu.parallel.domain import Domain
+
+__all__ = ["SplitCfg", "SplitDynState", "init_split_state",
+           "step_dyn_split_rk2"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SplitCfg:
+    be: float = 0.6                  # BE predictor bootstrap weight
+    begw: float = 0.0                # BEGW gravity-wave weight
+    continuity: ContinuityCfg = ContinuityCfg()
+    coriolis: CoriolisCfg = CoriolisCfg()
+    pressure: PressureForceCfg = PressureForceCfg()
+    vertvisc: VertViscCfg = VertViscCfg()
+    horvisc: HorViscCfg = HorViscCfg()
+    barotropic: BarotropicCfg = BarotropicCfg()
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SplitDynState:
+    """Auxiliary prognostic state of the split scheme (persists across
+    steps and through restarts)."""
+    u_av: jnp.ndarray
+    v_av: jnp.ndarray
+    h_av: jnp.ndarray
+    uh: jnp.ndarray
+    vh: jnp.ndarray
+    eta: jnp.ndarray          # free surface [m]
+
+
+class SplitDiags(NamedTuple):
+    uh: jnp.ndarray
+    vh: jnp.ndarray
+    uhtr: jnp.ndarray
+    vhtr: jnp.ndarray
+    truncs: jnp.ndarray
+    eta_av: jnp.ndarray
+
+
+def init_split_state(domain: Domain, grid: Grid, vgrid: VerticalGrid,
+                     state: State) -> SplitDynState:
+    """Bootstrap the split auxiliary state from the instantaneous state
+    (first step / cold restart)."""
+    e = interface_heights(vgrid, state.h, grid.bathyT)
+    z = jnp.zeros_like(state.h)
+    return SplitDynState(u_av=state.u, v_av=state.v, h_av=state.h,
+                         uh=z, vh=z, eta=e[0])
+
+
+def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
+                       state: State, split: SplitDynState,
+                       forces: MechForcing, dt: float, cfg: SplitCfg,
+                       eos=None, x_first: bool = True,
+                       ) -> tuple[State, SplitDynState, SplitDiags]:
+    fill = domain.fill_halos
+    rho0 = vgrid.Rho0
+    T, S = state.T, state.S
+
+    u, v, h = fill((state.u, state.v, state.h))
+    u_av, v_av, h_av = fill((split.u_av, split.v_av, split.h_av))
+    uh, vh = fill((split.uh, split.vh), width=2)
+    eta = fill(split.eta)
+
+    # ---- PREDICTOR ----
+    pf = pressure_force(grid, vgrid, h, T, S, eos, p_atm=forces.p_surf,
+                        cfg=cfg.pressure)
+    pbce, eta_pf = pf.pbce, pf.eta_pf
+    dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc)
+    ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
+    u_bc_accel = (ca.CAu + pf.PFu) + dv.diffu
+    v_bc_accel = (ca.CAv + pf.PFv) + dv.diffv
+
+    dt_pred = dt * cfg.be
+    coefs = vertvisc_coef(grid, u_av, v_av, h, cfg=cfg.vertvisc)
+    visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
+
+    bt = btstep(domain, grid, vgrid, u, v, eta, h,
+                u_bc_accel, v_bc_accel, pbce, u_av, v_av, dt,
+                cfg.barotropic, visc_rem_u, visc_rem_v,
+                forces.taux, forces.tauy, eta_pf=eta_pf)
+
+    up = grid.mask2dCu * (u + dt_pred * (u_bc_accel + bt.accel_layer_u))
+    vp = grid.mask2dCv * (v + dt_pred * (v_bc_accel + bt.accel_layer_v))
+
+    coefs = vertvisc_coef(grid, up, vp, h, cfg=cfg.vertvisc)
+    up, vp = vertvisc(grid, up, vp, h, coefs, dt_pred,
+                      forces.taux, forces.tauy, rho0)
+    visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
+    up, vp = fill((up, vp))
+    visc_rem_u, visc_rem_v = fill((visc_rem_u, visc_rem_v))
+
+    res = continuity_ppm(grid, vgrid, up, vp, h, dt, cfg.continuity,
+                         uhbt=bt.uhbtav, vhbt=bt.vhbtav,
+                         visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
+                         x_first=x_first)
+    hp, uh, vh = fill((res.h, res.uh, res.vh))
+    u_av, v_av = fill((res.u_cor, res.v_cor))
+    h_av = 0.5 * (h + hp)
+
+    # ---- CORRECTOR ----
+    if cfg.begw != 0.0:
+        hp_pf = (1.0 - cfg.begw) * h + cfg.begw * hp
+    else:
+        hp_pf = hp
+    pf = pressure_force(grid, vgrid, hp_pf, T, S, eos,
+                        p_atm=forces.p_surf, cfg=cfg.pressure)
+    pbce, eta_pf = pf.pbce, pf.eta_pf
+    dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc)
+    ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
+    u_bc_accel = (ca.CAu + pf.PFu) + dv.diffu
+    v_bc_accel = (ca.CAv + pf.PFv) + dv.diffv
+
+    bt = btstep(domain, grid, vgrid, u, v, eta, h,
+                u_bc_accel, v_bc_accel, pbce, u_av, v_av, dt,
+                cfg.barotropic, visc_rem_u, visc_rem_v,
+                forces.taux, forces.tauy, eta_pf=eta_pf)
+    eta_new = bt.eta
+
+    u_new = grid.mask2dCu * (u + dt * (u_bc_accel + bt.accel_layer_u))
+    v_new = grid.mask2dCv * (v + dt * (v_bc_accel + bt.accel_layer_v))
+
+    coefs = vertvisc_coef(grid, u_new, v_new, h, cfg=cfg.vertvisc)
+    u_new, v_new = vertvisc(grid, u_new, v_new, h, coefs, dt,
+                            forces.taux, forces.tauy, rho0)
+    visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt)
+    u_new, v_new, truncs = vertvisc_limit_vel(grid, u_new, v_new, dt,
+                                              cfg.vertvisc)
+    u_new, v_new = fill((u_new, v_new))
+    visc_rem_u, visc_rem_v = fill((visc_rem_u, visc_rem_v))
+
+    res = continuity_ppm(grid, vgrid, u_new, v_new, h, dt, cfg.continuity,
+                         uhbt=bt.uhbtav, vhbt=bt.vhbtav,
+                         visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
+                         x_first=x_first)
+    h_new, uh, vh = fill((res.h, res.uh, res.vh))
+    u_av, v_av = fill((res.u_cor, res.v_cor))
+    h_av_new = 0.5 * (h + h_new)
+
+    new_state = state.replace(u=u_new, v=v_new, h=h_new)
+    new_split = SplitDynState(u_av=u_av, v_av=v_av, h_av=h_av_new,
+                              uh=uh, vh=vh, eta=eta_new)
+    diags = SplitDiags(uh=uh, vh=vh, uhtr=dt * uh, vhtr=dt * vh,
+                       truncs=truncs, eta_av=bt.eta_av)
+    return new_state, new_split, diags

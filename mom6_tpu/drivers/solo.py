@@ -1,0 +1,111 @@
+"""Ocean-only driver: the ``program MOM6`` equivalent.
+
+Re-design of /root/reference/config_src/drivers/solo_driver/
+MOM_driver.F90: reads a case directory containing ``MOM_input`` (and
+optional ``MOM_override``), builds the model, runs the time loop with
+the energy/stats cadence, restart saves, and parameter-doc output.
+
+Usage:  python -m mom6_tpu.drivers.solo CASE_DIR [--days D] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="mom6_tpu solo ocean driver")
+    ap.add_argument("case_dir")
+    ap.add_argument("--days", type=float, default=None,
+                    help="override DAYMAX")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
+    ap.add_argument("--x64", action="store_true", default=True)
+    ap.add_argument("--restart-from", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.framework.restart import (save_restart, restore_restart)
+    from mom6_tpu.model import build_model
+    from mom6_tpu.diagnostics.sum_output import (
+        stat_sums, collect_stats, format_stats_header, format_stats_line)
+
+    sources = [os.path.join(args.case_dir, "MOM_input")]
+    override = os.path.join(args.case_dir, "MOM_override")
+    if os.path.exists(override):
+        sources.append(override)
+    pf = ParamFile(*sources)
+
+    model = build_model(pf)
+    pf.module("MOM_sum_output")
+    energysavedays = pf.get("ENERGYSAVEDAYS", float, 1.0, units="days")
+    pf.module("MOM_restart")
+    restint = pf.get("RESTINT", float, 0.0, units="days")
+    unused = pf.close(fatal_unused=False)
+    if unused:
+        print(f"WARNING: {len(unused)} unimplemented/unused parameters: "
+              + ", ".join(unused[:12])
+              + (" ..." if len(unused) > 12 else ""), file=sys.stderr)
+    pf.write_docs(args.case_dir)
+
+    daymax = args.days if args.days is not None else model.daymax
+    state, split_state = model.state, model.split_state
+    step0, t_days = 0, 0.0
+    if args.restart_from:
+        trees, meta = restore_restart(
+            args.restart_from, {"state": state, "split": split_state})
+        state, split_state = trees["state"], trees["split"]
+        step0, t_days = int(meta["step"]), float(meta["time_days"])
+
+    step = model.step_fn()
+    stats_jit = jax.jit(stat_sums)
+    d, g, vg, dt = model.domain, model.grid, model.vgrid, model.dt
+    nsteps = int(round((daymax - t_days) * 86400.0 / dt))
+    if nsteps <= 0:
+        print(f"Nothing to do: restart time {t_days} days already ≥ "
+              f"requested DAYMAX {daymax} days", file=sys.stderr)
+        return
+    stats_every = max(1, int(round(energysavedays * 86400.0 / dt)))
+
+    stats_path = os.path.join(args.case_dir, "ocean.stats")
+    with open(stats_path, "w") as f:
+        f.write(format_stats_header())
+    mass0 = None
+    wall0 = time.perf_counter()
+    for n in range(step0, step0 + nsteps + 1):
+        if n % stats_every == 0:
+            s = collect_stats(stats_jit(d, g, vg, state, dt), vg, n,
+                              n * dt / 86400.0)
+            if mass0 is None:
+                mass0 = s.total_mass
+            line = format_stats_line(s, mass0)
+            with open(stats_path, "a") as f:
+                f.write(line)
+            print(line, end="")
+        if n == step0 + nsteps:
+            break
+        state, split_state, _ = step(state, split_state)
+    jax.block_until_ready(state.h)
+    wall = time.perf_counter() - wall0
+    pts = model.domain.ni * model.domain.nj * model.vgrid.nk * nsteps
+    print(f"run complete: {nsteps} steps, {wall:.2f}s wall, "
+          f"{pts / max(wall, 1e-9):.3g} points/s")
+
+    if restint > 0 or True:
+        save_restart(os.path.join(args.case_dir, "RESTART", "MOM.res"),
+                     {"state": state, "split": split_state},
+                     meta={"step": step0 + nsteps,
+                           "time_days": daymax})
+
+
+if __name__ == "__main__":
+    main()

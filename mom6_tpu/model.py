@@ -1,0 +1,276 @@
+"""Model assembly: configuration → domain/grid/state/step function.
+
+The functional counterpart of ``initialize_MOM`` + ``step_MOM``
+(/root/reference/src/core/MOM.F90:2018,499): reads the MOM_input
+parameter dialect, builds the grid and vertical coordinate, initializes
+the state from the named analytic configurations, and exposes jitted
+step functions (split RK2 by default, unsplit RK3/RK2 otherwise).
+Initialization configs mirror the reference's string-keyed registries
+(MOM_fixed_initialization / MOM_state_initialization):
+``TOPO_CONFIG`` flat|bowl|spoon, ``THICKNESS_CONFIG`` uniform,
+``GRID_CONFIG`` cartesian|spherical, ``WIND_CONFIG`` zero|gyres.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.framework.config import ParamFile
+from mom6_tpu.parallel.domain import Domain
+from mom6_tpu.core.grid import Grid, cartesian_grid, spherical_grid
+from mom6_tpu.core.vertical_grid import VerticalGrid
+from mom6_tpu.core.state import State
+from mom6_tpu.core.forcing import MechForcing
+from mom6_tpu.core.dynamics_unsplit import UnsplitCfg, step_dyn_unsplit
+from mom6_tpu.core.dynamics_split_rk2 import (
+    SplitCfg, SplitDynState, init_split_state, step_dyn_split_rk2)
+from mom6_tpu.core.barotropic import BarotropicCfg, set_dtbt
+from mom6_tpu.core.continuity_ppm import ContinuityCfg
+from mom6_tpu.core.coriolis_adv import CoriolisCfg
+from mom6_tpu.core.pressure_force import PressureForceCfg
+from mom6_tpu.core.vert_friction import VertViscCfg
+from mom6_tpu.param.lateral.hor_visc import HorViscCfg
+from mom6_tpu.eos import make_eos
+
+__all__ = ["Model", "build_model"]
+
+
+def _topo_fn(config: str, max_depth: float, min_depth: float,
+             lenlon: float, lenlat: float, west: float, south: float):
+    """TOPO_CONFIG registry (MOM_shared_initialization topo configs)."""
+    if config == "flat":
+        return lambda lon, lat: np.full_like(lat, max_depth)
+    if config == "bowl":
+        def bowl(lon, lat):
+            xn = 2.0 * (lon - west) / max(lenlon, 1e-30) - 1.0
+            yn = 2.0 * (lat - south) / max(lenlat, 1e-30) - 1.0
+            r2 = np.minimum(xn ** 2 + yn ** 2, 1.0)
+            return min_depth + (max_depth - min_depth) * (1.0 - r2)
+        return bowl
+    if config == "spoon":
+        def spoon(lon, lat):
+            yn = (lat - south) / max(lenlat, 1e-30)
+            return min_depth + (max_depth - min_depth) * np.sin(
+                math.pi * np.clip(yn, 0, 1))
+        return spoon
+    raise ValueError(f"Unknown TOPO_CONFIG '{config}'")
+
+
+@dataclasses.dataclass
+class Model:
+    domain: Domain
+    grid: Grid
+    vgrid: VerticalGrid
+    eos: Any
+    split: bool
+    split_cfg: Optional[SplitCfg]
+    unsplit_cfg: Optional[UnsplitCfg]
+    dt: float
+    dt_forcing: float
+    daymax: float
+    thermo: bool
+    forces: MechForcing
+    state: State
+    split_state: Optional[SplitDynState]
+
+    def step_fn(self):
+        """A jitted single-dt step: (state, split_state) → same."""
+        d, g, vg = self.domain, self.grid, self.vgrid
+        forces, eos = self.forces, self.eos
+        if self.split:
+            cfg = self.split_cfg
+
+            def step(state, split_state):
+                s, a, diags = step_dyn_split_rk2(d, g, vg, state,
+                                                 split_state, forces,
+                                                 self.dt, cfg, eos=eos)
+                return s, a, diags
+        else:
+            cfg = self.unsplit_cfg
+
+            def step(state, split_state):
+                s, diags = step_dyn_unsplit(d, g, vg, state, forces,
+                                            self.dt, cfg, eos=eos)
+                return s, split_state, diags
+        return jax.jit(step)
+
+
+def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
+    pf.module("MOM_domains")
+    ni = pf.get("NIGLOBAL", int, desc="x grid points")
+    nj = pf.get("NJGLOBAL", int, desc="y grid points")
+    reentrant_x = pf.get("REENTRANT_X", bool, False)
+    reentrant_y = pf.get("REENTRANT_Y", bool, False)
+    halo = pf.get("NIHALO", int, 4, desc="halo width")
+    domain = Domain(ni=ni, nj=nj, halo=halo, layout=layout,
+                    reentrant_x=reentrant_x, reentrant_y=reentrant_y)
+    if sharded:
+        domain = domain.sharded()
+
+    pf.module("MOM_grid_init")
+    grid_config = pf.get("GRID_CONFIG", str, "cartesian")
+    south = pf.get("SOUTHLAT", float, 0.0)
+    lenlat = pf.get("LENLAT", float, float(nj))
+    west = pf.get("WESTLON", float, 0.0)
+    lenlon = pf.get("LENLON", float, float(ni))
+    max_depth = pf.get("MAXIMUM_DEPTH", float, 4000.0, units="m")
+    min_depth = pf.get("MINIMUM_DEPTH", float, 0.0, units="m")
+    topo_config = pf.get("TOPO_CONFIG", str, "flat")
+    f0 = pf.get("F_0", float, 0.0, units="s-1")
+    beta = pf.get("BETA", float, 0.0, units="m-1 s-1")
+    axis_units = pf.get("AXIS_UNITS", str, "degrees")
+
+    depth_fn = _topo_fn(topo_config, max_depth, min_depth, lenlon, lenlat,
+                        west, south)
+    if grid_config == "cartesian":
+        if axis_units.startswith("k"):
+            grid = cartesian_grid(domain, lenlon_km=lenlon,
+                                  lenlat_km=lenlat, f0=f0, beta=beta,
+                                  depth_fn=depth_fn, max_depth=max_depth,
+                                  min_depth=min_depth, south_lat=south,
+                                  west_lon=west)
+        else:
+            # degrees interpreted on a sphere-like local metric
+            grid = spherical_grid(domain, west_lon=west, lenlon=lenlon,
+                                  south_lat=south, lenlat=lenlat,
+                                  depth_fn=depth_fn, max_depth=max_depth,
+                                  min_depth=min_depth)
+    elif grid_config == "spherical":
+        grid = spherical_grid(domain, west_lon=west, lenlon=lenlon,
+                              south_lat=south, lenlat=lenlat,
+                              depth_fn=depth_fn, max_depth=max_depth,
+                              min_depth=min_depth)
+    else:
+        raise ValueError(f"Unknown GRID_CONFIG '{grid_config}'")
+
+    pf.module("MOM_verticalGrid")
+    nk = pf.get("NK", int, 1, units="nondim", desc="number of layers")
+    g_earth = pf.get("G_EARTH", float, 9.8, units="m s-2")
+    rho0 = pf.get("RHO_0", float, 1035.0, units="kg m-3")
+    gint = pf.get("GINT", float, 0.0, units="m s-2",
+                  desc="uniform interface reduced gravity")
+    vgrid = VerticalGrid.uniform(nk=nk, g_Earth=g_earth, Rho0=rho0,
+                                 gint=gint if gint > 0 else None)
+
+    pf.module("MOM")
+    split = pf.get("SPLIT", bool, True)
+    dt = pf.get("DT", float, units="s")
+    dt_forcing = pf.get("DT_FORCING", float, dt, units="s")
+    daymax = pf.get("DAYMAX", float, 1.0, units="days")
+    thermo = pf.get("ENABLE_THERMODYNAMICS", bool, True)
+    adiabatic = pf.get("ADIABATIC", bool, False)
+
+    pf.module("MOM_EOS")
+    eos_form = pf.get("EQN_OF_STATE", str, "WRIGHT")
+    eos = make_eos(eos_form) if thermo else None
+
+    pf.module("MOM_continuity_PPM")
+    cont = ContinuityCfg(
+        upwind_1st=pf.get("UPWIND_1ST_CONTINUITY", bool, False),
+        simple_2nd=pf.get("SIMPLE_2ND_PPM_CONTINUITY", bool, False),
+        monotonic=pf.get("MONOTONIC_CONTINUITY", bool, False))
+    pf.module("MOM_CoriolisAdv")
+    cor = CoriolisCfg(
+        scheme=pf.get("CORIOLIS_SCHEME", str, "SADOURNY75_ENERGY"),
+        ke_scheme=pf.get("KE_SCHEME", str, "KE_ARAKAWA"),
+        no_slip=pf.get("NOSLIP", bool, False))
+    pf.module("MOM_vert_friction")
+    vv = VertViscCfg(
+        kv=pf.get("KV", float, 1e-4, units="m2 s-1"),
+        hbbl=pf.get("HBBL", float, 10.0, units="m"),
+        cdrag=pf.get("CDRAG", float, 0.003),
+        bottomdraglaw=pf.get("BOTTOMDRAGLAW", bool, True),
+        linear_drag=pf.get("LINEAR_DRAG", bool, False),
+        drag_bg_vel=pf.get("DRAG_BG_VEL", float, 0.0, units="m s-1"),
+        maxvel=pf.get("MAXVEL", float, 6.0, units="m s-1"))
+    pf.module("MOM_hor_visc")
+    hv = HorViscCfg(
+        laplacian=pf.get("LAPLACIAN", bool, False),
+        biharmonic=pf.get("BIHARMONIC", bool, False),
+        kh=pf.get("KH", float, 0.0, units="m2 s-1"),
+        ah=pf.get("AH", float, 0.0, units="m4 s-1"),
+        smag_lap_const=pf.get("SMAGORINSKY_KH", float, 0.0),
+        smag_bi_const=pf.get("SMAGORINSKY_AH", float, 0.0),
+        dt=dt)
+    pf.module("MOM_barotropic")
+    btcfg = BarotropicCfg(bebt=pf.get("BEBT", float, 0.2),
+                          nstep=1)
+    split_cfg = None
+    unsplit_cfg = None
+    if split:
+        nstep = set_dtbt(domain, grid, vgrid, btcfg, dt,
+                         max_depth=max_depth)
+        dtbt = pf.get("DTBT", float, -0.95, units="s or nondim")
+        if dtbt > 0:
+            nstep = max(1, int(math.ceil(dt / dtbt)))
+        btcfg = dataclasses.replace(btcfg, nstep=nstep)
+        split_cfg = SplitCfg(be=pf.get("BE", float, 0.6),
+                             begw=pf.get("BEGW", float, 0.0),
+                             continuity=cont, coriolis=cor, vertvisc=vv,
+                             horvisc=hv, barotropic=btcfg)
+    else:
+        unsplit_cfg = UnsplitCfg(continuity=cont, coriolis=cor,
+                                 vertvisc=vv, horvisc=hv)
+
+    # ---- state initialization ----
+    pf.module("MOM_state_initialization")
+    thick_cfg = pf.get("THICKNESS_CONFIG", str, "uniform")
+    shape = (nk, domain.njh, domain.nih)
+    if thick_cfg == "uniform":
+        # equal fractions of the local water column depth
+        depth = grid.bathyT
+        h = jnp.broadcast_to(depth / nk, shape)
+        h = jnp.maximum(h, vgrid.angstrom)
+    else:
+        raise ValueError(f"THICKNESS_CONFIG '{thick_cfg}' not implemented")
+    h = domain.local().fill_halos(h) if not domain.shmap else h
+
+    T = S = None
+    if thermo:
+        ts_cfg = pf.get("TS_CONFIG", str, "uniform")
+        T0 = pf.get("T_REF", float, 10.0, units="degC")
+        S0 = pf.get("S_REF", float, 35.0, units="ppt")
+        if ts_cfg == "uniform":
+            T = jnp.full(shape, T0)
+            S = jnp.full(shape, S0)
+        elif ts_cfg == "linear":
+            T_range = pf.get("T_RANGE", float, 0.0, units="degC")
+            S_range = pf.get("S_RANGE", float, 0.0, units="ppt")
+            k_frac = (jnp.arange(nk) + 0.5) / nk
+            T = (T0 + T_range * (0.5 - k_frac)).reshape(-1, 1, 1) \
+                * jnp.ones(shape)
+            S = (S0 + S_range * (k_frac - 0.5)).reshape(-1, 1, 1) \
+                * jnp.ones(shape)
+        else:
+            raise ValueError(f"TS_CONFIG '{ts_cfg}' not implemented")
+
+    state = State(u=jnp.zeros(shape), v=jnp.zeros(shape), h=h, T=T, S=S)
+
+    # ---- forcing ----
+    pf.module("MOM_surface_forcing")
+    wind_cfg = pf.get("WIND_CONFIG", str, "zero")
+    if wind_cfg == "zero":
+        forces = MechForcing()
+    elif wind_cfg == "gyres":
+        taux0 = pf.get("TAUX_MAGNITUDE", float, 0.1, units="Pa")
+        yn = (grid.geoLatT - south) / max(lenlat, 1e-30)
+        taux = taux0 * -jnp.cos(2.0 * jnp.pi * yn) * grid.mask2dCu
+        forces = MechForcing(taux=taux)
+    else:
+        raise ValueError(f"WIND_CONFIG '{wind_cfg}' not implemented")
+
+    split_state = None
+    if split:
+        split_state = init_split_state(domain, grid, vgrid, state)
+
+    return Model(domain=domain, grid=grid, vgrid=vgrid, eos=eos,
+                 split=split, split_cfg=split_cfg, unsplit_cfg=unsplit_cfg,
+                 dt=dt, dt_forcing=dt_forcing, daymax=daymax,
+                 thermo=thermo, forces=forces, state=state,
+                 split_state=split_state)
