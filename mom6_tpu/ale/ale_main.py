@@ -1,0 +1,65 @@
+"""ALE orchestration: regrid then conservatively remap the state.
+
+Re-design of /root/reference/src/ALE/MOM_ALE.F90: ALE_regrid (:484),
+ALE_remap_tracers (:737), ALE_remap_set_h_vel (:870) and
+ALE_remap_velocities (:1061): build the new vertical grid from the
+evolved state, then remap tracers on cell columns and velocities on
+face columns (source/target face thicknesses are the arithmetic means
+of the adjacent cell columns).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from mom6_tpu.ale.regridding import RegridCfg, build_grid
+from mom6_tpu.ale.remapping import RemapCfg, remap_column_means
+from mom6_tpu.core.grid import Grid
+from mom6_tpu.core.state import State
+from mom6_tpu.core.vertical_grid import VerticalGrid
+from mom6_tpu.parallel.stencil import ip1, jp1
+
+__all__ = ["ALECfg", "ale_regrid_remap"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ALECfg:
+    regrid: RegridCfg = RegridCfg()
+    remap: RemapCfg = RemapCfg()
+    vel_remap: RemapCfg = RemapCfg(scheme="PPM_H4")
+
+
+def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
+                     cfg: ALECfg, eos=None,
+                     tracers: dict | None = None):
+    """One ALE step: (state, tracers) on h → same on the new grid.
+
+    Returns (new_state, new_tracers, h_new)."""
+    h = state.h
+    h_new = build_grid(cfg.regrid, h, grid.bathyT, state.T, state.S, eos,
+                       rlay=vgrid.Rlay, rho0=vgrid.Rho0, g=vgrid.g_Earth)
+
+    def remap_t(f):
+        return remap_column_means(h, f, h_new, cfg.remap)
+
+    T_new = remap_t(state.T) if state.T is not None else None
+    S_new = remap_t(state.S) if state.S is not None else None
+    new_tracers = None
+    if tracers is not None:
+        new_tracers = {k: remap_t(v) for k, v in tracers.items()}
+
+    # velocities: face-column thicknesses (ALE_remap_set_h_vel)
+    h_u_src = 0.5 * (h + ip1(h))
+    h_u_dst = 0.5 * (h_new + ip1(h_new))
+    h_v_src = 0.5 * (h + jp1(h))
+    h_v_dst = 0.5 * (h_new + jp1(h_new))
+    u_new = remap_column_means(h_u_src, state.u, h_u_dst, cfg.vel_remap) \
+        * grid.mask2dCu
+    v_new = remap_column_means(h_v_src, state.v, h_v_dst, cfg.vel_remap) \
+        * grid.mask2dCv
+
+    new_state = state.replace(u=u_new, v=v_new, h=h_new, T=T_new, S=S_new)
+    return new_state, new_tracers, h_new

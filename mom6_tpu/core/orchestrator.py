@@ -1,0 +1,108 @@
+"""Phase sequencing: dynamics → tracer advection → diabatic → ALE.
+
+The functional counterpart of ``step_MOM`` / ``step_MOM_tracer_dyn`` /
+``step_MOM_thermo`` (/root/reference/src/core/MOM.F90:499,1396,1506):
+runs one or more dynamics steps accumulating mass transports, advects
+tracers (T/S and registered passives) with the accumulated transports,
+applies column physics, and performs the ALE regrid/remap.  The
+alternating x/y first-direction per step (MOM.F90:1371) threads
+through ``x_first``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from mom6_tpu.core.grid import Grid
+from mom6_tpu.core.state import State
+from mom6_tpu.core.vertical_grid import VerticalGrid
+from mom6_tpu.core.forcing import MechForcing, Fluxes
+from mom6_tpu.core.dynamics_split_rk2 import (SplitCfg, SplitDynState,
+                                              step_dyn_split_rk2)
+from mom6_tpu.core.dynamics_unsplit import UnsplitCfg, step_dyn_unsplit
+from mom6_tpu.tracer.advect import TracerAdvectCfg, advect_tracers
+from mom6_tpu.param.vertical.diabatic import DiabaticCfg, diabatic
+from mom6_tpu.ale.ale_main import ALECfg, ale_regrid_remap
+from mom6_tpu.parallel.domain import Domain
+
+__all__ = ["OceanCfg", "step_ocean"]
+
+
+@dataclasses.dataclass(frozen=True)
+class OceanCfg:
+    split: bool = True
+    split_cfg: Optional[SplitCfg] = None
+    unsplit_cfg: Optional[UnsplitCfg] = None
+    tracer_adv: TracerAdvectCfg = TracerAdvectCfg()
+    diabatic: DiabaticCfg = DiabaticCfg()
+    ale: Optional[ALECfg] = None         # None → layered (no ALE)
+    thermo: bool = True
+    adiabatic: bool = False
+
+
+def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
+               state: State, split_state, tracers: dict | None,
+               forces: MechForcing, fluxes: Optional[Fluxes],
+               dt: float, cfg: OceanCfg, eos=None,
+               x_first: bool = True):
+    """One full ocean step of length dt.  Returns
+    (state, split_state, tracers, diags)."""
+    h_before = state.h
+
+    if cfg.split:
+        state, split_state, diags = step_dyn_split_rk2(
+            domain, grid, vgrid, state, split_state, forces, dt,
+            cfg.split_cfg, eos=eos, x_first=x_first)
+    else:
+        state, diags = step_dyn_unsplit(
+            domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,
+            eos=eos)
+
+    # --- tracer transport (T/S ride the same accumulated transports) ---
+    if cfg.thermo and state.T is not None:
+        adv = {"T": state.T, "S": state.S}
+        if tracers:
+            adv.update(tracers)
+        adv = domain.fill_halos(adv, width=2)
+        hb, uhtr, vhtr = domain.fill_halos(
+            (h_before, diags.uhtr, diags.vhtr), width=2)
+        adv, _ = advect_tracers(domain, grid, adv, hb, uhtr, vhtr,
+                                cfg.tracer_adv, x_first=x_first)
+        state = state.replace(T=adv.pop("T"), S=adv.pop("S"))
+        tracers = adv if adv else tracers
+    elif tracers:
+        tracers = domain.fill_halos(tracers, width=2)
+        hb, uhtr, vhtr = domain.fill_halos(
+            (h_before, diags.uhtr, diags.vhtr), width=2)
+        tracers, _ = advect_tracers(domain, grid, tracers, hb, uhtr,
+                                    vhtr, cfg.tracer_adv,
+                                    x_first=x_first)
+
+    # --- thermodynamics / column physics ---
+    if cfg.thermo and not cfg.adiabatic:
+        state, tracers, _ = diabatic(state, fluxes, dt, cfg.diabatic,
+                                     tracers)
+
+    # --- ALE regrid/remap ---
+    if cfg.ale is not None:
+        state = state.replace(
+            h=domain.fill_halos(state.h),
+            u=domain.fill_halos(state.u), v=domain.fill_halos(state.v))
+        if state.T is not None:
+            state = state.replace(T=domain.fill_halos(state.T),
+                                  S=domain.fill_halos(state.S))
+        state, tracers, _ = ale_regrid_remap(grid, vgrid, state,
+                                             cfg.ale, eos=eos,
+                                             tracers=tracers)
+        state = state.replace(h=domain.fill_halos(state.h))
+        if cfg.split and split_state is not None:
+            # keep the split auxiliaries on the new grid: remap the
+            # simple way — refresh h_av to the new h (aux velocities
+            # remap is a planned refinement, cf. ALE remap of dyn aux
+            # vars MOM_dynamics_split_RK2.F90:1273)
+            split_state = dataclasses.replace(split_state, h_av=state.h)
+
+    return state, split_state, tracers, diags

@@ -77,6 +77,16 @@ def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
                 piston = cfg.cdrag * (jnp.abs(u_face[-1]) + cfg.drag_bg_vel)
             a_bot = (piston + kv_face[-1] / (0.5 * h_face[-1]
                                              + 0.5 * cfg.hbbl))[None]
+            # Slave every interface within HBBL of the bottom to the
+            # drag: near-bottom (possibly massless) layers couple into
+            # the bottom boundary layer instead of free-slipping above
+            # it (set_viscous_BBL's kv_bbl/bbl_thick essence,
+            # MOM_set_viscosity.F90 set_viscous_BBL).
+            hab = jnp.cumsum(h_face[::-1], axis=0)[::-1]   # above-bottom
+            hab_int = hab[1:]          # height of interfaces K=1..nk-1
+            in_bbl = hab_int < cfg.hbbl
+            a_int = jnp.where(in_bbl, jnp.maximum(a_int, piston[None]),
+                              a_int)
         else:
             a_bot = (kv_face[-1] / (0.5 * h_face[-1] + _H_NEGLECT))[None]
         return jnp.concatenate([a_top, a_int, a_bot], axis=0)

@@ -67,6 +67,7 @@ def main(argv=None):
         step0, t_days = int(meta["step"]), float(meta["time_days"])
 
     step = model.step_fn()
+    tracers = model.tracers
     stats_jit = jax.jit(stat_sums)
     d, g, vg, dt = model.domain, model.grid, model.vgrid, model.dt
     nsteps = int(round((daymax - t_days) * 86400.0 / dt))
@@ -93,7 +94,7 @@ def main(argv=None):
             print(line, end="")
         if n == step0 + nsteps:
             break
-        state, split_state, _ = step(state, split_state)
+        state, split_state, tracers = step(state, split_state, tracers, n)
     jax.block_until_ready(state.h)
     wall = time.perf_counter() - wall0
     pts = model.domain.ni * model.domain.nj * model.vgrid.nk * nsteps

@@ -37,6 +37,13 @@ from mom6_tpu.core.pressure_force import PressureForceCfg
 from mom6_tpu.core.vert_friction import VertViscCfg
 from mom6_tpu.param.lateral.hor_visc import HorViscCfg
 from mom6_tpu.eos import make_eos
+from mom6_tpu.core.orchestrator import OceanCfg, step_ocean
+from mom6_tpu.tracer.advect import TracerAdvectCfg
+from mom6_tpu.param.vertical.diabatic import DiabaticCfg
+from mom6_tpu.param.vertical.set_diffusivity import DiffusivityCfg
+from mom6_tpu.ale.ale_main import ALECfg
+from mom6_tpu.ale.regridding import RegridCfg
+from mom6_tpu.ale.remapping import RemapCfg
 
 __all__ = ["Model", "build_model"]
 
@@ -71,6 +78,7 @@ class Model:
     split: bool
     split_cfg: Optional[SplitCfg]
     unsplit_cfg: Optional[UnsplitCfg]
+    ocean_cfg: OceanCfg
     dt: float
     dt_forcing: float
     daymax: float
@@ -78,27 +86,27 @@ class Model:
     forces: MechForcing
     state: State
     split_state: Optional[SplitDynState]
+    tracers: Optional[dict] = None
 
     def step_fn(self):
-        """A jitted single-dt step: (state, split_state) → same."""
+        """Jitted full ocean step; x_first alternates per call site
+        (two compiled variants, chosen by step parity in the loop)."""
         d, g, vg = self.domain, self.grid, self.vgrid
-        forces, eos = self.forces, self.eos
-        if self.split:
-            cfg = self.split_cfg
+        forces, eos, cfg = self.forces, self.eos, self.ocean_cfg
 
-            def step(state, split_state):
-                s, a, diags = step_dyn_split_rk2(d, g, vg, state,
-                                                 split_state, forces,
-                                                 self.dt, cfg, eos=eos)
-                return s, a, diags
-        else:
-            cfg = self.unsplit_cfg
+        def mk(x_first):
+            def step(state, split_state, tracers):
+                return step_ocean(d, g, vg, state, split_state, tracers,
+                                  forces, None, self.dt, cfg, eos=eos,
+                                  x_first=x_first)[:3]
+            return jax.jit(step)
+        fx, fy = mk(True), mk(False)
 
-            def step(state, split_state):
-                s, diags = step_dyn_unsplit(d, g, vg, state, forces,
-                                            self.dt, cfg, eos=eos)
-                return s, split_state, diags
-        return jax.jit(step)
+        def step(state, split_state, tracers=None, n=0):
+            f = fx if (n % 2 == 0) else fy
+            s, a, tr = f(state, split_state, tracers)
+            return s, a, tr
+        return step
 
 
 def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
@@ -223,7 +231,14 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     thick_cfg = pf.get("THICKNESS_CONFIG", str, "uniform")
     shape = (nk, domain.njh, domain.nih)
     if thick_cfg == "uniform":
-        # equal fractions of the local water column depth
+        # uniform nominal dz in depth, clipped by the local bathymetry
+        # (z-like, with vanished layers inside topography — matching the
+        # reference's initialize_thickness_uniform,
+        # MOM_state_initialization.F90; NOT terrain-following)
+        z_nom = (jnp.arange(nk + 1) * (max_depth / nk)).reshape(-1, 1, 1)
+        z_cap = jnp.minimum(z_nom, grid.bathyT[None])
+        h = jnp.maximum(z_cap[1:] - z_cap[:-1], vgrid.angstrom)
+    elif thick_cfg == "sigma":
         depth = grid.bathyT
         h = jnp.broadcast_to(depth / nk, shape)
         h = jnp.maximum(h, vgrid.angstrom)
@@ -269,8 +284,34 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     if split:
         split_state = init_split_state(domain, grid, vgrid, state)
 
+    # ---- ALE / thermo orchestration ----
+    pf.module("MOM_ALE")
+    use_regrid = pf.get("USE_REGRIDDING", bool, False)
+    ale_cfg = None
+    if use_regrid:
+        mode = pf.get("REGRIDDING_COORDINATE_MODE", str, "Z*")
+        res = pf.get("ALE_RESOLUTION", list, [])
+        scheme = pf.get("REMAPPING_SCHEME", str, "PPM_H4")
+        ale_cfg = ALECfg(
+            regrid=RegridCfg(mode=mode, resolution=tuple(res),
+                             min_thickness=pf.get("MIN_THICKNESS", float,
+                                                  1e-3, units="m")),
+            remap=RemapCfg(scheme=scheme),
+            vel_remap=RemapCfg(scheme=pf.get("VELOCITY_REMAPPING_SCHEME",
+                                             str, scheme)))
+    pf.module("MOM_set_diffusivity")
+    dia_cfg = DiabaticCfg(
+        diffusivity=DiffusivityCfg(kd=pf.get("KD", float, 0.0,
+                                             units="m2 s-1")),
+        rho0=rho0)
+    ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
+                         unsplit_cfg=unsplit_cfg,
+                         diabatic=dia_cfg, ale=ale_cfg,
+                         thermo=thermo, adiabatic=adiabatic)
+
     return Model(domain=domain, grid=grid, vgrid=vgrid, eos=eos,
                  split=split, split_cfg=split_cfg, unsplit_cfg=unsplit_cfg,
+                 ocean_cfg=ocean_cfg,
                  dt=dt, dt_forcing=dt_forcing, daymax=daymax,
                  thermo=thermo, forces=forces, state=state,
-                 split_state=split_state)
+                 split_state=split_state, tracers=None)

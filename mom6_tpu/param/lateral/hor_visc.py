@@ -132,10 +132,17 @@ def horizontal_viscosity(grid: Grid, u, v, h,
         str_xx = str_xx + Ah_h * bh_xx
         str_xy = str_xy + Ah_q * bh_xy
 
-    # thickness weighting
+    # thickness weighting.  hq is the harmonic-style mean of the four
+    # surrounding face thicknesses (MOM_hor_visc.F90:1426): it vanishes
+    # when any neighbor layer vanishes, so thin/massless layers never
+    # receive stress divergences scaled by their thick neighbors.
     h_u = 0.5 * (h + ip1(h)) * grid.mask2dCu
     h_v = 0.5 * (h + jp1(h)) * grid.mask2dCv
-    hq = 0.25 * ((h + ip1(jp1(h))) + (ip1(h) + jp1(h)))
+    h2uq = 4.0 * h_u * jp1(h_u)
+    h2vq = 4.0 * h_v * ip1(h_v)
+    hq = (2.0 * h2uq * h2vq) / (
+        _H_NEGLECT + (h2uq + h2vq)
+        * ((h_u + jp1(h_u)) + (h_v + ip1(h_v))))
     str_xx_h = str_xx * h
     str_xy_h = str_xy * hq * grid.mask2dBu
 

@@ -1,0 +1,166 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mom6_tpu.ale.remapping import (RemapCfg, remap_column_means,
+                                    reconstruct, edge_values_h4,
+                                    interface_positions)
+from mom6_tpu.ale.regridding import RegridCfg, build_grid
+
+
+def col(a):
+    """1D column → (nk, 1, 1)."""
+    return jnp.asarray(np.asarray(a, dtype=np.float64)).reshape(-1, 1, 1)
+
+
+SCHEMES = ["PCM", "PLM", "PPM_H4", "PPM_CW"]
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_uniform_field_exact(scheme):
+    h_src = col([10, 20, 30, 25, 15])
+    h_dst = col([20, 20, 20, 20, 20])
+    u = col([3.3] * 5)
+    got = remap_column_means(h_src, u, h_dst, RemapCfg(scheme=scheme))
+    np.testing.assert_allclose(np.asarray(got).ravel(), 3.3, rtol=1e-13)
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_conservation(scheme):
+    rng = np.random.default_rng(0)
+    h_src = col(rng.uniform(5, 30, 8))
+    total = float(np.asarray(h_src).sum())
+    frac = rng.uniform(0.5, 2.0, 8)
+    h_dst = col(frac / frac.sum() * total)
+    u = col(rng.standard_normal(8))
+    got = remap_column_means(h_src, u, h_dst, RemapCfg(scheme=scheme))
+    int_src = float(jnp.sum(h_src * u))
+    int_dst = float(jnp.sum(h_dst * got))
+    assert abs(int_dst - int_src) < 1e-12 * max(1.0, abs(int_src))
+
+
+def test_plm_linear_profile_exact():
+    """PLM reproduces a linear-in-z profile exactly on interior cells."""
+    h_src = col([10.0] * 6)
+    zc = np.asarray(interface_positions(h_src)).ravel()
+    z_mid = 0.5 * (zc[:-1] + zc[1:])
+    u = col(2.0 + 0.1 * z_mid)
+    h_dst = col([5, 15, 10, 10, 12, 8])
+    got = np.asarray(remap_column_means(h_src, u, h_dst,
+                                        RemapCfg(scheme="PLM"))).ravel()
+    zd = np.concatenate([[0], np.cumsum(np.asarray(h_dst).ravel())])
+    zd_mid = 0.5 * (zd[:-1] + zd[1:])
+    expect = 2.0 + 0.1 * zd_mid
+    # dst cells fully inside interior src cells are exact; cells that
+    # overlap the limiter-flattened boundary src cells are not
+    np.testing.assert_allclose(got[2:-2], expect[2:-2], rtol=1e-12)
+
+
+def test_ppm_smooth_convergence():
+    """PPM_H4 interior error on a smooth profile converges at high
+    order under grid refinement."""
+    def err(nk):
+        H = 160.0
+        dz = H / nk
+        h_src = col([dz] * nk)
+        zc = (np.arange(nk) + 0.5) * dz
+        F = lambda z: -60.0 * np.cos(z / 60.0)
+        # exact cell means as input
+        zs = np.arange(nk + 1) * dz
+        u = col((F(zs[1:]) - F(zs[:-1])) / dz)
+        h_dst = col([0.8 * dz] * (nk // 2) + [1.2 * dz] * (nk // 2))
+        # unlimited: the monotone limiter is 1st-order at smooth extrema
+        got = np.asarray(remap_column_means(
+            h_src, u, h_dst,
+            RemapCfg(scheme="PPM_H4", force_monotonic=False))).ravel()
+        zd = np.concatenate([[0], np.cumsum(np.asarray(h_dst).ravel())])
+        expect = (F(zd[1:]) - F(zd[:-1])) / np.diff(zd)
+        q = nk // 8
+        return np.max(np.abs(got[q:-q] - expect[q:-q]))
+
+    e16, e32 = err(16), err(32)
+    assert e32 < e16 / 4.0, f"no high-order convergence: {e16} → {e32}"
+    assert e32 < 5e-4
+
+
+def test_identity_remap_bitwise_mean():
+    rng = np.random.default_rng(1)
+    h = col(rng.uniform(5, 30, 7))
+    u = col(rng.standard_normal(7))
+    got = remap_column_means(h, u, h, RemapCfg(scheme="PPM_H4"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(u), atol=1e-12)
+
+
+def test_monotone_no_overshoot():
+    h_src = col([10.0] * 6)
+    u = col([1, 1, 1, 5, 5, 5])
+    h_dst = col([7, 13, 9, 11, 12, 8])
+    got = np.asarray(remap_column_means(
+        h_src, u, h_dst, RemapCfg(scheme="PPM_H4"))).ravel()
+    assert got.min() >= 1.0 - 1e-12
+    assert got.max() <= 5.0 + 1e-12
+
+
+def test_vanished_layers():
+    h_src = col([10, 0, 0, 10, 10, 0])
+    u = col([1.0, 2.0, 2.0, 3.0, 4.0, 4.0])
+    h_dst = col([5, 5, 5, 5, 5, 5])
+    got = np.asarray(remap_column_means(
+        h_src, u, h_dst, RemapCfg(scheme="PLM"))).ravel()
+    assert np.all(np.isfinite(got))
+    int_src = float(np.sum(np.asarray(h_src).ravel()
+                           * np.asarray(u).ravel()))
+    assert abs(np.sum(got * 5.0) - int_src) < 1e-10
+
+
+# ---- regridding ----
+
+def test_sigma_grid():
+    h = col([10, 30, 20, 40.0])
+    bathy = jnp.full((1, 1), 100.0)
+    h_new = build_grid(RegridCfg(mode="SIGMA"), h, bathy)
+    np.testing.assert_allclose(np.asarray(h_new).ravel(), 25.0, rtol=1e-12)
+
+
+def test_zstar_grid_total_preserved():
+    rng = np.random.default_rng(2)
+    nk, nj, ni = 5, 4, 6
+    h = jnp.asarray(rng.uniform(10, 50, (nk, nj, ni)))
+    bathy = jnp.sum(h, axis=0) - 0.5   # eta = +0.5 everywhere
+    h_new = build_grid(RegridCfg(mode="Z*"), h, bathy)
+    np.testing.assert_allclose(np.asarray(jnp.sum(h_new, 0)),
+                               np.asarray(jnp.sum(h, 0)), rtol=1e-12)
+    assert float(jnp.min(h_new)) > 0.0
+
+
+def test_zstar_with_resolution_list():
+    h = col([25.0] * 4)
+    bathy = jnp.full((1, 1), 100.0)
+    h_new = build_grid(RegridCfg(mode="Z*", resolution=(10, 20, 30, 40)),
+                       h, bathy)
+    np.testing.assert_allclose(np.asarray(h_new).ravel(),
+                               [10, 20, 30, 40], rtol=1e-12)
+
+
+def test_rho_grid_layered_column():
+    """RHO mode on a stably stratified column puts interfaces at the
+    target density crossings."""
+    from mom6_tpu.eos import LinearEOS
+    nk = 4
+    h = col([25.0] * nk)
+    bathy = jnp.full((1, 1), 100.0)
+    # T decreasing downward → rho increasing with depth
+    T = col([20.0, 15.0, 10.0, 5.0])
+    S = col([35.0] * nk)
+    eos = LinearEOS(rho_t0_s0=1000.0, drho_dt=-0.2, drho_ds=0.8)
+    rho_mid = np.asarray(eos.density(T, S, jnp.zeros_like(T))).ravel()
+    rlay = jnp.asarray(rho_mid)    # targets == current densities
+    h_new = build_grid(RegridCfg(mode="RHO"), h, bathy, T, S, eos,
+                       rlay=rlay)
+    # with targets equal to the current layer densities, the grid should
+    # stay close to the current one
+    np.testing.assert_allclose(np.asarray(jnp.sum(h_new, 0)).ravel(),
+                               100.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(h_new).ravel(),
+                               [25.0] * nk, atol=1.0)
