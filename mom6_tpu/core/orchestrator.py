@@ -25,6 +25,10 @@ from mom6_tpu.core.dynamics_split_rk2 import (SplitCfg, SplitDynState,
 from mom6_tpu.core.dynamics_unsplit import UnsplitCfg, step_dyn_unsplit
 from mom6_tpu.tracer.advect import TracerAdvectCfg, advect_tracers
 from mom6_tpu.param.vertical.diabatic import DiabaticCfg, diabatic
+from mom6_tpu.param.lateral.thickness_diffuse import (
+    ThicknessDiffuseCfg, thickness_diffuse)
+from mom6_tpu.param.lateral.interface_filter import (
+    InterfaceFilterCfg, interface_filter)
 from mom6_tpu.ale.ale_main import ALECfg, ale_regrid_remap
 from mom6_tpu.parallel.domain import Domain
 
@@ -38,6 +42,8 @@ class OceanCfg:
     unsplit_cfg: Optional[UnsplitCfg] = None
     tracer_adv: TracerAdvectCfg = TracerAdvectCfg()
     diabatic: DiabaticCfg = DiabaticCfg()
+    thickness_diffuse: ThicknessDiffuseCfg = ThicknessDiffuseCfg()
+    interface_filter: InterfaceFilterCfg = InterfaceFilterCfg()
     ale: Optional[ALECfg] = None         # None → layered (no ALE)
     thermo: bool = True
     adiabatic: bool = False
@@ -47,9 +53,21 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                state: State, split_state, tracers: dict | None,
                forces: MechForcing, fluxes: Optional[Fluxes],
                dt: float, cfg: OceanCfg, eos=None,
-               x_first: bool = True):
+               x_first: bool = True, tracer_registry=None):
     """One full ocean step of length dt.  Returns
     (state, split_state, tracers, diags)."""
+    # thickness diffusion / interface filter act before the dynamics
+    # (THICKNESSDIFFUSE, MOM.F90:1160-1186)
+    if cfg.thickness_diffuse.khth > 0.0:
+        h = domain.fill_halos(state.h, width=2)
+        td = thickness_diffuse(grid, vgrid, h, dt, cfg.thickness_diffuse)
+        state = state.replace(h=domain.fill_halos(td.h))
+    if cfg.interface_filter.time_scale > 0.0:
+        h = domain.fill_halos(state.h, width=2)
+        hf = interface_filter(domain, grid, vgrid, h, dt,
+                              cfg.interface_filter)
+        state = state.replace(h=domain.fill_halos(hf))
+
     h_before = state.h
 
     if cfg.split:
@@ -85,6 +103,10 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     if cfg.thermo and not cfg.adiabatic:
         state, tracers, _ = diabatic(state, fluxes, dt, cfg.diabatic,
                                      tracers)
+    # per-tracer column physics (call_tracer_column_fns,
+    # MOM_tracer_flow_control.F90)
+    if tracer_registry is not None and tracers:
+        tracers = tracer_registry.apply_column_fns(tracers, state.h, dt)
 
     # --- ALE regrid/remap ---
     if cfg.ale is not None:

@@ -44,6 +44,10 @@ from mom6_tpu.param.vertical.set_diffusivity import DiffusivityCfg
 from mom6_tpu.ale.ale_main import ALECfg
 from mom6_tpu.ale.regridding import RegridCfg
 from mom6_tpu.ale.remapping import RemapCfg
+from mom6_tpu.param.lateral.thickness_diffuse import ThicknessDiffuseCfg
+from mom6_tpu.param.lateral.interface_filter import InterfaceFilterCfg
+from mom6_tpu.tracer.registry import TracerRegistry
+from mom6_tpu.tracer import ideal as ideal_tracers
 
 __all__ = ["Model", "build_model"]
 
@@ -87,6 +91,7 @@ class Model:
     state: State
     split_state: Optional[SplitDynState]
     tracers: Optional[dict] = None
+    tracer_registry: Any = None
 
     def step_fn(self):
         """Jitted full ocean step; x_first alternates per call site
@@ -98,7 +103,8 @@ class Model:
             def step(state, split_state, tracers):
                 return step_ocean(d, g, vg, state, split_state, tracers,
                                   forces, None, self.dt, cfg, eos=eos,
-                                  x_first=x_first)[:3]
+                                  x_first=x_first,
+                                  tracer_registry=self.tracer_registry)[:3]
             return jax.jit(step)
         fx, fy = mk(True), mk(False)
 
@@ -304,14 +310,39 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         diffusivity=DiffusivityCfg(kd=pf.get("KD", float, 0.0,
                                              units="m2 s-1")),
         rho0=rho0)
+    pf.module("MOM_thickness_diffuse")
+    td_cfg = ThicknessDiffuseCfg(khth=pf.get("KHTH", float, 0.0,
+                                             units="m2 s-1"))
+    pf.module("MOM_interface_filter")
+    if_cfg = InterfaceFilterCfg(
+        time_scale=pf.get("INTERFACE_FILTER_TIME_SCALE", float, 0.0,
+                          units="s"))
     ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
                          unsplit_cfg=unsplit_cfg,
                          diabatic=dia_cfg, ale=ale_cfg,
+                         thickness_diffuse=td_cfg,
+                         interface_filter=if_cfg,
                          thermo=thermo, adiabatic=adiabatic)
+
+    # ---- passive tracer packages ----
+    pf.module("MOM_tracer_flow_control")
+    tracers = {}
+    registry = TracerRegistry()
+    if pf.get("USE_IDEAL_AGE_TRACER", bool, False):
+        tracers["age"] = ideal_tracers.register_ideal_age(registry, shape)
+    if pf.get("USE_PSEUDO_SALT_TRACER", bool, False) and S is not None:
+        tracers["pseudo_salt"] = ideal_tracers.register_pseudo_salt(
+            registry, S)
+    if pf.get("USE_REGIONAL_DYES", bool, False):
+        tracers["dye1"] = ideal_tracers.register_regional_dye(
+            registry, grid, shape)
+    if not tracers:
+        tracers = None
 
     return Model(domain=domain, grid=grid, vgrid=vgrid, eos=eos,
                  split=split, split_cfg=split_cfg, unsplit_cfg=unsplit_cfg,
                  ocean_cfg=ocean_cfg,
                  dt=dt, dt_forcing=dt_forcing, daymax=daymax,
                  thermo=thermo, forces=forces, state=state,
-                 split_state=split_state, tracers=None)
+                 split_state=split_state, tracers=tracers,
+                 tracer_registry=registry if tracers else None)
