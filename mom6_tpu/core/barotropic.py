@@ -103,7 +103,7 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
            dt: float, cfg: BarotropicCfg,
            visc_rem_u=None, visc_rem_v=None,
            taux=None, tauy=None, eta_pf=None,
-           nstep: int | None = None) -> BTResult:
+           nstep: int | None = None, obc=None) -> BTResult:
     """One barotropic solve over the baroclinic step dt.
 
     u_in/v_in: layer velocities whose BT part seeds ubt.
@@ -228,6 +228,10 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         ubt2, vbt2, cu, cv = jax.lax.cond(n % 2 == 0, u_first, v_first,
                                           ubt, vbt)
 
+        if obc is not None:
+            ubt2 = obc.apply_flather_u(ubt2, eta, DCor_u, vgrid.g_Earth)
+            vbt2 = obc.apply_flather_v(vbt2, eta, DCor_v, vgrid.g_Earth)
+
         uhbt2 = Datu * ubt2
         vhbt2 = Datv * vbt2
         eta2 = eta - dtbt * div(uhbt2, vhbt2)
@@ -236,6 +240,12 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         # needs ubt2 at ring 1, whose PF needs eta_pred at ring 2,
         # which needs transports at ring 3 — so refresh 3 rings.
         eta2, ubt2, vbt2 = fill((eta2, ubt2, vbt2), width=_bt_w(domain))
+        if obc is not None:
+            # the halo refresh clobbered the W/S boundary faces (they
+            # live in the first halo ring); re-impose the radiation
+            eta2 = obc.extend(eta2)
+            ubt2 = obc.apply_flather_u(ubt2, eta2, DCor_u, vgrid.g_Earth)
+            vbt2 = obc.apply_flather_v(vbt2, eta2, DCor_v, vgrid.g_Earth)
 
         s = sums
         s = dict(

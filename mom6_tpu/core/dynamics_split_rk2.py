@@ -95,9 +95,13 @@ def init_split_state(domain: Domain, grid: Grid, vgrid: VerticalGrid,
 def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                        state: State, split: SplitDynState,
                        forces: MechForcing, dt: float, cfg: SplitCfg,
-                       eos=None, x_first: bool = True,
+                       eos=None, x_first: bool = True, obc=None,
                        ) -> tuple[State, SplitDynState, SplitDiags]:
-    fill = domain.fill_halos
+    if obc is not None:
+        def fill(f, **kw):
+            return obc.extend(domain.fill_halos(f, **kw))
+    else:
+        fill = domain.fill_halos
     rho0 = vgrid.Rho0
     T, S = state.T, state.S
 
@@ -122,7 +126,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     bt = btstep(domain, grid, vgrid, u, v, eta, h,
                 u_bc_accel, v_bc_accel, pbce, u_av, v_av, dt,
                 cfg.barotropic, visc_rem_u, visc_rem_v,
-                forces.taux, forces.tauy, eta_pf=eta_pf)
+                forces.taux, forces.tauy, eta_pf=eta_pf, obc=obc)
 
     up = grid.mask2dCu * (u + dt_pred * (u_bc_accel + bt.accel_layer_u))
     vp = grid.mask2dCv * (v + dt_pred * (v_bc_accel + bt.accel_layer_v))
@@ -158,7 +162,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     bt = btstep(domain, grid, vgrid, u, v, eta, h,
                 u_bc_accel, v_bc_accel, pbce, u_av, v_av, dt,
                 cfg.barotropic, visc_rem_u, visc_rem_v,
-                forces.taux, forces.tauy, eta_pf=eta_pf)
+                forces.taux, forces.tauy, eta_pf=eta_pf, obc=obc)
     eta_new = bt.eta
 
     u_new = grid.mask2dCu * (u + dt * (u_bc_accel + bt.accel_layer_u))

@@ -53,7 +53,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                state: State, split_state, tracers: dict | None,
                forces: MechForcing, fluxes: Optional[Fluxes],
                dt: float, cfg: OceanCfg, eos=None,
-               x_first: bool = True, tracer_registry=None):
+               x_first: bool = True, tracer_registry=None, obc=None):
     """One full ocean step of length dt.  Returns
     (state, split_state, tracers, diags)."""
     # thickness diffusion / interface filter act before the dynamics
@@ -73,7 +73,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     if cfg.split:
         state, split_state, diags = step_dyn_split_rk2(
             domain, grid, vgrid, state, split_state, forces, dt,
-            cfg.split_cfg, eos=eos, x_first=x_first)
+            cfg.split_cfg, eos=eos, x_first=x_first, obc=obc)
     else:
         state, diags = step_dyn_unsplit(
             domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,
@@ -102,7 +102,8 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     # --- thermodynamics / column physics ---
     if cfg.thermo and not cfg.adiabatic:
         state, tracers, _ = diabatic(state, fluxes, dt, cfg.diabatic,
-                                     tracers)
+                                     tracers, vgrid=vgrid, eos=eos,
+                                     forces=forces, grid=grid)
     # per-tracer column physics (call_tracer_column_fns,
     # MOM_tracer_flow_control.F90)
     if tracer_registry is not None and tracers:

@@ -48,6 +48,8 @@ from mom6_tpu.param.lateral.thickness_diffuse import ThicknessDiffuseCfg
 from mom6_tpu.param.lateral.interface_filter import InterfaceFilterCfg
 from mom6_tpu.tracer.registry import TracerRegistry
 from mom6_tpu.tracer import ideal as ideal_tracers
+from mom6_tpu.obc.open_boundary import (build_open_boundaries,
+                                        open_grid_masks)
 
 __all__ = ["Model", "build_model"]
 
@@ -92,6 +94,7 @@ class Model:
     split_state: Optional[SplitDynState]
     tracers: Optional[dict] = None
     tracer_registry: Any = None
+    obc: Any = None
 
     def step_fn(self):
         """Jitted full ocean step; x_first alternates per call site
@@ -104,7 +107,8 @@ class Model:
                 return step_ocean(d, g, vg, state, split_state, tracers,
                                   forces, None, self.dt, cfg, eos=eos,
                                   x_first=x_first,
-                                  tracer_registry=self.tracer_registry)[:3]
+                                  tracer_registry=self.tracer_registry,
+                                  obc=self.obc)[:3]
             return jax.jit(step)
         fx, fy = mk(True), mk(False)
 
@@ -162,6 +166,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                               min_depth=min_depth)
     else:
         raise ValueError(f"Unknown GRID_CONFIG '{grid_config}'")
+
+    pf.module("MOM_open_boundary")
+    obc = build_open_boundaries(pf, domain)
+    if obc is not None:
+        grid = open_grid_masks(grid, obc)
 
     pf.module("MOM_verticalGrid")
     nk = pf.get("NK", int, 1, units="nondim", desc="number of layers")
@@ -306,9 +315,34 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             vel_remap=RemapCfg(scheme=pf.get("VELOCITY_REMAPPING_SCHEME",
                                              str, scheme)))
     pf.module("MOM_set_diffusivity")
+    from mom6_tpu.param.vertical.shear_mixing import ShearMixingCfg
+    from mom6_tpu.param.vertical.conv_ddiff import (ConvectionCfg,
+                                                    DoubleDiffusionCfg)
+    from mom6_tpu.param.vertical.bkgnd_mixing import BkgndMixingCfg
+    from mom6_tpu.param.vertical.kpp import KPPCfg
+    use_lmd94 = pf.get("USE_LMD94", bool, False)
+    use_pp81 = pf.get("USE_PP81", bool, False)
+    shear_cfg = ShearMixingCfg(
+        scheme="PP81" if use_pp81 else "LMD94",
+        nu_zero=pf.get("NU_ZERO", float, 5e-3, units="m2 s-1"),
+        ri_zero=pf.get("RI_ZERO", float, 0.8))
+    bk_scheme = "bryan_lewis" if pf.get("BRYAN_LEWIS_DIFFUSIVITY",
+                                        bool, False) else "constant"
     dia_cfg = DiabaticCfg(
-        diffusivity=DiffusivityCfg(kd=pf.get("KD", float, 0.0,
-                                             units="m2 s-1")),
+        diffusivity=DiffusivityCfg(
+            kd=pf.get("KD", float, 0.0, units="m2 s-1"),
+            kd_min=pf.get("KD_MIN", float, 0.0, units="m2 s-1"),
+            kd_max=pf.get("KD_MAX", float, -1.0, units="m2 s-1"),
+            bkgnd=BkgndMixingCfg(scheme=bk_scheme,
+                                 kd=pf.get("KD", float, 0.0)),
+            use_shear=use_lmd94 or use_pp81,
+            shear=shear_cfg,
+            use_conv=pf.get("USE_CVMIX_CONVECTION", bool, False),
+            conv=ConvectionCfg(kd_conv=pf.get("KD_CONV", float, 1.0,
+                                              units="m2 s-1")),
+            use_ddiff=pf.get("DOUBLE_DIFFUSION", bool, False)),
+        use_kpp=pf.get("USE_KPP", bool, False),
+        kpp=KPPCfg(ri_crit=pf.get("RI_CRIT", float, 0.3)),
         rho0=rho0)
     pf.module("MOM_thickness_diffuse")
     td_cfg = ThicknessDiffuseCfg(khth=pf.get("KHTH", float, 0.0,
@@ -345,4 +379,5 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                  dt=dt, dt_forcing=dt_forcing, daymax=daymax,
                  thermo=thermo, forces=forces, state=state,
                  split_state=split_state, tracers=tracers,
-                 tracer_registry=registry if tracers else None)
+                 tracer_registry=registry if tracers else None,
+                 obc=obc)

@@ -1,0 +1,223 @@
+"""Open boundary conditions.
+
+Re-design of /root/reference/src/core/MOM_open_boundary.F90: the
+``OBC_SEGMENT_%03d`` spec strings ("J=N,I=N:0,FLATHER,ORLANSKI", tc3
+style) parse into edge segments; the barotropic solver applies the
+Flather (1976) radiation at open faces
+
+    ubt = 0.5*( (u_inlet + u_ext) ± (Cg/D)*(ssh_in − ssh_ext) )
+
+(MOM_barotropic.F90:3028 apply_velocity_OBCs, with the CFL-upwinded
+inlet simplified to the adjacent interior values), and the baroclinic
+fields get zero-gradient (the v1 stand-in for Orlanski radiation)
+through halo extension along open edges.
+
+The current build supports whole-edge segments on any of the four
+domain edges with FLATHER and/or GRADIENT schemes and constant
+external data (OBC_SEGMENT_XXX_DATA "U=value:…,SSH=value:…"); partial
+segments, file-driven data and tracer reservoirs are planned.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.parallel.domain import Domain
+
+__all__ = ["Segment", "OpenBoundaries", "parse_segments",
+           "build_open_boundaries", "open_grid_masks"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Segment:
+    direction: str            # 'N' | 'S' | 'E' | 'W'
+    flather: bool = True
+    orlanski: bool = True
+    gradient: bool = False
+    u_ext: float = 0.0
+    v_ext: float = 0.0
+    ssh_ext: float = 0.0
+
+
+def parse_segments(pf) -> list[Segment]:
+    """Read OBC_NUMBER_OF_SEGMENTS + OBC_SEGMENT_%03d (+_DATA)."""
+    n = pf.get("OBC_NUMBER_OF_SEGMENTS", int, 0)
+    segs = []
+    for i in range(1, n + 1):
+        spec = pf.get(f"OBC_SEGMENT_{i:03d}", str, "")
+        if not spec:
+            continue
+        up = spec.upper().replace(" ", "")
+        m = re.match(r"(I|J)=(0|N)", up)
+        if not m:
+            raise ValueError(f"Cannot parse OBC segment spec '{spec}'")
+        axis, pos = m.group(1), m.group(2)
+        if axis == "I":
+            direction = "W" if pos == "0" else "E"
+        else:
+            direction = "S" if pos == "0" else "N"
+        data = pf.get(f"OBC_SEGMENT_{i:03d}_DATA", str, "")
+        vals = {"U": 0.0, "V": 0.0, "SSH": 0.0}
+        for part in data.split(","):
+            dm = re.match(r'\s*(U|V|SSH)=value:([-0-9.eE+]+)', part)
+            if dm:
+                vals[dm.group(1)] = float(dm.group(2))
+        segs.append(Segment(direction=direction,
+                            flather="FLATHER" in up,
+                            orlanski="ORLANSKI" in up,
+                            gradient="GRADIENT" in up,
+                            u_ext=vals["U"], v_ext=vals["V"],
+                            ssh_ext=vals["SSH"]))
+    return segs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OpenBoundaries:
+    """Precomputed masks + external data for whole-edge segments."""
+    # which edges are open (static python bools)
+    open_w: bool = dataclasses.field(metadata=dict(static=True))
+    open_e: bool = dataclasses.field(metadata=dict(static=True))
+    open_s: bool = dataclasses.field(metadata=dict(static=True))
+    open_n: bool = dataclasses.field(metadata=dict(static=True))
+    halo: int = dataclasses.field(metadata=dict(static=True))
+    nil: int = dataclasses.field(metadata=dict(static=True))
+    njl: int = dataclasses.field(metadata=dict(static=True))
+    # external data per edge (scalars for now)
+    ssh_w: float = 0.0
+    ssh_e: float = 0.0
+    ssh_s: float = 0.0
+    ssh_n: float = 0.0
+    u_w: float = 0.0
+    u_e: float = 0.0
+    v_s: float = 0.0
+    v_n: float = 0.0
+
+    # -- halo extension (zero-gradient through open edges) -------------
+    def extend(self, f):
+        """Copy the interior edge value into all halo cells beyond each
+        open edge (for any field kind; the baroclinic zero-gradient
+        radiation and the thickness/tracer no-gradient inflow)."""
+        H, ni, nj = self.halo, self.nil, self.njl
+
+        def ext(a):
+            if self.open_w:
+                a = a.at[..., :, :H].set(a[..., :, H:H + 1])
+            if self.open_e:
+                a = a.at[..., :, H + ni:].set(
+                    a[..., :, H + ni - 1:H + ni])
+            if self.open_s:
+                a = a.at[..., :H, :].set(a[..., H:H + 1, :])
+            if self.open_n:
+                a = a.at[..., H + nj:, :].set(
+                    a[..., H + nj - 1:H + nj, :])
+            return a
+        return jax.tree.map(ext, f)
+
+    # -- barotropic Flather update -------------------------------------
+    def apply_flather_u(self, ubt, eta, D_u, g: float):
+        """Set ubt at W/E boundary faces by Flather radiation.
+
+        The E boundary face of the eastmost interior cell is at padded
+        x-index H+nil-1... no: faces live at the cell index (east face
+        of cell i at index i), so the open E boundary face is at
+        H+nil-1's east = index H+nil-1?  The E boundary face is the
+        east face of the last interior cell: index H+nil-1.  The W
+        boundary face is the west face of the first interior cell:
+        index H-1 (first halo column)."""
+        H, ni = self.halo, self.nil
+        if not (self.open_w or self.open_e):
+            return ubt
+        cg = jnp.sqrt(g * jnp.maximum(D_u, 1e-10))
+        if self.open_e:
+            iE = H + ni - 1
+            ssh_in = eta[..., :, iE]              # eastmost interior cell
+            u_inlet = ubt[..., :, iE - 1]
+            val = 0.5 * ((u_inlet + self.u_e)
+                         + (cg[..., :, iE] / jnp.maximum(D_u[..., :, iE],
+                                                         1e-10))
+                         * (ssh_in - self.ssh_e))
+            ubt = ubt.at[..., :, iE].set(val)
+        if self.open_w:
+            iW = H - 1
+            ssh_in = eta[..., :, H]               # westmost interior cell
+            u_inlet = ubt[..., :, H]
+            val = 0.5 * ((u_inlet + self.u_w)
+                         + (cg[..., :, iW] / jnp.maximum(D_u[..., :, iW],
+                                                         1e-10))
+                         * (self.ssh_w - ssh_in))
+            ubt = ubt.at[..., :, iW].set(val)
+        return ubt
+
+    def apply_flather_v(self, vbt, eta, D_v, g: float):
+        H, nj = self.halo, self.njl
+        if not (self.open_s or self.open_n):
+            return vbt
+        cg = jnp.sqrt(g * jnp.maximum(D_v, 1e-10))
+        if self.open_n:
+            jN = H + nj - 1
+            ssh_in = eta[..., H + nj - 1, :]
+            v_inlet = vbt[..., jN - 1, :]
+            val = 0.5 * ((v_inlet + self.v_n)
+                         + (cg[..., jN, :] / jnp.maximum(D_v[..., jN, :],
+                                                         1e-10))
+                         * (ssh_in - self.ssh_n))
+            vbt = vbt.at[..., jN, :].set(val)
+        if self.open_s:
+            jS = H - 1
+            ssh_in = eta[..., H, :]
+            v_inlet = vbt[..., H, :]
+            val = 0.5 * ((v_inlet + self.v_s)
+                         + (cg[..., jS, :] / jnp.maximum(D_v[..., jS, :],
+                                                         1e-10))
+                         * (self.ssh_s - ssh_in))
+            vbt = vbt.at[..., jS, :].set(val)
+        return vbt
+
+
+def build_open_boundaries(pf, domain: Domain) -> Optional[OpenBoundaries]:
+    segs = parse_segments(pf)
+    if not segs:
+        return None
+    if domain.layout != (1, 1):
+        raise NotImplementedError(
+            "OBC with a decomposed layout: segment-owning shards are a "
+            "planned refinement")
+    kw = dict(open_w=False, open_e=False, open_s=False, open_n=False,
+              halo=domain.halo, nil=domain.nil, njl=domain.njl)
+    data = {}
+    for s in segs:
+        if s.direction == "W":
+            kw["open_w"] = True
+            data["ssh_w"], data["u_w"] = s.ssh_ext, s.u_ext
+        elif s.direction == "E":
+            kw["open_e"] = True
+            data["ssh_e"], data["u_e"] = s.ssh_ext, s.u_ext
+        elif s.direction == "S":
+            kw["open_s"] = True
+            data["ssh_s"], data["v_s"] = s.ssh_ext, s.v_ext
+        elif s.direction == "N":
+            kw["open_n"] = True
+            data["ssh_n"], data["v_n"] = s.ssh_ext, s.v_ext
+    return OpenBoundaries(**kw, **data)
+
+
+def open_grid_masks(grid, obc: OpenBoundaries):
+    """Open the land masks across open edges: halo cells beyond a
+    segment become ocean (zero-gradient depth), re-deriving face
+    masks (the reference reads halo topography through mpp and the
+    segments override wall masks)."""
+    import dataclasses as dc
+    from mom6_tpu.parallel.stencil import ip1, jp1
+    maskT = obc.extend(grid.mask2dT)
+    bathy = obc.extend(grid.bathyT)
+    maskCu = maskT * ip1(maskT)
+    maskCv = maskT * jp1(maskT)
+    maskBu = maskCu * jp1(maskCu)
+    return dc.replace(grid, mask2dT=maskT, bathyT=bathy,
+                      mask2dCu=maskCu, mask2dCv=maskCv, mask2dBu=maskBu)

@@ -1,12 +1,13 @@
-"""Diabatic (column physics) driver — ALE path skeleton.
+"""Diabatic (column physics) driver — ALE path.
 
 Re-design of /root/reference/src/parameterizations/vertical/
 MOM_diabatic_driver.F90:1122 diabatic_ALE:
-  set_diffusivity → (KPP BLD/mixing, CVMix conv — planned) →
-  applyBoundaryFluxesInOut (surface heat/salt forcing into the top
-  layers) → implicit vertical diffusion of T/S and tracers
-  (tracer_vertdiff_Eulerian) → tracer column physics → (ALE sponge —
-  planned).
+  set_diffusivity (background + shear + convection + double diffusion)
+  → KPP boundary-layer mixing → applyBoundaryFluxesInOut (surface
+  heat/salt forcing into the top layer) → implicit vertical diffusion
+  of T/S and tracers (tracer_vertdiff_Eulerian) → tracer column
+  physics.  (ePBL alternative, CVMix tidal, opacity/SW penetration and
+  ALE sponges are planned follow-ons.)
 """
 
 from __future__ import annotations
@@ -17,10 +18,12 @@ from typing import Optional
 import jax.numpy as jnp
 
 from mom6_tpu.core.state import State
-from mom6_tpu.core.forcing import Fluxes
+from mom6_tpu.core.forcing import Fluxes, MechForcing
 from mom6_tpu.param.vertical.set_diffusivity import (DiffusivityCfg,
                                                      set_diffusivity)
+from mom6_tpu.param.vertical.kpp import KPPCfg, kpp_coefficients
 from mom6_tpu.tracer.vertdiff import tracer_vertdiff
+from mom6_tpu.parallel.stencil import ip1, jp1
 
 __all__ = ["DiabaticCfg", "diabatic"]
 
@@ -30,20 +33,43 @@ _CP = 3991.86795711963      # J kg-1 K-1 (reference C_P default)
 @dataclasses.dataclass(frozen=True)
 class DiabaticCfg:
     diffusivity: DiffusivityCfg = DiffusivityCfg()
+    use_kpp: bool = False          # USE_KPP
+    kpp: KPPCfg = KPPCfg()
     rho0: float = 1035.0
     pen_sw_frac: float = 0.42   # non-penetrating SW fraction absorbed
                                 # in the top layer (opacity is planned)
 
 
 def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
-             cfg: DiabaticCfg, tracers: dict | None = None):
+             cfg: DiabaticCfg, tracers: dict | None = None,
+             vgrid=None, eos=None, forces: MechForcing | None = None,
+             grid=None):
     """Apply surface fluxes + implicit vertical mixing to T/S/tracers.
 
     Returns (new_state, new_tracers, kd_int)."""
     h = state.h
-    kd_int, kv_int = set_diffusivity(h, cfg.diffusivity)
-
     T, S = state.T, state.S
+    dres = set_diffusivity(h, cfg.diffusivity, vgrid=vgrid,
+                           u=state.u, v=state.v, T=T, S=S, eos=eos,
+                           lat=grid.geoLatT if grid is not None else None)
+    kd_int = dres.kd_int
+
+    if cfg.use_kpp and vgrid is not None:
+        ustar = jnp.zeros_like(h[0])
+        buoy_flux = jnp.zeros_like(h[0])
+        if forces is not None and forces.taux is not None:
+            tau_h = jnp.sqrt(
+                (0.5 * (forces.taux + ip1(forces.taux))) ** 2
+                + (0.5 * ((forces.tauy if forces.tauy is not None
+                           else 0.0 * forces.taux)
+                          + jp1(forces.tauy if forces.tauy is not None
+                                else 0.0 * forces.taux))) ** 2)
+            ustar = jnp.sqrt(tau_h / cfg.rho0)
+        kpp = kpp_coefficients(cfg.kpp, state.u, state.v, h, T, S, eos,
+                               cfg.rho0, vgrid.g_Earth, ustar=ustar,
+                               buoy_flux=buoy_flux)
+        kd_int = kd_int + kpp.kd_int
+
     sfc_T = None
     sfc_S = None
     if fluxes is not None and T is not None:
@@ -57,7 +83,9 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
 
     if T is not None:
         T = tracer_vertdiff(T, h, kd_int, dt, sfc_flux=sfc_T)
-        S = tracer_vertdiff(S, h, kd_int, dt, sfc_flux=sfc_S)
+        kd_S = kd_int if dres.kd_extra_S is None \
+            else kd_int + dres.kd_extra_S
+        S = tracer_vertdiff(S, h, kd_S, dt, sfc_flux=sfc_S)
 
     new_tracers = tracers
     if tracers is not None:
