@@ -144,8 +144,26 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     beta = pf.get("BETA", float, 0.0, units="m-1 s-1")
     axis_units = pf.get("AXIS_UNITS", str, "degrees")
 
-    depth_fn = _topo_fn(topo_config, max_depth, min_depth, lenlon, lenlat,
-                        west, south)
+    if topo_config == "file":
+        # tc4-class: topography read from a NetCDF file at cell centers
+        from mom6_tpu.framework.io import read_field
+        topo_file = pf.get("TOPO_FILE", str, "topog.nc")
+        topo_var = pf.get("TOPO_VARNAME", str, "depth")
+        import os as _os
+        depth_2d = np.asarray(read_field(
+            _os.path.join(pf.get("INPUTDIR", str, "."), topo_file),
+            topo_var), dtype=np.float64)
+        if depth_2d.shape != (nj, ni):
+            raise ValueError(
+                f"TOPO_FILE depth shape {depth_2d.shape} != ({nj},{ni})")
+        H = halo
+        depth_pad = np.pad(depth_2d, H, mode="edge")
+
+        def depth_fn(lon, lat):
+            return depth_pad
+    else:
+        depth_fn = _topo_fn(topo_config, max_depth, min_depth, lenlon,
+                            lenlat, west, south)
     if grid_config == "cartesian":
         if axis_units.startswith("k"):
             grid = cartesian_grid(domain, lenlon_km=lenlon,
@@ -269,6 +287,20 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         if ts_cfg == "uniform":
             T = jnp.full(shape, T0)
             S = jnp.full(shape, S0)
+        elif ts_cfg == "from_file":
+            from mom6_tpu.framework.io import read_field
+            import os as _os
+            ts_file = _os.path.join(pf.get("INPUTDIR", str, "."),
+                                    pf.get("TS_FILE", str, "ts.nc"))
+            T3 = np.asarray(read_field(ts_file,
+                                       pf.get("TEMP_VAR", str, "PTEMP")))
+            S3 = np.asarray(read_field(ts_file,
+                                       pf.get("SALT_VAR", str, "SALT")))
+            H = domain.halo
+            pad3 = lambda a: np.pad(a, ((0, 0), (H, H), (H, H)),
+                                    mode="edge")
+            T = jnp.asarray(pad3(T3))
+            S = jnp.asarray(pad3(S3))
         elif ts_cfg == "linear":
             T_range = pf.get("T_RANGE", float, 0.0, units="degC")
             S_range = pf.get("S_RANGE", float, 0.0, units="ppt")
