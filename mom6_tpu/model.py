@@ -144,7 +144,16 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     beta = pf.get("BETA", float, 0.0, units="m-1 s-1")
     axis_units = pf.get("AXIS_UNITS", str, "degrees")
 
-    if topo_config == "file":
+    from mom6_tpu.user.configs import topo_registry, thickness_registry
+    user_ctx = dict(max_depth=max_depth, min_depth=min_depth,
+                    lenlon=lenlon, lenlat=lenlat, west=west, south=south,
+                    f0=f0)
+    if topo_config in topo_registry:
+        _user_topo = topo_registry[topo_config]
+
+        def depth_fn(lon, lat, _fn=_user_topo):
+            return _fn(lon, lat, user_ctx)
+    elif topo_config == "file":
         # tc4-class: topography read from a NetCDF file at cell centers
         from mom6_tpu.framework.io import read_field
         topo_file = pf.get("TOPO_FILE", str, "topog.nc")
@@ -263,7 +272,15 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     pf.module("MOM_state_initialization")
     thick_cfg = pf.get("THICKNESS_CONFIG", str, "uniform")
     shape = (nk, domain.njh, domain.nih)
-    if thick_cfg == "uniform":
+    if thick_cfg in thickness_registry:
+        user_ctx2 = dict(user_ctx, grid=grid, vgrid=vgrid, domain=domain)
+        for k in ("PHILLIPS_SLOPE", "PHILLIPS_AMP", "SLOSHING_AMP",
+                  "SEAMOUNT_HEIGHT"):
+            if pf.has(k):
+                user_ctx2[k.lower()] = pf.get(k, float)
+        fields = thickness_registry[thick_cfg](user_ctx2)
+        h = jnp.maximum(jnp.asarray(fields["h"]), vgrid.angstrom)
+    elif thick_cfg == "uniform":
         # uniform nominal dz in depth, clipped by the local bathymetry
         # (z-like, with vanished layers inside topography — matching the
         # reference's initialize_thickness_uniform,
@@ -312,7 +329,14 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         else:
             raise ValueError(f"TS_CONFIG '{ts_cfg}' not implemented")
 
-    state = State(u=jnp.zeros(shape), v=jnp.zeros(shape), h=h, T=T, S=S)
+    u0 = jnp.zeros(shape)
+    v0 = jnp.zeros(shape)
+    if thick_cfg in thickness_registry:
+        if "u" in fields:
+            u0 = jnp.asarray(fields["u"])
+        if "v" in fields:
+            v0 = jnp.asarray(fields["v"])
+    state = State(u=u0, v=v0, h=h, T=T, S=S)
 
     # ---- forcing ----
     pf.module("MOM_surface_forcing")
