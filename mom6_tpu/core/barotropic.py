@@ -200,8 +200,7 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     def div(uhbt, vhbt):
         return ((uhbt - im1(uhbt)) + (vhbt - jm1(vhbt))) * grid.IareaT
 
-    def substep(n, carry):
-        eta, ubt, vbt, sums = carry
+    def _one(eta, ubt, vbt, sums, u_first: bool):
         uhbt = Datu * ubt
         vhbt = Datv * vbt
         eta_pred = eta - dtbt * div(uhbt, vhbt)
@@ -211,22 +210,16 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         pf_u = (d_eta * gtot_E - ip1(d_eta * gtot_W)) * grid.IdxCu
         pf_v = (d_eta * gtot_N - jp1(d_eta * gtot_S)) * grid.IdyCv
 
-        def u_first(ub, vb):
-            cu = cor_u(vb) - Cor_ref_u
-            ub2 = bt_rem_u * (ub + dtbt * ((BT_force_u + cu) + pf_u))
-            cv = cor_v(ub2) - Cor_ref_v
-            vb2 = bt_rem_v * (vb + dtbt * ((BT_force_v + cv) + pf_v))
-            return ub2, vb2, cu, cv
-
-        def v_first(ub, vb):
-            cv = cor_v(ub) - Cor_ref_v
-            vb2 = bt_rem_v * (vb + dtbt * ((BT_force_v + cv) + pf_v))
-            cu = cor_u(vb2) - Cor_ref_u
-            ub2 = bt_rem_u * (ub + dtbt * ((BT_force_u + cu) + pf_u))
-            return ub2, vb2, cu, cv
-
-        ubt2, vbt2, cu, cv = jax.lax.cond(n % 2 == 0, u_first, v_first,
-                                          ubt, vbt)
+        if u_first:
+            cu = cor_u(vbt) - Cor_ref_u
+            ubt2 = bt_rem_u * (ubt + dtbt * ((BT_force_u + cu) + pf_u))
+            cv = cor_v(ubt2) - Cor_ref_v
+            vbt2 = bt_rem_v * (vbt + dtbt * ((BT_force_v + cv) + pf_v))
+        else:
+            cv = cor_v(ubt) - Cor_ref_v
+            vbt2 = bt_rem_v * (vbt + dtbt * ((BT_force_v + cv) + pf_v))
+            cu = cor_u(vbt2) - Cor_ref_u
+            ubt2 = bt_rem_u * (ubt + dtbt * ((BT_force_u + cu) + pf_u))
 
         if obc is not None:
             ubt2 = obc.apply_flather_u(ubt2, eta, DCor_u, vgrid.g_Earth)
@@ -247,24 +240,37 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             ubt2 = obc.apply_flather_u(ubt2, eta2, DCor_u, vgrid.g_Earth)
             vbt2 = obc.apply_flather_v(vbt2, eta2, DCor_v, vgrid.g_Earth)
 
-        s = sums
-        s = dict(
-            uhbt=s["uhbt"] + wt * uhbt2,
-            vhbt=s["vhbt"] + wt * vhbt2,
-            eta=s["eta"] + wt * eta2,
-            accel_u=s["accel_u"] + wt * (cu + pf_u),
-            accel_v=s["accel_v"] + wt * (cv + pf_v),
-            ubt=s["ubt"] + wt * ubt2,
-            vbt=s["vbt"] + wt * vbt2,
+        sums = dict(
+            uhbt=sums["uhbt"] + wt * uhbt2,
+            vhbt=sums["vhbt"] + wt * vhbt2,
+            eta=sums["eta"] + wt * eta2,
+            accel_u=sums["accel_u"] + wt * (cu + pf_u),
+            accel_v=sums["accel_v"] + wt * (cv + pf_v),
+            ubt=sums["ubt"] + wt * ubt2,
+            vbt=sums["vbt"] + wt * vbt2,
         )
-        return (eta2, ubt2, vbt2, s)
+        return eta2, ubt2, vbt2, sums
+
+    def substep_pair(n, carry):
+        # alternating u/v-first order unrolled as a pair — no lax.cond
+        # in the loop body, so XLA fuses across the whole pair
+        eta, ubt, vbt, sums = carry
+        eta, ubt, vbt, sums = _one(eta, ubt, vbt, sums, True)
+        eta, ubt, vbt, sums = _one(eta, ubt, vbt, sums, False)
+        return (eta, ubt, vbt, sums)
+
+    # round substep count up to even for the pair loop
+    npairs = (nstep + 1) // 2
+    nstep = 2 * npairs
+    dtbt = dt / nstep
+    wt = 1.0 / nstep
 
     zero2 = jnp.zeros_like(eta_in)
     sums0 = dict(uhbt=zero2, vhbt=zero2, eta=zero2, accel_u=zero2,
                  accel_v=zero2, ubt=zero2, vbt=zero2)
     eta0, ubt0, vbt0 = fill((eta_in, ubt0, vbt0), width=_bt_w(domain))
     eta_f, ubt_f, vbt_f, sums = jax.lax.fori_loop(
-        0, nstep, substep, (eta0, ubt0, vbt0, sums0))
+        0, npairs, substep_pair, (eta0, ubt0, vbt0, sums0))
     # The per-substep accumulations were made before that substep's halo
     # refresh, so the sums' halo rings are stale; downstream consumers
     # (continuity's Newton matching at wrap/shard faces, accel_layer's
