@@ -55,6 +55,10 @@ class BarotropicCfg:
     nstep: int = 32            # substeps per baroclinic dt (set_dtbt)
     bt_project: bool = False   # BT_PROJECT_VELOCITY
     coriolis_scale: float = 1.0
+    # communication-avoiding wide-halo march (MOM_barotropic.F90
+    # :782-786, :1842-1850): exchange halos every ``wide_halo_period``
+    # substeps using halos 3x that wide.  1 → exchange every substep.
+    wide_halo_period: int = 1
 
 
 class BTResult(NamedTuple):
@@ -95,6 +99,30 @@ def set_dtbt(domain: Domain, grid, vgrid, cfg: BarotropicCfg, dt: float,
     dtbt_max = 0.9 * dmin / (2.0 * c)
     nstep = max(1, int(math.ceil(dt / dtbt_max)))
     return nstep
+
+
+def _widen_domain(domain: Domain, hw: int) -> Domain:
+    return dataclasses.replace(domain, halo=hw)
+
+
+def _widen(domain: Domain, dw: Domain, f):
+    """Re-embed a (njl+2H,...) 2D field into (njl+2Hw,...) padding and
+    refresh the wide halos (one exchange)."""
+    def one(a):
+        inner = domain.interior(a)
+        pads = [(0, 0)] * (a.ndim - 2) + [(dw.halo, dw.halo)] * 2
+        return jnp.pad(inner, pads)
+    wide = jax.tree.map(one, f)
+    return dw.fill_halos(wide)
+
+
+def _narrow(domain: Domain, dw: Domain, f):
+    def one(a):
+        inner = dw.interior(a)
+        pads = [(0, 0)] * (a.ndim - 2) + [(domain.halo, domain.halo)] * 2
+        return jnp.pad(inner, pads)
+    out = jax.tree.map(one, f)
+    return domain.fill_halos(out)
 
 
 def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -193,52 +221,111 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     bt_rem_v = jnp.where(av_rem_v > 0, av_rem_v ** Instep, 0.0) \
         * grid.mask2dCv
 
-    wt = 1.0 / nstep     # uniform filter weights (ramped filter later)
-
     fill = domain.fill_halos
 
-    def div(uhbt, vhbt):
-        return ((uhbt - im1(uhbt)) + (vhbt - jm1(vhbt))) * grid.IareaT
+    # collect the per-call 2D constants the subcycle needs; the wide-
+    # halo path re-embeds exactly these into wider padding
+    consts = dict(Datu=Datu, Datv=Datv, gtot_E=gtot_E, gtot_W=gtot_W,
+                  gtot_N=gtot_N, gtot_S=gtot_S, q=q, Du_q=Du_q,
+                  Dv_q=Dv_q, DCor_u=DCor_u, DCor_v=DCor_v,
+                  Cor_ref_u=Cor_ref_u, Cor_ref_v=Cor_ref_v,
+                  bt_rem_u=bt_rem_u, bt_rem_v=bt_rem_v,
+                  BT_force_u=BT_force_u, BT_force_v=BT_force_v,
+                  eta_pf=eta_pf, IdxCu=grid.IdxCu, IdyCv=grid.IdyCv,
+                  IareaT=grid.IareaT)
 
-    def _one(eta, ubt, vbt, sums, u_first: bool):
-        uhbt = Datu * ubt
-        vhbt = Datv * vbt
-        eta_pred = eta - dtbt * div(uhbt, vhbt)
+    # round substep count up to an even multiple of the exchange period
+    period = max(1, int(cfg.wide_halo_period))
+    if period > 1 and obc is not None:
+        raise NotImplementedError(
+            "wide-halo barotropic march with OBC segments")
+    if period % 2:
+        period = period + 1 if period > 1 else 1
+    chunk = max(2, period)
+    nblocks = -(-nstep // chunk)
+    nstep = nblocks * chunk
+    dtbt = dt / nstep
+    wt = 1.0 / nstep
+
+    if period > 1:
+        # communication-avoiding march: each exchange refreshes
+        # 3·period rings, then ``period`` substeps run exchange-free
+        # while the valid region shrinks 3 rings per substep
+        # (MOM_barotropic.F90:782-786,1842-1850)
+        dom_run = _widen_domain(domain, 3 * period)
+        consts = _widen(domain, dom_run, consts)
+        eta_r, ubt_r, vbt_r = _widen(domain, dom_run,
+                                     (eta_in, ubt0, vbt0))
+        fill_w = 3 * period
+    else:
+        dom_run = domain
+        eta_r, ubt_r, vbt_r = fill((eta_in, ubt0, vbt0),
+                                   width=_bt_w(domain))
+        fill_w = _bt_w(domain)
+    run_fill = dom_run.fill_halos
+
+    c = consts
+
+    def cor_u_c(vbt):
+        dvv = c["Dv_q"] * vbt
+        A = c["q"] * (ip1(dvv) + dvv)
+        return A + jm1(A)
+
+    def cor_v_c(ubt):
+        duu = c["Du_q"] * ubt
+        B = c["q"] * (duu + jp1(duu))
+        return -(B + im1(B))
+
+    def div_c(uhbt, vhbt):
+        return ((uhbt - im1(uhbt)) + (vhbt - jm1(vhbt))) * c["IareaT"]
+
+    def _one(eta, ubt, vbt, sums, u_first: bool, do_fill: bool):
+        uhbt = c["Datu"] * ubt
+        vhbt = c["Datv"] * vbt
+        eta_pred = eta - dtbt * div_c(uhbt, vhbt)
         eta_bt_pf = (1.0 - bebt) * eta + bebt * eta_pred
-        d_eta = eta_bt_pf - eta_pf
+        d_eta = eta_bt_pf - c["eta_pf"]
 
-        pf_u = (d_eta * gtot_E - ip1(d_eta * gtot_W)) * grid.IdxCu
-        pf_v = (d_eta * gtot_N - jp1(d_eta * gtot_S)) * grid.IdyCv
+        pf_u = (d_eta * c["gtot_E"] - ip1(d_eta * c["gtot_W"])) \
+            * c["IdxCu"]
+        pf_v = (d_eta * c["gtot_N"] - jp1(d_eta * c["gtot_S"])) \
+            * c["IdyCv"]
 
         if u_first:
-            cu = cor_u(vbt) - Cor_ref_u
-            ubt2 = bt_rem_u * (ubt + dtbt * ((BT_force_u + cu) + pf_u))
-            cv = cor_v(ubt2) - Cor_ref_v
-            vbt2 = bt_rem_v * (vbt + dtbt * ((BT_force_v + cv) + pf_v))
+            cu = cor_u_c(vbt) - c["Cor_ref_u"]
+            ubt2 = c["bt_rem_u"] * (ubt + dtbt * ((c["BT_force_u"]
+                                                   + cu) + pf_u))
+            cv = cor_v_c(ubt2) - c["Cor_ref_v"]
+            vbt2 = c["bt_rem_v"] * (vbt + dtbt * ((c["BT_force_v"]
+                                                   + cv) + pf_v))
         else:
-            cv = cor_v(ubt) - Cor_ref_v
-            vbt2 = bt_rem_v * (vbt + dtbt * ((BT_force_v + cv) + pf_v))
-            cu = cor_u(vbt2) - Cor_ref_u
-            ubt2 = bt_rem_u * (ubt + dtbt * ((BT_force_u + cu) + pf_u))
+            cv = cor_v_c(ubt) - c["Cor_ref_v"]
+            vbt2 = c["bt_rem_v"] * (vbt + dtbt * ((c["BT_force_v"]
+                                                   + cv) + pf_v))
+            cu = cor_u_c(vbt2) - c["Cor_ref_u"]
+            ubt2 = c["bt_rem_u"] * (ubt + dtbt * ((c["BT_force_u"]
+                                                   + cu) + pf_u))
 
         if obc is not None:
-            ubt2 = obc.apply_flather_u(ubt2, eta, DCor_u, vgrid.g_Earth)
-            vbt2 = obc.apply_flather_v(vbt2, eta, DCor_v, vgrid.g_Earth)
+            ubt2 = obc.apply_flather_u(ubt2, eta, c["DCor_u"],
+                                       vgrid.g_Earth)
+            vbt2 = obc.apply_flather_v(vbt2, eta, c["DCor_v"],
+                                       vgrid.g_Earth)
 
-        uhbt2 = Datu * ubt2
-        vhbt2 = Datv * vbt2
-        eta2 = eta - dtbt * div(uhbt2, vhbt2)
+        uhbt2 = c["Datu"] * ubt2
+        vhbt2 = c["Datv"] * vbt2
+        eta2 = eta - dtbt * div_c(uhbt2, vhbt2)
 
-        # The substep's validity chain consumes 3 rings: eta2 interior
-        # needs ubt2 at ring 1, whose PF needs eta_pred at ring 2,
-        # which needs transports at ring 3 — so refresh 3 rings.
-        eta2, ubt2, vbt2 = fill((eta2, ubt2, vbt2), width=_bt_w(domain))
-        if obc is not None:
-            # the halo refresh clobbered the W/S boundary faces (they
-            # live in the first halo ring); re-impose the radiation
-            eta2 = obc.extend(eta2)
-            ubt2 = obc.apply_flather_u(ubt2, eta2, DCor_u, vgrid.g_Earth)
-            vbt2 = obc.apply_flather_v(vbt2, eta2, DCor_v, vgrid.g_Earth)
+        if do_fill:
+            # each substep's validity chain consumes 3 rings
+            eta2, ubt2, vbt2 = run_fill((eta2, ubt2, vbt2),
+                                        width=fill_w)
+            if obc is not None:
+                eta2 = obc.extend(eta2)
+                ubt2 = obc.apply_flather_u(ubt2, eta2, c["DCor_u"],
+                                           vgrid.g_Earth)
+                vbt2 = obc.apply_flather_v(vbt2, eta2, c["DCor_v"],
+                                           vgrid.g_Earth)
 
         sums = dict(
             uhbt=sums["uhbt"] + wt * uhbt2,
@@ -251,31 +338,32 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         )
         return eta2, ubt2, vbt2, sums
 
-    def substep_pair(n, carry):
-        # alternating u/v-first order unrolled as a pair — no lax.cond
-        # in the loop body, so XLA fuses across the whole pair
+    def block(n, carry):
         eta, ubt, vbt, sums = carry
-        eta, ubt, vbt, sums = _one(eta, ubt, vbt, sums, True)
-        eta, ubt, vbt, sums = _one(eta, ubt, vbt, sums, False)
+        for s in range(chunk):
+            last = (s == chunk - 1) if period > 1 else True
+            eta, ubt, vbt, sums = _one(eta, ubt, vbt, sums,
+                                       u_first=(s % 2 == 0),
+                                       do_fill=last)
         return (eta, ubt, vbt, sums)
 
-    # round substep count up to even for the pair loop
-    npairs = (nstep + 1) // 2
-    nstep = 2 * npairs
-    dtbt = dt / nstep
-    wt = 1.0 / nstep
-
-    zero2 = jnp.zeros_like(eta_in)
+    zero2 = jnp.zeros_like(eta_r)
     sums0 = dict(uhbt=zero2, vhbt=zero2, eta=zero2, accel_u=zero2,
                  accel_v=zero2, ubt=zero2, vbt=zero2)
-    eta0, ubt0, vbt0 = fill((eta_in, ubt0, vbt0), width=_bt_w(domain))
     eta_f, ubt_f, vbt_f, sums = jax.lax.fori_loop(
-        0, npairs, substep_pair, (eta0, ubt0, vbt0, sums0))
-    # The per-substep accumulations were made before that substep's halo
-    # refresh, so the sums' halo rings are stale; downstream consumers
-    # (continuity's Newton matching at wrap/shard faces, accel_layer's
-    # ip1/jp1) need ≥1 valid ring — refresh them here.
-    sums = fill(sums, width=_bt_w(domain))
+        0, nblocks, block, (eta_r, ubt_r, vbt_r, sums0))
+
+    if period > 1:
+        # back to the narrow representation (fills included)
+        eta_f, ubt_f, vbt_f = _narrow(domain, dom_run,
+                                      (eta_f, ubt_f, vbt_f))
+        sums = _narrow(domain, dom_run, sums)
+    else:
+        # The per-substep accumulations were made before that substep's
+        # halo refresh; downstream consumers (continuity's Newton
+        # matching at wrap/shard faces, accel_layer's ip1/jp1) need ≥1
+        # valid ring — refresh them here.
+        sums = fill(sums, width=_bt_w(domain))
 
     u_accel_bt = sums["accel_u"]
     v_accel_bt = sums["accel_v"]

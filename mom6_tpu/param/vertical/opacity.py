@@ -1,0 +1,63 @@
+"""Shortwave penetration and ocean optics.
+
+Re-design of /root/reference/src/parameterizations/vertical/
+MOM_opacity.F90: downward shortwave divides into spectral bands that
+decay exponentially with band-specific e-folding depths; band
+partitions/opacities follow Jerlov water types or the Manizza et al.
+(2005) chlorophyll-dependent fit.  Returns the heating deposited in
+each layer (the flux convergence), consumed by the diabatic driver's
+applyBoundaryFluxesInOut.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+__all__ = ["OpacityCfg", "sw_absorption_profile"]
+
+# Jerlov water types: (fraction in band 1 (red), pen depth1 [m],
+#                      pen depth2 [m] (blue-green))
+_JERLOV = {
+    "I": (0.58, 0.35, 23.0),
+    "IA": (0.62, 0.60, 20.0),
+    "IB": (0.67, 1.00, 17.0),
+    "II": (0.77, 1.50, 14.0),
+    "III": (0.78, 1.40, 7.9),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class OpacityCfg:
+    scheme: str = "JERLOV"         # JERLOV | MANIZZA_05
+    water_type: str = "IB"         # WATER_TYPE
+    chl: float = 0.1               # chlorophyll [mg m-3] for MANIZZA
+    sw_max_pen_depth: float = 1e4
+
+
+def _bands(cfg: OpacityCfg):
+    if cfg.scheme.upper() == "JERLOV":
+        r1, z1, z2 = _JERLOV[cfg.water_type.upper()]
+        return ((r1, z1), (1.0 - r1, z2))
+    if cfg.scheme.upper() == "MANIZZA_05":
+        # Manizza et al. 2005: red absorbs fast; blue/green depend on Chl
+        chl = max(cfg.chl, 0.001)
+        k_bg = 0.0232 + 0.074 * chl ** 0.674      # blue-green [m-1]
+        k_r = 0.225 + 0.037 * chl ** 0.629        # red
+        return ((0.58, 1.0 / k_r), (0.42, 1.0 / k_bg))
+    raise ValueError(f"Unknown opacity scheme '{cfg.scheme}'")
+
+
+def sw_absorption_profile(cfg: OpacityCfg, h, sw_surface):
+    """Layer heating [W m-2 absorbed per layer] from surface shortwave.
+
+    Returns (heating (nk, ...), sw_bottom leftover)."""
+    z_int = jnp.concatenate([jnp.zeros_like(h[:1]),
+                             jnp.cumsum(h, axis=0)], axis=0)
+    flux = jnp.zeros_like(z_int)            # downward SW at interfaces
+    for frac, zpen in _bands(cfg):
+        flux = flux + frac * sw_surface[None] * jnp.exp(
+            -jnp.minimum(z_int / zpen, 80.0))
+    heating = flux[:-1] - flux[1:]
+    return heating, flux[-1]

@@ -1,0 +1,52 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.param.vertical.opacity import (OpacityCfg,
+                                             sw_absorption_profile)
+from mom6_tpu.tracer.bgc_interface import NPZDPackage
+from mom6_tpu.tracer.registry import TracerRegistry
+
+
+def col(a):
+    return jnp.asarray(np.asarray(a, np.float64)).reshape(-1, 1, 1)
+
+
+def test_sw_profile_conserves_and_decays():
+    h = col([5.0] * 20)
+    sw = jnp.full((1, 1), 200.0)
+    heat, bottom = sw_absorption_profile(OpacityCfg(water_type="IB"),
+                                         h, sw)
+    hv = np.asarray(heat).ravel()
+    assert hv[0] > hv[5] > hv[15] >= 0.0
+    # total absorbed + leftover = input
+    np.testing.assert_allclose(hv.sum() + float(bottom[0, 0]), 200.0,
+                               rtol=1e-12)
+    # turbid water (type III) absorbs shallower than clear (type I)
+    h1, _ = sw_absorption_profile(OpacityCfg(water_type="I"), h, sw)
+    h3, _ = sw_absorption_profile(OpacityCfg(water_type="III"), h, sw)
+    assert float(h3[0, 0, 0]) > float(h1[0, 0, 0])
+    # Manizza: more chlorophyll → shallower absorption
+    hc1, _ = sw_absorption_profile(OpacityCfg(scheme="MANIZZA_05",
+                                              chl=0.05), h, sw)
+    hc2, _ = sw_absorption_profile(OpacityCfg(scheme="MANIZZA_05",
+                                              chl=3.0), h, sw)
+    assert float(hc2[0, 0, 0]) > float(hc1[0, 0, 0])
+
+
+def test_npzd_package():
+    reg = TracerRegistry()
+    pkg = NPZDPackage()
+    tr = pkg.register(reg, (6, 1, 1))
+    assert set(tr) == {"no3", "phyto", "zoo", "det"}
+    h = col([10.0] * 6)
+    tot0 = sum(float(jnp.sum(v * h)) for v in tr.values())
+    for _ in range(50):
+        tr = pkg.column_physics(tr, h, None, None, dt=3600.0)
+    tot1 = sum(float(jnp.sum(v * h)) for v in tr.values())
+    # total N approximately conserved (clipping may leak a little)
+    assert abs(tot1 - tot0) / tot0 < 0.05
+    # phytoplankton grow near the surface
+    p = np.asarray(tr["phyto"]).ravel()
+    assert p[0] > p[-1]
+    assert np.all(np.asarray(list(tr.values())) >= 0.0)

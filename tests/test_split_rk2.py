@@ -198,3 +198,78 @@ def test_split_layout_invariance():
         np.testing.assert_allclose(got / scale, ref[k] / scale,
                                    rtol=0, atol=1e-10,
                                    err_msg=f"field {k} layout-variant")
+
+
+def test_wide_halo_barotropic_equivalence():
+    """The communication-avoiding wide-halo march (exchange every k
+    substeps with 3k-ring refresh) must reproduce the per-substep-
+    exchange result, single-device and sharded."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mom6_tpu.parallel.domain import make_mesh, pad_field, unpad_field
+    from mom6_tpu.core.grid import blockify_grid
+    import dataclasses as dc
+
+    ni = nj = 32
+    d1, g1, vg, _ = setup(ni=ni, nj=nj)
+    rng = np.random.default_rng(9)
+    shp3 = (2, 40, 40)
+    h = d1.fill_halos(d1.pad(jnp.full((2, 32, 32), 500.0)))
+    eta0 = d1.fill_halos(jnp.asarray(
+        0.05 * rng.standard_normal((40, 40))))
+    u0 = d1.fill_halos(jnp.asarray(
+        0.02 * rng.standard_normal(shp3)))
+    v0 = d1.fill_halos(jnp.asarray(
+        0.02 * rng.standard_normal(shp3)))
+    acc = d1.fill_halos(jnp.asarray(
+        1e-6 * rng.standard_normal(shp3)))
+    pbce = jnp.full(shp3, 9.8)
+
+    def run(dom, gr, cfgbt):
+        return btstep(dom, gr, vg, u0 * 0 + dom.fill_halos(u0), v0, eta0,
+                      h, acc, acc, pbce, u0, v0, dt=1800.0, cfg=cfgbt)
+
+    cfg1 = BarotropicCfg(nstep=16, wide_halo_period=1)
+    cfg4 = BarotropicCfg(nstep=16, wide_halo_period=4)
+    r1 = btstep(d1, g1, vg, u0, v0, eta0, h, acc, acc, pbce, u0, v0,
+                dt=1800.0, cfg=cfg1)
+    r4 = btstep(d1, g1, vg, u0, v0, eta0, h, acc, acc, pbce, u0, v0,
+                dt=1800.0, cfg=cfg4)
+    np.testing.assert_allclose(np.asarray(d1.interior(r4.eta)),
+                               np.asarray(d1.interior(r1.eta)),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d1.interior(r4.uhbtav)),
+                               np.asarray(d1.interior(r1.uhbtav)),
+                               atol=1e-6)
+
+    # sharded wide path == single-device
+    layout = (2, 2)
+    dn = Domain(ni=ni, nj=nj, halo=4, layout=layout,
+                reentrant_x=True, reentrant_y=True).sharded()
+    gn = blockify_grid(dn, g1)
+    mesh = make_mesh(layout)
+    s3 = P(None, "y", "x")
+    s2 = P("y", "x")
+    gspec = jax.tree.map(lambda _: s2, gn)
+
+    def runN(u, v, e, hh, aa, pb, gr):
+        u, v, e, hh, aa = dn.fill_halos((u, v, e, hh, aa))
+        r = btstep(dn, gr, vg, u, v, e, hh, aa, aa, pb, u, v,
+                   dt=1800.0, cfg=cfg4)
+        return r.eta, r.uhbtav, r.accel_layer_u
+
+    ui = d1.interior(u0)
+    vi = d1.interior(v0)
+    ei = d1.interior(eta0)
+    hi = d1.interior(h)
+    ai = d1.interior(acc)
+    out = jax.jit(shard_map(
+        runN, mesh=mesh,
+        in_specs=(s3, s3, s2, s3, s3, s3, gspec),
+        out_specs=(s2, s2, s3)))(
+        pad_field(dn, ui), pad_field(dn, vi), pad_field(dn, ei),
+        pad_field(dn, hi), pad_field(dn, ai),
+        pad_field(dn, jnp.full_like(ai, 9.8)), gn)
+    eN = np.asarray(unpad_field(dn, out[0]))
+    np.testing.assert_allclose(eN, np.asarray(d1.interior(r4.eta)),
+                               atol=1e-11)
