@@ -50,6 +50,27 @@ def build_grid(cfg: RegridCfg, h, bathyT, T=None, S=None, eos=None,
     if mode in ("LAYER", "NONE"):
         return h
 
+    if mode in ("HYCOM1", "HYBRID"):
+        # HyCOM-style hybrid: interfaces follow target isopycnals but
+        # never rise above the nominal fixed-z depths (z-coordinates
+        # win near the surface, isopycnals in the interior —
+        # coord_hycom.F90 / MOM_hybgen_regrid.F90 essence)
+        h_rho = build_grid(dataclasses.replace(cfg, mode="RHO"), h,
+                           bathyT, T, S, eos, rlay=rlay, rho0=rho0, g=g)
+        z_rho = jnp.concatenate([jnp.zeros_like(h[:1]),
+                                 jnp.cumsum(h_rho, axis=0)], axis=0)
+        dz_nom = jnp.asarray(_nominal(cfg, nk))
+        if cfg.resolution == ():
+            dz_nom = dz_nom * jnp.max(bathyT)
+        z_nom = jnp.concatenate([jnp.zeros(1, dz_nom.dtype),
+                                 jnp.cumsum(dz_nom)]).reshape(-1, 1, 1)
+        z_nom = jnp.minimum(z_nom, htot[None])
+        z_new = jnp.maximum(z_rho, z_nom)
+        z_new = jax.lax.associative_scan(jnp.maximum, z_new, axis=0)
+        z_new = z_new.at[-1].set(htot)
+        h_new = z_new[1:] - z_new[:-1]
+        return _enforce_min(cfg, h_new, htot)
+
     if mode == "SIGMA":
         frac = _nominal(cfg, nk)
         frac = frac / frac.sum()
@@ -117,8 +138,12 @@ def build_grid(cfg: RegridCfg, h, bathyT, T=None, S=None, eos=None,
         raise ValueError(f"Unknown REGRIDDING_COORDINATE_MODE "
                          f"'{cfg.mode}'")
 
-    # minimum thickness: redistribute forward then backward so the
-    # column total is preserved (inflate_vanished_layers analog)
+    return _enforce_min(cfg, h_new, htot)
+
+
+def _enforce_min(cfg: RegridCfg, h_new, htot):
+    """Minimum thickness: redistribute forward then backward so the
+    column total is preserved (inflate_vanished_layers analog)."""
     h_min = cfg.min_thickness
     hv = h_new
 
@@ -133,8 +158,7 @@ def build_grid(cfg: RegridCfg, h, bathyT, T=None, S=None, eos=None,
 
     hv = enforce(hv)
     hv = enforce(hv[::-1])[::-1]
-    # any residual total mismatch goes into the thickest layer region:
-    # rescale to exact total
+    # rescale to the exact column total
     tot2 = jnp.sum(hv, axis=0)
     hv = hv * (htot / (tot2 + _H_NEGLECT))[None]
     return hv

@@ -41,18 +41,28 @@ class RemapCfg:
 
 
 class Reconstruction(NamedTuple):
-    """Per-cell polynomial u(ξ) = c0 + c1 ξ + c2 ξ², ξ∈[0,1] downward."""
+    """Per-cell polynomial u(ξ) = Σ c_n ξ^n, ξ∈[0,1] downward (up to
+    quartic for PQM)."""
     c0: jnp.ndarray
     c1: jnp.ndarray
     c2: jnp.ndarray
+    c3: jnp.ndarray | None = None
+    c4: jnp.ndarray | None = None
 
     def cell_mean(self):
-        return self.c0 + 0.5 * self.c1 + self.c2 / 3.0
+        m = self.c0 + 0.5 * self.c1 + self.c2 / 3.0
+        if self.c3 is not None:
+            m = m + 0.25 * self.c3 + 0.2 * self.c4
+        return m
 
     def integral_to(self, xi):
         """∫_0^ξ u dξ' (fraction of the cell's thickness-integral)."""
-        return (self.c0 * xi + 0.5 * self.c1 * xi * xi
-                + self.c2 * xi * xi * xi / 3.0)
+        r = (self.c0 * xi + 0.5 * self.c1 * xi * xi
+             + self.c2 * xi * xi * xi / 3.0)
+        if self.c3 is not None:
+            x4 = xi * xi * xi * xi
+            r = r + 0.25 * self.c3 * x4 + 0.2 * self.c4 * x4 * xi
+        return r
 
 
 def _shift_k(f, n):
@@ -138,6 +148,33 @@ def reconstruct(h, u, cfg: RemapCfg) -> Reconstruction:
         slope = jnp.where(s_l * s_r > 0.0, slope, 0.0)
         return Reconstruction(c0=u - 0.5 * slope, c1=slope,
                               c2=jnp.zeros_like(u))
+    if scheme in ("PQM_IH4IH3", "PQM_IH6IH5"):
+        # White & Adcroft (2008) piecewise quartic: cell mean + h4 edge
+        # values + 4th-order edge slopes pin the quartic; currently
+        # unlimited (the PQM limiter is a planned refinement).
+        import numpy as _np
+        edges = edge_values_h4(h, u)
+        eL, eR = edges[:-1], edges[1:]
+        # 4th-order interface gradient (per unit ξ of the lower cell):
+        # d_K ≈ (27(u_K − u_{K-1}) − (u_{K+1} − u_{K-2}))/24
+        uK = jnp.concatenate([u, u[-1:]], axis=0)
+        uKm1 = jnp.concatenate([u[0:1], u], axis=0)
+        uKm2 = jnp.concatenate([u[0:1], u[0:1], u[:-1]], axis=0)
+        uKp1 = jnp.concatenate([u[1:], u[-1:], u[-1:]], axis=0)
+        d_int = (27.0 * (uK - uKm1) - (uKp1 - uKm2)) / 24.0
+        dL, dR = d_int[:-1], d_int[1:]
+        # solve [1,1,1; 2,3,4; 1/3,1/4,1/5] (a2,a3,a4) = rhs
+        Minv = _np.linalg.inv(_np.array([[1.0, 1.0, 1.0],
+                                         [2.0, 3.0, 4.0],
+                                         [1.0 / 3, 1.0 / 4, 1.0 / 5]]))
+        a0, a1 = eL, dL
+        r1 = eR - eL - a1
+        r2 = dR - a1
+        r3 = u - eL - 0.5 * a1
+        a2 = Minv[0, 0] * r1 + Minv[0, 1] * r2 + Minv[0, 2] * r3
+        a3 = Minv[1, 0] * r1 + Minv[1, 1] * r2 + Minv[1, 2] * r3
+        a4 = Minv[2, 0] * r1 + Minv[2, 1] * r2 + Minv[2, 2] * r3
+        return Reconstruction(c0=a0, c1=a1, c2=a2, c3=a3, c4=a4)
     if scheme in ("PPM_H4", "PPM_IH4", "PPM_CW", "PPM_HYBGEN"):
         if scheme == "PPM_CW":
             edges = edge_values_h2(h, u)

@@ -174,6 +174,10 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt)
     u_new, v_new, truncs = vertvisc_limit_vel(grid, u_new, v_new, dt,
                                               cfg.vertvisc)
+    if obc is not None:
+        # Orlanski radiation of the baroclinic velocities at open faces
+        u_new = obc.radiate_u(u_new, u)
+        v_new = obc.radiate_v(v_new, v)
     u_new, v_new = fill((u_new, v_new))
     visc_rem_u, visc_rem_v = fill((visc_rem_u, visc_rem_v))
 

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from mom6_tpu.parallel.domain import Domain
 
-__all__ = ["Grid", "cartesian_grid", "spherical_grid", "blockify"]
+__all__ = ["Grid", "cartesian_grid", "spherical_grid", "mercator_grid",
+           "blockify"]
 
 RADIUS_EARTH = 6.378e6     # m, matches reference default RAD_EARTH
 OMEGA = 7.2921e-5          # s-1
@@ -232,6 +233,56 @@ def spherical_grid(domain: Domain, west_lon: float, lenlon: float,
 
     def dy_fn(dlat_, lat):
         return np.full_like(lat, radius * deg2rad * dlat_)
+
+    def f_fn(lon, lat):
+        return 2.0 * OMEGA * np.sin(deg2rad * lat)
+
+    if depth_fn is None:
+        def depth_fn(lon, lat):
+            return np.full_like(lat, max_depth)
+
+    return _build(domain, lon_c, lat_c, lon_f, lat_f, dx_fn, dy_fn,
+                  f_fn, depth_fn, min_depth)
+
+
+def mercator_grid(domain: Domain, west_lon: float, lenlon: float,
+                  south_lat: float, north_lat: float | None = None,
+                  depth_fn=None, max_depth: float = 4000.0,
+                  min_depth: float = 0.0,
+                  radius: float = RADIUS_EARTH) -> Grid:
+    """Isotropic Mercator grid (set_grid_metrics_mercator,
+    MOM_grid_initialize.F90): uniform spacing in the Mercator
+    coordinate y = ln(tan(π/4 + φ/2)), so dx = dy locally and
+    dy ∝ sec(φ)·dφ."""
+    deg2rad = np.pi / 180.0
+
+    def to_merc(lat_deg):
+        return np.log(np.tan(np.pi / 4.0 + 0.5 * deg2rad * lat_deg))
+
+    def from_merc(y):
+        return (2.0 * np.arctan(np.exp(y)) - np.pi / 2.0) / deg2rad
+
+    dlon = lenlon / domain.ni
+    y_s = to_merc(south_lat)
+    if north_lat is None:
+        # exact isotropy: Mercator spacing equals the longitude spacing
+        dy_m = deg2rad * dlon
+        y_n = y_s + domain.nj * dy_m
+    else:
+        y_n = to_merc(north_lat)
+        dy_m = (y_n - y_s) / domain.nj
+    j, i = _padded_index(domain)
+    lon_c = west_lon + (i + 0.5) * dlon
+    lon_f = west_lon + (i + 1.0) * dlon
+    lat_c = from_merc(y_s + (j + 0.5) * dy_m)
+    lat_f = from_merc(y_s + (j + 1.0) * dy_m)
+
+    def dx_fn(dlon_, lat):
+        return radius * deg2rad * dlon_ * np.cos(deg2rad * lat)
+
+    def dy_fn(dlat_, lat):
+        # the Mercator dy varies with latitude: dy = R cos(φ) dy_merc
+        return radius * np.cos(deg2rad * lat) * dy_m
 
     def f_fn(lon, lat):
         return 2.0 * OMEGA * np.sin(deg2rad * lat)

@@ -23,14 +23,15 @@ def main(argv=None):
                     help="override DAYMAX")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
-    ap.add_argument("--x64", action="store_true", default=True)
+    ap.add_argument("--fp32", action="store_true",
+                    help="disable float64 (TPU-native precision)")
     ap.add_argument("--restart-from", default=None)
     args = ap.parse_args(argv)
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if args.x64:
+    if not args.fp32:
         jax.config.update("jax_enable_x64", True)
 
     from mom6_tpu.framework.config import ParamFile

@@ -180,6 +180,53 @@ class OpenBoundaries:
         return vbt
 
 
+    # -- Orlanski radiation for baroclinic velocities ------------------
+    def radiate_u(self, u_new, u_old):
+        """Orlanski (1976) radiation at open E/W faces: the phase
+        speed is estimated from the interior solution one face in,
+        rx = (φ_old−φ_new)/(φ_old−φ_old_in) clipped to [0,1], and
+        φ_b^{n+1} = (φ_b^n + rx φ_{b-1}^{n+1})/(1+rx)
+        (radiation_open_bdry_conds, MOM_open_boundary.F90)."""
+        H, ni = self.halo, self.nil
+        eps = 1e-30
+
+        def rad(iB, i1, i2):
+            num = u_old[..., :, i1] - u_new[..., :, i1]
+            den = u_old[..., :, i1] - u_old[..., :, i2]
+            rx = jnp.clip(num / (den + jnp.where(jnp.abs(den) > eps,
+                                                 0.0, eps)), 0.0, 1.0)
+            val = (u_old[..., :, iB] + rx * u_new[..., :, i1])                 / (1.0 + rx)
+            return u_new.at[..., :, iB].set(val)
+
+        if self.open_e:
+            iE = H + ni - 1
+            u_new = rad(iE, iE - 1, iE - 2)
+        if self.open_w:
+            iW = H - 1
+            u_new = rad(iW, iW + 1, iW + 2)
+        return u_new
+
+    def radiate_v(self, v_new, v_old):
+        H, nj = self.halo, self.njl
+        eps = 1e-30
+
+        def rad(jB, j1, j2):
+            num = v_old[..., j1, :] - v_new[..., j1, :]
+            den = v_old[..., j1, :] - v_old[..., j2, :]
+            rx = jnp.clip(num / (den + jnp.where(jnp.abs(den) > eps,
+                                                 0.0, eps)), 0.0, 1.0)
+            val = (v_old[..., jB, :] + rx * v_new[..., j1, :])                 / (1.0 + rx)
+            return v_new.at[..., jB, :].set(val)
+
+        if self.open_n:
+            jN = H + nj - 1
+            v_new = rad(jN, jN - 1, jN - 2)
+        if self.open_s:
+            jS = H - 1
+            v_new = rad(jS, jS + 1, jS + 2)
+        return v_new
+
+
 def build_open_boundaries(pf, domain: Domain) -> Optional[OpenBoundaries]:
     segs = parse_segments(pf)
     if not segs:

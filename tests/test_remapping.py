@@ -164,3 +164,63 @@ def test_rho_grid_layered_column():
                                100.0, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(h_new).ravel(),
                                [25.0] * nk, atol=1.0)
+
+
+def test_pqm_higher_order_than_ppm():
+    """PQM (quartic) beats PPM on a smooth profile under refinement."""
+    def err(scheme, nk):
+        H = 160.0
+        dz = H / nk
+        h_src = col([dz] * nk)
+        F = lambda z: -60.0 * np.cos(z / 60.0)
+        zs = np.arange(nk + 1) * dz
+        u = col((F(zs[1:]) - F(zs[:-1])) / dz)
+        h_dst = col([0.8 * dz] * (nk // 2) + [1.2 * dz] * (nk // 2))
+        got = np.asarray(remap_column_means(
+            h_src, u, h_dst,
+            RemapCfg(scheme=scheme, force_monotonic=False))).ravel()
+        zd = np.concatenate([[0], np.cumsum(np.asarray(h_dst).ravel())])
+        expect = (F(zd[1:]) - F(zd[:-1])) / np.diff(zd)
+        q = nk // 4
+        return np.max(np.abs(got[q:-q] - expect[q:-q]))
+
+    e_ppm = err("PPM_H4", 32)
+    e_pqm = err("PQM_IH4IH3", 32)
+    assert e_pqm < e_ppm
+    # conservation also holds for the quartic
+    h_src = col([10.0] * 8)
+    u = col(np.sin(np.arange(8)))
+    h_dst = col([5.0] * 4 + [15.0] * 4)
+    got = remap_column_means(h_src, u, h_dst,
+                             RemapCfg(scheme="PQM_IH4IH3"))
+    assert abs(float(jnp.sum(got * h_dst)) -
+               float(jnp.sum(u * h_src))) < 1e-10
+
+
+def test_hycom1_hybrid_mode():
+    """HyCOM mode: z-levels near the surface, isopycnal interfaces in
+    the stratified interior."""
+    from mom6_tpu.eos import LinearEOS
+    eos = LinearEOS(rho_t0_s0=1000.0, drho_dt=-0.2, drho_ds=0.8)
+    nk = 6
+    h = col([50.0] * nk)
+    bathy = jnp.full((1, 1), 300.0)
+    T = col([20., 19.5, 12., 8., 6., 5.])
+    S = col([35.0] * nk)
+    p0 = jnp.zeros_like(T)
+    rho_mid = np.asarray(eos.density(T, S, p0)).ravel()
+    rlay = jnp.asarray(rho_mid)
+    h_new = build_grid(RegridCfg(mode="HYCOM1",
+                                 resolution=(10., 20., 40., 70., 80.,
+                                             80.)),
+                       h, bathy, T, S, eos, rlay=rlay)
+    hv = np.asarray(h_new).ravel()
+    # totals preserved, all positive
+    np.testing.assert_allclose(hv.sum(), 300.0, rtol=1e-12)
+    assert hv.min() > 0.0
+    # surface layer pinned at/above nominal z-coordinate thickness:
+    # interfaces cannot rise above nominal depths
+    z = np.concatenate([[0], np.cumsum(hv)])
+    z_nom = np.concatenate([[0], np.cumsum([10., 20., 40., 70., 80.,
+                                            80.])])
+    assert np.all(z[1:-1] >= z_nom[1:-1] - 1e-9)

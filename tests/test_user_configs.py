@@ -99,3 +99,18 @@ def test_sloshing_oscillates():
     assert np.isfinite(h1).all()
     # mass conserved
     assert abs(h1.sum() - h0.sum()) / h0.sum() < 1e-12
+
+
+def test_mercator_grid_isotropic():
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import mercator_grid
+    d = Domain(ni=16, nj=16, halo=4)
+    g = mercator_grid(d, west_lon=0.0, lenlon=20.0, south_lat=10.0)
+    dx = np.asarray(d.interior(g.dxT))
+    dy = np.asarray(d.interior(g.dyT))
+    # Mercator isotropy: dx ≈ dy everywhere
+    np.testing.assert_allclose(dx, dy, rtol=0.02)
+    # spacing shrinks poleward
+    assert dx[-1, 0] < dx[0, 0]
+    lat = np.asarray(d.interior(g.geoLatT))
+    assert 9.0 < lat.min() < 12.0 and lat.max() > 20.0
