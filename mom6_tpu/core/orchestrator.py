@@ -53,8 +53,15 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                state: State, split_state, tracers: dict | None,
                forces: MechForcing, fluxes: Optional[Fluxes],
                dt: float, cfg: OceanCfg, eos=None,
-               x_first: bool = True, tracer_registry=None, obc=None):
-    """One full ocean step of length dt.  Returns
+               x_first: bool = True, tracer_registry=None, obc=None,
+               do_thermo: bool = True, uhtr_accum=None,
+               vhtr_accum=None):
+    """One full ocean step of length dt.
+
+    ``do_thermo`` gates the tracer-advection/diabatic/ALE phases (the
+    DT_THERM cadence of step_MOM, MOM.F90:801-1506): on skipped steps
+    the transports accumulate into uhtr_accum/vhtr_accum and are
+    consumed on the next thermo step.  Returns
     (state, split_state, tracers, diags)."""
     # thickness diffusion / interface filter act before the dynamics
     # (THICKNESSDIFFUSE, MOM.F90:1160-1186)
@@ -78,6 +85,13 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         state, diags = step_dyn_unsplit(
             domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,
             eos=eos)
+
+    # accumulate transports across the thermo interval (uhtr, MOM.F90)
+    uhtr = diags.uhtr if uhtr_accum is None else uhtr_accum + diags.uhtr
+    vhtr = diags.vhtr if vhtr_accum is None else vhtr_accum + diags.vhtr
+    diags = diags._replace(uhtr=uhtr, vhtr=vhtr)
+    if not do_thermo:
+        return state, split_state, tracers, diags
 
     # --- tracer transport (T/S ride the same accumulated transports) ---
     if cfg.thermo and state.T is not None:

@@ -87,6 +87,7 @@ class Model:
     ocean_cfg: OceanCfg
     dt: float
     dt_forcing: float
+    dt_therm: float
     daymax: float
     thermo: bool
     forces: MechForcing
@@ -102,19 +103,34 @@ class Model:
         d, g, vg = self.domain, self.grid, self.vgrid
         forces, eos, cfg = self.forces, self.eos, self.ocean_cfg
 
-        def mk(x_first):
-            def step(state, split_state, tracers):
-                return step_ocean(d, g, vg, state, split_state, tracers,
-                                  forces, None, self.dt, cfg, eos=eos,
-                                  x_first=x_first,
-                                  tracer_registry=self.tracer_registry,
-                                  obc=self.obc)[:3]
+        n_per = max(1, int(round(self.dt_therm / self.dt)))
+
+        def mk(x_first, do_thermo):
+            def step(state, split_state, tracers, uacc, vacc):
+                st, a, tr, diags = step_ocean(
+                    d, g, vg, state, split_state, tracers,
+                    forces, None, self.dt, cfg, eos=eos,
+                    x_first=x_first,
+                    tracer_registry=self.tracer_registry,
+                    obc=self.obc, do_thermo=do_thermo,
+                    uhtr_accum=uacc, vhtr_accum=vacc)
+                return st, a, tr, diags.uhtr, diags.vhtr
             return jax.jit(step)
-        fx, fy = mk(True), mk(False)
+        fns = {(xf, th): mk(xf, th) for xf in (True, False)
+               for th in (True, False)}
+        acc = {"u": None, "v": None}
 
         def step(state, split_state, tracers=None, n=0):
-            f = fx if (n % 2 == 0) else fy
-            s, a, tr = f(state, split_state, tracers)
+            do_thermo = ((n + 1) % n_per == 0)
+            f = fns[(n % 2 == 0, do_thermo)]
+            z = jnp.zeros_like(state.h)
+            ua = acc["u"] if acc["u"] is not None else z
+            va = acc["v"] if acc["v"] is not None else z
+            s, a, tr, uh, vh = f(state, split_state, tracers, ua, va)
+            if do_thermo:
+                acc["u"], acc["v"] = None, None
+            else:
+                acc["u"], acc["v"] = uh, vh
             return s, a, tr
         return step
 
@@ -212,6 +228,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     split = pf.get("SPLIT", bool, True)
     dt = pf.get("DT", float, units="s")
     dt_forcing = pf.get("DT_FORCING", float, dt, units="s")
+    dt_therm = pf.get("DT_THERM", float, dt, units="s")
     daymax = pf.get("DAYMAX", float, 1.0, units="days")
     thermo = pf.get("ENABLE_THERMODYNAMICS", bool, True)
     adiabatic = pf.get("ADIABATIC", bool, False)
@@ -407,6 +424,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     if_cfg = InterfaceFilterCfg(
         time_scale=pf.get("INTERFACE_FILTER_TIME_SCALE", float, 0.0,
                           units="s"))
+    n_dyn_per_therm = max(1, int(round(dt_therm / dt)))
     ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
                          unsplit_cfg=unsplit_cfg,
                          diabatic=dia_cfg, ale=ale_cfg,
@@ -432,7 +450,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     return Model(domain=domain, grid=grid, vgrid=vgrid, eos=eos,
                  split=split, split_cfg=split_cfg, unsplit_cfg=unsplit_cfg,
                  ocean_cfg=ocean_cfg,
-                 dt=dt, dt_forcing=dt_forcing, daymax=daymax,
+                 dt=dt, dt_forcing=dt_forcing, dt_therm=dt_therm,
+                 daymax=daymax,
                  thermo=thermo, forces=forces, state=state,
                  split_state=split_state, tracers=tracers,
                  tracer_registry=registry if tracers else None,

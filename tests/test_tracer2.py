@@ -108,3 +108,25 @@ def test_cfc_properties():
                                   jnp.asarray(8.0),
                                   jnp.asarray(250e-12)))
     assert flux > 0.0
+
+
+def test_hor_bnd_diffusion_confined_to_bld():
+    from mom6_tpu.tracer.hor_bnd_diffusion import (HorBndDiffCfg,
+                                                   hor_bnd_diffusion)
+    d, g, vg = setup(nk=4)
+    h = d.fill_halos(d.pad(jnp.full((4, 8, 16), 50.0)))
+    rng = np.random.default_rng(0)
+    t = d.fill_halos(d.pad(jnp.asarray(
+        10.0 + rng.standard_normal((4, 8, 16)))))
+    bld = jnp.full_like(g.bathyT, 75.0)   # covers layer 0 + half of 1
+    out = hor_bnd_diffusion(d, g, {"c": t}, h, bld, dt=3600.0,
+                            cfg=HorBndDiffCfg(khtr_bnd=2000.0))
+    a = d.interior(g.areaT)
+    tot0 = float(jnp.sum(d.interior(t * h) * a))
+    tot1 = float(jnp.sum(d.interior(out["c"] * h) * a))
+    assert abs(tot1 - tot0) / abs(tot0) < 1e-12
+    v0 = np.asarray(d.interior(t))
+    v1 = np.asarray(d.interior(out["c"]))
+    # surface layer smoothed, deep layers untouched
+    assert v1[0].var() < v0[0].var()
+    np.testing.assert_array_equal(v1[2:], v0[2:])
