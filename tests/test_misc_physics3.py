@@ -116,3 +116,32 @@ def test_three_equation_melt():
     r3 = three_equation_melt(cfg, t_w, s_w, p_b,
                              shelf_mask=jnp.asarray([[0.0]]))
     assert float(r3.melt[0, 0]) == 0.0
+
+
+def test_ssa_ice_tongue_extends():
+    """A floating ice tongue thinning seaward must extend (du/dx > 0,
+    u increasing toward the front) under the SSA balance."""
+    from mom6_tpu.ice_shelf.dynamics import SSACfg, ssa_velocity_solve
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    d = Domain(ni=24, nj=8, halo=4)
+    g = cartesian_grid(d, lenlon_km=120.0, lenlat_km=40.0)
+    x = np.arange(32)
+    # thickness ramps from 800 m at the grounding line to 200 m
+    hsh = np.clip(800.0 - 25.0 * (x - 4), 200.0, 800.0)
+    h_shelf = jnp.asarray(np.broadcast_to(hsh, (16, 32)).copy())
+    # pin the outer ring (the stencils wrap; an unmasked seam couples
+    # the two ends and leaves a rigid-body null space)
+    m = np.ones((16, 32))
+    m[:4] = m[-4:] = 0
+    m[:, :4] = m[:, -4:] = 0
+    mask = jnp.asarray(m)
+    res = ssa_velocity_solve(SSACfg(), g, h_shelf, mask)
+    u = np.asarray(d.interior(res.u))[4]
+    assert np.all(np.isfinite(u))
+    # flow is seaward (+x, downslope of the surface) throughout the
+    # ramp, fastest where the surface slope lives
+    assert u[8] > 0.0 and u[14] > 0.0
+    assert np.max(u) > 0.01          # an ice-stream-like speed exists
+    # viscosity is positive and finite
+    assert float(jnp.min(res.visc)) > 0.0
