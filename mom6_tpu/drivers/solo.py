@@ -86,7 +86,8 @@ def main(argv=None):
     for n in range(step0, step0 + nsteps + 1):
         if n % stats_every == 0:
             s = collect_stats(stats_jit(d, g, vg, state, dt), vg, n,
-                              n * dt / 86400.0)
+                              n * dt / 86400.0,
+                              truncs=step.truncations())
             if mass0 is None:
                 mass0 = s.total_mass
             line = format_stats_line(s, mass0)

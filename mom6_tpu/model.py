@@ -114,11 +114,11 @@ class Model:
                     tracer_registry=self.tracer_registry,
                     obc=self.obc, do_thermo=do_thermo,
                     uhtr_accum=uacc, vhtr_accum=vacc)
-                return st, a, tr, diags.uhtr, diags.vhtr
+                return st, a, tr, diags.uhtr, diags.vhtr, diags.truncs
             return jax.jit(step)
         fns = {(xf, th): mk(xf, th) for xf in (True, False)
                for th in (True, False)}
-        acc = {"u": None, "v": None}
+        acc = {"u": None, "v": None, "truncs": 0}
 
         def step(state, split_state, tracers=None, n=0):
             do_thermo = ((n + 1) % n_per == 0)
@@ -126,12 +126,18 @@ class Model:
             z = jnp.zeros_like(state.h)
             ua = acc["u"] if acc["u"] is not None else z
             va = acc["v"] if acc["v"] is not None else z
-            s, a, tr, uh, vh = f(state, split_state, tracers, ua, va)
+            s, a, tr, uh, vh, tn = f(state, split_state, tracers, ua, va)
             if do_thermo:
                 acc["u"], acc["v"] = None, None
             else:
                 acc["u"], acc["v"] = uh, vh
+            acc["truncs"] = acc["truncs"] + tn    # lazy device add
             return s, a, tr
+
+        # cumulative velocity-truncation count since the run started,
+        # read by the driver for the ocean.stats Truncs column
+        # (MOM_sum_output.F90 analog); int() syncs only when asked
+        step.truncations = lambda: int(acc["truncs"])
         return step
 
 
