@@ -399,6 +399,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                                     DoubleDiffusionCfg)
     from mom6_tpu.param.vertical.bkgnd_mixing import BkgndMixingCfg
     from mom6_tpu.param.vertical.kpp import KPPCfg
+    from mom6_tpu.param.vertical.bulk_mixed_layer import \
+        BulkMixedLayerCfg
     use_lmd94 = pf.get("USE_LMD94", bool, False)
     use_pp81 = pf.get("USE_PP81", bool, False)
     shear_cfg = ShearMixingCfg(
@@ -407,6 +409,13 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         ri_zero=pf.get("RI_ZERO", float, 0.8))
     bk_scheme = "bryan_lewis" if pf.get("BRYAN_LEWIS_DIFFUSIVITY",
                                         bool, False) else "constant"
+    use_bml = pf.get("BULKMIXEDLAYER", bool, False)
+    if use_bml and use_regrid:
+        # cf. MOM_diabatic_driver.F90: the bulk mixed layer is a
+        # layered-mode scheme and is incompatible with ALE regridding
+        raise ValueError("BULKMIXEDLAYER = True requires layer mode; "
+                         "it cannot be combined with USE_REGRIDDING = "
+                         "True (use KPP or ePBL in ALE mode)")
     dia_cfg = DiabaticCfg(
         diffusivity=DiffusivityCfg(
             kd=pf.get("KD", float, 0.0, units="m2 s-1"),
@@ -422,7 +431,16 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             use_ddiff=pf.get("DOUBLE_DIFFUSION", bool, False)),
         use_kpp=pf.get("USE_KPP", bool, False),
         kpp=KPPCfg(ri_crit=pf.get("RI_CRIT", float, 0.3)),
-        rho0=rho0)
+        rho0=rho0,
+        # layered-mode column physics (only sensible without ALE)
+        use_bml=use_bml,
+        bml=BulkMixedLayerCfg(
+            mstar=pf.get("MSTAR", float, 1.2),
+            nstar=pf.get("NSTAR", float, 0.15), rho0=rho0),
+        use_entrain_diffusive=pf.get("ENTRAIN_DIFFUSIVE", bool,
+                                     not use_regrid),
+        use_regularize=pf.get("REGULARIZE_SURFACE_LAYERS", bool,
+                              False))
     pf.module("MOM_thickness_diffuse")
     td_cfg = ThicknessDiffuseCfg(khth=pf.get("KHTH", float, 0.0,
                                              units="m2 s-1"))

@@ -22,6 +22,12 @@ from mom6_tpu.core.forcing import Fluxes, MechForcing
 from mom6_tpu.param.vertical.set_diffusivity import (DiffusivityCfg,
                                                      set_diffusivity)
 from mom6_tpu.param.vertical.kpp import KPPCfg, kpp_coefficients
+from mom6_tpu.param.vertical.bulk_mixed_layer import (BulkMixedLayerCfg,
+                                                      bulk_mixed_layer)
+from mom6_tpu.param.vertical.entrain_diffusive import (
+    EntrainDiffusiveCfg, entrainment_diffusive)
+from mom6_tpu.param.vertical.regularize_layers import (
+    RegularizeLayersCfg, regularize_layers)
 from mom6_tpu.tracer.vertdiff import tracer_vertdiff
 from mom6_tpu.parallel.stencil import ip1, jp1
 
@@ -38,6 +44,14 @@ class DiabaticCfg:
     rho0: float = 1035.0
     pen_sw_frac: float = 0.42   # non-penetrating SW fraction absorbed
                                 # in the top layer (opacity is planned)
+    # layered (isopycnal-mode) column physics,
+    # MOM_diabatic_driver.F90:1648 layered_diabatic
+    use_bml: bool = False          # BULKMIXEDLAYER
+    bml: BulkMixedLayerCfg = BulkMixedLayerCfg()
+    use_entrain_diffusive: bool = False
+    entrain: EntrainDiffusiveCfg = EntrainDiffusiveCfg()
+    use_regularize: bool = False   # REGULARIZE_SURFACE_LAYERS
+    regularize: RegularizeLayersCfg = RegularizeLayersCfg()
 
 
 def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
@@ -54,17 +68,18 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
                            lat=grid.geoLatT if grid is not None else None)
     kd_int = dres.kd_int
 
+    ustar = jnp.zeros_like(h[0])
+    buoy_flux = jnp.zeros_like(h[0])
+    if forces is not None and forces.taux is not None:
+        tau_h = jnp.sqrt(
+            (0.5 * (forces.taux + ip1(forces.taux))) ** 2
+            + (0.5 * ((forces.tauy if forces.tauy is not None
+                       else 0.0 * forces.taux)
+                      + jp1(forces.tauy if forces.tauy is not None
+                            else 0.0 * forces.taux))) ** 2)
+        ustar = jnp.sqrt(tau_h / cfg.rho0)
+
     if cfg.use_kpp and vgrid is not None:
-        ustar = jnp.zeros_like(h[0])
-        buoy_flux = jnp.zeros_like(h[0])
-        if forces is not None and forces.taux is not None:
-            tau_h = jnp.sqrt(
-                (0.5 * (forces.taux + ip1(forces.taux))) ** 2
-                + (0.5 * ((forces.tauy if forces.tauy is not None
-                           else 0.0 * forces.taux)
-                          + jp1(forces.tauy if forces.tauy is not None
-                                else 0.0 * forces.taux))) ** 2)
-            ustar = jnp.sqrt(tau_h / cfg.rho0)
         kpp = kpp_coefficients(cfg.kpp, state.u, state.v, h, T, S, eos,
                                cfg.rho0, vgrid.g_Earth, ustar=ustar,
                                buoy_flux=buoy_flux)
@@ -92,4 +107,29 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
         new_tracers = {k: tracer_vertdiff(v, h, kd_int, dt)
                        for k, v in tracers.items()}
 
-    return state.replace(T=T, S=S), new_tracers, kd_int
+    # --- layered (isopycnal-mode) physics: thicknesses evolve ---
+    if cfg.use_bml and T is not None and eos is not None:
+        h, T, S, new_tracers, _ = bulk_mixed_layer(
+            cfg.bml, h, T, S, eos, ustar, buoy_flux, dt,
+            tracers=new_tracers)
+    if cfg.use_entrain_diffusive:
+        trs = dict(new_tracers) if new_tracers else {}
+        if T is not None:
+            trs = {"_T": T, "_S": S, **trs}
+        h, trs, _ = entrainment_diffusive(cfg.entrain, h, kd_int, dt,
+                                          trs or None)
+        if trs:
+            T = trs.pop("_T", T)
+            S = trs.pop("_S", S)
+            new_tracers = trs if new_tracers else new_tracers
+    if cfg.use_regularize:
+        trs = dict(new_tracers) if new_tracers else {}
+        if T is not None:
+            trs = {"_T": T, "_S": S, **trs}
+        h, trs = regularize_layers(cfg.regularize, h, trs or None)
+        if trs:
+            T = trs.pop("_T", T)
+            S = trs.pop("_S", S)
+            new_tracers = trs if new_tracers else new_tracers
+
+    return state.replace(h=h, T=T, S=S), new_tracers, kd_int

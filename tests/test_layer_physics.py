@@ -1,0 +1,97 @@
+import numpy as np
+import jax.numpy as jnp
+
+from mom6_tpu.param.vertical.entrain_diffusive import (
+    EntrainDiffusiveCfg, entrainment_diffusive)
+from mom6_tpu.param.vertical.bulk_mixed_layer import (
+    BulkMixedLayerCfg, bulk_mixed_layer)
+from mom6_tpu.param.vertical.regularize_layers import (
+    RegularizeLayersCfg, regularize_layers)
+from mom6_tpu.eos import LinearEOS
+
+EOS = LinearEOS(rho_t0_s0=1027.0, drho_dt=-0.2, drho_ds=0.8)
+
+
+def col(a):
+    return jnp.asarray(np.asarray(a, dtype=np.float64)).reshape(-1, 1, 1)
+
+
+def test_entrain_diffusive_conserves_and_smooths():
+    h = col([10.0, 150.0, 40.0, 200.0])
+    dye = col([1.0, 0.0, 0.5, 0.2])
+    kd = jnp.full((5, 1, 1), 1e-3)
+    cfg = EntrainDiffusiveCfg()
+    tot_h0 = float(jnp.sum(h))
+    tot_c0 = float(jnp.sum(h * dye))
+    tr = {"dye": dye}
+    for _ in range(200):
+        h, tr, _ = entrainment_diffusive(cfg, h, kd, 1800.0, tr)
+    assert abs(float(jnp.sum(h)) - tot_h0) / tot_h0 < 1e-12
+    tot_c1 = float(jnp.sum(h * tr["dye"]))
+    assert abs(tot_c1 - tot_c0) / tot_c0 < 1e-12
+    # thickness profile relaxes toward uniform
+    hv = np.asarray(h).ravel()
+    assert hv.std() < np.asarray(col([10.0, 150, 40, 200])).std()
+    assert np.all(hv > 10.0)          # the thin layer inflated
+
+
+def test_entrain_diffusive_zero_kd_identity():
+    h = col([10.0, 150.0, 40.0])
+    kd = jnp.zeros((4, 1, 1))
+    h1, _, f = entrainment_diffusive(EntrainDiffusiveCfg(), h,
+                                     kd, 1800.0)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h))
+    assert float(jnp.max(jnp.abs(f))) == 0.0
+
+
+def test_bulk_mixed_layer_deepens_and_conserves():
+    h = col([10.0, 20.0, 30.0, 100.0])
+    T = col([18.0, 16.0, 12.0, 6.0])
+    S = jnp.full_like(T, 35.0)
+    ustar = jnp.full((1, 1), 0.02)
+    bflux = jnp.zeros((1, 1))
+    cfg = BulkMixedLayerCfg()
+    heat0 = float(jnp.sum(h * T))
+    h1, T1, S1, _, hml = bulk_mixed_layer(cfg, h, T, S, EOS, ustar,
+                                          bflux, dt=86400.0)
+    assert float(jnp.sum(h1)) == float(jnp.sum(h))
+    assert abs(float(jnp.sum(h1 * T1)) - heat0) / heat0 < 1e-12
+    # ML deepened beyond the initial surface layer and cooled
+    assert float(hml[0, 0]) > 10.0
+    assert float(T1[0, 0, 0]) < 18.0
+    # stronger wind mixes deeper
+    h2, T2, _, _, hml2 = bulk_mixed_layer(cfg, h, T, S, EOS,
+                                          jnp.full((1, 1), 0.05),
+                                          bflux, dt=86400.0)
+    assert float(hml2[0, 0]) > float(hml[0, 0])
+
+
+def test_bulk_mixed_layer_no_forcing_identity():
+    h = col([10.0, 20.0, 30.0])
+    T = col([18.0, 16.0, 12.0])
+    S = jnp.full_like(T, 35.0)
+    h1, T1, _, _, hml = bulk_mixed_layer(
+        BulkMixedLayerCfg(), h, T, S, EOS, jnp.zeros((1, 1)),
+        jnp.zeros((1, 1)), dt=3600.0)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h))
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T))
+    assert float(hml[0, 0]) == 10.0
+
+
+def test_regularize_layers_heals_thin_surface():
+    h = col([1e-3, 1e-3, 120.0, 200.0])
+    dye = col([1.0, 0.8, 0.1, 0.0])
+    cfg = RegularizeLayersCfg(h_def=0.5)
+    tot0 = float(jnp.sum(h))
+    c0 = float(jnp.sum(h * dye))
+    h1, tr = regularize_layers(cfg, h, {"dye": dye})
+    assert abs(float(jnp.sum(h1)) - tot0) / tot0 < 1e-12
+    c1 = float(jnp.sum(h1 * tr["dye"]))
+    assert abs(c1 - c0) / max(abs(c0), 1e-30) < 1e-10
+    hv = np.asarray(h1).ravel()
+    assert hv[0] > 0.1 and hv[1] > 0.1    # healed
+    assert hv[2] < 120.0                  # donor shrank
+    # a regular profile is untouched
+    h2 = col([10.0, 20.0, 30.0])
+    h3, _ = regularize_layers(cfg, h2)
+    np.testing.assert_array_equal(np.asarray(h3), np.asarray(h2))
