@@ -95,3 +95,28 @@ def test_regularize_layers_heals_thin_surface():
     h2 = col([10.0, 20.0, 30.0])
     h3, _ = regularize_layers(cfg, h2)
     np.testing.assert_array_equal(np.asarray(h3), np.asarray(h2))
+
+
+def test_diapyc_energy_req_signs_and_scaling():
+    from mom6_tpu.diagnostics.diapyc_energy_req import diapyc_energy_req
+    h = col([20.0] * 6)
+    T_stable = col(np.linspace(18.0, 4.0, 6))
+    T_uniform = col([10.0] * 6)
+    S = jnp.full_like(T_stable, 35.0)
+    kd = jnp.full((7, 1, 1), 1e-4)
+    e_stable = float(diapyc_energy_req(h, T_stable, S, kd, 3600.0,
+                                       EOS)[0, 0])
+    e_unif = float(diapyc_energy_req(h, T_uniform, S, kd, 3600.0,
+                                     EOS)[0, 0])
+    # mixing stable stratification costs energy; a uniform column is
+    # free
+    assert e_stable > 0.0
+    assert abs(e_unif) < 1e-10 * max(e_stable, 1.0)
+    # in the weak-mixing limit the cost is linear in Kd
+    e_half = float(diapyc_energy_req(h, T_stable, S, 0.5 * kd, 3600.0,
+                                     EOS)[0, 0])
+    assert abs(e_half / e_stable - 0.5) < 0.05
+    # unstable stratification releases energy (negative requirement)
+    e_unst = float(diapyc_energy_req(h, T_stable[::-1], S, kd, 3600.0,
+                                     EOS)[0, 0])
+    assert e_unst < 0.0
