@@ -73,8 +73,13 @@ def main(argv=None):
     d, g, vg, dt = model.domain, model.grid, model.vgrid, model.dt
     nsteps = int(round((daymax - t_days) * 86400.0 / dt))
     if nsteps <= 0:
-        print(f"Nothing to do: restart time {t_days} days already ≥ "
-              f"requested DAYMAX {daymax} days", file=sys.stderr)
+        if daymax > t_days:
+            print(f"Nothing to do: the {daymax - t_days} days from "
+                  f"current time {t_days} to DAYMAX {daymax} round to "
+                  f"0 steps of DT = {dt} s", file=sys.stderr)
+        else:
+            print(f"Nothing to do: current time {t_days} days already "
+                  f"≥ requested DAYMAX {daymax} days", file=sys.stderr)
         return
     stats_every = max(1, int(round(energysavedays * 86400.0 / dt)))
 
