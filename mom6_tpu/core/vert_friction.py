@@ -43,6 +43,7 @@ class VertViscCfg:
     linear_drag: bool = False     # LINEAR_DRAG
     maxvel: float = 6.0           # MAXVEL truncation [m s-1]
     cfl_trunc: float = 0.9        # CFL_TRUNCATE
+    channel_drag: bool = False    # CHANNEL_DRAG (side-wall Rayleigh drag)
 
 
 class ViscCoefs(NamedTuple):
@@ -50,6 +51,8 @@ class ViscCoefs(NamedTuple):
     a_v: jnp.ndarray
     h_u: jnp.ndarray     # (nk, njh, nih) effective thickness at u faces [m]
     h_v: jnp.ndarray
+    ray_u: jnp.ndarray | None = None   # (nk, ...) Rayleigh drag [m s-1]
+    ray_v: jnp.ndarray | None = None
 
 
 def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
@@ -102,7 +105,33 @@ def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
 
     a_u = face_coefs(h_u, u, kv_u) * grid.mask2dCu[None]
     a_v = face_coefs(h_v, v, kv_v) * grid.mask2dCv[None]
-    return ViscCoefs(a_u=a_u, a_v=a_v, h_u=h_u, h_v=h_v)
+
+    ray_u = ray_v = None
+    if cfg.channel_drag:
+        # Side-wall (channel) drag, MOM_set_viscosity.F90
+        # set_viscous_BBL CHANNEL_DRAG branch: at a face between cells
+        # of unequal depth, the part of the column deeper than the
+        # shallow side flows along exposed topography and feels a
+        # Rayleigh drag from the drag law, scaled by how far below the
+        # shallow bottom the layer sits.  This is what keeps massless
+        # layers banked against topography from free-slipping to the
+        # MAXVEL cap.
+        def channel_ray(h_face, u_face, d_a, d_b):
+            d_sh = jnp.minimum(d_a, d_b)
+            d_dp = jnp.maximum(d_a, d_b)
+            z_c = jnp.cumsum(h_face, axis=0) - 0.5 * h_face
+            frac = jnp.clip((z_c - d_sh[None])
+                            / jnp.maximum(d_dp - d_sh, 1e-9)[None],
+                            0.0, 1.0)
+            return cfg.cdrag * (jnp.abs(u_face)
+                                + cfg.drag_bg_vel) * frac
+
+        ray_u = channel_ray(h_u, u, grid.bathyT, ip1(grid.bathyT)) \
+            * grid.mask2dCu[None]
+        ray_v = channel_ray(h_v, v, grid.bathyT, jp1(grid.bathyT)) \
+            * grid.mask2dCv[None]
+    return ViscCoefs(a_u=a_u, a_v=a_v, h_u=h_u, h_v=h_v,
+                     ray_u=ray_u, ray_v=ray_v)
 
 
 def implicit_visc_solve(u, h_col, a, dt, rhs_extra=None, ray=None):
@@ -160,6 +189,8 @@ def vertvisc(grid: Grid, u, v, h, coefs: ViscCoefs, dt,
     stress_v = None if tauy is None else (dt / rho0) * tauy * grid.mask2dCv
     hu = coefs.h_u + _H_NEGLECT
     hv = coefs.h_v + _H_NEGLECT
+    ray_u = coefs.ray_u if ray_u is None else ray_u
+    ray_v = coefs.ray_v if ray_v is None else ray_v
     u_new = implicit_visc_solve(u, hu, coefs.a_u, dt, stress_u, ray_u)
     v_new = implicit_visc_solve(v, hv, coefs.a_v, dt, stress_v, ray_v)
     return u_new * grid.mask2dCu, v_new * grid.mask2dCv
@@ -173,8 +204,10 @@ def vertvisc_remnant(grid: Grid, coefs: ViscCoefs, dt):
     ones_v = jnp.ones_like(coefs.h_v)
     hu = coefs.h_u + _H_NEGLECT
     hv = coefs.h_v + _H_NEGLECT
-    rem_u = implicit_visc_solve(ones_u, hu, coefs.a_u, dt)
-    rem_v = implicit_visc_solve(ones_v, hv, coefs.a_v, dt)
+    rem_u = implicit_visc_solve(ones_u, hu, coefs.a_u, dt,
+                                ray=coefs.ray_u)
+    rem_v = implicit_visc_solve(ones_v, hv, coefs.a_v, dt,
+                                ray=coefs.ray_v)
     return rem_u * grid.mask2dCu, rem_v * grid.mask2dCv
 
 

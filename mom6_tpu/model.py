@@ -261,7 +261,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         bottomdraglaw=pf.get("BOTTOMDRAGLAW", bool, True),
         linear_drag=pf.get("LINEAR_DRAG", bool, False),
         drag_bg_vel=pf.get("DRAG_BG_VEL", float, 0.0, units="m s-1"),
-        maxvel=pf.get("MAXVEL", float, 6.0, units="m s-1"))
+        maxvel=pf.get("MAXVEL", float, 6.0, units="m s-1"),
+        channel_drag=pf.get("CHANNEL_DRAG", bool, False))
     pf.module("MOM_hor_visc")
     hv = HorViscCfg(
         laplacian=pf.get("LAPLACIAN", bool, False),

@@ -85,3 +85,48 @@ def test_surface_stress_accelerates():
         rhs_extra=jnp.full((1, 1), 0.36))).ravel()
     # du = stress/h in top layer only (no coupling)
     np.testing.assert_allclose(got, [0.036, 0.0, 0.0], atol=1e-14)
+
+
+def test_channel_drag_slows_flow_along_topography():
+    """With CHANNEL_DRAG, the part of a column deeper than the shallow
+    side of a face feels Rayleigh drag; a flat bottom feels none."""
+    import dataclasses as _dc
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    from mom6_tpu.core.vert_friction import (VertViscCfg, vertvisc_coef,
+                                             vertvisc, vertvisc_remnant)
+    d = Domain(ni=8, nj=4, halo=4)
+
+    def stepped(lon, lat):
+        return np.where(lon < 40.0, 1000.0, 200.0)
+
+    g_step = cartesian_grid(d, lenlon_km=80.0, lenlat_km=40.0,
+                            depth_fn=stepped, max_depth=1000.0)
+    g_flat = cartesian_grid(d, lenlon_km=80.0, lenlat_km=40.0)
+    nk = 4
+    h = jnp.full((nk, 12, 16), 250.0)
+    u = jnp.full_like(h, 0.3)
+    v = jnp.zeros_like(h)
+    cfg = VertViscCfg(kv=1e-5, cdrag=0.01, channel_drag=True)
+    cfg_off = _dc.replace(cfg, channel_drag=False)
+    dt = 36000.0
+
+    co = vertvisc_coef(g_step, u, v, h, cfg=cfg)
+    u_on, _ = vertvisc(g_step, u, v, h, co, dt)
+    co_off = vertvisc_coef(g_step, u, v, h, cfg=cfg_off)
+    u_off, _ = vertvisc(g_step, u, v, h, co_off, dt)
+    # at the step face the deep layers are slowed vs channel_drag off
+    ja, ia = 6, 8                # face between deep and shallow columns
+    assert float(u_on[3, ja, ia]) < float(u_off[3, ja, ia]) - 1e-4
+    # top layer (above the shallow bottom) barely affected
+    assert abs(float(u_on[0, ja, ia]) - float(u_off[0, ja, ia])) < 1e-3
+    # flat bottom: ray is zero → identical solutions
+    cf = vertvisc_coef(g_flat, u, v, h, cfg=cfg)
+    cf_off = vertvisc_coef(g_flat, u, v, h, cfg=cfg_off)
+    uf_on, _ = vertvisc(g_flat, u, v, h, cf, dt)
+    uf_off, _ = vertvisc(g_flat, u, v, h, cf_off, dt)
+    np.testing.assert_array_equal(np.asarray(uf_on), np.asarray(uf_off))
+    # visc_rem includes the channel drag (smaller remnant at depth)
+    rem_on, _ = vertvisc_remnant(g_step, co, dt)
+    rem_off, _ = vertvisc_remnant(g_step, co_off, dt)
+    assert float(rem_on[3, ja, ia]) < float(rem_off[3, ja, ia])
