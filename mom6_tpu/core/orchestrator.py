@@ -55,14 +55,15 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                dt: float, cfg: OceanCfg, eos=None,
                x_first: bool = True, tracer_registry=None, obc=None,
                do_thermo: bool = True, uhtr_accum=None,
-               vhtr_accum=None):
+               vhtr_accum=None, obc_reservoirs=None):
     """One full ocean step of length dt.
 
     ``do_thermo`` gates the tracer-advection/diabatic/ALE phases (the
     DT_THERM cadence of step_MOM, MOM.F90:801-1506): on skipped steps
     the transports accumulate into uhtr_accum/vhtr_accum and are
     consumed on the next thermo step.  Returns
-    (state, split_state, tracers, diags)."""
+    (state, split_state, tracers, diags); with obc_reservoirs, a
+    5th element carries the updated OBC tracer reservoirs."""
     # thickness diffusion / interface filter act before the dynamics
     # (THICKNESSDIFFUSE, MOM.F90:1160-1186)
     if cfg.thickness_diffuse.khth > 0.0:
@@ -91,6 +92,8 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     vhtr = diags.vhtr if vhtr_accum is None else vhtr_accum + diags.vhtr
     diags = diags._replace(uhtr=uhtr, vhtr=vhtr)
     if not do_thermo:
+        if obc_reservoirs is not None:
+            return state, split_state, tracers, diags, obc_reservoirs
         return state, split_state, tracers, diags
 
     # --- tracer transport (T/S ride the same accumulated transports) ---
@@ -99,19 +102,30 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         if tracers:
             adv.update(tracers)
         adv = domain.fill_halos(adv, width=2)
+        if obc is not None and obc_reservoirs is not None:
+            adv = obc.apply_tracer_reservoirs(adv, obc_reservoirs)
         hb, uhtr, vhtr = domain.fill_halos(
             (h_before, diags.uhtr, diags.vhtr), width=2)
         adv, _ = advect_tracers(domain, grid, adv, hb, uhtr, vhtr,
                                 cfg.tracer_adv, x_first=x_first)
+        if obc is not None and obc_reservoirs is not None:
+            obc_reservoirs = obc.update_tracer_reservoirs(
+                obc_reservoirs, adv, state.u, state.v, dt)
         state = state.replace(T=adv.pop("T"), S=adv.pop("S"))
         tracers = adv if adv else tracers
     elif tracers:
         tracers = domain.fill_halos(tracers, width=2)
+        if obc is not None and obc_reservoirs is not None:
+            tracers = obc.apply_tracer_reservoirs(tracers,
+                                                  obc_reservoirs)
         hb, uhtr, vhtr = domain.fill_halos(
             (h_before, diags.uhtr, diags.vhtr), width=2)
         tracers, _ = advect_tracers(domain, grid, tracers, hb, uhtr,
                                     vhtr, cfg.tracer_adv,
                                     x_first=x_first)
+        if obc is not None and obc_reservoirs is not None:
+            obc_reservoirs = obc.update_tracer_reservoirs(
+                obc_reservoirs, tracers, state.u, state.v, dt)
 
     # --- thermodynamics / column physics ---
     if cfg.thermo and not cfg.adiabatic:
@@ -142,4 +156,6 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             # vars MOM_dynamics_split_RK2.F90:1273)
             split_state = dataclasses.replace(split_state, h_av=state.h)
 
+    if obc_reservoirs is not None:
+        return state, split_state, tracers, diags, obc_reservoirs
     return state, split_state, tracers, diags

@@ -105,20 +105,29 @@ class Model:
 
         n_per = max(1, int(round(self.dt_therm / self.dt)))
 
+        # OBC tracer reservoirs persist across steps (host-side copy
+        # of a device pytree, like the transport accumulators)
+        use_res = self.obc is not None and bool(self.tracers)
+
         def mk(x_first, do_thermo):
-            def step(state, split_state, tracers, uacc, vacc):
-                st, a, tr, diags = step_ocean(
+            def step(state, split_state, tracers, uacc, vacc, res):
+                st, a, tr, diags, *rest = step_ocean(
                     d, g, vg, state, split_state, tracers,
                     forces, None, self.dt, cfg, eos=eos,
                     x_first=x_first,
                     tracer_registry=self.tracer_registry,
                     obc=self.obc, do_thermo=do_thermo,
-                    uhtr_accum=uacc, vhtr_accum=vacc)
-                return st, a, tr, diags.uhtr, diags.vhtr, diags.truncs
+                    uhtr_accum=uacc, vhtr_accum=vacc,
+                    obc_reservoirs=res)
+                res_out = rest[0] if rest else None
+                return (st, a, tr, diags.uhtr, diags.vhtr,
+                        diags.truncs, res_out)
             return jax.jit(step)
         fns = {(xf, th): mk(xf, th) for xf in (True, False)
                for th in (True, False)}
-        acc = {"u": None, "v": None, "truncs": 0}
+        acc = {"u": None, "v": None, "truncs": 0, "res": None}
+        if use_res:
+            acc["res"] = self.obc.init_tracer_reservoirs(self.tracers)
 
         def step(state, split_state, tracers=None, n=0):
             do_thermo = ((n + 1) % n_per == 0)
@@ -126,7 +135,10 @@ class Model:
             z = jnp.zeros_like(state.h)
             ua = acc["u"] if acc["u"] is not None else z
             va = acc["v"] if acc["v"] is not None else z
-            s, a, tr, uh, vh, tn = f(state, split_state, tracers, ua, va)
+            s, a, tr, uh, vh, tn, res = f(state, split_state, tracers,
+                                          ua, va, acc["res"])
+            if res is not None:
+                acc["res"] = res
             if do_thermo:
                 acc["u"], acc["v"] = None, None
             else:
@@ -138,6 +150,8 @@ class Model:
         # read by the driver for the ocean.stats Truncs column
         # (MOM_sum_output.F90 analog); int() syncs only when asked
         step.truncations = lambda: int(acc["truncs"])
+        # current OBC tracer reservoirs (None without OBC+tracers)
+        step.obc_reservoirs = lambda: acc["res"]
         return step
 
 

@@ -226,6 +226,83 @@ class OpenBoundaries:
             v_new = rad(jS, jS + 1, jS + 2)
         return v_new
 
+    # -- tracer reservoirs ---------------------------------------------
+    def init_tracer_reservoirs(self, tracers: dict) -> dict:
+        """Per-edge reservoir values seeded from the interior edge
+        cells (update_segment_tracer_reservoirs,
+        MOM_open_boundary.F90:5517 analog).  Each tracer maps to a
+        dict of edge → (nk, edge_len) arrays."""
+        H, ni, nj = self.halo, self.nil, self.njl
+        out = {}
+        for name, t in tracers.items():
+            r = {}
+            if self.open_w:
+                r["W"] = t[..., :, H]
+            if self.open_e:
+                r["E"] = t[..., :, H + ni - 1]
+            if self.open_s:
+                r["S"] = t[..., H, :]
+            if self.open_n:
+                r["N"] = t[..., H + nj - 1, :]
+            out[name] = r
+        return out
+
+    def update_tracer_reservoirs(self, reservoirs: dict, tracers: dict,
+                                 u, v, dt, len_out=1.0e4,
+                                 len_in=3.0e5):
+        """Advance the reservoirs: outflow drags them toward the
+        interior edge value at rate |u|dt/L_out; inflow relaxes them
+        back toward their current (external) value at |u|dt/L_in,
+        i.e. they persist.  Explicit form of the reference's
+        reservoir update with separate in/out length scales
+        (OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT/_IN)."""
+        H, ni, nj = self.halo, self.nil, self.njl
+
+        def upd(r, t_edge, vel_edge, outflow_positive):
+            vout = jnp.maximum(vel_edge if outflow_positive
+                               else -vel_edge, 0.0)
+            w = jnp.clip(vout * dt / len_out, 0.0, 1.0)
+            return r + w * (t_edge - r)
+
+        new = {}
+        for name, r in reservoirs.items():
+            t = tracers[name]
+            nr = dict(r)
+            if "W" in nr:      # outflow is westward: u < 0
+                nr["W"] = upd(nr["W"], t[..., :, H], u[..., :, H - 1],
+                              False)
+            if "E" in nr:      # outflow is eastward: u > 0
+                nr["E"] = upd(nr["E"], t[..., :, H + ni - 1],
+                              u[..., :, H + ni - 1], True)
+            if "S" in nr:
+                nr["S"] = upd(nr["S"], t[..., H, :], v[..., H - 1, :],
+                              False)
+            if "N" in nr:
+                nr["N"] = upd(nr["N"], t[..., H + nj - 1, :],
+                              v[..., H + nj - 1, :], True)
+            new[name] = nr
+        return new
+
+    def apply_tracer_reservoirs(self, tracers: dict,
+                                reservoirs: dict) -> dict:
+        """Fill the halo cells beyond each open edge with the
+        reservoir value, so inflowing water carries reservoir tracer
+        instead of the zero-gradient extension."""
+        H, ni, nj = self.halo, self.nil, self.njl
+        out = {}
+        for name, t in tracers.items():
+            r = reservoirs.get(name, {})
+            if "W" in r:
+                t = t.at[..., :, :H].set(r["W"][..., :, None])
+            if "E" in r:
+                t = t.at[..., :, H + ni:].set(r["E"][..., :, None])
+            if "S" in r:
+                t = t.at[..., :H, :].set(r["S"][..., None, :])
+            if "N" in r:
+                t = t.at[..., H + nj:, :].set(r["N"][..., None, :])
+            out[name] = t
+        return out
+
 
 def build_open_boundaries(pf, domain: Domain) -> Optional[OpenBoundaries]:
     segs = parse_segments(pf)

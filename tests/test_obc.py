@@ -5,6 +5,7 @@ import pytest
 
 from mom6_tpu.framework.config import ParamFile
 from mom6_tpu.obc.open_boundary import (parse_segments, Segment,
+                                        OpenBoundaries,
                                         build_open_boundaries)
 from mom6_tpu.parallel.domain import Domain
 
@@ -106,3 +107,36 @@ def test_flather_radiates_bump_out():
     assert rms_open[-1] < 0.25 * rms_open[0], (
         f"open-basin eta rms {rms_open[-1]} vs initial {rms_open[0]}")
     assert rms_open[-1] < 0.5 * rms_closed[-1]
+
+
+def test_tracer_reservoirs_outflow_and_inflow():
+    """Outflow drags the E reservoir toward the interior value;
+    inflow leaves it unchanged and stamps it into the halo ring."""
+    H, ni, nj, nk = 4, 8, 6, 2
+    obc = OpenBoundaries(open_w=False, open_e=True, open_s=False,
+                         open_n=False, halo=H, nil=ni, njl=nj)
+    shape = (nk, nj + 2 * H, ni + 2 * H)
+    t = jnp.zeros(shape).at[..., :, H + ni - 1].set(5.0)
+    tr = {"dye": t}
+    res = obc.init_tracer_reservoirs(tr)
+    np.testing.assert_allclose(np.asarray(res["dye"]["E"]), 5.0)
+
+    # reservoir seeded at 0 (external water), interior edge is 5
+    res["dye"]["E"] = jnp.zeros_like(res["dye"]["E"])
+    u_out = jnp.full(shape, 0.5)       # eastward → outflow at E
+    u_in = jnp.full(shape, -0.5)       # westward → inflow at E
+    r1 = obc.update_tracer_reservoirs(res, tr, u_out, u_out, dt=3600.0,
+                                      len_out=1.0e4)
+    # w = 0.5*3600/1e4 = 0.18 → reservoir moves 18% toward 5
+    np.testing.assert_allclose(np.asarray(r1["dye"]["E"]), 0.9,
+                               rtol=1e-12)
+    r2 = obc.update_tracer_reservoirs(res, tr, u_in, u_in, dt=3600.0)
+    np.testing.assert_allclose(np.asarray(r2["dye"]["E"]), 0.0)
+
+    # application overwrites the halo beyond the edge with reservoir
+    filled = obc.apply_tracer_reservoirs(tr, r1)
+    got = np.asarray(filled["dye"][..., :, H + ni:])
+    np.testing.assert_allclose(got, 0.9, rtol=1e-12)
+    # interior untouched
+    np.testing.assert_allclose(
+        np.asarray(filled["dye"][..., :, H + ni - 1]), 5.0)
