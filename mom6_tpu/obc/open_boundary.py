@@ -42,6 +42,8 @@ class Segment:
     u_ext: float = 0.0
     v_ext: float = 0.0
     ssh_ext: float = 0.0
+    lo: int | None = None     # perpendicular global range [lo, hi);
+    hi: int | None = None     # None = the whole edge
 
 
 def parse_segments(pf) -> list[Segment]:
@@ -57,6 +59,18 @@ def parse_segments(pf) -> list[Segment]:
         if not m:
             raise ValueError(f"Cannot parse OBC segment spec '{spec}'")
         axis, pos = m.group(1), m.group(2)
+        # perpendicular range, e.g. "J=N,I=3:10" (reversed and "N"
+        # endpoints normalized); a full-span range stays None
+        lo = hi = None
+        rm = re.search(r",(?:I|J)=(N|-?\d+):(N|-?\d+)", up)
+        if rm and not (set(rm.groups()) == {"0", "N"}
+                       or set(rm.groups()) == {"N", "0"}):
+            a_, b_ = rm.groups()
+            if "N" not in (a_, b_):
+                lo, hi = sorted((int(a_), int(b_)))
+            else:
+                v = int(b_ if a_ == "N" else a_)
+                lo, hi = v, None      # v..edge end
         if axis == "I":
             direction = "W" if pos == "0" else "E"
         else:
@@ -72,7 +86,7 @@ def parse_segments(pf) -> list[Segment]:
                             orlanski="ORLANSKI" in up,
                             gradient="GRADIENT" in up,
                             u_ext=vals["U"], v_ext=vals["V"],
-                            ssh_ext=vals["SSH"]))
+                            ssh_ext=vals["SSH"], lo=lo, hi=hi))
     return segs
 
 
@@ -97,6 +111,26 @@ class OpenBoundaries:
     u_e: float = 0.0
     v_s: float = 0.0
     v_n: float = 0.0
+    # per-edge open strips for partial segments: (njl+2H,) for W/E,
+    # (nil+2H,) for S/N; 1 where the edge is open. None = whole edge.
+    strip_w: jnp.ndarray | None = None
+    strip_e: jnp.ndarray | None = None
+    strip_s: jnp.ndarray | None = None
+    strip_n: jnp.ndarray | None = None
+
+    def _blend_x(self, a, cols, val, strip):
+        """Set a[..., :, cols] = val where the W/E strip is open."""
+        if strip is None:
+            return a.at[..., :, cols].set(val)
+        w = strip[:, None] if isinstance(cols, slice) else strip
+        return a.at[..., :, cols].set(
+            jnp.where(w > 0, val, a[..., :, cols]))
+
+    def _blend_y(self, a, rows, val, strip):
+        if strip is None:
+            return a.at[..., rows, :].set(val)
+        return a.at[..., rows, :].set(
+            jnp.where(strip > 0, val, a[..., rows, :]))
 
     # -- halo extension (zero-gradient through open edges) -------------
     def extend(self, f):
@@ -107,15 +141,19 @@ class OpenBoundaries:
 
         def ext(a):
             if self.open_w:
-                a = a.at[..., :, :H].set(a[..., :, H:H + 1])
+                a = self._blend_x(a, slice(0, H), a[..., :, H:H + 1],
+                                  self.strip_w)
             if self.open_e:
-                a = a.at[..., :, H + ni:].set(
-                    a[..., :, H + ni - 1:H + ni])
+                a = self._blend_x(a, slice(H + ni, None),
+                                  a[..., :, H + ni - 1:H + ni],
+                                  self.strip_e)
             if self.open_s:
-                a = a.at[..., :H, :].set(a[..., H:H + 1, :])
+                a = self._blend_y(a, slice(0, H), a[..., H:H + 1, :],
+                                  self.strip_s)
             if self.open_n:
-                a = a.at[..., H + nj:, :].set(
-                    a[..., H + nj - 1:H + nj, :])
+                a = self._blend_y(a, slice(H + nj, None),
+                                  a[..., H + nj - 1:H + nj, :],
+                                  self.strip_n)
             return a
         return jax.tree.map(ext, f)
 
@@ -142,7 +180,7 @@ class OpenBoundaries:
                          + (cg[..., :, iE] / jnp.maximum(D_u[..., :, iE],
                                                          1e-10))
                          * (ssh_in - self.ssh_e))
-            ubt = ubt.at[..., :, iE].set(val)
+            ubt = self._blend_x(ubt, iE, val, self.strip_e)
         if self.open_w:
             iW = H - 1
             ssh_in = eta[..., :, H]               # westmost interior cell
@@ -151,7 +189,7 @@ class OpenBoundaries:
                          + (cg[..., :, iW] / jnp.maximum(D_u[..., :, iW],
                                                          1e-10))
                          * (self.ssh_w - ssh_in))
-            ubt = ubt.at[..., :, iW].set(val)
+            ubt = self._blend_x(ubt, iW, val, self.strip_w)
         return ubt
 
     def apply_flather_v(self, vbt, eta, D_v, g: float):
@@ -167,7 +205,7 @@ class OpenBoundaries:
                          + (cg[..., jN, :] / jnp.maximum(D_v[..., jN, :],
                                                          1e-10))
                          * (ssh_in - self.ssh_n))
-            vbt = vbt.at[..., jN, :].set(val)
+            vbt = self._blend_y(vbt, jN, val, self.strip_n)
         if self.open_s:
             jS = H - 1
             ssh_in = eta[..., H, :]
@@ -176,7 +214,7 @@ class OpenBoundaries:
                          + (cg[..., jS, :] / jnp.maximum(D_v[..., jS, :],
                                                          1e-10))
                          * (self.ssh_s - ssh_in))
-            vbt = vbt.at[..., jS, :].set(val)
+            vbt = self._blend_y(vbt, jS, val, self.strip_s)
         return vbt
 
 
@@ -196,7 +234,8 @@ class OpenBoundaries:
             rx = jnp.clip(num / (den + jnp.where(jnp.abs(den) > eps,
                                                  0.0, eps)), 0.0, 1.0)
             val = (u_old[..., :, iB] + rx * u_new[..., :, i1])                 / (1.0 + rx)
-            return u_new.at[..., :, iB].set(val)
+            strip = self.strip_e if iB >= H + ni - 1 else self.strip_w
+            return self._blend_x(u_new, iB, val, strip)
 
         if self.open_e:
             iE = H + ni - 1
@@ -216,7 +255,8 @@ class OpenBoundaries:
             rx = jnp.clip(num / (den + jnp.where(jnp.abs(den) > eps,
                                                  0.0, eps)), 0.0, 1.0)
             val = (v_old[..., jB, :] + rx * v_new[..., j1, :])                 / (1.0 + rx)
-            return v_new.at[..., jB, :].set(val)
+            strip = self.strip_n if jB >= H + nj - 1 else self.strip_s
+            return self._blend_y(v_new, jB, val, strip)
 
         if self.open_n:
             jN = H + nj - 1
@@ -293,13 +333,17 @@ class OpenBoundaries:
         for name, t in tracers.items():
             r = reservoirs.get(name, {})
             if "W" in r:
-                t = t.at[..., :, :H].set(r["W"][..., :, None])
+                t = self._blend_x(t, slice(0, H), r["W"][..., :, None],
+                                  self.strip_w)
             if "E" in r:
-                t = t.at[..., :, H + ni:].set(r["E"][..., :, None])
+                t = self._blend_x(t, slice(H + ni, None),
+                                  r["E"][..., :, None], self.strip_e)
             if "S" in r:
-                t = t.at[..., :H, :].set(r["S"][..., None, :])
+                t = self._blend_y(t, slice(0, H), r["S"][..., None, :],
+                                  self.strip_s)
             if "N" in r:
-                t = t.at[..., H + nj:, :].set(r["N"][..., None, :])
+                t = self._blend_y(t, slice(H + nj, None),
+                                  r["N"][..., None, :], self.strip_n)
             out[name] = t
         return out
 
@@ -312,22 +356,47 @@ def build_open_boundaries(pf, domain: Domain) -> Optional[OpenBoundaries]:
         raise NotImplementedError(
             "OBC with a decomposed layout: segment-owning shards are a "
             "planned refinement")
+    H = domain.halo
     kw = dict(open_w=False, open_e=False, open_s=False, open_n=False,
-              halo=domain.halo, nil=domain.nil, njl=domain.njl)
+              halo=H, nil=domain.nil, njl=domain.njl)
     data = {}
+    # per-edge open strips (union over this edge's segments); a strip
+    # stays None (= whole edge) unless some segment is partial
+    extent = {"W": domain.njl, "E": domain.njl,
+              "S": domain.nil, "N": domain.nil}
+    strips = {d: None for d in extent}
+    partial = {d: False for d in extent}
+
+    def seg_strip(d, s):
+        n = extent[d]
+        st = jnp.zeros(n + 2 * H)
+        lo = 0 if s.lo is None else max(0, s.lo)
+        hi = n if s.hi is None else min(n, s.hi)
+        return st.at[H + lo:H + hi].set(1.0)
+
     for s in segs:
-        if s.direction == "W":
+        d = s.direction
+        if d == "W":
             kw["open_w"] = True
             data["ssh_w"], data["u_w"] = s.ssh_ext, s.u_ext
-        elif s.direction == "E":
+        elif d == "E":
             kw["open_e"] = True
             data["ssh_e"], data["u_e"] = s.ssh_ext, s.u_ext
-        elif s.direction == "S":
+        elif d == "S":
             kw["open_s"] = True
             data["ssh_s"], data["v_s"] = s.ssh_ext, s.v_ext
-        elif s.direction == "N":
+        elif d == "N":
             kw["open_n"] = True
             data["ssh_n"], data["v_n"] = s.ssh_ext, s.v_ext
+        st = seg_strip(d, s)
+        strips[d] = st if strips[d] is None else jnp.maximum(strips[d],
+                                                             st)
+        partial[d] = partial[d] or (s.lo is not None
+                                    or s.hi is not None)
+    for d, key in (("W", "strip_w"), ("E", "strip_e"),
+                   ("S", "strip_s"), ("N", "strip_n")):
+        if partial[d] and strips[d] is not None:
+            data[key] = strips[d]
     return OpenBoundaries(**kw, **data)
 
 

@@ -140,3 +140,48 @@ def test_tracer_reservoirs_outflow_and_inflow():
     # interior untouched
     np.testing.assert_allclose(
         np.asarray(filled["dye"][..., :, H + ni - 1]), 5.0)
+
+
+def test_partial_segment_strip():
+    """'I=N,J=2:6' opens only rows 2..5 of the E edge: parsing,
+    halo extension, and mask opening are confined to the strip."""
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.obc.open_boundary import open_grid_masks
+    from mom6_tpu.core.grid import cartesian_grid
+    pf = ParamFile(text='''
+OBC_NUMBER_OF_SEGMENTS = 1
+OBC_SEGMENT_001 = "I=N,J=2:6,FLATHER"
+''')
+    segs = parse_segments(pf)
+    assert segs[0].direction == "E"
+    assert (segs[0].lo, segs[0].hi) == (2, 6)
+
+    d = Domain(ni=10, nj=10, halo=4)
+    from mom6_tpu.obc.open_boundary import build_open_boundaries
+    obc = build_open_boundaries(pf, d)
+    assert obc.open_e and not obc.open_w
+    st = np.asarray(obc.strip_e)
+    assert st.sum() == 4.0 and st[6] == 1.0 and st[1 + 4] == 0.0
+
+    H, ni = 4, 10
+    f = jnp.zeros((2, 18, 18)).at[..., :, H + ni - 1].set(7.0)
+    ext = np.asarray(obc.extend(f))
+    # halo beyond the open strip rows gets the edge value; closed rows
+    # stay zero
+    assert np.all(ext[:, H + 2:H + 6, H + ni:] == 7.0)
+    assert np.all(ext[:, H + 7, H + ni:] == 0.0)
+    # whole-edge OBC (no range) leaves strips None → old behavior
+    pf2 = ParamFile(text='''
+OBC_NUMBER_OF_SEGMENTS = 1
+OBC_SEGMENT_001 = "I=N,J=0:N,FLATHER"
+''')
+    obc2 = build_open_boundaries(pf2, d)
+    assert obc2.strip_e is None
+    ext2 = np.asarray(obc2.extend(f))
+    assert np.all(ext2[:, :, H + ni:] == 7.0)
+    # grid masks open only across the strip
+    g = cartesian_grid(d, lenlon_km=100.0, lenlat_km=100.0)
+    g2 = open_grid_masks(g, obc)
+    m = np.asarray(g2.mask2dT)
+    assert np.all(m[H + 2:H + 6, H + ni:] == 1.0)
+    assert np.all(m[H + 8, H + ni:] == 0.0)
