@@ -117,6 +117,12 @@ class OpenBoundaries:
     strip_e: jnp.ndarray | None = None
     strip_s: jnp.ndarray | None = None
     strip_n: jnp.ndarray | None = None
+    # tracer-reservoir length scales [m]
+    # (OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT / _IN)
+    res_len_out: float = dataclasses.field(
+        default=1.0e4, metadata=dict(static=True))
+    res_len_in: float = dataclasses.field(
+        default=3.0e5, metadata=dict(static=True))
 
     def _blend_x(self, a, cols, val, strip):
         """Set a[..., :, cols] = val where the W/E strip is open."""
@@ -288,8 +294,7 @@ class OpenBoundaries:
         return out
 
     def update_tracer_reservoirs(self, reservoirs: dict, tracers: dict,
-                                 u, v, dt, len_out=1.0e4,
-                                 len_in=3.0e5):
+                                 u, v, dt, len_out=None, len_in=None):
         """Advance the reservoirs: outflow drags them toward the
         interior edge value at rate |u|dt/L_out; inflow relaxes them
         back toward their current (external) value at |u|dt/L_in,
@@ -297,6 +302,8 @@ class OpenBoundaries:
         reservoir update with separate in/out length scales
         (OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT/_IN)."""
         H, ni, nj = self.halo, self.nil, self.njl
+        len_out = self.res_len_out if len_out is None else len_out
+        len_in = self.res_len_in if len_in is None else len_in
 
         def upd(r, t_edge, vel_edge, outflow_positive):
             vout = jnp.maximum(vel_edge if outflow_positive
@@ -397,6 +404,12 @@ def build_open_boundaries(pf, domain: Domain) -> Optional[OpenBoundaries]:
                    ("S", "strip_s"), ("N", "strip_n")):
         if partial[d] and strips[d] is not None:
             data[key] = strips[d]
+    data["res_len_out"] = pf.get(
+        "OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT", float, 1.0e4,
+        units="m")
+    data["res_len_in"] = pf.get(
+        "OBC_TRACER_RESERVOIR_LENGTH_SCALE_IN", float, 3.0e5,
+        units="m")
     return OpenBoundaries(**kw, **data)
 
 
