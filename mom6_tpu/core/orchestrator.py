@@ -47,6 +47,9 @@ class OceanCfg:
     ale: Optional[ALECfg] = None         # None → layered (no ALE)
     thermo: bool = True
     adiabatic: bool = False
+    # file-driven sponge: {"idamp": (nj,ni) [s-1], "T": (nk,nj,ni),
+    # "S": ...} from SPONGE_DAMPING_FILE/SPONGE_STATE_FILE
+    sponge_data: Optional[dict] = None
 
 
 def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -132,6 +135,16 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         state, tracers, _ = diabatic(state, fluxes, dt, cfg.diabatic,
                                      tracers, vgrid=vgrid, eos=eos,
                                      forces=forces, grid=grid)
+    # sponge restoring toward file profiles (MOM_diabatic_driver
+    # applies the [ALE] sponge at the end of the column physics);
+    # profiles are damped level-by-level (same-nk profile grids)
+    if cfg.sponge_data is not None and state.T is not None:
+        from mom6_tpu.param.vertical.sponge import apply_sponge
+        sd = cfg.sponge_data
+        damped = apply_sponge({"T": state.T, "S": state.S}, state.h,
+                              sd["idamp"], dt,
+                              {"T": sd["T"], "S": sd["S"]})
+        state = state.replace(T=damped["T"], S=damped["S"])
     # per-tracer column physics (call_tracer_column_fns,
     # MOM_tracer_flow_control.F90)
     if tracer_registry is not None and tracers:

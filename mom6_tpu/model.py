@@ -464,12 +464,41 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         time_scale=pf.get("INTERFACE_FILTER_TIME_SCALE", float, 0.0,
                           units="s"))
     n_dyn_per_therm = max(1, int(round(dt_therm / dt)))
+    # ---- file-driven sponge (MOM_sponge / MOM_ALE_sponge init) ----
+    pf.module("MOM_sponge")
+    sponge_data = None
+    if pf.get("SPONGE", bool, False):
+        import os as _os
+        from mom6_tpu.framework.io import read_field
+        indir = pf.get("INPUTDIR", str, ".")
+        dfile = pf.get("SPONGE_DAMPING_FILE", str, "sponge.nc")
+        sfile = pf.get("SPONGE_STATE_FILE", str, dfile)
+        ivar = pf.get("SPONGE_IDAMP_VAR", str, "Idamp")
+        pvar = pf.get("SPONGE_PTEMP_VAR", str, "PTEMP")
+        svar = pf.get("SPONGE_SALT_VAR", str, "SALT")
+
+        def _load(path, var):
+            a = np.asarray(read_field(_os.path.join(indir, path), var),
+                           dtype=np.float64)
+            while a.ndim > 3 or (a.ndim == 3 and var == ivar):
+                a = a[0]          # drop time (and depth for Idamp)
+            return a
+
+        idamp = domain.fill_halos(domain.pad(
+            jnp.asarray(_load(dfile, ivar))))
+        t_ref = domain.fill_halos(domain.pad(
+            jnp.asarray(_load(sfile, pvar))))
+        s_ref = domain.fill_halos(domain.pad(
+            jnp.asarray(_load(sfile, svar))))
+        sponge_data = {"idamp": idamp, "T": t_ref, "S": s_ref}
+
     ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
                          unsplit_cfg=unsplit_cfg,
                          diabatic=dia_cfg, ale=ale_cfg,
                          thickness_diffuse=td_cfg,
                          interface_filter=if_cfg,
-                         thermo=thermo, adiabatic=adiabatic)
+                         thermo=thermo, adiabatic=adiabatic,
+                         sponge_data=sponge_data)
 
     # ---- passive tracer packages ----
     pf.module("MOM_tracer_flow_control")
