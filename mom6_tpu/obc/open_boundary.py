@@ -44,6 +44,7 @@ class Segment:
     ssh_ext: float = 0.0
     lo: int | None = None     # perpendicular global range [lo, hi);
     hi: int | None = None     # None = the whole edge
+    tracer_ext: dict | None = None   # external tracer values by name
 
 
 def parse_segments(pf) -> list[Segment]:
@@ -77,16 +78,27 @@ def parse_segments(pf) -> list[Segment]:
             direction = "S" if pos == "0" else "N"
         data = pf.get(f"OBC_SEGMENT_{i:03d}_DATA", str, "")
         vals = {"U": 0.0, "V": 0.0, "SSH": 0.0}
+        tracer_ext = {}
         for part in data.split(","):
-            dm = re.match(r'\s*(U|V|SSH)=value:([-0-9.eE+]+)', part)
-            if dm:
-                vals[dm.group(1)] = float(dm.group(2))
+            dm = re.match(r'\s*(\w+)=value:([-0-9.eE+]+)', part)
+            if not dm:
+                continue
+            key, v = dm.group(1), float(dm.group(2))
+            if key in vals:
+                vals[key] = v
+            else:
+                # external tracer concentration for the reservoirs;
+                # TEMP/SALT map to the T/S advection names
+                name = {"TEMP": "T", "PTEMP": "T",
+                        "SALT": "S"}.get(key, key.lower())
+                tracer_ext[name] = v
         segs.append(Segment(direction=direction,
                             flather="FLATHER" in up,
                             orlanski="ORLANSKI" in up,
                             gradient="GRADIENT" in up,
                             u_ext=vals["U"], v_ext=vals["V"],
-                            ssh_ext=vals["SSH"], lo=lo, hi=hi))
+                            ssh_ext=vals["SSH"], lo=lo, hi=hi,
+                            tracer_ext=tracer_ext))
     return segs
 
 
@@ -123,6 +135,10 @@ class OpenBoundaries:
         default=1.0e4, metadata=dict(static=True))
     res_len_in: float = dataclasses.field(
         default=3.0e5, metadata=dict(static=True))
+    # external tracer values from segment DATA, as nested tuples to
+    # stay hashable for jit: (("E", (("T", 10.0), ...)), ...)
+    tracer_ext: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
     def _blend_x(self, a, cols, val, strip):
         """Set a[..., :, cols] = val where the W/E strip is open."""
@@ -276,9 +292,12 @@ class OpenBoundaries:
     def init_tracer_reservoirs(self, tracers: dict) -> dict:
         """Per-edge reservoir values seeded from the interior edge
         cells (update_segment_tracer_reservoirs,
-        MOM_open_boundary.F90:5517 analog).  Each tracer maps to a
-        dict of edge → (nk, edge_len) arrays."""
+        MOM_open_boundary.F90:5517 analog); segment-DATA external
+        values (e.g. ``TEMP=value:10``) override the seed for that
+        tracer on that edge.  Each tracer maps to a dict of
+        edge → (nk, edge_len) arrays."""
         H, ni, nj = self.halo, self.nil, self.njl
+        ext = {e: dict(kv) for e, kv in self.tracer_ext}
         out = {}
         for name, t in tracers.items():
             r = {}
@@ -290,6 +309,9 @@ class OpenBoundaries:
                 r["S"] = t[..., H, :]
             if self.open_n:
                 r["N"] = t[..., H + nj - 1, :]
+            for edge in r:
+                if name in ext.get(edge, {}):
+                    r[edge] = jnp.full_like(r[edge], ext[edge][name])
             out[name] = r
         return out
 
@@ -410,6 +432,12 @@ def build_open_boundaries(pf, domain: Domain) -> Optional[OpenBoundaries]:
     data["res_len_in"] = pf.get(
         "OBC_TRACER_RESERVOIR_LENGTH_SCALE_IN", float, 3.0e5,
         units="m")
+    text = {}
+    for s in segs:
+        if s.tracer_ext:
+            text.setdefault(s.direction, {}).update(s.tracer_ext)
+    data["tracer_ext"] = tuple(
+        (e, tuple(sorted(kv.items()))) for e, kv in sorted(text.items()))
     return OpenBoundaries(**kw, **data)
 
 

@@ -185,3 +185,23 @@ OBC_SEGMENT_001 = "I=N,J=0:N,FLATHER"
     m = np.asarray(g2.mask2dT)
     assert np.all(m[H + 2:H + 6, H + ni:] == 1.0)
     assert np.all(m[H + 8, H + ni:] == 0.0)
+
+
+def test_segment_data_external_tracer_seeds_reservoir():
+    """'dye=value:0.25' in segment DATA seeds that edge's reservoir
+    with the external concentration instead of the interior value."""
+    pf = ParamFile(text='''
+OBC_NUMBER_OF_SEGMENTS = 1
+OBC_SEGMENT_001 = "I=N,J=0:N,FLATHER"
+OBC_SEGMENT_001_DATA = "U=value:0.1,dye=value:0.25,TEMP=value:12.0"
+''')
+    segs = parse_segments(pf)
+    assert segs[0].u_ext == 0.1
+    assert segs[0].tracer_ext == {"dye": 0.25, "T": 12.0}
+    d = Domain(ni=8, nj=6, halo=4)
+    obc = build_open_boundaries(pf, d)
+    t = jnp.full((2, 14, 16), 7.0)
+    res = obc.init_tracer_reservoirs({"dye": t, "other": t})
+    np.testing.assert_allclose(np.asarray(res["dye"]["E"]), 0.25)
+    # tracers without DATA values seed from the interior edge
+    np.testing.assert_allclose(np.asarray(res["other"]["E"]), 7.0)
