@@ -455,7 +455,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         use_entrain_diffusive=pf.get("ENTRAIN_DIFFUSIVE", bool,
                                      not use_regrid),
         use_regularize=pf.get("REGULARIZE_SURFACE_LAYERS", bool,
-                              False))
+                              False),
+        do_frazil=pf.get("FRAZIL", bool, False))
     pf.module("MOM_thickness_diffuse")
     td_cfg = ThicknessDiffuseCfg(khth=pf.get("KHTH", float, 0.0,
                                              units="m2 s-1"))

@@ -28,6 +28,7 @@ from mom6_tpu.param.vertical.entrain_diffusive import (
     EntrainDiffusiveCfg, entrainment_diffusive)
 from mom6_tpu.param.vertical.regularize_layers import (
     RegularizeLayersCfg, regularize_layers)
+from mom6_tpu.param.vertical.diabatic_aux import FrazilCfg, make_frazil
 from mom6_tpu.tracer.vertdiff import tracer_vertdiff
 from mom6_tpu.parallel.stencil import ip1, jp1
 
@@ -52,6 +53,8 @@ class DiabaticCfg:
     entrain: EntrainDiffusiveCfg = EntrainDiffusiveCfg()
     use_regularize: bool = False   # REGULARIZE_SURFACE_LAYERS
     regularize: RegularizeLayersCfg = RegularizeLayersCfg()
+    do_frazil: bool = False        # FRAZIL
+    frazil: FrazilCfg = FrazilCfg()
 
 
 def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
@@ -106,6 +109,13 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
     if tracers is not None:
         new_tracers = {k: tracer_vertdiff(v, h, kd_int, dt)
                        for k, v in tracers.items()}
+
+    # frazil formation: clamp sub-freezing water back to the freezing
+    # point (make_frazil, MOM_diabatic_aux.F90:95); the heat deficit
+    # is an ice-model flux — routing it to the coupler cap is a
+    # planned refinement
+    if cfg.do_frazil and T is not None:
+        T, _frazil = make_frazil(cfg.frazil, h, T, S)
 
     # --- layered (isopycnal-mode) physics: thicknesses evolve ---
     if cfg.use_bml and T is not None and eos is not None:

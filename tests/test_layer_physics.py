@@ -120,3 +120,35 @@ def test_diapyc_energy_req_signs_and_scaling():
     e_unst = float(diapyc_energy_req(h, T_stable[::-1], S, kd, 3600.0,
                                      EOS)[0, 0])
     assert e_unst < 0.0
+
+
+def test_make_frazil_and_find_uv_at_h():
+    from mom6_tpu.param.vertical.diabatic_aux import (FrazilCfg,
+                                                      make_frazil,
+                                                      find_uv_at_h,
+                                                      t_freeze)
+    cfg = FrazilCfg()
+    h = col([20.0] * 4)
+    S = jnp.full_like(h, 35.0)
+    # top layer 0.5 degC below freezing, rest above
+    tf_sfc = float(t_freeze(cfg, 35.0, cfg.rho0 * cfg.g * 10.0))
+    T = col([tf_sfc - 0.5, 2.0, 3.0, 4.0])
+    T2, frazil = make_frazil(cfg, h, T, S)
+    # clamped exactly to the local freezing point, warm layers
+    # untouched
+    assert abs(float(T2[0, 0, 0]) - tf_sfc) < 1e-12
+    np.testing.assert_array_equal(np.asarray(T2[1:]), np.asarray(T[1:]))
+    # heat deficit: rho0 cp * 0.5degC * 20 m
+    expect = cfg.rho0 * cfg.cp * 0.5 * 20.0
+    assert abs(float(frazil[0, 0]) - expect) / expect < 1e-12
+    # already-warm column: no frazil
+    _, fr0 = make_frazil(cfg, h, col([2.0] * 4), S)
+    assert float(fr0[0, 0]) == 0.0
+
+    # velocity averaging: uniform u → uniform u_h; thickness weights
+    u = jnp.full((2, 6, 8), 0.4)
+    v = jnp.full((2, 6, 8), -0.2)
+    hh = jnp.full((2, 6, 8), 50.0)
+    uh, vh = find_uv_at_h(u, v, hh)
+    np.testing.assert_allclose(np.asarray(uh), 0.4, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(vh), -0.2, rtol=1e-12)
