@@ -56,6 +56,12 @@ class DynDiags(NamedTuple):
     uhtr: jnp.ndarray     # accumulated transports for tracer advection
     vhtr: jnp.ndarray
     truncs: jnp.ndarray
+    # column frazil heat deficit [J m-2] from the diabatic phase (an
+    # ice-model flux; filled by the orchestrator when FRAZIL=True)
+    frazil: Optional[jnp.ndarray] = None
+    # boundary-layer / mixed-layer depth [m] from the diabatic phase
+    # (KPP BLD or ePBL MLD; consumed by mixed-layer restrat next step)
+    mld: Optional[jnp.ndarray] = None
 
 
 def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,

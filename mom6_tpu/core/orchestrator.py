@@ -29,6 +29,14 @@ from mom6_tpu.param.lateral.thickness_diffuse import (
     ThicknessDiffuseCfg, thickness_diffuse)
 from mom6_tpu.param.lateral.interface_filter import (
     InterfaceFilterCfg, interface_filter)
+from mom6_tpu.param.lateral.meke import MEKECfg, step_meke, meke_khth
+from mom6_tpu.param.lateral.varmix import (VarMixCfg,
+                                           calc_resolution_function)
+from mom6_tpu.param.lateral.mixed_layer_restrat import (
+    MLRestratCfg, mixed_layer_restrat)
+from mom6_tpu.tracer.hor_diff import TracerHorDiffCfg, tracer_hordiff
+from mom6_tpu.tracer.neutral_diffusion import (NeutralDiffCfg,
+                                               neutral_diffusion)
 from mom6_tpu.ale.ale_main import ALECfg, ale_regrid_remap
 from mom6_tpu.parallel.domain import Domain
 
@@ -50,6 +58,22 @@ class OceanCfg:
     # file-driven sponge: {"idamp": (nj,ni) [s-1], "T": (nk,nj,ni),
     # "S": ...} from SPONGE_DAMPING_FILE/SPONGE_STATE_FILE
     sponge_data: Optional[dict] = None
+    # --- MEKE → VarMix → KHTH coefficient chain (MOM_MEKE.F90,
+    # MOM_lateral_mixing_coeffs.F90) ---
+    use_meke: bool = False               # USE_MEKE
+    meke: MEKECfg = MEKECfg()
+    meke_khth_fac: float = 0.0           # MEKE_KHTH_FAC
+    use_varmix: bool = False             # USE_VARIABLE_MIXING
+    varmix: VarMixCfg = VarMixCfg()
+    resoln_scaled_khth: bool = False     # RESOLN_SCALED_KHTH
+    # --- mixed-layer restratification (MOM_mixed_layer_restrat.F90) ---
+    use_mle: bool = False                # MIXEDLAYER_RESTRAT
+    mlrestrat: MLRestratCfg = MLRestratCfg()
+    # --- lateral tracer diffusion (MOM_tracer_hor_diff.F90 /
+    # MOM_neutral_diffusion.F90) ---
+    hordiff: TracerHorDiffCfg = TracerHorDiffCfg()
+    use_neutral: bool = False            # USE_NEUTRAL_DIFFUSION
+    neutral: NeutralDiffCfg = NeutralDiffCfg()
 
 
 def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -58,7 +82,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                dt: float, cfg: OceanCfg, eos=None,
                x_first: bool = True, tracer_registry=None, obc=None,
                do_thermo: bool = True, uhtr_accum=None,
-               vhtr_accum=None, obc_reservoirs=None):
+               vhtr_accum=None, obc_reservoirs=None, mld_prev=None):
     """One full ocean step of length dt.
 
     ``do_thermo`` gates the tracer-advection/diabatic/ALE phases (the
@@ -67,19 +91,69 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     consumed on the next thermo step.  Returns
     (state, split_state, tracers, diags); with obc_reservoirs, a
     5th element carries the updated OBC tracer reservoirs."""
+    # --- MEKE → VarMix → KHTH coefficient chain ---
+    # the resolution function damps eddy parameterizations where the
+    # deformation radius is resolved (calc_resolution_function,
+    # MOM_lateral_mixing_coeffs.F90:214); MEKE feeds an eddy
+    # diffusivity K_MEKE into KHTH (MOM_thickness_diffuse.F90:204)
+    khth_2d = None
+    res_fn = None
+    use_meke = cfg.use_meke and state.meke is not None
+    if cfg.use_varmix:
+        vm = calc_resolution_function(cfg.varmix, grid, vgrid,
+                                      state.h, state.T, state.S, eos)
+        res_fn = vm.res_fn
+    if use_meke and cfg.meke_khth_fac > 0.0:
+        khth_2d = cfg.thickness_diffuse.khth \
+            + cfg.meke_khth_fac * meke_khth(cfg.meke, state.meke)
+    if res_fn is not None and cfg.resoln_scaled_khth:
+        base = khth_2d if khth_2d is not None \
+            else cfg.thickness_diffuse.khth
+        khth_2d = base * res_fn
+
     # thickness diffusion / interface filter act before the dynamics
-    # (THICKNESSDIFFUSE, MOM.F90:1160-1186)
-    if cfg.thickness_diffuse.khth > 0.0:
+    # (THICKNESSDIFFUSE, MOM.F90:1160-1186); their layer transports
+    # are added into the tracer-advection accumulators so T/S and
+    # passives ride the GM/filter mass redistribution (the reference
+    # accumulates uhD*dt into uhtr, MOM_thickness_diffuse.F90:602)
+    uh_param = vh_param = None
+    if cfg.thickness_diffuse.khth > 0.0 or khth_2d is not None:
         h = domain.fill_halos(state.h, width=2)
-        td = thickness_diffuse(grid, vgrid, h, dt, cfg.thickness_diffuse)
+        kh2 = domain.fill_halos(khth_2d, width=2) \
+            if khth_2d is not None else None
+        gp_int = None
+        if use_meke and state.T is not None and eos is not None:
+            # interface reduced gravities N²·Δz from the actual
+            # stratification, for the GM PE-release MEKE source
+            from mom6_tpu.diagnostics.wave_speed import brunt_vaisala2
+            tt, ss = domain.fill_halos((state.T, state.S), width=2)
+            n2 = brunt_vaisala2(vgrid, h, tt, ss, eos)
+            dz = 0.5 * (h[:-1] + h[1:])
+            zed = jnp.zeros_like(h[:1])
+            gp_int = jnp.concatenate([zed, n2 * dz, zed], axis=0)
+        td = thickness_diffuse(grid, vgrid, h, dt,
+                               cfg.thickness_diffuse, khth_2d=kh2,
+                               gprime_int=gp_int)
         state = state.replace(h=domain.fill_halos(td.h))
+        uh_param, vh_param = dt * td.uhD, dt * td.vhD
+        if use_meke:
+            # advance the prognostic eddy energy with the GM release
+            # as its source (MOM_MEKE.F90 step_forward_MEKE)
+            meke_e = domain.fill_halos(state.meke, width=1)
+            meke_new = step_meke(cfg.meke, grid, meke_e, dt,
+                                 gm_work=td.gm_work)
+            state = state.replace(meke=domain.fill_halos(meke_new))
+    elif use_meke:
+        meke_e = domain.fill_halos(state.meke, width=1)
+        meke_new = step_meke(cfg.meke, grid, meke_e, dt)
+        state = state.replace(meke=domain.fill_halos(meke_new))
     if cfg.interface_filter.time_scale > 0.0:
         h = domain.fill_halos(state.h, width=2)
-        hf = interface_filter(domain, grid, vgrid, h, dt,
-                              cfg.interface_filter)
+        hf, uhF, vhF = interface_filter(domain, grid, vgrid, h, dt,
+                                        cfg.interface_filter)
         state = state.replace(h=domain.fill_halos(hf))
-
-    h_before = state.h
+        uh_param = dt * uhF if uh_param is None else uh_param + dt * uhF
+        vh_param = dt * vhF if vh_param is None else vh_param + dt * vhF
 
     if cfg.split:
         state, split_state, diags = step_dyn_split_rk2(
@@ -90,9 +164,28 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,
             eos=eos)
 
+    # --- mixed-layer restratification (MOM_mixed_layer_restrat.F90):
+    # submesoscale overturning transports applied to h after the
+    # dynamics, riding into the tracer advection via uhtr (the
+    # reference adds uhml into uhtr, mixedlayer_restrat :248) ---
+    if cfg.use_mle and cfg.thermo and state.T is not None:
+        hh, tt, ss = domain.fill_halos((state.h, state.T, state.S),
+                                       width=1)
+        mle = mixed_layer_restrat(cfg.mlrestrat, grid, vgrid, hh, dt,
+                                  T=tt, S=ss, eos=eos, hml=mld_prev)
+        state = state.replace(h=domain.fill_halos(mle.h))
+        if uh_param is None:
+            uh_param, vh_param = dt * mle.uhml, dt * mle.vhml
+        else:
+            uh_param = uh_param + dt * mle.uhml
+            vh_param = vh_param + dt * mle.vhml
+
     # accumulate transports across the thermo interval (uhtr, MOM.F90)
-    uhtr = diags.uhtr if uhtr_accum is None else uhtr_accum + diags.uhtr
-    vhtr = diags.vhtr if vhtr_accum is None else vhtr_accum + diags.vhtr
+    uhtr, vhtr = diags.uhtr, diags.vhtr
+    if uh_param is not None:
+        uhtr, vhtr = uhtr + uh_param, vhtr + vh_param
+    if uhtr_accum is not None:
+        uhtr, vhtr = uhtr_accum + uhtr, vhtr_accum + vhtr
     diags = diags._replace(uhtr=uhtr, vhtr=vhtr)
     if not do_thermo:
         if obc_reservoirs is not None:
@@ -107,13 +200,25 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         adv = domain.fill_halos(adv, width=2)
         if obc is not None and obc_reservoirs is not None:
             adv = obc.apply_tracer_reservoirs(adv, obc_reservoirs)
-        hb, uhtr, vhtr = domain.fill_halos(
-            (h_before, diags.uhtr, diags.vhtr), width=2)
-        adv, _ = advect_tracers(domain, grid, adv, hb, uhtr, vhtr,
+        he, uhtr, vhtr = domain.fill_halos(
+            (state.h, diags.uhtr, diags.vhtr), width=2)
+        adv, _ = advect_tracers(domain, grid, adv, he, uhtr, vhtr,
                                 cfg.tracer_adv, x_first=x_first)
         if obc is not None and obc_reservoirs is not None:
             obc_reservoirs = obc.update_tracer_reservoirs(
                 obc_reservoirs, adv, state.u, state.v, dt)
+        # lateral tracer diffusion after advection (step_MOM_tracer_dyn
+        # calls tracer_hordiff after advect_tracer, MOM.F90:1413;
+        # epineutral Redi rotation when USE_NEUTRAL_DIFFUSION)
+        if cfg.use_neutral and cfg.neutral.khtr > 0.0:
+            adv, hh = domain.fill_halos((adv, state.h), width=2)
+            adv = neutral_diffusion(domain, grid, vgrid, adv, hh,
+                                    adv["T"], adv["S"], eos, dt,
+                                    cfg.neutral)
+        elif cfg.hordiff.khtr > 0.0:
+            adv, hh = domain.fill_halos((adv, state.h), width=1)
+            adv = tracer_hordiff(domain, grid, adv, hh, dt,
+                                 cfg.hordiff)
         state = state.replace(T=adv.pop("T"), S=adv.pop("S"))
         tracers = adv if adv else tracers
     elif tracers:
@@ -121,20 +226,29 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         if obc is not None and obc_reservoirs is not None:
             tracers = obc.apply_tracer_reservoirs(tracers,
                                                   obc_reservoirs)
-        hb, uhtr, vhtr = domain.fill_halos(
-            (h_before, diags.uhtr, diags.vhtr), width=2)
-        tracers, _ = advect_tracers(domain, grid, tracers, hb, uhtr,
+        he, uhtr, vhtr = domain.fill_halos(
+            (state.h, diags.uhtr, diags.vhtr), width=2)
+        tracers, _ = advect_tracers(domain, grid, tracers, he, uhtr,
                                     vhtr, cfg.tracer_adv,
                                     x_first=x_first)
         if obc is not None and obc_reservoirs is not None:
             obc_reservoirs = obc.update_tracer_reservoirs(
                 obc_reservoirs, tracers, state.u, state.v, dt)
+        if cfg.hordiff.khtr > 0.0:
+            tracers, hh = domain.fill_halos((tracers, state.h),
+                                            width=1)
+            tracers = tracer_hordiff(domain, grid, tracers, hh, dt,
+                                     cfg.hordiff)
 
     # --- thermodynamics / column physics ---
     if cfg.thermo and not cfg.adiabatic:
-        state, tracers, _ = diabatic(state, fluxes, dt, cfg.diabatic,
-                                     tracers, vgrid=vgrid, eos=eos,
-                                     forces=forces, grid=grid)
+        state, tracers, dia = diabatic(state, fluxes, dt, cfg.diabatic,
+                                       tracers, vgrid=vgrid, eos=eos,
+                                       forces=forces, grid=grid)
+        if "frazil" in dia:
+            diags = diags._replace(frazil=dia["frazil"])
+        if "mld" in dia:
+            diags = diags._replace(mld=dia["mld"])
     # sponge restoring toward file profiles (MOM_diabatic_driver
     # applies the [ALE] sponge at the end of the column physics);
     # profiles are damped level-by-level (same-nk profile grids)

@@ -26,6 +26,9 @@ class State:
     h: jnp.ndarray                    # layer thickness [m (Bouss)]
     T: Optional[jnp.ndarray] = None   # potential/conservative temp [degC]
     S: Optional[jnp.ndarray] = None   # salinity [ppt]
+    # prognostic parameterized mesoscale eddy energy [m2 s-2]
+    # (MOM_MEKE.F90 MEKE%MEKE), present when USE_MEKE
+    meke: Optional[jnp.ndarray] = None
 
     def replace(self, **kw) -> "State":
         return dataclasses.replace(self, **kw)

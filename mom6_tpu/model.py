@@ -96,6 +96,9 @@ class Model:
     tracers: Optional[dict] = None
     tracer_registry: Any = None
     obc: Any = None
+    # pure fn state → Fluxes (solo-driver buoyancy forcing); evaluated
+    # inside the jitted step each thermo step.  None → no buoy fluxes
+    fluxes_fn: Any = None
 
     def step_fn(self):
         """Jitted full ocean step; x_first alternates per call site
@@ -110,22 +113,27 @@ class Model:
         use_res = self.obc is not None and bool(self.tracers)
 
         def mk(x_first, do_thermo):
-            def step(state, split_state, tracers, uacc, vacc, res):
+            def step(state, split_state, tracers, uacc, vacc, res,
+                     mld):
+                fl = self.fluxes_fn(state) \
+                    if (do_thermo and self.fluxes_fn is not None
+                        and state.T is not None) else None
                 st, a, tr, diags, *rest = step_ocean(
                     d, g, vg, state, split_state, tracers,
-                    forces, None, self.dt, cfg, eos=eos,
+                    forces, fl, self.dt, cfg, eos=eos,
                     x_first=x_first,
                     tracer_registry=self.tracer_registry,
                     obc=self.obc, do_thermo=do_thermo,
                     uhtr_accum=uacc, vhtr_accum=vacc,
-                    obc_reservoirs=res)
+                    obc_reservoirs=res, mld_prev=mld)
                 res_out = rest[0] if rest else None
                 return (st, a, tr, diags.uhtr, diags.vhtr,
-                        diags.truncs, res_out)
+                        diags.truncs, res_out, diags.mld)
             return jax.jit(step)
         fns = {(xf, th): mk(xf, th) for xf in (True, False)
                for th in (True, False)}
-        acc = {"u": None, "v": None, "truncs": 0, "res": None}
+        acc = {"u": None, "v": None, "truncs": 0, "res": None,
+               "mld": None}
         if use_res:
             acc["res"] = self.obc.init_tracer_reservoirs(self.tracers)
 
@@ -135,10 +143,13 @@ class Model:
             z = jnp.zeros_like(state.h)
             ua = acc["u"] if acc["u"] is not None else z
             va = acc["v"] if acc["v"] is not None else z
-            s, a, tr, uh, vh, tn, res = f(state, split_state, tracers,
-                                          ua, va, acc["res"])
+            s, a, tr, uh, vh, tn, res, mld = f(
+                state, split_state, tracers, ua, va, acc["res"],
+                acc["mld"])
             if res is not None:
                 acc["res"] = res
+            if mld is not None:
+                acc["mld"] = mld
             if do_thermo:
                 acc["u"], acc["v"] = None, None
             else:
@@ -287,8 +298,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         smag_bi_const=pf.get("SMAGORINSKY_AH", float, 0.0),
         dt=dt)
     pf.module("MOM_barotropic")
-    btcfg = BarotropicCfg(bebt=pf.get("BEBT", float, 0.2),
-                          nstep=1)
+    btcfg = BarotropicCfg(
+        bebt=pf.get("BEBT", float, 0.2),
+        nstep=1,
+        dt_bt_filter=pf.get("DT_BT_FILTER", float, -0.25, units="s"),
+        use_bt_cont=pf.get("USE_BT_CONT_TYPE", bool, True))
     split_cfg = None
     unsplit_cfg = None
     if split:
@@ -376,18 +390,43 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             v0 = jnp.asarray(fields["v"])
     state = State(u=u0, v=v0, h=h, T=T, S=S)
 
-    # ---- forcing ----
+    # ---- forcing (solo-driver surface forcing library,
+    # config_src/drivers/solo_driver/MOM_surface_forcing.F90) ----
     pf.module("MOM_surface_forcing")
-    wind_cfg = pf.get("WIND_CONFIG", str, "zero")
-    if wind_cfg == "zero":
-        forces = MechForcing()
-    elif wind_cfg == "gyres":
-        taux0 = pf.get("TAUX_MAGNITUDE", float, 0.1, units="Pa")
-        yn = (grid.geoLatT - south) / max(lenlat, 1e-30)
-        taux = taux0 * -jnp.cos(2.0 * jnp.pi * yn) * grid.mask2dCu
-        forces = MechForcing(taux=taux)
-    else:
-        raise ValueError(f"WIND_CONFIG '{wind_cfg}' not implemented")
+    from mom6_tpu.drivers.surface_forcing import (SurfaceForcingCfg,
+                                                  build_wind,
+                                                  buoyancy_restoring)
+    sf_cfg = SurfaceForcingCfg(
+        wind_config=pf.get("WIND_CONFIG", str, "zero"),
+        taux_magnitude=pf.get("TAUX_MAGNITUDE", float, 0.1, units="Pa"),
+        buoy_config=pf.get("BUOY_CONFIG", str, "zero"),
+        sensible_heat=pf.get("SENSIBLE_HEAT_FLUX", float, 0.0,
+                             units="W m-2"),
+        restore_sst=pf.get("RESTOREBUOY", bool, False),
+        fluxconst=pf.get("FLUXCONST", float, 0.0, units="m day-1"),
+        sst_north=pf.get("SST_NORTH", float, 5.0, units="degC"),
+        sst_south=pf.get("SST_SOUTH", float, 25.0, units="degC"),
+        rho0=rho0)
+    forces = build_wind(sf_cfg, grid, south, lenlat)
+
+    # buoyancy fluxes: a pure function of the surface state, evaluated
+    # inside the jitted step each thermo step (kills the fluxes=None
+    # path — surface heating/restoring now reaches the column physics)
+    fluxes_fn = None
+    if thermo and sf_cfg.buoy_config not in ("zero", "NONE"):
+        if sf_cfg.buoy_config == "linear_restoring":
+            def fluxes_fn(state, _cfg=sf_cfg, _g=grid, _s=south,
+                          _l=lenlat):
+                return buoyancy_restoring(_cfg, _g, state.T[0], _s, _l)
+        elif sf_cfg.buoy_config == "const_heat":
+            def fluxes_fn(state, _cfg=sf_cfg, _g=grid):
+                from mom6_tpu.core.forcing import Fluxes
+                return Fluxes(sensible=jnp.full_like(state.h[0],
+                                                     _cfg.sensible_heat)
+                              * _g.mask2dT)
+        else:
+            raise ValueError(
+                f"BUOY_CONFIG '{sf_cfg.buoy_config}' not implemented")
 
     split_state = None
     if split:
@@ -414,6 +453,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                                     DoubleDiffusionCfg)
     from mom6_tpu.param.vertical.bkgnd_mixing import BkgndMixingCfg
     from mom6_tpu.param.vertical.kpp import KPPCfg
+    from mom6_tpu.param.vertical.energetic_pbl import EPBLCfg
+    from mom6_tpu.param.vertical.kappa_shear import KappaShearCfg
+    from mom6_tpu.param.vertical.tidal_mixing import TidalMixingCfg
+    from mom6_tpu.param.vertical.opacity import OpacityCfg
+    from mom6_tpu.param.vertical.geothermal import GeothermalCfg
+    from mom6_tpu.param.vertical.diabatic_aux import FrazilCfg
     from mom6_tpu.param.vertical.bulk_mixed_layer import \
         BulkMixedLayerCfg
     use_lmd94 = pf.get("USE_LMD94", bool, False)
@@ -431,6 +476,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         raise ValueError("BULKMIXEDLAYER = True requires layer mode; "
                          "it cannot be combined with USE_REGRIDDING = "
                          "True (use KPP or ePBL in ALE mode)")
+    use_jackson = pf.get("USE_JACKSON_PARAM", bool, False)
+    int_tide = pf.get("INT_TIDE_DISSIPATION", bool, False)
+    geo_flux = pf.get("GEOTHERMAL_FLUX", float, 0.0, units="W m-2")
+    pen_sw_nbands = pf.get("PEN_SW_NBANDS", int, 0)
+    use_epbl = pf.get("ENERGETICS_SFC_PBL", bool, False)
     dia_cfg = DiabaticCfg(
         diffusivity=DiffusivityCfg(
             kd=pf.get("KD", float, 0.0, units="m2 s-1"),
@@ -440,13 +490,39 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                  kd=pf.get("KD", float, 0.0)),
             use_shear=use_lmd94 or use_pp81,
             shear=shear_cfg,
+            use_kappa_shear=use_jackson,
+            kappa_shear=KappaShearCfg(
+                rino_crit=pf.get("RINO_CRIT", float, 0.25),
+                shearmix_rate=pf.get("SHEARMIX_RATE", float, 0.089),
+                max_rino_it=pf.get("MAX_RINO_IT", int, 10)),
             use_conv=pf.get("USE_CVMIX_CONVECTION", bool, False),
             conv=ConvectionCfg(kd_conv=pf.get("KD_CONV", float, 1.0,
                                               units="m2 s-1")),
-            use_ddiff=pf.get("DOUBLE_DIFFUSION", bool, False)),
+            use_ddiff=pf.get("DOUBLE_DIFFUSION", bool, False),
+            use_tidal=int_tide,
+            tidal=TidalMixingCfg(
+                gamma_itides=pf.get("GAMMA_ITIDES", float, 0.2),
+                int_tide_decay_scale=pf.get("INT_TIDE_DECAY_SCALE",
+                                            float, 500.0, units="m")),
+            tidal_energy_flux=pf.get("TIDAL_ENERGY_FLUX", float,
+                                     1e-3 if int_tide else 0.0,
+                                     units="W m-2")),
         use_kpp=pf.get("USE_KPP", bool, False),
         kpp=KPPCfg(ri_crit=pf.get("RI_CRIT", float, 0.3)),
+        use_epbl=use_epbl,
+        epbl=EPBLCfg(mstar=pf.get("EPBL_MSTAR", float, 1.2),
+                     nstar=pf.get("EPBL_NSTAR", float, 0.2)),
         rho0=rho0,
+        use_opacity=pen_sw_nbands > 0,
+        opacity=OpacityCfg(
+            scheme=pf.get("OPACITY_SCHEME", str, "JERLOV"),
+            water_type={1: "I", 2: "IA", 3: "IB", 4: "II",
+                        5: "III"}.get(
+                pf.get("WATER_TYPE", int, 3), "IB"),
+            chl=pf.get("CHL_CONC", float, 0.1, units="mg m-3")),
+        use_geothermal=geo_flux > 0.0,
+        geothermal=GeothermalCfg(geothermal_flux=geo_flux, rho0=rho0),
+        use_full_conv=pf.get("FULL_CONVECTION", bool, False),
         # layered-mode column physics (only sensible without ALE)
         use_bml=use_bml,
         bml=BulkMixedLayerCfg(
@@ -456,14 +532,53 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                      not use_regrid),
         use_regularize=pf.get("REGULARIZE_SURFACE_LAYERS", bool,
                               False),
-        do_frazil=pf.get("FRAZIL", bool, False))
+        do_frazil=pf.get("FRAZIL", bool, False),
+        frazil=FrazilCfg(rho0=rho0, g=g_earth,
+                         cp=pf.get("C_P", float, 3991.86795711963,
+                                   units="J kg-1 K-1")))
     pf.module("MOM_thickness_diffuse")
-    td_cfg = ThicknessDiffuseCfg(khth=pf.get("KHTH", float, 0.0,
-                                             units="m2 s-1"))
+    td_cfg = ThicknessDiffuseCfg(
+        khth=pf.get("KHTH", float, 0.0, units="m2 s-1"),
+        khth_max=pf.get("KHTH_MAX", float, 0.0, units="m2 s-1"))
     pf.module("MOM_interface_filter")
     if_cfg = InterfaceFilterCfg(
         time_scale=pf.get("INTERFACE_FILTER_TIME_SCALE", float, 0.0,
                           units="s"))
+    # ---- MEKE → VarMix lateral coefficient chain ----
+    pf.module("MOM_MEKE")
+    from mom6_tpu.param.lateral.meke import MEKECfg
+    from mom6_tpu.param.lateral.varmix import VarMixCfg
+    from mom6_tpu.param.lateral.mixed_layer_restrat import MLRestratCfg
+    from mom6_tpu.tracer.hor_diff import TracerHorDiffCfg
+    from mom6_tpu.tracer.neutral_diffusion import NeutralDiffCfg
+    use_meke = pf.get("USE_MEKE", bool, False)
+    meke_cfg = MEKECfg(
+        frcoeff=pf.get("MEKE_FRCOEFF", float, 0.1),
+        gmcoeff=pf.get("MEKE_GMCOEFF", float, 0.1),
+        cdrag=pf.get("MEKE_CDRAG", float, 0.003),
+        cb=pf.get("MEKE_CB", float, 25.0),
+        ks_coeff=pf.get("MEKE_KHCOEFF", float, 1.0),
+        lmix=pf.get("MEKE_LSCALE", float, 1e4, units="m"))
+    pf.module("MOM_lateral_mixing_coeffs")
+    use_varmix = pf.get("USE_VARIABLE_MIXING", bool, False)
+    varmix_cfg = VarMixCfg(
+        use_variable_mixing=use_varmix,
+        res_fn_power=pf.get("KH_RES_FN_POWER", int, 2),
+        res_coef=pf.get("KH_RES_SCALE_COEF", float, 1.0))
+    pf.module("MOM_mixed_layer_restrat")
+    use_mle = pf.get("MIXEDLAYER_RESTRAT", bool, False)
+    mle_cfg = MLRestratCfg(
+        fox_kemper_ml_restrat_coef=pf.get("FOX_KEMPER_ML_RESTRAT_COEF",
+                                          float, 20.0),
+        ml_restrat_timescale=pf.get("ML_RESTRAT_TIMESCALE", float,
+                                    86400.0, units="s"))
+    pf.module("MOM_tracer_hor_diff")
+    hordiff_cfg = TracerHorDiffCfg(
+        khtr=pf.get("KHTR", float, 0.0, units="m2 s-1"),
+        khtr_min=pf.get("KHTR_MIN", float, 0.0, units="m2 s-1"),
+        khtr_max=pf.get("KHTR_MAX", float, -1.0, units="m2 s-1"))
+    use_neutral = pf.get("USE_NEUTRAL_DIFFUSION", bool, False)
+    neutral_cfg = NeutralDiffCfg(khtr=hordiff_cfg.khtr)
     n_dyn_per_therm = max(1, int(round(dt_therm / dt)))
     # ---- file-driven sponge (MOM_sponge / MOM_ALE_sponge init) ----
     pf.module("MOM_sponge")
@@ -493,13 +608,36 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             jnp.asarray(_load(sfile, svar))))
         sponge_data = {"idamp": idamp, "T": t_ref, "S": s_ref}
 
+    # transports accumulate over n_dyn_per_therm dynamics steps, so
+    # tracer advection needs enough alternating sweeps to exhaust an
+    # accumulated CFL of ~0.5 per step at 0.45 per pass (the
+    # reference's domore re-sweep loop, MOM_tracer_advect.F90)
+    adv_cfg = TracerAdvectCfg(
+        n_sweep_pairs=max(2, n_dyn_per_therm + 1))
     ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
                          unsplit_cfg=unsplit_cfg,
+                         tracer_adv=adv_cfg,
                          diabatic=dia_cfg, ale=ale_cfg,
                          thickness_diffuse=td_cfg,
                          interface_filter=if_cfg,
                          thermo=thermo, adiabatic=adiabatic,
-                         sponge_data=sponge_data)
+                         sponge_data=sponge_data,
+                         use_meke=use_meke, meke=meke_cfg,
+                         # 0.0 default as in the reference: the MEKE
+                         # budget is diagnostic until explicitly
+                         # coupled into KHTH (MOM_MEKE.F90 MEKE_KHTH_FAC)
+                         meke_khth_fac=pf.get("MEKE_KHTH_FAC", float,
+                                              0.0),
+                         use_varmix=use_varmix, varmix=varmix_cfg,
+                         resoln_scaled_khth=pf.get(
+                             "RESOLN_SCALED_KHTH", bool, False),
+                         use_mle=use_mle, mlrestrat=mle_cfg,
+                         hordiff=hordiff_cfg,
+                         use_neutral=use_neutral, neutral=neutral_cfg)
+    if use_meke:
+        state = state.replace(meke=jnp.zeros_like(state.h[0])
+                              + pf.get("MEKE_INIT", float, 1e-7,
+                                       units="m2 s-2"))
 
     # ---- passive tracer packages ----
     pf.module("MOM_tracer_flow_control")
@@ -524,4 +662,4 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                  thermo=thermo, forces=forces, state=state,
                  split_state=split_state, tracers=tracers,
                  tracer_registry=registry if tracers else None,
-                 obc=obc)
+                 obc=obc, fluxes_fn=fluxes_fn)

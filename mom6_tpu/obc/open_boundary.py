@@ -12,10 +12,12 @@ inlet simplified to the adjacent interior values), and the baroclinic
 fields get zero-gradient (the v1 stand-in for Orlanski radiation)
 through halo extension along open edges.
 
-The current build supports whole-edge segments on any of the four
-domain edges with FLATHER and/or GRADIENT schemes and constant
-external data (OBC_SEGMENT_XXX_DATA "U=value:…,SSH=value:…"); partial
-segments, file-driven data and tracer reservoirs are planned.
+The current build supports whole-edge and partial (sub-edge strip)
+segments on any of the four domain edges with FLATHER / ORLANSKI /
+GRADIENT schemes, constant external data (OBC_SEGMENT_XXX_DATA
+"U=value:…,SSH=value:…,TEMP=value:…"), and tracer reservoirs with
+both in/out relaxation length scales.  File-driven (time-interpolated)
+segment data and decomposed-layout segments are still to come.
 """
 
 from __future__ import annotations
@@ -319,19 +321,27 @@ class OpenBoundaries:
                                  u, v, dt, len_out=None, len_in=None):
         """Advance the reservoirs: outflow drags them toward the
         interior edge value at rate |u|dt/L_out; inflow relaxes them
-        back toward their current (external) value at |u|dt/L_in,
-        i.e. they persist.  Explicit form of the reference's
-        reservoir update with separate in/out length scales
-        (OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT/_IN)."""
+        back toward the segment's external DATA value (when one was
+        given) at |u|dt/L_in, as in the reference's
+        update_segment_tracer_reservoirs, which applies both length
+        scales (OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT/_IN).  Tracers
+        without external data keep their reservoir on inflow."""
         H, ni, nj = self.halo, self.nil, self.njl
         len_out = self.res_len_out if len_out is None else len_out
         len_in = self.res_len_in if len_in is None else len_in
+        ext = {e: dict(kv) for e, kv in self.tracer_ext}
 
-        def upd(r, t_edge, vel_edge, outflow_positive):
+        def upd(r, t_edge, vel_edge, outflow_positive, ext_val):
             vout = jnp.maximum(vel_edge if outflow_positive
                                else -vel_edge, 0.0)
             w = jnp.clip(vout * dt / len_out, 0.0, 1.0)
-            return r + w * (t_edge - r)
+            r = r + w * (t_edge - r)
+            if ext_val is not None:
+                vin = jnp.maximum(-vel_edge if outflow_positive
+                                  else vel_edge, 0.0)
+                w_in = jnp.clip(vin * dt / len_in, 0.0, 1.0)
+                r = r + w_in * (ext_val - r)
+            return r
 
         new = {}
         for name, r in reservoirs.items():
@@ -339,16 +349,18 @@ class OpenBoundaries:
             nr = dict(r)
             if "W" in nr:      # outflow is westward: u < 0
                 nr["W"] = upd(nr["W"], t[..., :, H], u[..., :, H - 1],
-                              False)
+                              False, ext.get("W", {}).get(name))
             if "E" in nr:      # outflow is eastward: u > 0
                 nr["E"] = upd(nr["E"], t[..., :, H + ni - 1],
-                              u[..., :, H + ni - 1], True)
+                              u[..., :, H + ni - 1], True,
+                              ext.get("E", {}).get(name))
             if "S" in nr:
                 nr["S"] = upd(nr["S"], t[..., H, :], v[..., H - 1, :],
-                              False)
+                              False, ext.get("S", {}).get(name))
             if "N" in nr:
                 nr["N"] = upd(nr["N"], t[..., H + nj - 1, :],
-                              v[..., H + nj - 1, :], True)
+                              v[..., H + nj - 1, :], True,
+                              ext.get("N", {}).get(name))
             new[name] = nr
         return new
 

@@ -56,8 +56,11 @@ def mixed_layer_restrat(cfg: MLRestratCfg, grid: Grid,
     frac_in = jnp.clip((hml[None] - z_int[:-1]) / (h + _EPS), 0.0, 1.0)
     w = frac_in * h
     if T is not None and eos is not None:
-        rho = eos.density(T, S, rho0 * g_acc * 0.5 * (z_int[:-1]
-                                                      + z_int[1:]))
+        # surface-referenced POTENTIAL density: the buoyancy gradient
+        # must not see compressibility, else columns with different
+        # mixed-layer depths acquire enormous fake fronts (the
+        # reference uses EOS with the surface pressure here)
+        rho = eos.density(T, S, jnp.zeros_like(T))
     else:
         rho = jnp.broadcast_to(
             vgrid.Rlay.reshape((-1,) + (1,) * (h.ndim - 1)), h.shape)

@@ -2,12 +2,19 @@
 
 Re-design of /root/reference/src/parameterizations/vertical/
 MOM_diabatic_driver.F90:1122 diabatic_ALE:
-  set_diffusivity (background + shear + convection + double diffusion)
-  → KPP boundary-layer mixing → applyBoundaryFluxesInOut (surface
-  heat/salt forcing into the top layer) → implicit vertical diffusion
-  of T/S and tracers (tracer_vertdiff_Eulerian) → tracer column
-  physics.  (ePBL alternative, CVMix tidal, opacity/SW penetration and
-  ALE sponges are planned follow-ons.)
+  set_diffusivity (background + shear/kappa-shear + convection +
+  double diffusion + tidal)
+  → boundary-layer scheme (KPP or energetic PBL)
+  → applyBoundaryFluxesInOut (surface heat/salt/mass forcing with
+    opacity-profile shortwave penetration)
+  → geothermal bottom heating
+  → implicit vertical diffusion of T/S and tracers
+    (tracer_vertdiff_Eulerian)
+  → full convective adjustment / frazil
+  → tracer column physics (driven by the orchestrator).
+The layered (isopycnal-mode) path instead runs the bulk mixed layer,
+diffusive entrainment and surface-layer regularization
+(MOM_diabatic_driver.F90:1648 layered_diabatic).
 """
 
 from __future__ import annotations
@@ -22,13 +29,20 @@ from mom6_tpu.core.forcing import Fluxes, MechForcing
 from mom6_tpu.param.vertical.set_diffusivity import (DiffusivityCfg,
                                                      set_diffusivity)
 from mom6_tpu.param.vertical.kpp import KPPCfg, kpp_coefficients
+from mom6_tpu.param.vertical.energetic_pbl import EPBLCfg, energetic_pbl
+from mom6_tpu.param.vertical.opacity import OpacityCfg
+from mom6_tpu.param.vertical.geothermal import (GeothermalCfg,
+                                                geothermal_heating)
+from mom6_tpu.param.vertical.full_convection import (FullConvectionCfg,
+                                                     full_convection)
 from mom6_tpu.param.vertical.bulk_mixed_layer import (BulkMixedLayerCfg,
                                                       bulk_mixed_layer)
 from mom6_tpu.param.vertical.entrain_diffusive import (
     EntrainDiffusiveCfg, entrainment_diffusive)
 from mom6_tpu.param.vertical.regularize_layers import (
     RegularizeLayersCfg, regularize_layers)
-from mom6_tpu.param.vertical.diabatic_aux import FrazilCfg, make_frazil
+from mom6_tpu.param.vertical.diabatic_aux import (FrazilCfg, make_frazil,
+                                                  apply_boundary_fluxes)
 from mom6_tpu.tracer.vertdiff import tracer_vertdiff
 from mom6_tpu.parallel.stencil import ip1, jp1
 
@@ -42,9 +56,17 @@ class DiabaticCfg:
     diffusivity: DiffusivityCfg = DiffusivityCfg()
     use_kpp: bool = False          # USE_KPP
     kpp: KPPCfg = KPPCfg()
+    use_epbl: bool = False         # ENERGETICS_SFC_PBL
+    epbl: EPBLCfg = EPBLCfg()
     rho0: float = 1035.0
-    pen_sw_frac: float = 0.42   # non-penetrating SW fraction absorbed
-                                # in the top layer (opacity is planned)
+    # shortwave penetration (PEN_SW_NBANDS > 0 → opacity profile)
+    use_opacity: bool = False
+    opacity: OpacityCfg = OpacityCfg()
+    pen_sw_frac: float = 0.42   # top-layer absorbed fraction fallback
+    use_geothermal: bool = False   # GEOTHERMAL_FLUX > 0
+    geothermal: GeothermalCfg = GeothermalCfg()
+    use_full_conv: bool = False    # full convective adjustment
+    full_conv: FullConvectionCfg = FullConvectionCfg()
     # layered (isopycnal-mode) column physics,
     # MOM_diabatic_driver.F90:1648 layered_diabatic
     use_bml: bool = False          # BULKMIXEDLAYER
@@ -57,15 +79,48 @@ class DiabaticCfg:
     frazil: FrazilCfg = FrazilCfg()
 
 
+def _surface_buoyancy_flux(fluxes, T, S, eos, rho0, g):
+    """Destabilizing-positive surface buoyancy flux [m2 s-3] from the
+    net heat and salt fluxes (buoyancy_forcing of
+    MOM_forcing_type.F90): B = (g/ρ0)(∂ρ/∂T·F_T + ∂ρ/∂S·F_S) with
+    F_T = Q/(ρ0 Cp) [K m s-1], F_S the equivalent salt flux."""
+    zero = jnp.zeros_like(T[0])
+    heat = zero
+    for f in (fluxes.sw, fluxes.lw, fluxes.latent, fluxes.sensible):
+        if f is not None:
+            heat = heat + f
+    f_t = heat / (rho0 * _CP)
+    f_s = zero
+    if fluxes.salt_flux is not None:
+        f_s = f_s + fluxes.salt_flux * (1000.0 / rho0)
+    # freshwater dilution is a negative equivalent salt flux
+    massin = zero
+    for f in (fluxes.lprec, fluxes.fprec):
+        if f is not None:
+            massin = massin + f
+    if fluxes.evap is not None:
+        massin = massin - fluxes.evap
+    f_s = f_s - S[0] * massin / rho0
+    drdt, drds = eos.density_derivs(T[0], S[0], zero)
+    # warming (f_t>0) with dρ/dT<0 → stabilizing (negative)
+    return (g / rho0) * (drdt * f_t + drds * f_s)
+
+
 def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
              cfg: DiabaticCfg, tracers: dict | None = None,
              vgrid=None, eos=None, forces: MechForcing | None = None,
              grid=None):
     """Apply surface fluxes + implicit vertical mixing to T/S/tracers.
 
-    Returns (new_state, new_tracers, kd_int)."""
+    Returns (new_state, new_tracers, dia) where ``dia`` is a dict of
+    column diagnostics: ``kd_int`` (the assembled interface
+    diffusivity), ``mld`` (boundary-layer / mixed-layer depth [m]
+    when KPP or ePBL ran) and, with FRAZIL=True, ``frazil`` — the
+    column heat deficit [J m-2] the ice model must extract as
+    frazil-ice formation."""
     h = state.h
     T, S = state.T, state.S
+    g = vgrid.g_Earth if vgrid is not None else 9.8
     dres = set_diffusivity(h, cfg.diffusivity, vgrid=vgrid,
                            u=state.u, v=state.v, T=T, S=S, eos=eos,
                            lat=grid.geoLatT if grid is not None else None)
@@ -81,41 +136,59 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
                       + jp1(forces.tauy if forces.tauy is not None
                             else 0.0 * forces.taux))) ** 2)
         ustar = jnp.sqrt(tau_h / cfg.rho0)
+    if fluxes is not None and T is not None and eos is not None:
+        buoy_flux = _surface_buoyancy_flux(fluxes, T, S, eos,
+                                           cfg.rho0, g)
 
+    mld = None
     if cfg.use_kpp and vgrid is not None:
         kpp = kpp_coefficients(cfg.kpp, state.u, state.v, h, T, S, eos,
                                cfg.rho0, vgrid.g_Earth, ustar=ustar,
                                buoy_flux=buoy_flux)
         kd_int = kd_int + kpp.kd_int
+        mld = kpp.bld
+    elif cfg.use_epbl and vgrid is not None:
+        ep = energetic_pbl(cfg.epbl, h, T, S, eos, cfg.rho0,
+                           vgrid.g_Earth, dt, ustar=ustar,
+                           buoy_flux=buoy_flux)
+        kd_int = kd_int + ep.kd_int
+        mld = ep.mld
 
-    sfc_T = None
-    sfc_S = None
+    # --- surface flux application (applyBoundaryFluxesInOut) ---
     if fluxes is not None and T is not None:
-        heat = jnp.zeros_like(h[0])
-        for f in (fluxes.sw, fluxes.lw, fluxes.latent, fluxes.sensible):
-            if f is not None:
-                heat = heat + f
-        sfc_T = heat / (cfg.rho0 * _CP)          # [degC m s-1]
-        if fluxes.salt_flux is not None:
-            sfc_S = fluxes.salt_flux * (1000.0 / cfg.rho0)
+        bf = apply_boundary_fluxes(
+            h, T, S, fluxes, dt, cfg.rho0, cp=_CP,
+            opacity_cfg=cfg.opacity if cfg.use_opacity else None,
+            pen_sw_frac=cfg.pen_sw_frac,
+            angstrom=vgrid.angstrom if vgrid is not None else 1e-10)
+        h, T, S = bf.h, bf.T, bf.S
 
+    # --- geothermal bottom heating (MOM_geothermal.F90) ---
+    if cfg.use_geothermal and T is not None:
+        T = geothermal_heating(cfg.geothermal, T, h, dt)
+
+    # --- implicit vertical diffusion of T/S and tracers ---
     if T is not None:
-        T = tracer_vertdiff(T, h, kd_int, dt, sfc_flux=sfc_T)
+        T = tracer_vertdiff(T, h, kd_int, dt)
         kd_S = kd_int if dres.kd_extra_S is None \
             else kd_int + dres.kd_extra_S
-        S = tracer_vertdiff(S, h, kd_S, dt, sfc_flux=sfc_S)
+        S = tracer_vertdiff(S, h, kd_S, dt)
 
     new_tracers = tracers
     if tracers is not None:
         new_tracers = {k: tracer_vertdiff(v, h, kd_int, dt)
                        for k, v in tracers.items()}
 
+    # --- full convective adjustment (MOM_full_convection.F90) ---
+    if cfg.use_full_conv and T is not None and eos is not None:
+        T, S = full_convection(cfg.full_conv, T, S, h, eos)
+
     # frazil formation: clamp sub-freezing water back to the freezing
-    # point (make_frazil, MOM_diabatic_aux.F90:95); the heat deficit
-    # is an ice-model flux — routing it to the coupler cap is a
-    # planned refinement
+    # point (make_frazil, MOM_diabatic_aux.F90:95); the column heat
+    # deficit is returned to the caller as the frazil ice-model flux
+    frazil = None
     if cfg.do_frazil and T is not None:
-        T, _frazil = make_frazil(cfg.frazil, h, T, S)
+        T, frazil = make_frazil(cfg.frazil, h, T, S)
 
     # --- layered (isopycnal-mode) physics: thicknesses evolve ---
     if cfg.use_bml and T is not None and eos is not None:
@@ -142,4 +215,9 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
             S = trs.pop("_S", S)
             new_tracers = trs if new_tracers else new_tracers
 
-    return state.replace(h=h, T=T, S=S), new_tracers, kd_int
+    dia = {"kd_int": kd_int}
+    if mld is not None:
+        dia["mld"] = mld
+    if frazil is not None:
+        dia["frazil"] = frazil
+    return state.replace(h=h, T=T, S=S), new_tracers, dia

@@ -1,24 +1,30 @@
-"""Diabatic auxiliaries: frazil ice formation and u,v at h points.
+"""Diabatic auxiliaries: surface-flux application, frazil, u,v at h.
 
 Re-design of /root/reference/src/parameterizations/vertical/
-MOM_diabatic_aux.F90: `make_frazil` (:95) clamps water below the
-(pressure- and salinity-dependent) freezing point back to it and
-accumulates the required heat as frazil [J m-2] for the ice model;
-`find_uv_at_h` (:305) averages the staggered velocities to thickness
-points with face-thickness weights.
+MOM_diabatic_aux.F90: `applyBoundaryFluxesInOut` (:1097) deposits the
+surface heat / salt / freshwater-mass fluxes into the upper ocean
+(with penetrating shortwave distributed by the opacity profile),
+`make_frazil` (:95) clamps water below the (pressure- and
+salinity-dependent) freezing point back to it and accumulates the
+required heat as frazil [J m-2] for the ice model; `find_uv_at_h`
+(:305) averages the staggered velocities to thickness points with
+face-thickness weights.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
 from mom6_tpu.parallel.stencil import im1, jm1, ip1, jp1
 
-__all__ = ["FrazilCfg", "make_frazil", "find_uv_at_h"]
+__all__ = ["FrazilCfg", "make_frazil", "find_uv_at_h",
+           "apply_boundary_fluxes", "BoundaryFluxResult"]
 
 _H_NEGLECT = 1e-30
+_CP = 3991.86795711963      # J kg-1 K-1 (reference C_P default)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +54,92 @@ def make_frazil(cfg: FrazilCfg, h, T, S):
     deficit = jnp.maximum(tf - T, 0.0)
     frazil = cfg.rho0 * cfg.cp * jnp.sum(deficit * h, axis=0)
     return T + deficit, frazil
+
+
+class BoundaryFluxResult(NamedTuple):
+    h: jnp.ndarray
+    T: jnp.ndarray
+    S: jnp.ndarray
+    net_heat: jnp.ndarray       # surface heat into the ocean [W m-2]
+    net_salt: jnp.ndarray       # salt flux [ppt m s-1 equivalent]
+    net_massin: jnp.ndarray     # freshwater mass in [kg m-2 s-1]
+
+
+def apply_boundary_fluxes(h, T, S, fluxes, dt, rho0: float,
+                          cp: float = _CP, opacity_cfg=None,
+                          pen_sw_frac: float = 0.42,
+                          angstrom: float = 1e-10):
+    """Deposit surface fluxes into the upper ocean over dt.
+
+    The explicit counterpart of applyBoundaryFluxesInOut
+    (MOM_diabatic_aux.F90:1097):
+
+    * non-penetrative heat (LW + latent + sensible + the
+      non-penetrating shortwave fraction) warms the top layer;
+    * penetrative shortwave is distributed over layers with the
+      opacity-band flux convergence (MOM_opacity.F90) when an
+      ``opacity_cfg`` is given, else absorbed in the top layer;
+    * freshwater mass (lprec + fprec − evap) enters/leaves the top
+      layer, diluting/concentrating its salinity (precip carries no
+      salt and enters at the SST, so T is unchanged);
+    * explicit salt flux (e.g. brine rejection) salts the top layer.
+
+    Returns BoundaryFluxResult; h/T/S are only modified in the top
+    layer except for penetrative shortwave.
+    """
+    zero = jnp.zeros_like(h[0])
+    if fluxes is None:
+        return BoundaryFluxResult(h, T, S, zero, zero, zero)
+
+    heat_nonpen = zero
+    for f in (fluxes.lw, fluxes.latent, fluxes.sensible):
+        if f is not None:
+            heat_nonpen = heat_nonpen + f
+    net_heat = heat_nonpen
+    sw = fluxes.sw
+    if sw is not None:
+        net_heat = net_heat + sw
+
+    # shortwave: split into a non-penetrating top-layer part and a
+    # penetrating profile.
+    if sw is not None and opacity_cfg is not None:
+        from mom6_tpu.param.vertical.opacity import sw_absorption_profile
+        heating, sw_bottom = sw_absorption_profile(opacity_cfg, h, sw)
+        # unabsorbed shortwave reaching the bottom goes into the
+        # deepest layer (the reference adds it to the bottom layer
+        # rather than losing it through the sea floor)
+        heating = heating.at[-1].add(sw_bottom)
+        T = T + heating * (dt / (rho0 * cp)) / jnp.maximum(h, _H_NEGLECT)
+    elif sw is not None:
+        # no opacity profile: the whole shortwave is absorbed in the
+        # top layer together with the non-penetrative components
+        heat_nonpen = heat_nonpen + sw
+
+    # freshwater mass flux into the top layer [kg m-2 s-1]
+    massin = zero
+    for f in (fluxes.lprec, fluxes.fprec):
+        if f is not None:
+            massin = massin + f
+    if fluxes.evap is not None:
+        massin = massin - fluxes.evap
+    dh = massin * dt / rho0                       # [m]
+    h0_old = h[0]
+    h0_new = jnp.maximum(h0_old + dh, angstrom)
+    if S is not None:
+        # salt content conserved under freshwater addition/removal
+        S = S.at[0].set(S[0] * h0_old / jnp.maximum(h0_new, _H_NEGLECT))
+    h = h.at[0].set(h0_new)
+
+    # non-penetrative heat into the top layer
+    net_salt = zero
+    if T is not None:
+        T = T.at[0].add(heat_nonpen * dt / (rho0 * cp)
+                        / jnp.maximum(h[0], _H_NEGLECT))
+    if S is not None and fluxes.salt_flux is not None:
+        net_salt = fluxes.salt_flux * (1000.0 / rho0)   # [ppt m s-1]
+        S = S.at[0].add(net_salt * dt / jnp.maximum(h[0], _H_NEGLECT))
+
+    return BoundaryFluxResult(h, T, S, net_heat, net_salt, massin)
 
 
 def find_uv_at_h(u, v, h):

@@ -53,9 +53,10 @@ def energetic_pbl(cfg: EPBLCfg, h, T, S, eos, rho0, g, dt,
     z_int = jnp.concatenate([jnp.zeros_like(h[:1]),
                              jnp.cumsum(h, axis=0)], axis=0)
     z_mid = 0.5 * (z_int[:-1] + z_int[1:])
-    p_mid = rho0 * g * z_mid
+    # surface-referenced potential density: the PE cost of mixing
+    # must not include compressibility
     if T is not None and eos is not None:
-        rho = eos.density(T, S, p_mid)
+        rho = eos.density(T, S, jnp.zeros_like(T))
     else:
         rho = jnp.full_like(h, rho0)
 

@@ -65,10 +65,10 @@ def kpp_coefficients(cfg: KPPCfg, u, v, h, T, S, eos, rho0, g,
                              jnp.cumsum(h, axis=0)], axis=0)
     z_mid = 0.5 * (z_int[:-1] + z_int[1:])
 
-    # buoyancy at layer centers
-    p_mid = rho0 * g * z_mid
+    # buoyancy at layer centers from surface-referenced potential
+    # density (the bulk Ri must not see compressibility)
     if T is not None and eos is not None:
-        rho = eos.density(T, S, p_mid)
+        rho = eos.density(T, S, jnp.zeros_like(T))
     else:
         rho = jnp.broadcast_to(jnp.zeros_like(h[0])[None], h.shape) + rho0
     buoy = -g * (rho - rho0) / rho0           # larger = lighter

@@ -115,16 +115,22 @@ def _sweep_y(grid: Grid, tracers, hvol, vhtr_rem, dt_frac_cfg):
     return new_tracers, hvol_new, vhtr_rem - move * grid.mask2dCv
 
 
-def advect_tracers(domain, grid: Grid, tracers: dict, h_prev, uhtr, vhtr,
+def advect_tracers(domain, grid: Grid, tracers: dict, h_end, uhtr, vhtr,
                    cfg: TracerAdvectCfg = TracerAdvectCfg(),
                    x_first: bool = True):
     """Advect ``tracers`` by accumulated transports.
 
-    h_prev: thickness BEFORE the dynamics accumulated uhtr/vhtr [m];
+    h_end: thickness AFTER the dynamics accumulated uhtr/vhtr [m];
     uhtr/vhtr: time-integrated mass transports [m3] through faces.
-    Returns (new_tracers, h_end) where h_end = h_prev - div(transports).
+    The pre-transport thickness is reconstructed internally as
+    hprev = h_end + div(transports)/areaT, which stays exactly
+    consistent with the transports for any accumulation interval
+    (the reference builds hprev the same way,
+    MOM_tracer_advect.F90:165).  Returns (new_tracers, h_out) with
+    h_out == h_end once all transports are swept.
     """
-    hvol = h_prev * grid.areaT
+    hvol = (h_end * grid.areaT + (uhtr - im1(uhtr))
+            + (vhtr - jm1(vhtr)))
     uh_rem = uhtr
     vh_rem = vhtr
     ts = dict(tracers)

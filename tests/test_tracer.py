@@ -41,8 +41,13 @@ def test_tracer_conservation():
     T = d.fill_halos(d.pad(jnp.asarray(
         10.0 + rng.standard_normal((2, 8, 32)))))
     ts, h_end = advect_tracers(d, g, {"T": T}, h, uhtr, vhtr)
+    # advect_tracers takes the POST-transport thickness and
+    # reconstructs hprev = h + div(transports)/areaT internally;
+    # conservation relates content on hprev to content on h_out
+    from mom6_tpu.parallel.stencil import im1, jm1
+    hvol_prev = h * g.areaT + (uhtr - im1(uhtr)) + (vhtr - jm1(vhtr))
     area = d.interior(g.areaT)
-    tot0 = float(jnp.sum(d.interior(T * h) * area))
+    tot0 = float(jnp.sum(d.interior(T * hvol_prev)))
     tot1 = float(jnp.sum(d.interior(ts["T"] * h_end) * area))
     assert abs(tot1 - tot0) / abs(tot0) < 1e-12
 

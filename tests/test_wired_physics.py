@@ -1,0 +1,274 @@
+"""Full-model tests for the round-2 physics wiring.
+
+Verifies that the column/lateral parameterizations are reachable from
+MOM_input flags through step_ocean (the reference's diabatic_ALE /
+step_MOM_tracer_dyn call chains) and that the forcing plumbing carries
+surface buoyancy fluxes into the ocean:
+
+* BUOY_CONFIG fluxes change the heat content by exactly the applied
+  flux (applyBoundaryFluxesInOut analog);
+* uniform salinity stays uniform under dynamics + GM + MLE + DT_THERM
+  transport accumulation (hprev-consistency of tracer advection);
+* USE_MEKE grows eddy energy from the GM release in a front;
+* mixed_layer_restrat reduces the surface density gradient without
+  changing column mass;
+* kappa-shear / tidal contributions assemble into set_diffusivity;
+* ePBL runs from ENERGETICS_SFC_PBL = True.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mom6_tpu.framework.config import ParamFile
+from mom6_tpu.model import build_model
+
+_CP = 3991.86795711963
+
+BASE = """
+NIGLOBAL = 16
+NJGLOBAL = 16
+NK = 4
+DT = 600.0
+DAYMAX = 0.01
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 160.0
+LENLAT = 160.0
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 1000.0
+F_0 = 1.0e-4
+REENTRANT_X = True
+TS_CONFIG = linear
+T_RANGE = 8.0
+S_RANGE = 0.0
+EQN_OF_STATE = LINEAR
+"""
+
+
+def _model(extra=""):
+    return build_model(ParamFile(text=BASE + extra))
+
+
+def _run(m, n):
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    for k in range(n):
+        s, a, tr = step(s, a, tr, n=k)
+    return s, a, tr
+
+
+def _heat_content(m, s):
+    d = m.domain
+    a = d.interior(m.grid.areaT)
+    rho0 = m.vgrid.Rho0
+    return float(jnp.sum(d.interior(s.T * s.h) * a) * rho0 * _CP)
+
+
+def test_const_heat_flux_warms_by_exact_amount():
+    m = _model("BUOY_CONFIG = const_heat\n"
+               "SENSIBLE_HEAT_FLUX = 200.0\n")
+    assert m.fluxes_fn is not None
+    h0 = _heat_content(m, m.state)
+    n = 4
+    s, _, _ = _run(m, n)
+    h1 = _heat_content(m, s)
+    area = float(jnp.sum(m.domain.interior(
+        m.grid.areaT * m.grid.mask2dT)))
+    expected = 200.0 * area * n * m.dt
+    assert abs((h1 - h0) - expected) / expected < 1e-9
+
+
+def test_restoring_pulls_sst_toward_target():
+    m = _model("BUOY_CONFIG = linear_restoring\n"
+               "RESTOREBUOY = True\n"
+               "FLUXCONST = 10.0\n"
+               "SST_NORTH = 20.0\nSST_SOUTH = 20.0\n"
+               "#override T_RANGE = 0.0\nT_REF = 10.0\n")
+    s, _, _ = _run(m, 4)
+    d = m.domain
+    sst = float(jnp.mean(d.interior(s.T[0])))
+    assert sst > 10.0 + 1e-4          # warmed toward the 20 °C target
+    assert sst < 20.0
+
+
+def test_uniform_salinity_survives_gm_mle_dt_therm():
+    # fronts drive GM + MLE mass transports while DT_THERM accumulates
+    # them over 3 dynamics steps; a uniform tracer must stay uniform
+    # through the reconstruction-consistent advection
+    m = _model("DT_THERM = 1800.0\n"
+               "KHTH = 300.0\n"
+               "MIXEDLAYER_RESTRAT = True\n"
+               "ADIABATIC = True\n"
+               "WIND_CONFIG = gyres\n")
+    s, _, _ = _run(m, 6)
+    d = m.domain
+    S_int = np.asarray(d.interior(s.S))
+    np.testing.assert_allclose(S_int, 35.0, rtol=0, atol=1e-11)
+    assert np.all(np.isfinite(np.asarray(d.interior(s.h))))
+
+
+def test_meke_grows_from_gm_release():
+    # bowl topography gives sloping interfaces at the rim, so KHTH
+    # releases potential energy that must source the MEKE budget
+    m = _model("KHTH = 500.0\nUSE_MEKE = True\n"
+               "MEKE_GMCOEFF = 1.0\nMEKE_INIT = 1.0e-8\n"
+               "ADIABATIC = True\n"
+               "#override TOPO_CONFIG = bowl\n"
+               "MINIMUM_DEPTH = 100.0\n")
+    assert m.state.meke is not None
+    s, _, _ = _run(m, 5)
+    e = float(jnp.max(m.domain.interior(s.meke)))
+    assert np.isfinite(e)
+    assert e > 1.0e-8                 # grew above its seed
+
+
+def test_mle_restrat_module_conserves_and_restratifies():
+    from mom6_tpu.param.lateral.mixed_layer_restrat import (
+        MLRestratCfg, mixed_layer_restrat)
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    from mom6_tpu.core.vertical_grid import VerticalGrid
+    from mom6_tpu.eos import make_eos
+    d = Domain(ni=16, nj=16, halo=4, reentrant_x=True, reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=160.0, lenlat_km=160.0, f0=1e-4)
+    vg = VerticalGrid.uniform(nk=4)
+    eos = make_eos("LINEAR")
+    h = d.fill_halos(d.pad(jnp.full((4, 16, 16), 50.0)))
+    # meridional surface temperature front within the "mixed layer"
+    y = jnp.linspace(0.0, 1.0, 16).reshape(-1, 1)
+    T = d.fill_halos(d.pad(jnp.broadcast_to(
+        10.0 + 4.0 * y, (4, 16, 16))))
+    S = jnp.full_like(T, 35.0)
+    cfg = MLRestratCfg(fox_kemper_ml_restrat_coef=50.0)
+    res = mixed_layer_restrat(cfg, g, vg, h, 600.0, T=T, S=S, eos=eos,
+                              hml=jnp.full_like(h[0], 100.0))
+    col0 = np.asarray(d.interior(jnp.sum(h, axis=0)))
+    col1 = np.asarray(d.interior(jnp.sum(res.h, axis=0)))
+    np.testing.assert_allclose(col1, col0, rtol=1e-12)
+    # streamfunction form: per-column transport sums vanish
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(res.uhml, axis=0)), 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(res.vhml, axis=0)), 0.0, atol=1e-6)
+    assert float(jnp.max(jnp.abs(res.vhml))) > 0.0
+
+
+def test_kappa_shear_and_tidal_assemble():
+    from mom6_tpu.param.vertical.set_diffusivity import (
+        DiffusivityCfg, set_diffusivity)
+    from mom6_tpu.core.vertical_grid import VerticalGrid
+    from mom6_tpu.eos import make_eos
+    vg = VerticalGrid.uniform(nk=8)
+    eos = make_eos("LINEAR")
+    h = jnp.full((8, 4, 4), 200.0)
+    z = (jnp.cumsum(h, axis=0) - 0.5 * h)
+    # nearly unstratified (Ri < RINO_CRIT) with strong shear so the
+    # JHL kappa-shear balance is supercritical
+    T = 15.0 - 0.01 * z / 1600.0
+    S = jnp.full_like(T, 35.0)
+    u = 2.0 * (1.0 - z / 1600.0) * jnp.ones_like(h)
+    v = jnp.zeros_like(h)
+    base = dict(kd=1e-6)
+    r0 = set_diffusivity(h, DiffusivityCfg(**base), vgrid=vg,
+                         u=u, v=v, T=T, S=S, eos=eos)
+    r1 = set_diffusivity(h, DiffusivityCfg(use_kappa_shear=True,
+                                           **base), vgrid=vg,
+                         u=u, v=v, T=T, S=S, eos=eos)
+    r2 = set_diffusivity(h, DiffusivityCfg(use_tidal=True,
+                                           tidal_energy_flux=0.01,
+                                           **base), vgrid=vg,
+                         u=u, v=v, T=T, S=S, eos=eos)
+    assert float(jnp.max(r1.kd_int - r0.kd_int)) > 0.0
+    dk = np.asarray((r2.kd_int - r0.kd_int)[1:-1, 2, 2])
+    assert dk.max() > 0.0
+    # bottom-intensified: deepest interior interface gets the most
+    assert dk[-1] == pytest.approx(dk.max())
+    assert np.all(np.asarray(r1.kd_int) >= 0.0)
+
+
+def test_epbl_runs_from_flag():
+    m = _model("ENERGETICS_SFC_PBL = True\n"
+               "WIND_CONFIG = gyres\nKD = 1e-5\n"
+               "BUOY_CONFIG = const_heat\n"
+               "SENSIBLE_HEAT_FLUX = -200.0\n")
+    assert m.ocean_cfg.diabatic.use_epbl
+    s, _, _ = _run(m, 3)
+    assert np.all(np.isfinite(np.asarray(m.domain.interior(s.T))))
+
+
+def test_geothermal_heats_bottom_layer_in_model():
+    m = _model("GEOTHERMAL_FLUX = 0.5\n#override T_RANGE = 0.0\n")
+    h0 = _heat_content(m, m.state)
+    n = 3
+    s, _, _ = _run(m, n)
+    h1 = _heat_content(m, s)
+    area = float(jnp.sum(m.domain.interior(
+        m.grid.areaT * m.grid.mask2dT)))
+    expected = 0.5 * area * n * m.dt
+    # heat-content totals are ~1e21 J; differencing leaves ~1e7 J of
+    # float64 cancellation noise against the ~1e13 J expected signal
+    assert abs((h1 - h0) - expected) / expected < 1e-5
+    # heating enters at depth, not the surface
+    dT = np.asarray(m.domain.interior(s.T - m.state.T))
+    assert dT[-1].mean() > 10.0 * abs(dT[0].mean())
+
+
+def test_khtr_hordiff_wired_and_conservative():
+    m = _model("KHTR = 800.0\nADIABATIC = True\n"
+               "USE_REGIONAL_DYES = True\n")
+    d = m.domain
+    # sharp blob so lateral diffusion has a gradient to act on
+    blob = np.zeros((m.vgrid.nk, d.njh, d.nih))
+    H = d.halo
+    blob[:, H + 6:H + 10, H + 6:H + 10] = 1.0
+    tr_in = {"dye1": d.fill_halos(jnp.asarray(blob))}
+    a = d.interior(m.grid.areaT)
+    tot0 = float(jnp.sum(d.interior(tr_in["dye1"] * m.state.h) * a))
+    var0 = float(jnp.var(d.interior(tr_in["dye1"])))
+    step = m.step_fn()
+    s, aa, tr = m.state, m.split_state, tr_in
+    for k in range(4):
+        s, aa, tr = step(s, aa, tr, n=k)
+    tot1 = float(jnp.sum(d.interior(tr["dye1"] * s.h) * a))
+    assert abs(tot1 - tot0) / max(abs(tot0), 1e-30) < 1e-9
+    assert float(jnp.var(d.interior(tr["dye1"]))) < var0
+
+
+def test_opacity_profile_sums_to_surface_flux():
+    from mom6_tpu.param.vertical.opacity import (OpacityCfg,
+                                                 sw_absorption_profile)
+    h = jnp.full((6, 3, 3), 20.0)
+    sw = jnp.full((3, 3), 300.0)
+    heat, bottom = sw_absorption_profile(OpacityCfg(water_type="IB"),
+                                         h, sw)
+    total = np.asarray(jnp.sum(heat, axis=0) + bottom)
+    np.testing.assert_allclose(total, 300.0, rtol=1e-10)
+    hn = np.asarray(heat[:, 1, 1])
+    assert np.all(hn[:-1] >= hn[1:] - 1e-12)   # monotone decay
+
+
+def test_apply_boundary_fluxes_mass_and_salt():
+    from mom6_tpu.param.vertical.diabatic_aux import \
+        apply_boundary_fluxes
+    from mom6_tpu.core.forcing import Fluxes
+    h = jnp.full((3, 2, 2), 10.0)
+    T = jnp.full((3, 2, 2), 10.0)
+    S = jnp.full((3, 2, 2), 35.0)
+    rho0 = 1035.0
+    # evaporation removes freshwater: h shrinks, salt content constant
+    fl = Fluxes(evap=jnp.full((2, 2), 1.0e-3))
+    bf = apply_boundary_fluxes(h, T, S, fl, dt=3600.0, rho0=rho0)
+    dh = 1.0e-3 * 3600.0 / rho0
+    np.testing.assert_allclose(np.asarray(bf.h[0]), 10.0 - dh,
+                               rtol=1e-12)
+    salt0 = 35.0 * 10.0
+    salt1 = float(bf.S[0, 0, 0]) * float(bf.h[0, 0, 0])
+    np.testing.assert_allclose(salt1, salt0, rtol=1e-12)
+    # heating warms only the top layer by Q dt/(rho cp h)
+    fl2 = Fluxes(sensible=jnp.full((2, 2), 100.0))
+    bf2 = apply_boundary_fluxes(h, T, S, fl2, dt=3600.0, rho0=rho0)
+    np.testing.assert_allclose(
+        np.asarray(bf2.T[0]),
+        10.0 + 100.0 * 3600.0 / (rho0 * _CP * 10.0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(bf2.T[1:]), 10.0)
