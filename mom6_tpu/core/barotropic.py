@@ -17,12 +17,23 @@ Key couplings reproduced:
   depth-weighted Sadourny-energy averaging (:1439-1487);
 * pressure anomaly ``gtot*(eta_PF_BT − eta_PF)`` (:2054);
 * per-substep viscous decay ``bt_rem = av_rem**(1/nstep)``;
-* transports from linearized face areas ``Datu*ubt`` (the nonlinear
-  BT_cont face-area curves are a planned refinement).
+* transports from the nonlinear BT_cont face-area curves fitted by
+  the layered continuity solver (find_uhbt :3683, with the residual
+  ``uhbt0`` anchoring the curve to the layered transports :1211),
+  falling back to linearized ``Datu*ubt`` without a BT_cont;
+* the ``eta_cor`` mass-source correction reconciling the barotropic
+  eta with the layered Σh (bt_mass_source :4318, eta_src :1624);
+* linearly-ramped filter weights wt_vel/wt_eta with the reverse-
+  cumulative wt_trans/wt_accel (:1758-1810, DT_BT_FILTER), so the
+  returned eta is the filtered estimate and the mean transports are
+  exactly consistent with it.
 
-The substep loop is a ``lax.fori_loop`` with a width-1 halo exchange
-per substep (the reference's wide-halo communication-avoiding march,
-:782-786, is a planned optimization for multi-chip runs).
+The substep loop is a ``lax.fori_loop``; with
+``wide_halo_period == 1`` it exchanges a 3-ring halo every substep,
+and with larger periods it runs the reference's wide-halo
+communication-avoiding march (:782-786, :1842-1850): halos 3·period
+wide are exchanged once per ``period`` substeps while the valid
+region shrinks 3 rings per substep.
 """
 
 from __future__ import annotations
@@ -59,6 +70,12 @@ class BarotropicCfg:
     # :782-786, :1842-1850): exchange halos every ``wide_halo_period``
     # substeps using halos 3x that wide.  1 → exchange every substep.
     wide_halo_period: int = 1
+    # DT_BT_FILTER: averaging window for the final velocity/eta
+    # (negative → fraction of dt); 0 → no filter (the last substep's
+    # values are returned and transports average flat)
+    dt_bt_filter: float = -0.25
+    # USE_BT_CONT_TYPE: use the continuity-fitted face-area curves
+    use_bt_cont: bool = True
 
 
 class BTResult(NamedTuple):
@@ -101,6 +118,103 @@ def set_dtbt(domain: Domain, grid, vgrid, cfg: BarotropicCfg, dt: float,
     return nstep
 
 
+def _bt_curve_consts(fa_far_neg, fa_0_neg, fa_0_pos, fa_far_pos,
+                     u_neg, u_pos):
+    """Derived cubic-fit constants (set_local_BT_cont_types,
+    MOM_barotropic.F90): curvature crv so the cubic matches the linear
+    branch's value and slope at the transition velocity, and the
+    transport at the transition uh_turn = u_turn·(2·FA_0 + FA_far)/3."""
+    def one(fa0, fafar, ut):
+        ut2 = ut * ut
+        crv = jnp.where(ut2 > 0.0, (fafar - fa0)
+                        / jnp.where(ut2 > 0.0, 3.0 * ut2, 1.0), 0.0)
+        uh_turn = ut * ((2.0 * fa0 + fafar) / 3.0)
+        return crv, uh_turn
+    crv_neg, uh_neg = one(fa_0_neg, fa_far_neg, u_neg)
+    crv_pos, uh_pos = one(fa_0_pos, fa_far_pos, u_pos)
+    return crv_neg, uh_neg, crv_pos, uh_pos
+
+
+def find_uhbt(u, fa_far_neg, fa_0_neg, fa_0_pos, fa_far_pos,
+              u_neg, u_pos, crv_neg, uh_neg, crv_pos, uh_pos):
+    """Transport through a face for barotropic velocity u on the
+    fitted 3-segment curve (find_uhbt, MOM_barotropic.F90:3683) —
+    branch-free where-chain over the whole face array."""
+    lin_neg = (u - u_neg) * fa_far_neg + uh_neg
+    cub_neg = u * (fa_0_neg + crv_neg * u * u)
+    cub_pos = u * (fa_0_pos + crv_pos * u * u)
+    lin_pos = (u - u_pos) * fa_far_pos + uh_pos
+    return jnp.where(u < u_neg, lin_neg,
+                     jnp.where(u < 0.0, cub_neg,
+                               jnp.where(u <= u_pos, cub_pos, lin_pos)))
+
+
+def uhbt_to_ubt(uhbt, fa_far_neg, fa_0_neg, fa_0_pos, fa_far_pos,
+                u_neg, u_pos, crv_neg, uh_neg, crv_pos, uh_pos,
+                iters: int = 12):
+    """Invert the face-area curve: the velocity giving transport uhbt
+    (uhbt_to_ubt, MOM_barotropic.F90:3733).  The reference's
+    Newton-with-false-position becomes a fixed-count clipped Newton on
+    the cubic branches (the linear branches invert in closed form)."""
+    # closed-form linear branches
+    ub_lin_neg = u_neg + (uhbt - uh_neg) / jnp.where(
+        fa_far_neg > 0.0, fa_far_neg, 1.0)
+    ub_lin_pos = u_pos + (uhbt - uh_pos) / jnp.where(
+        fa_far_pos > 0.0, fa_far_pos, 1.0)
+    # cubic branch Newton, bracketed in [u_neg, 0] or [0, u_pos]
+    neg_side = uhbt < 0.0
+    fa0 = jnp.where(neg_side, fa_0_neg, fa_0_pos)
+    crv = jnp.where(neg_side, crv_neg, crv_pos)
+    turn = jnp.where(neg_side, u_neg, u_pos)
+    uh_t = jnp.where(neg_side, uh_neg, uh_pos)
+    safe = jnp.where(jnp.abs(uh_t) > 0.0, uh_t, 1.0)
+    ub = turn * jnp.clip(uhbt / safe, 0.0, 1.0)   # false-position seed
+    lo = jnp.minimum(turn, 0.0)
+    hi = jnp.maximum(turn, 0.0)
+    for _ in range(iters):
+        err = ub * (fa0 + crv * ub * ub) - uhbt
+        slope = fa0 + 3.0 * crv * ub * ub
+        ub = jnp.clip(ub - err / jnp.where(jnp.abs(slope) > 1e-30,
+                                           slope, 1e-30), lo, hi)
+    in_lin_neg = uhbt < uh_neg
+    in_lin_pos = uhbt > uh_pos
+    out = jnp.where(in_lin_neg, ub_lin_neg,
+                    jnp.where(in_lin_pos, ub_lin_pos, ub))
+    return jnp.where(uhbt == 0.0, 0.0, out)
+
+
+def _filter_weights(nstep: int, nfilt: int, total: int, dt_filt: float,
+                    dtbt: float):
+    """Host-side filter weights (MOM_barotropic.F90:1768-1810): a
+    linear ramp of half-width dt_filt centered on substep nstep for
+    wt_vel/wt_eta; wt_trans/wt_accel are their reverse cumulative
+    sums, making the mean transports exactly consistent with the
+    filtered eta.  All normalized; padded with zeros to ``total``."""
+    import numpy as np
+    N = nstep + nfilt
+    wt_vel = np.zeros(total)
+    for n in range(1, N + 1):
+        if (n == nstep) or (dt_filt - abs(n - nstep) * dtbt >= 0.0):
+            wt_vel[n - 1] = 1.0
+        elif dtbt + dt_filt - abs(n - nstep) * dtbt > 0.0:
+            wt_vel[n - 1] = 1.0 + (dt_filt / dtbt) - abs(n - nstep)
+    wt_eta = wt_vel.copy()
+    wt_trans = np.zeros(total)
+    wt_accel = np.zeros(total)
+    acc_t = acc_a = 0.0
+    for n in range(N, 0, -1):
+        acc_t += wt_eta[n - 1]
+        acc_a += wt_vel[n - 1]
+        wt_trans[n - 1] = acc_t
+        wt_accel[n - 1] = acc_a
+    wt_vel /= max(wt_vel.sum(), 1e-300)
+    wt_eta /= max(wt_eta.sum(), 1e-300)
+    wt_trans /= max(wt_trans.sum(), 1e-300)
+    wt_accel /= max(wt_accel.sum(), 1e-300)
+    return (jnp.asarray(wt_vel), jnp.asarray(wt_eta),
+            jnp.asarray(wt_trans), jnp.asarray(wt_accel))
+
+
 def _widen_domain(domain: Domain, hw: int) -> Domain:
     return dataclasses.replace(domain, halo=hw)
 
@@ -131,7 +245,9 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
            dt: float, cfg: BarotropicCfg,
            visc_rem_u=None, visc_rem_v=None,
            taux=None, tauy=None, eta_pf=None,
-           nstep: int | None = None, obc=None) -> BTResult:
+           nstep: int | None = None, obc=None,
+           bt_cont=None, eta_cor=None,
+           uhbt_in=None, vhbt_in=None) -> BTResult:
     """One barotropic solve over the baroclinic step dt.
 
     u_in/v_in: layer velocities whose BT part seeds ubt.
@@ -139,6 +255,12 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     values for the Coriolis anomaly.
     eta_pf: the eta already used in the 3D pressure force (its
     contribution is in bc_accel; the BT PG applies only anomalies).
+    bt_cont: BTContFaces face-area curves from set_up_bt_cont; when
+    given (and cfg.use_bt_cont) transports follow the nonlinear curve
+    anchored by the layered-transport residual uhbt0 = Σuh −
+    find_uhbt(ubt0), with uhbt_in/vhbt_in the layer-summed transports.
+    eta_cor: the Σh-vs-eta discrepancy (bt_mass_source) applied as a
+    per-substep free-surface source.
     """
     nz = h.shape[0]
     nstep = cfg.nstep if nstep is None else nstep
@@ -234,6 +356,37 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                   eta_pf=eta_pf, IdxCu=grid.IdxCu, IdyCv=grid.IdyCv,
                   IareaT=grid.IareaT)
 
+    # eta_cor mass source: reconcile the BT eta with the layered Σh
+    # over the step (bt_mass_source :4318); applied per substep
+    consts["eta_src"] = (grid.mask2dT * eta_cor / nstep) \
+        if eta_cor is not None else jnp.zeros_like(eta_in)
+
+    # BT_cont face-area curves: derived cubic constants plus the
+    # residual transports that anchor the curve to the layered flow
+    use_curve = cfg.use_bt_cont and bt_cont is not None
+    if use_curve:
+        bc = bt_cont
+        crv_E, uh_EE, crv_W, uh_WW = _bt_curve_consts(
+            bc.FA_u_EE, bc.FA_u_E0, bc.FA_u_W0, bc.FA_u_WW,
+            bc.uBT_EE, bc.uBT_WW)
+        crv_N, vh_NN, crv_S, vh_SS = _bt_curve_consts(
+            bc.FA_v_NN, bc.FA_v_N0, bc.FA_v_S0, bc.FA_v_SS,
+            bc.vBT_NN, bc.vBT_SS)
+        cu_args = (bc.FA_u_EE, bc.FA_u_E0, bc.FA_u_W0, bc.FA_u_WW,
+                   bc.uBT_EE, bc.uBT_WW, crv_E, uh_EE, crv_W, uh_WW)
+        cv_args = (bc.FA_v_NN, bc.FA_v_N0, bc.FA_v_S0, bc.FA_v_SS,
+                   bc.vBT_NN, bc.vBT_SS, crv_N, vh_NN, crv_S, vh_SS)
+        uhbt0 = -find_uhbt(ubt0, *cu_args)
+        vhbt0 = -find_uhbt(vbt0, *cv_args)
+        if uhbt_in is not None:
+            uhbt0 = uhbt0 + uhbt_in
+        if vhbt_in is not None:
+            vhbt0 = vhbt0 + vhbt_in
+        consts["cu"] = cu_args
+        consts["cv"] = cv_args
+        consts["uhbt0"] = uhbt0
+        consts["vhbt0"] = vhbt0
+
     # round substep count up to an even multiple of the exchange period
     period = max(1, int(cfg.wide_halo_period))
     if period > 1 and obc is not None:
@@ -242,10 +395,18 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     if period % 2:
         period = period + 1 if period > 1 else 1
     chunk = max(2, period)
-    nblocks = -(-nstep // chunk)
-    nstep = nblocks * chunk
     dtbt = dt / nstep
-    wt = 1.0 / nstep
+
+    # filter window (DT_BT_FILTER) adds nfilt substeps past dt
+    if cfg.dt_bt_filter >= 0.0:
+        dt_filt = 0.5 * max(0.0, min(cfg.dt_bt_filter, 2.0 * dt))
+    else:
+        dt_filt = 0.5 * max(0.0, dt * min(-cfg.dt_bt_filter, 2.0))
+    nfilt = int(math.ceil(dt_filt / dtbt - 1e-9))
+    nblocks = -(-(nstep + nfilt) // chunk)
+    total = nblocks * chunk
+    wt_vel_a, wt_eta_a, wt_trans_a, wt_accel_a = _filter_weights(
+        nstep, nfilt, total, dt_filt, dtbt)
 
     if period > 1:
         # communication-avoiding march: each exchange refreshes
@@ -279,10 +440,23 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     def div_c(uhbt, vhbt):
         return ((uhbt - im1(uhbt)) + (vhbt - jm1(vhbt))) * c["IareaT"]
 
-    def _one(eta, ubt, vbt, sums, u_first: bool, do_fill: bool):
-        uhbt = c["Datu"] * ubt
-        vhbt = c["Datv"] * vbt
-        eta_pred = eta - dtbt * div_c(uhbt, vhbt)
+    if use_curve:
+        def trans_u(ubt):
+            return find_uhbt(ubt, *c["cu"]) + c["uhbt0"]
+
+        def trans_v(vbt):
+            return find_uhbt(vbt, *c["cv"]) + c["vhbt0"]
+    else:
+        def trans_u(ubt):
+            return c["Datu"] * ubt
+
+        def trans_v(vbt):
+            return c["Datv"] * vbt
+
+    def _one(eta, ubt, vbt, sums, n, u_first: bool, do_fill: bool):
+        uhbt = trans_u(ubt)
+        vhbt = trans_v(vbt)
+        eta_pred = (eta + c["eta_src"]) - dtbt * div_c(uhbt, vhbt)
         eta_bt_pf = (1.0 - bebt) * eta + bebt * eta_pred
         d_eta = eta_bt_pf - c["eta_pf"]
 
@@ -312,9 +486,9 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             vbt2 = obc.apply_flather_v(vbt2, eta, c["DCor_v"],
                                        vgrid.g_Earth)
 
-        uhbt2 = c["Datu"] * ubt2
-        vhbt2 = c["Datv"] * vbt2
-        eta2 = eta - dtbt * div_c(uhbt2, vhbt2)
+        uhbt2 = trans_u(ubt2)
+        vhbt2 = trans_v(vbt2)
+        eta2 = (eta + c["eta_src"]) - dtbt * div_c(uhbt2, vhbt2)
 
         if do_fill:
             # each substep's validity chain consumes 3 rings
@@ -327,22 +501,30 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 vbt2 = obc.apply_flather_v(vbt2, eta2, c["DCor_v"],
                                            vgrid.g_Earth)
 
+        # ramped filter weights: transports/accelerations use the
+        # reverse-cumulative weights so the mean transport is exactly
+        # consistent with the filtered eta (:1758-1810)
+        w_v = wt_vel_a[n]
+        w_e = wt_eta_a[n]
+        w_t = wt_trans_a[n]
+        w_a = wt_accel_a[n]
         sums = dict(
-            uhbt=sums["uhbt"] + wt * uhbt2,
-            vhbt=sums["vhbt"] + wt * vhbt2,
-            eta=sums["eta"] + wt * eta2,
-            accel_u=sums["accel_u"] + wt * (cu + pf_u),
-            accel_v=sums["accel_v"] + wt * (cv + pf_v),
-            ubt=sums["ubt"] + wt * ubt2,
-            vbt=sums["vbt"] + wt * vbt2,
+            uhbt=sums["uhbt"] + w_t * uhbt2,
+            vhbt=sums["vhbt"] + w_t * vhbt2,
+            eta=sums["eta"] + w_e * eta2,
+            accel_u=sums["accel_u"] + w_a * (cu + pf_u),
+            accel_v=sums["accel_v"] + w_a * (cv + pf_v),
+            ubt=sums["ubt"] + w_v * ubt2,
+            vbt=sums["vbt"] + w_v * vbt2,
         )
         return eta2, ubt2, vbt2, sums
 
-    def block(n, carry):
+    def block(i, carry):
         eta, ubt, vbt, sums = carry
         for s in range(chunk):
             last = (s == chunk - 1) if period > 1 else True
             eta, ubt, vbt, sums = _one(eta, ubt, vbt, sums,
+                                       i * chunk + s,
                                        u_first=(s % 2 == 0),
                                        do_fill=last)
         return (eta, ubt, vbt, sums)
@@ -379,7 +561,10 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     accel_layer_u = accel_layer_u * grid.mask2dCu
     accel_layer_v = accel_layer_v * grid.mask2dCv
 
-    return BTResult(eta=eta_f, eta_av=sums["eta"],
+    # the returned eta is the filtered estimate (eta_out = eta_wtd,
+    # MOM_barotropic.F90:2523); with DT_BT_FILTER = 0 the weights
+    # collapse to the final substep and this is the raw final eta
+    return BTResult(eta=sums["eta"], eta_av=sums["eta"],
                     uhbtav=sums["uhbt"], vhbtav=sums["vhbt"],
                     accel_layer_u=accel_layer_u,
                     accel_layer_v=accel_layer_v,

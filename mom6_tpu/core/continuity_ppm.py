@@ -30,7 +30,8 @@ from mom6_tpu.parallel.stencil import ip1, im1, jp1, jm1
 
 __all__ = ["ContinuityCfg", "ContinuityResult", "continuity_ppm",
            "ppm_edges_x", "ppm_edges_y", "zonal_mass_flux",
-           "meridional_mass_flux", "continuity_stencil"]
+           "meridional_mass_flux", "continuity_stencil",
+           "BTContFaces", "set_up_bt_cont"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,7 +190,7 @@ def _flux_adjust(u, h, h_minus, h_plus, dt, flux_args, hbt, visc_rem,
 
     Fixed iteration count with CFL-bounded clipping in place of the
     reference's Newton-with-bisection loop — branchless and jit-safe.
-    """
+    Returns (flux, u_cor, du)."""
     du = jnp.zeros_like(hbt)
     du_lim = cfg.cfl_limit * dx_face / dt
     for _ in range(cfg.newton_iters):
@@ -203,7 +204,7 @@ def _flux_adjust(u, h, h_minus, h_plus, dt, flux_args, hbt, visc_rem,
     u_cor = u + visc_rem * du[None]
     flux, _ = _flux_1dir(u_cor, h, h_minus, h_plus, dt, *flux_args,
                          visc_rem=visc_rem)
-    return flux, u_cor
+    return flux, u_cor, du
 
 
 def zonal_mass_flux(grid: Grid, u, h, h_W, h_E, dt, cfg: ContinuityCfg,
@@ -218,8 +219,8 @@ def zonal_mass_flux(grid: Grid, u, h, h_W, h_E, dt, cfg: ContinuityCfg,
     uh, duhdu = _flux_1dir(u, h, h_W, h_E, dt, *args, visc_rem=vr)
     u_cor = None
     if uhbt is not None:
-        uh, u_cor = _flux_adjust(u, h, h_W, h_E, dt, args, uhbt, vr, cfg,
-                                 dx_face=grid.dxCu)
+        uh, u_cor, _ = _flux_adjust(u, h, h_W, h_E, dt, args, uhbt, vr,
+                                    cfg, dx_face=grid.dxCu)
     return uh, duhdu, u_cor
 
 
@@ -233,9 +234,124 @@ def meridional_mass_flux(grid: Grid, v, h, h_S, h_N, dt, cfg: ContinuityCfg,
     vh, dvhdv = _flux_1dir(v, h, h_S, h_N, dt, *args, visc_rem=vr)
     v_cor = None
     if vhbt is not None:
-        vh, v_cor = _flux_adjust(v, h, h_S, h_N, dt, args, vhbt, vr, cfg,
-                                 dx_face=grid.dyCv)
+        vh, v_cor, _ = _flux_adjust(v, h, h_S, h_N, dt, args, vhbt, vr,
+                                    cfg, dx_face=grid.dyCv)
     return vh, dvhdv, v_cor
+
+
+# ---------------------------------------------------------------------
+# BT_cont: effective face areas as a function of barotropic flow
+# ---------------------------------------------------------------------
+
+class BTContFaces(NamedTuple):
+    """Nonlinear barotropic face-area curves (BT_cont_type,
+    /root/reference/src/core/MOM_variables.F90:334): the total face
+    transport as a piecewise cubic/linear function of the barotropic
+    velocity, fitted from the layered continuity solver so the
+    barotropic subcycle's transports stay consistent with the layers.
+
+    Names follow the reference: for a u face, _W areas apply to
+    eastward (u>0) flow drawing from the west cell, _E to westward;
+    _0 are the marginal areas at the zero-transport point, _WW/_EE
+    the asymptotic areas at the CFL-limited test velocities
+    uBT_WW ≥ 0 / uBT_EE ≤ 0 where the curve turns linear."""
+    FA_u_EE: jnp.ndarray
+    FA_u_E0: jnp.ndarray
+    FA_u_W0: jnp.ndarray
+    FA_u_WW: jnp.ndarray
+    uBT_EE: jnp.ndarray
+    uBT_WW: jnp.ndarray
+    FA_v_NN: jnp.ndarray
+    FA_v_N0: jnp.ndarray
+    FA_v_S0: jnp.ndarray
+    FA_v_SS: jnp.ndarray
+    vBT_NN: jnp.ndarray
+    vBT_SS: jnp.ndarray
+
+
+def _bt_cont_1dir(u, h, h_minus, h_plus, dt, args, vr, cfg, dx_face):
+    """Fit one direction's face-area curve (set_zonal_BT_cont,
+    MOM_continuity_PPM.F90:1247): probe the layered flux function at
+    the zero-transport correction du0 and at CFL-limited corrections
+    that make every layer flow one way, then fit the 3-segment
+    marginal-area curve the barotropic solver evaluates."""
+    zero2 = jnp.zeros_like(u[0])
+    _, _, du0 = _flux_adjust(u, h, h_minus, h_plus, dt, args, zero2,
+                             vr, cfg, dx_face=dx_face)
+    du_max = cfg.cfl_limit * dx_face / dt
+    du_cfl = 1.0e-6 * dx_face / dt
+    vr_max = jnp.max(vr, axis=0)
+    vr_lim = jnp.maximum(vr, 0.1 * vr_max[None]) + 1e-30
+
+    # corrections that turn every layer eastward (duL) / westward (duR)
+    duL_req = jnp.max((du_cfl[None] * vr - u) / vr_lim, axis=0)
+    duL = jnp.clip(jnp.maximum(du0 + du_cfl, duL_req), 0.0, du_max)
+    duR_req = jnp.min(-(u + du_cfl[None] * vr) / vr_lim, axis=0)
+    duR = jnp.clip(jnp.minimum(du0 - du_cfl, duR_req), -du_max, 0.0)
+
+    def probe(du):
+        flux, dfdu = _flux_1dir(u + vr * du[None], h, h_minus, h_plus,
+                                dt, *args, visc_rem=vr)
+        return jnp.sum(flux, axis=0), jnp.sum(dfdu, axis=0)
+
+    _, fa_0 = probe(du0)
+    uh_l, fa_l = probe(duL)
+    uh_r, fa_r = probe(duR)
+
+    def fit(d_probe, uh_tot, fa_far):
+        """(FA_0_adj, FA_far, u_turn): cubic-to-linear transition fit
+        with the reference's secant-slope regularization."""
+        d_safe = jnp.where(d_probe != 0.0, d_probe, 1.0)
+        fa_avg = jnp.where(d_probe != 0.0, uh_tot / d_safe, fa_0)
+        hi = jnp.maximum(fa_0, fa_far)
+        lo = jnp.minimum(fa_0, fa_far)
+        fa0_adj = jnp.where(fa_avg < lo, fa_avg, fa_0)
+        fa_avg = jnp.clip(fa_avg, lo, hi)
+        denom = fa_far - fa0_adj
+        degen = jnp.abs(denom) <= 1e-12 * jnp.abs(fa0_adj)
+        u_turn = jnp.where(
+            degen, 0.0,
+            (1.5 * d_probe) * ((fa_far - fa_avg)
+                               / jnp.where(degen, 1.0, denom)))
+        return fa0_adj, u_turn
+
+    fa_w0, u_ww = fit(duL - du0, uh_l, fa_l)
+    fa_e0, u_ee = fit(duR - du0, uh_r, fa_r)
+    u_ww = jnp.maximum(u_ww, 0.0)
+    u_ee = jnp.minimum(u_ee, 0.0)
+    return fa_r, fa_e0, fa_w0, fa_l, u_ee, u_ww
+
+
+def set_up_bt_cont(grid: Grid, vgrid: VerticalGrid, u, v, h, dt,
+                   cfg: ContinuityCfg = ContinuityCfg(),
+                   visc_rem_u=None, visc_rem_v=None) -> BTContFaces:
+    """Build the BT_cont face-area curves for both directions from the
+    current state (set_up_BT_cont via continuity_PPM,
+    MOM_continuity_PPM.F90:757).  Needs ≥3 valid halo rings on u/v/h."""
+    hmin2 = 2.0 * vgrid.angstrom
+    vru = visc_rem_u if visc_rem_u is not None else jnp.ones_like(u)
+    vrv = visc_rem_v if visc_rem_v is not None else jnp.ones_like(v)
+
+    h_W, h_E = ppm_edges_x(grid, h, cfg, hmin2)
+    args_x = (grid.dyCu, grid.IdxT, ip1(grid.IdxT),
+              grid.IareaT, ip1(grid.IareaT), ip1,
+              cfg.vol_cfl, grid.mask2dCu)
+    fa_ee, fa_e0, fa_w0, fa_ww, u_ee, u_ww = _bt_cont_1dir(
+        u, h, h_W, h_E, dt, args_x, vru, cfg, grid.dxCu)
+
+    h_S, h_N = ppm_edges_y(grid, h, cfg, hmin2)
+    args_y = (grid.dxCv, grid.IdyT, jp1(grid.IdyT),
+              grid.IareaT, jp1(grid.IareaT), jp1,
+              cfg.vol_cfl, grid.mask2dCv)
+    # positional mapping mirrors x: far-negative side → NN (southward
+    # flow draws from the north cell), positive side → SS
+    fa_nn, fa_n0, fa_s0, fa_ss, v_nn, v_ss = _bt_cont_1dir(
+        v, h, h_S, h_N, dt, args_y, vrv, cfg, grid.dyCv)
+
+    return BTContFaces(FA_u_EE=fa_ee, FA_u_E0=fa_e0, FA_u_W0=fa_w0,
+                       FA_u_WW=fa_ww, uBT_EE=u_ee, uBT_WW=u_ww,
+                       FA_v_NN=fa_nn, FA_v_N0=fa_n0, FA_v_S0=fa_s0,
+                       FA_v_SS=fa_ss, vBT_NN=v_nn, vBT_SS=v_ss)
 
 
 # ---------------------------------------------------------------------

@@ -34,7 +34,8 @@ from mom6_tpu.core.state import State
 from mom6_tpu.core.vertical_grid import VerticalGrid
 from mom6_tpu.core.forcing import MechForcing
 from mom6_tpu.core.barotropic import BarotropicCfg, btstep
-from mom6_tpu.core.continuity_ppm import ContinuityCfg, continuity_ppm
+from mom6_tpu.core.continuity_ppm import (ContinuityCfg, continuity_ppm,
+                                          set_up_bt_cont)
 from mom6_tpu.core.coriolis_adv import CoriolisCfg, coriolis_adv
 from mom6_tpu.core.pressure_force import (PressureForceCfg, pressure_force,
                                           interface_heights)
@@ -80,6 +81,12 @@ class SplitDiags(NamedTuple):
     vhtr: jnp.ndarray
     truncs: jnp.ndarray
     eta_av: jnp.ndarray
+    # column frazil heat deficit [J m-2] from the diabatic phase (an
+    # ice-model flux; filled by the orchestrator when FRAZIL=True)
+    frazil: Optional[jnp.ndarray] = None
+    # boundary-layer / mixed-layer depth [m] from the diabatic phase
+    # (KPP BLD or ePBL MLD; consumed by mixed-layer restrat next step)
+    mld: Optional[jnp.ndarray] = None
 
 
 def init_split_state(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -123,10 +130,29 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     coefs = vertvisc_coef(grid, u_av, v_av, h, cfg=cfg.vertvisc)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
 
+    # eta mass-source correction: the discrepancy between the layered
+    # free surface Σh − D and the barotropic eta, fed back as a
+    # per-substep source (bt_mass_source, MOM_barotropic.F90:4318)
+    eta_cor = grid.mask2dT * ((jnp.sum(h, axis=0) - grid.bathyT)
+                              - eta)
+    # nonlinear BT_cont face-area curves from the layered continuity
+    # solver (set_up_BT_cont, MOM_continuity_PPM.F90:757), shared by
+    # both btstep calls of this step
+    bt_cont = None
+    uhbt_in = vhbt_in = None
+    if cfg.barotropic.use_bt_cont:
+        bt_cont = set_up_bt_cont(grid, vgrid, u, v, h, dt,
+                                 cfg.continuity, visc_rem_u,
+                                 visc_rem_v)
+        uhbt_in = jnp.sum(uh, axis=0)
+        vhbt_in = jnp.sum(vh, axis=0)
+
     bt = btstep(domain, grid, vgrid, u, v, eta, h,
                 u_bc_accel, v_bc_accel, pbce, u_av, v_av, dt,
                 cfg.barotropic, visc_rem_u, visc_rem_v,
-                forces.taux, forces.tauy, eta_pf=eta_pf, obc=obc)
+                forces.taux, forces.tauy, eta_pf=eta_pf, obc=obc,
+                bt_cont=bt_cont, eta_cor=eta_cor,
+                uhbt_in=uhbt_in, vhbt_in=vhbt_in)
 
     up = grid.mask2dCu * (u + dt_pred * (u_bc_accel + bt.accel_layer_u))
     vp = grid.mask2dCv * (v + dt_pred * (v_bc_accel + bt.accel_layer_v))
@@ -159,10 +185,16 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     u_bc_accel = (ca.CAu + pf.PFu) + dv.diffu
     v_bc_accel = (ca.CAv + pf.PFv) + dv.diffv
 
+    if cfg.barotropic.use_bt_cont:
+        # the corrector anchors the curves to the predictor transports
+        uhbt_in = jnp.sum(uh, axis=0)
+        vhbt_in = jnp.sum(vh, axis=0)
     bt = btstep(domain, grid, vgrid, u, v, eta, h,
                 u_bc_accel, v_bc_accel, pbce, u_av, v_av, dt,
                 cfg.barotropic, visc_rem_u, visc_rem_v,
-                forces.taux, forces.tauy, eta_pf=eta_pf, obc=obc)
+                forces.taux, forces.tauy, eta_pf=eta_pf, obc=obc,
+                bt_cont=bt_cont, eta_cor=eta_cor,
+                uhbt_in=uhbt_in, vhbt_in=vhbt_in)
     eta_new = bt.eta
 
     u_new = grid.mask2dCu * (u + dt * (u_bc_accel + bt.accel_layer_u))
