@@ -140,7 +140,12 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     # both btstep calls of this step
     bt_cont = None
     uhbt_in = vhbt_in = None
-    if cfg.barotropic.use_bt_cont:
+    # with OBC segments the curve's residual anchoring is inconsistent
+    # with the Flather-overridden boundary velocities (the reference
+    # routes OBC faces through a dedicated BT_OBC structure,
+    # MOM_barotropic.F90:3189 apply_velocity_OBCs); fall back to the
+    # linearized Datu·ubt transports there until BT_OBC lands
+    if cfg.barotropic.use_bt_cont and obc is None:
         bt_cont = set_up_bt_cont(grid, vgrid, u, v, h, dt,
                                  cfg.continuity, visc_rem_u,
                                  visc_rem_v)

@@ -37,6 +37,21 @@ class VerticalGrid:
     g_prime: jnp.ndarray = None
 
     @staticmethod
+    def from_rlay(rlay, g_Earth: float = 9.8, Rho0: float = 1035.0,
+                  g_fs: float | None = None, **kw) -> "VerticalGrid":
+        """Layer densities given directly (the COORD_CONFIG ts_range /
+        layer_ref / linear families, MOM_coord_initialization.F90):
+        g_prime(1) = g_fs (default g), g_prime(K) = g·ΔRlay/Rho0."""
+        rlay = np.asarray(rlay, dtype=np.float64)
+        nk = rlay.shape[0]
+        gp = np.zeros(nk + 1)
+        gp[0] = g_Earth if g_fs is None else g_fs
+        gp[1:nk] = (g_Earth / Rho0) * (rlay[1:] - rlay[:-1])
+        return VerticalGrid(nk=nk, g_Earth=g_Earth, Rho0=Rho0,
+                            Rlay=jnp.asarray(rlay),
+                            g_prime=jnp.asarray(gp), **kw)
+
+    @staticmethod
     def uniform(nk: int, g_Earth: float = 9.8, Rho0: float = 1035.0,
                 gint: float | None = None, light: float | None = None,
                 **kw) -> "VerticalGrid":

@@ -48,7 +48,10 @@ def main(argv=None):
 
     model = build_model(pf)
     pf.module("MOM_sum_output")
-    energysavedays = pf.get("ENERGYSAVEDAYS", float, 1.0, units="days")
+    # ENERGYSAVEDAYS counts TIMEUNIT seconds like DAYMAX
+    timeunit = pf.get("TIMEUNIT", float, 86400.0, units="s")
+    energysavedays = pf.get("ENERGYSAVEDAYS", float, 1.0,
+                            units="TIMEUNIT") * (timeunit / 86400.0)
     pf.module("MOM_restart")
     restint = pf.get("RESTINT", float, 0.0, units="days")
     unused = pf.close(fatal_unused=False)

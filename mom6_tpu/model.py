@@ -53,6 +53,91 @@ from mom6_tpu.obc.open_boundary import (build_open_boundaries,
 
 __all__ = ["Model", "build_model"]
 
+# Reference-config parameters accepted verbatim but without effect
+# (see the parity audit loop in build_model).  Sources: the tc0–tc4
+# configs under /root/reference/.testing and the modules cited:
+#   - iterative-solver tolerances/caps (ETA_TOLERANCE …): this build
+#     uses fixed-count branch-free Newton/Picard forms;
+#   - *_FILE names, MAXCPU/MAXTRUNC run guards, RESTART cadence: the
+#     solo driver owns IO/wallclock policy;
+#   - answer-date / bug-compatibility switches (USE_GM_WORK_BUG …):
+#     this build has a single (current) answer path;
+#   - scheme sub-options not yet differentiated (BT_THICK_SCHEME,
+#     VISBECK scalings, Stanley EOS coefficients, …).
+_PARITY_INERT = [
+    ("DO_UNIT_TESTS", bool, False), ("IO_LAYOUT", str, "1, 1"),
+    ("NJHALO", int, 4), ("THICKNESSDIFFUSE_FIRST", bool, False),
+    ("DTBT_RESET_PERIOD", float, 0.0),
+    ("SAVE_INITIAL_CONDS", bool, False),
+    ("IC_OUTPUT_FILE", str, ""), ("ISOTROPIC", bool, False),
+    ("USE_VISBECK", bool, False), ("RESOLN_SCALED_KH", bool, False),
+    ("RESOLN_SCALED_KHTR", bool, False),
+    ("KHTH_SLOPE_CFF", float, 0.0), ("KHTR_SLOPE_CFF", float, 0.0),
+    ("VARMIX_KTOP", int, 2), ("VISBECK_L_SCALE", float, 0.0),
+    ("ETA_TOLERANCE", float, 0.0), ("VELOCITY_TOLERANCE", float, 0.0),
+    ("BOUND_CORIOLIS", bool, False), ("AH_VEL_SCALE", float, 0.0),
+    ("KH_VEL_SCALE", float, 0.0), ("PRANDTL_TURB", float, 0.0),
+    ("DYNAMIC_VISCOUS_ML", bool, False), ("U_TRUNC_FILE", str, ""),
+    ("V_TRUNC_FILE", str, ""), ("ML_OMEGA_FRAC", float, 0.0),
+    ("BBL_THICK_MIN", float, 0.0),
+    ("BOUND_BT_CORRECTION", bool, False),
+    ("BT_THICK_SCHEME", str, "FROM_BT_CONT"),
+    ("BT_STRONG_DRAG", bool, False), ("RECLAIM_FRAZIL", bool, True),
+    ("MAX_ENT_IT", int, 5), ("TOLERANCE_ENT", float, 0.0),
+    ("BULK_RI_ML", float, 0.05), ("ABSORB_ALL_SW", bool, False),
+    ("TKE_DECAY", float, 0.0), ("HMIX_MIN", float, 0.0),
+    ("LIMIT_BUFFER_DETRAIN", bool, False),
+    ("DEPTH_LIMIT_FLUXES", float, 0.0),
+    ("CORRECT_ABSORPTION_DEPTH", bool, False),
+    ("PEN_SW_SCALE", float, 0.0), ("PEN_SW_FRAC", float, 0.42),
+    ("DIFFUSE_ML_TO_INTERIOR", bool, False),
+    ("ML_KHTR_SCALE", float, 0.0), ("MAXTRUNC", int, 0),
+    ("MAXCPU", float, 0.0), ("RESTART_CONTROL", int, 1),
+    ("RESTINT", float, 0.0), ("DIAG_AS_CHKSUM", bool, False),
+    ("DEBUG", bool, False), ("USE_PSURF_IN_EOS", bool, False),
+    ("GRID_ROTATION_ANGLE_BUGS", bool, False),
+    ("INTERPOLATE_RES_FN", bool, False),
+    ("GILL_EQUATORIAL_LD", bool, False),
+    ("USE_GM_WORK_BUG", bool, False),
+    ("USE_LAND_MASK_FOR_HVISC", bool, False),
+    ("KAPPA_SHEAR_ITER_BUG", bool, False),
+    ("KAPPA_SHEAR_ALL_LAYER_TKE_BUG", bool, False),
+    ("BULKML_CONV_MOMENTUM_BUG", bool, False),
+    ("PEN_SW_ABSORB_MINTHICK", float, 0.0),
+    ("GUST_CONST", float, 0.0),
+    ("FIX_USTAR_GUSTLESS_BUG", bool, False),
+    ("FIX_UNSPLIT_DT_VISC_BUG", bool, False),
+    ("HMIX_FIXED", float, 0.0), ("KV_ML_INVZ2", float, 0.0),
+    ("HARMONIC_VISC", bool, False), ("DIRECT_STRESS", bool, False),
+    ("OBC_FREESLIP_VORTICITY", bool, False),
+    ("OBC_FREESLIP_STRAIN", bool, False),
+    ("OBC_ZERO_BIHARMONIC", bool, False),
+    ("OBC_RADIATION_MAX", float, 10.0),
+    ("DATE_STAMPED_STDOUT", bool, True),
+    ("VARIABLE_WINDS", bool, False),
+    ("VARIABLE_BUOYFORCE", bool, False),
+    ("MEKE_BGSRC", float, 0.0), ("MEKE_KHTR_FAC", float, 0.0),
+    ("MEKE_KHMEKE_FAC", float, 0.0),
+    ("MEKE_VISCOSITY_COEFF_KU", float, 0.0),
+    ("MEKE_ALPHA_RHINES", float, 0.0),
+    ("MEKE_ALPHA_EADY", float, 0.0),
+    ("USE_STORED_SLOPES", bool, False),
+    ("PGF_STANLEY_T2_DET_COEFF", float, -1.0),
+    ("STANLEY_PRM_DET_COEFF", float, -1.0),
+    ("USE_MLD_ITERATION", bool, False),
+    ("REMAP_UV_USING_OLD_ALG", bool, False),
+    ("USE_GRID_SPACE_DIAG_COORDINATE_AXES", bool, False),
+    ("SSH_EXTRA", float, 10.0), ("BBL_EFFIC", float, 0.0),
+    ("BBL_USE_EOS", bool, False), ("CORIOLIS_EN_DIS", bool, False),
+    ("RECONSTRUCT_FOR_PRESSURE", bool, True),
+    ("INIT_LAYERS_FROM_Z_FILE", bool, False),
+    ("TEMP_SALT_Z_INIT_FILE", str, ""),
+    ("Z_INIT_ALE_REMAPPING", bool, False),
+    ("INTERPOLATE_SPONGE_TIME_SPACE", bool, False),
+    ("SPONGE_DATA_ONGRID", bool, False),
+    ("GRID_FILE", str, ""),
+]
+
 
 def _topo_fn(config: str, max_depth: float, min_depth: float,
              lenlon: float, lenlat: float, west: float, south: float):
@@ -187,6 +272,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     max_depth = pf.get("MAXIMUM_DEPTH", float, 4000.0, units="m")
     min_depth = pf.get("MINIMUM_DEPTH", float, 0.0, units="m")
     topo_config = pf.get("TOPO_CONFIG", str, "flat")
+    # ROTATION: 2omegasinlat (default on geographic grids), beta /
+    # betaplane use F_0 + BETA*y (MOM_grid_initialize.F90 set_rotation)
+    rotation = pf.get("ROTATION", str, "2omegasinlat").lower()
     f0 = pf.get("F_0", float, 0.0, units="s-1")
     beta = pf.get("BETA", float, 0.0, units="m-1 s-1")
     axis_units = pf.get("AXIS_UNITS", str, "degrees")
@@ -195,6 +283,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     user_ctx = dict(max_depth=max_depth, min_depth=min_depth,
                     lenlon=lenlon, lenlat=lenlat, west=west, south=south,
                     f0=f0)
+    if topo_config in ("halfpipe", "benchmark"):
+        user_ctx["edge_depth"] = pf.get("EDGE_DEPTH", float, 100.0,
+                                        units="m")
     if topo_config in topo_registry:
         _user_topo = topo_registry[topo_config]
 
@@ -238,8 +329,25 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                               south_lat=south, lenlat=lenlat,
                               depth_fn=depth_fn, max_depth=max_depth,
                               min_depth=min_depth)
+    elif grid_config == "mercator":
+        from mom6_tpu.core.grid import mercator_grid
+        grid = mercator_grid(domain, west_lon=west, lenlon=lenlon,
+                             south_lat=south,
+                             north_lat=south + lenlat,
+                             depth_fn=depth_fn, max_depth=max_depth,
+                             min_depth=min_depth)
     else:
         raise ValueError(f"Unknown GRID_CONFIG '{grid_config}'")
+    if rotation in ("beta", "betaplane") \
+            and grid_config in ("spherical", "mercator"):
+        # override the geographic 2Ω sinφ with an f/beta plane
+        import dataclasses as _dc
+        y_m = (grid.geoLatT - south) * 111194.9266
+        fq = f0 + beta * 0.25 * (y_m + jnp.roll(y_m, -1, -2)
+                                 + jnp.roll(y_m, -1, -1)
+                                 + jnp.roll(jnp.roll(y_m, -1, -2),
+                                            -1, -1))
+        grid = _dc.replace(grid, CoriolisBu=fq)
 
     pf.module("MOM_open_boundary")
     obc = build_open_boundaries(pf, domain)
@@ -252,21 +360,90 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     rho0 = pf.get("RHO_0", float, 1035.0, units="kg m-3")
     gint = pf.get("GINT", float, 0.0, units="m s-2",
                   desc="uniform interface reduced gravity")
-    vgrid = VerticalGrid.uniform(nk=nk, g_Earth=g_earth, Rho0=rho0,
-                                 gint=gint if gint > 0 else None)
 
     pf.module("MOM")
     split = pf.get("SPLIT", bool, True)
     dt = pf.get("DT", float, units="s")
     dt_forcing = pf.get("DT_FORCING", float, dt, units="s")
     dt_therm = pf.get("DT_THERM", float, dt, units="s")
-    daymax = pf.get("DAYMAX", float, 1.0, units="days")
+    # DAYMAX counts units of TIMEUNIT seconds (MOM_driver.F90)
+    timeunit = pf.get("TIMEUNIT", float, 86400.0, units="s")
+    daymax = pf.get("DAYMAX", float, 1.0, units="TIMEUNIT") \
+        * (timeunit / 86400.0)
     thermo = pf.get("ENABLE_THERMODYNAMICS", bool, True)
     adiabatic = pf.get("ADIABATIC", bool, False)
+    use_regrid = pf.get("USE_REGRIDDING", bool, False)
+    # the reference's bulk mixed layer defaults ON for layered thermo
+    # runs (MOM.F90 BULKMIXEDLAYER default: ENABLE_THERMODYNAMICS and
+    # .not. USE_REGRIDDING)
+    use_bml = pf.get("BULKMIXEDLAYER", bool,
+                     thermo and not use_regrid)
+    nkml = pf.get("NKML", int, 2 if use_bml else 0)
+    nkbl = pf.get("NKBL", int, 2 if use_bml else 0)
+    nk_rho_varies = (nkml + nkbl) if use_bml else 0
 
     pf.module("MOM_EOS")
     eos_form = pf.get("EQN_OF_STATE", str, "WRIGHT")
-    eos = make_eos(eos_form) if thermo else None
+    eos_kw = {}
+    if eos_form.upper() == "LINEAR":
+        eos_kw = dict(
+            rho_t0_s0=pf.get("RHO_T0_S0", float, 1000.0,
+                             units="kg m-3"),
+            drho_dt=pf.get("DRHO_DT", float, -0.2,
+                           units="kg m-3 degC-1"),
+            drho_ds=pf.get("DRHO_DS", float, 0.8,
+                           units="kg m-3 ppt-1"))
+    eos = make_eos(eos_form, **eos_kw) if thermo else None
+
+    # ---- layer target densities (MOM_coord_initialization.F90) ----
+    pf.module("MOM_coord_initialization")
+    coord_cfg = pf.get("COORD_CONFIG", str, "none")
+    p_ref = pf.get("P_REF", float, 2.0e7, units="Pa")
+    if coord_cfg == "layer_ref":
+        light = pf.get("LIGHTEST_DENSITY", float, rho0,
+                       units="kg m-3")
+        rrange = pf.get("RLAY_RANGE", float, 2.0, units="kg m-3")
+        rlay = light + rrange * np.arange(nk) / max(nk - 1, 1)
+        vgrid = VerticalGrid.from_rlay(rlay, g_Earth=g_earth,
+                                       Rho0=rho0)
+    elif coord_cfg == "linear":
+        light = pf.get("LIGHTEST_DENSITY", float, rho0,
+                       units="kg m-3")
+        rrange = pf.get("DENSITY_RANGE", float, 2.0, units="kg m-3")
+        rlay = light + rrange * (np.arange(nk) + 0.5) / nk
+        vgrid = VerticalGrid.from_rlay(rlay, g_Earth=g_earth,
+                                       Rho0=rho0)
+    elif coord_cfg == "ts_range":
+        # layer densities from a T/S range at P_REF
+        # (set_coord_from_TS_range, MOM_coord_initialization.F90)
+        t_ref0 = pf.get("T_REF", float, 10.0, units="degC")
+        s_ref0 = pf.get("S_REF", float, 35.0, units="ppt")
+        t_lt = pf.get("TS_RANGE_T_LIGHT", float, t_ref0)
+        t_dn = pf.get("TS_RANGE_T_DENSE", float, t_ref0)
+        s_lt = pf.get("TS_RANGE_S_LIGHT", float, s_ref0)
+        s_dn = pf.get("TS_RANGE_S_DENSE", float, s_ref0)
+        res_rat = pf.get("TS_RANGE_RESOLN_RATIO", float, 1.0)
+        k_light = nk_rho_varies            # 0-based lightest index
+        nv = max(nk - 1 - k_light, 1)
+        a1 = 2.0 * res_rat / (1.0 + res_rat)
+        kf = np.arange(nk, dtype=np.float64)
+        frac = np.clip((kf - k_light) / nv, 0.0, None)
+        fr_d = a1 * frac + (1.0 - a1) * frac ** 2
+        T0 = t_lt + fr_d * (t_dn - t_lt)
+        S0 = s_lt + fr_d * (s_dn - s_lt)
+        eos_c = eos if eos is not None else make_eos("WRIGHT")
+        rlay = np.array(eos_c.density(
+            jnp.asarray(T0), jnp.asarray(S0),
+            jnp.full(nk, p_ref)))
+        # extrapolate the varying-density (mixed/buffer) layers
+        for k in range(k_light - 1, -1, -1):
+            rlay[k] = 2.0 * rlay[k + 1] - rlay[k + 2]
+        vgrid = VerticalGrid.from_rlay(rlay, g_Earth=g_earth,
+                                       Rho0=rho0)
+    else:
+        # none / ALE / gprime: uniform GINT stacking (or unstratified)
+        vgrid = VerticalGrid.uniform(nk=nk, g_Earth=g_earth, Rho0=rho0,
+                                     gint=gint if gint > 0 else None)
 
     pf.module("MOM_continuity_PPM")
     cont = ContinuityCfg(
@@ -289,20 +466,34 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         maxvel=pf.get("MAXVEL", float, 6.0, units="m s-1"),
         channel_drag=pf.get("CHANNEL_DRAG", bool, False))
     pf.module("MOM_hor_visc")
+    # reference semantics: SMAGORINSKY_KH/AH are Booleans enabling the
+    # scheme, with the constants in SMAG_LAP_CONST / SMAG_BI_CONST
+    # (MOM_hor_visc.F90 hor_visc_init)
+    smag_kh = pf.get("SMAGORINSKY_KH", bool, False)
+    smag_ah = pf.get("SMAGORINSKY_AH", bool, False)
+    use_bih = pf.get("BIHARMONIC", bool, smag_ah)
     hv = HorViscCfg(
         laplacian=pf.get("LAPLACIAN", bool, False),
-        biharmonic=pf.get("BIHARMONIC", bool, False),
+        biharmonic=use_bih,
         kh=pf.get("KH", float, 0.0, units="m2 s-1"),
         ah=pf.get("AH", float, 0.0, units="m4 s-1"),
-        smag_lap_const=pf.get("SMAGORINSKY_KH", float, 0.0),
-        smag_bi_const=pf.get("SMAGORINSKY_AH", float, 0.0),
+        smag_lap_const=pf.get("SMAG_LAP_CONST", float, 0.0)
+        if smag_kh else 0.0,
+        smag_bi_const=pf.get("SMAG_BI_CONST", float, 0.0)
+        if smag_ah else 0.0,
         dt=dt)
     pf.module("MOM_barotropic")
+    # NONLINEAR_BT_CONTINUITY / BT_THICK_SCHEME=FROM_BT_CONT are the
+    # reference's switches for the same face-area-curve machinery
+    use_bt_cont = pf.get("USE_BT_CONT_TYPE", bool, True)
+    if pf.has("NONLINEAR_BT_CONTINUITY"):
+        use_bt_cont = pf.get("NONLINEAR_BT_CONTINUITY", bool, True)
     btcfg = BarotropicCfg(
         bebt=pf.get("BEBT", float, 0.2),
         nstep=1,
+        bt_project=pf.get("BT_PROJECT_VELOCITY", bool, False),
         dt_bt_filter=pf.get("DT_BT_FILTER", float, -0.25, units="s"),
-        use_bt_cont=pf.get("USE_BT_CONT_TYPE", bool, True))
+        use_bt_cont=use_bt_cont)
     split_cfg = None
     unsplit_cfg = None
     if split:
@@ -325,9 +516,15 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     thick_cfg = pf.get("THICKNESS_CONFIG", str, "uniform")
     shape = (nk, domain.njh, domain.nih)
     if thick_cfg in thickness_registry:
-        user_ctx2 = dict(user_ctx, grid=grid, vgrid=vgrid, domain=domain)
+        user_ctx2 = dict(user_ctx, grid=grid, vgrid=vgrid,
+                         domain=domain, eos=eos, thermo=thermo,
+                         nk_rho_varies=nk_rho_varies, p_ref=p_ref,
+                         s_ref=pf.get("S_REF", float, 35.0,
+                                      units="ppt"))
         for k in ("PHILLIPS_SLOPE", "PHILLIPS_AMP", "SLOSHING_AMP",
-                  "SEAMOUNT_HEIGHT"):
+                  "SEAMOUNT_HEIGHT", "DISK_RADIUS",
+                  "DISK_IC_AMPLITUDE", "BENCHMARK_ML_DEPTH_IC",
+                  "BENCHMARK_THERMOCLINE_SCALE", "BENCHMARK_T_LIGHT"):
             if pf.has(k):
                 user_ctx2[k.lower()] = pf.get(k, float)
         fields = thickness_registry[thick_cfg](user_ctx2)
@@ -378,6 +575,17 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 * jnp.ones(shape)
             S = (S0 + S_range * (k_frac - 0.5)).reshape(-1, 1, 1) \
                 * jnp.ones(shape)
+        elif ts_cfg == "benchmark" and thick_cfg == "benchmark":
+            # T/S were built together with the thicknesses
+            # (benchmark_init_temperature_salinity)
+            T = jnp.asarray(fields["T"])
+            S = jnp.asarray(fields["S"])
+        elif ts_cfg == "benchmark":
+            from mom6_tpu.user.configs import init_benchmark_ts
+            ctx_ts = dict(user_ctx, grid=grid, vgrid=vgrid, eos=eos,
+                          nk_rho_varies=nk_rho_varies, p_ref=p_ref,
+                          s_ref=S0)
+            T, S = init_benchmark_ts(ctx_ts, shape)
         else:
             raise ValueError(f"TS_CONFIG '{ts_cfg}' not implemented")
 
@@ -399,6 +607,10 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     sf_cfg = SurfaceForcingCfg(
         wind_config=pf.get("WIND_CONFIG", str, "zero"),
         taux_magnitude=pf.get("TAUX_MAGNITUDE", float, 0.1, units="Pa"),
+        taux_const=pf.get("TAUX_CONST", float, 0.0, units="Pa"),
+        taux_sin_amp=pf.get("TAUX_SIN_AMP", float, 0.0, units="Pa"),
+        taux_cos_amp=pf.get("TAUX_COS_AMP", float, 0.0, units="Pa"),
+        taux_n_pis=pf.get("TAUX_N_PIS", float, 1.0),
         buoy_config=pf.get("BUOY_CONFIG", str, "zero"),
         sensible_heat=pf.get("SENSIBLE_HEAT_FLUX", float, 0.0,
                              units="W m-2"),
@@ -406,7 +618,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         fluxconst=pf.get("FLUXCONST", float, 0.0, units="m day-1"),
         sst_north=pf.get("SST_NORTH", float, 5.0, units="degC"),
         sst_south=pf.get("SST_SOUTH", float, 25.0, units="degC"),
-        rho0=rho0)
+        sss_north=pf.get("SSS_NORTH", float, 35.0, units="ppt"),
+        sss_south=pf.get("SSS_SOUTH", float, 35.0, units="ppt"),
+        restore_sss=pf.has("SSS_NORTH") or pf.has("SSS_SOUTH"),
+        rho0=rho0,
+        cp=pf.get("C_P", float, 3991.86795711963,
+                  units="J kg-1 K-1"))
     forces = build_wind(sf_cfg, grid, south, lenlat)
 
     # buoyancy fluxes: a pure function of the surface state, evaluated
@@ -414,10 +631,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     # path — surface heating/restoring now reaches the column physics)
     fluxes_fn = None
     if thermo and sf_cfg.buoy_config not in ("zero", "NONE"):
-        if sf_cfg.buoy_config == "linear_restoring":
+        if sf_cfg.buoy_config in ("linear_restoring", "linear"):
             def fluxes_fn(state, _cfg=sf_cfg, _g=grid, _s=south,
                           _l=lenlat):
-                return buoyancy_restoring(_cfg, _g, state.T[0], _s, _l)
+                return buoyancy_restoring(_cfg, _g, state.T[0], _s, _l,
+                                          sss=state.S[0])
         elif sf_cfg.buoy_config == "const_heat":
             def fluxes_fn(state, _cfg=sf_cfg, _g=grid):
                 from mom6_tpu.core.forcing import Fluxes
@@ -434,12 +652,14 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
 
     # ---- ALE / thermo orchestration ----
     pf.module("MOM_ALE")
-    use_regrid = pf.get("USE_REGRIDDING", bool, False)
     ale_cfg = None
     if use_regrid:
         mode = pf.get("REGRIDDING_COORDINATE_MODE", str, "Z*")
         res = pf.get("ALE_RESOLUTION", list, [])
         scheme = pf.get("REMAPPING_SCHEME", str, "PPM_H4")
+        # PPM_IH4 (the implicit-h4 edge variant) maps onto PPM_H4
+        if scheme.upper() == "PPM_IH4":
+            scheme = "PPM_H4"
         ale_cfg = ALECfg(
             regrid=RegridCfg(mode=mode, resolution=tuple(res),
                              min_thickness=pf.get("MIN_THICKNESS", float,
@@ -469,7 +689,6 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         ri_zero=pf.get("RI_ZERO", float, 0.8))
     bk_scheme = "bryan_lewis" if pf.get("BRYAN_LEWIS_DIFFUSIVITY",
                                         bool, False) else "constant"
-    use_bml = pf.get("BULKMIXEDLAYER", bool, False)
     if use_bml and use_regrid:
         # cf. MOM_diabatic_driver.F90: the bulk mixed layer is a
         # layered-mode scheme and is incompatible with ALE regridding
@@ -479,6 +698,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     use_jackson = pf.get("USE_JACKSON_PARAM", bool, False)
     int_tide = pf.get("INT_TIDE_DISSIPATION", bool, False)
     geo_flux = pf.get("GEOTHERMAL_FLUX", float, 0.0, units="W m-2")
+    if pf.get("DO_GEOTHERMAL", bool, False) and geo_flux == 0.0:
+        # the reference reads a heat-flux file scaled by
+        # GEOTHERMAL_SCALE; without file IO here the scale acts as a
+        # uniform flux (documented parity approximation)
+        geo_flux = pf.get("GEOTHERMAL_SCALE", float, 0.0,
+                          units="W m-2")
     pen_sw_nbands = pf.get("PEN_SW_NBANDS", int, 0)
     use_epbl = pf.get("ENERGETICS_SFC_PBL", bool, False)
     dia_cfg = DiabaticCfg(
@@ -537,8 +762,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                          cp=pf.get("C_P", float, 3991.86795711963,
                                    units="J kg-1 K-1")))
     pf.module("MOM_thickness_diffuse")
+    # THICKNESSDIFFUSE is the reference's master switch; KHTH alone
+    # also activates the scheme for backward compatibility
+    thickness_diffuse_on = pf.get("THICKNESSDIFFUSE", bool, True)
     td_cfg = ThicknessDiffuseCfg(
-        khth=pf.get("KHTH", float, 0.0, units="m2 s-1"),
+        khth=(pf.get("KHTH", float, 0.0, units="m2 s-1")
+              if thickness_diffuse_on else 0.0),
         khth_max=pf.get("KHTH_MAX", float, 0.0, units="m2 s-1"))
     pf.module("MOM_interface_filter")
     if_cfg = InterfaceFilterCfg(
@@ -651,8 +880,23 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     if pf.get("USE_REGIONAL_DYES", bool, False):
         tracers["dye1"] = ideal_tracers.register_regional_dye(
             registry, grid, shape)
+    if pf.get("USE_DOME_TRACER", bool, False):
+        tracers.update(ideal_tracers.register_dome_tracers(registry,
+                                                           shape))
     if not tracers:
         tracers = None
+
+    # ---- reference-config parity: accepted-but-inert parameters ----
+    # Parameters the reference's tc0–tc4 configs set that have no
+    # counterpart here (diagnostics file names, CPU/time guards,
+    # answer-date bug-compatibility switches, tolerances of iterative
+    # solvers replaced by fixed-count branch-free forms).  They are
+    # read so the fatal unused-parameter audit passes and so
+    # MOM_parameter_doc records them; each is a no-op by design.
+    for name, ptyp, dflt in _PARITY_INERT:
+        if pf.has(name):
+            pf.get(name, ptyp, dflt,
+                   desc="accepted for reference-config parity; inert")
 
     return Model(domain=domain, grid=grid, vgrid=vgrid, eos=eos,
                  split=split, split_cfg=split_cfg, unsplit_cfg=unsplit_cfg,

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from mom6_tpu.tracer.registry import TracerMeta, TracerRegistry
 
 __all__ = ["register_ideal_age", "register_pseudo_salt",
-           "register_regional_dye", "register_boundary_impulse"]
+           "register_regional_dye", "register_boundary_impulse",
+           "register_dome_tracers"]
 
 _YEAR = 365.0 * 86400.0
 
@@ -55,6 +56,25 @@ def register_regional_dye(reg: TracerRegistry, grid, shape,
     reg.register(TracerMeta(name=name, longname="regional dye",
                             units="nondim"))
     return dye * grid.mask2dT
+
+
+def register_dome_tracers(reg: TracerRegistry, shape, n_dye: int = 2
+                          ) -> dict:
+    """DOME-class depth-banded dyes (DOME_tracer.F90 / dome_tracer):
+    each dye fills one vertical band of layers so overflow pathways
+    can be traced.  Returns {name: field}."""
+    nk = shape[0]
+    out = {}
+    per = max(nk // max(n_dye, 1), 1)
+    for d in range(n_dye):
+        k0, k1 = d * per, (d + 1) * per if d < n_dye - 1 else nk
+        tr = jnp.zeros(shape).at[k0:k1].set(1.0)
+        name = f"dome_dye{d + 1}"
+        reg.register(TracerMeta(name=name,
+                                longname=f"DOME layer dye {d + 1}",
+                                units="nondim"))
+        out[name] = tr
+    return out
 
 
 def register_boundary_impulse(reg: TracerRegistry, shape,

@@ -1,0 +1,168 @@
+"""Tests for the BT_cont face-area curves, filter weights, and the
+eta_cor mass-source coupling of the barotropic solver.
+
+Reference behaviors verified (MOM_barotropic.F90 / MOM_continuity_PPM
+.F90): the fitted transport curve matches the layered continuity
+solver at its probe points, find_uhbt/uhbt_to_ubt round-trip, the
+filter weights are normalized with the reverse-cumulative transport
+weighting, and eta_cor pulls the barotropic eta toward the layered
+free surface.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mom6_tpu.parallel.domain import Domain
+from mom6_tpu.core.grid import cartesian_grid
+from mom6_tpu.core.vertical_grid import VerticalGrid
+from mom6_tpu.core.continuity_ppm import (ContinuityCfg, set_up_bt_cont,
+                                          zonal_mass_flux, ppm_edges_x)
+from mom6_tpu.core.barotropic import (_bt_curve_consts, find_uhbt,
+                                      uhbt_to_ubt, _filter_weights,
+                                      BarotropicCfg, btstep, set_dtbt)
+
+
+def setup(ni=24, nj=24, nk=3):
+    d = Domain(ni=ni, nj=nj, halo=4, reentrant_x=True, reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=10.0 * ni, lenlat_km=10.0 * nj,
+                       f0=1e-4)
+    vg = VerticalGrid.uniform(nk=nk)
+    return d, g, vg
+
+
+def _curve_args(bc):
+    crv_E, uh_EE, crv_W, uh_WW = _bt_curve_consts(
+        bc.FA_u_EE, bc.FA_u_E0, bc.FA_u_W0, bc.FA_u_WW,
+        bc.uBT_EE, bc.uBT_WW)
+    return (bc.FA_u_EE, bc.FA_u_E0, bc.FA_u_W0, bc.FA_u_WW,
+            bc.uBT_EE, bc.uBT_WW, crv_E, uh_EE, crv_W, uh_WW)
+
+
+def test_curve_matches_layered_flux():
+    """find_uhbt(du)+uhbt0 must track the layered total transport for
+    barotropic offsets within the probe range."""
+    d, g, vg = setup()
+    rng = np.random.default_rng(3)
+    h = d.fill_halos(d.pad(jnp.asarray(
+        rng.uniform(200.0, 400.0, (3, 24, 24)))))
+    u = d.fill_halos(d.pad(jnp.asarray(
+        0.1 * rng.standard_normal((3, 24, 24)))))
+    v = jnp.zeros_like(u)
+    dt = 900.0
+    cfg = ContinuityCfg()
+    bc = set_up_bt_cont(g, vg, u, v, h, dt, cfg)
+    args = _curve_args(bc)
+
+    hmin2 = 2.0 * vg.angstrom
+    h_W, h_E = ppm_edges_x(g, h, cfg, hmin2)
+    # anchor exactly as btstep does: the residual uhbt0 pins the curve
+    # to the layered transport at the current barotropic velocity
+    from mom6_tpu.core.barotropic import btcalc
+    frhatu, _ = btcalc(g, h)
+    ubt0 = jnp.sum(frhatu * u, axis=0)
+    uh_now, _, _ = zonal_mass_flux(g, u, h, h_W, h_E, dt, cfg)
+    uhbt0 = jnp.sum(uh_now, axis=0) - find_uhbt(ubt0, *args)
+
+    H = d.halo
+    sl = (slice(H + 2, H + 22), slice(H + 2, H + 22))
+    for du in (-0.05, -0.01, 0.01, 0.05):
+        uh, _, _ = zonal_mass_flux(g, u + du, h, h_W, h_E, dt, cfg)
+        layered = np.asarray(jnp.sum(uh, axis=0))[sl]
+        curve = np.asarray(find_uhbt(ubt0 + du, *args) + uhbt0)[sl]
+        scale = np.abs(layered).max() + 1e-30
+        err = np.abs(curve - layered).max() / scale
+        assert err < 0.08, (du, err)
+
+
+def test_uhbt_to_ubt_roundtrip():
+    d, g, vg = setup()
+    rng = np.random.default_rng(4)
+    h = d.fill_halos(d.pad(jnp.asarray(
+        rng.uniform(100.0, 500.0, (3, 24, 24)))))
+    u = d.fill_halos(d.pad(jnp.asarray(
+        0.05 * rng.standard_normal((3, 24, 24)))))
+    bc = set_up_bt_cont(g, vg, u, jnp.zeros_like(u), h, 900.0,
+                        ContinuityCfg())
+    args = _curve_args(bc)
+    H = d.halo
+    sl = (slice(H, H + 24), slice(H, H + 24))
+    for ub in (-0.4, -0.02, 0.0, 0.03, 0.5):
+        ub_a = jnp.full_like(u[0], ub)
+        uh = find_uhbt(ub_a, *args)
+        back = np.asarray(uhbt_to_ubt(uh, *args))[sl]
+        fa = np.asarray(bc.FA_u_W0)[sl]
+        # only meaningful where the face is open
+        m = fa > 1.0
+        np.testing.assert_allclose(back[m], ub, rtol=1e-6, atol=1e-9)
+
+
+def test_filter_weights_properties():
+    # no filter → delta at the final substep, flat transports
+    wv, we, wt, wa = _filter_weights(8, 0, 8, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(wv)[-1], 1.0)
+    np.testing.assert_allclose(np.asarray(wv)[:-1], 0.0)
+    np.testing.assert_allclose(np.asarray(wt), 1.0 / 8)
+    # ramped filter: all normalized, transport weights decreasing
+    wv, we, wt, wa = _filter_weights(8, 2, 10, 2.0, 1.0)
+    for w in (wv, we, wt, wa):
+        np.testing.assert_allclose(float(jnp.sum(w)), 1.0, rtol=1e-12)
+    wt_np = np.asarray(wt)
+    assert np.all(np.diff(wt_np) <= 1e-15)
+    # eta-consistency: sum_n wt_eta[n]*eta(n) = eta0 - dtbt*sum wt_tr
+    # un-normalized identity → with uniform div the filtered eta drop
+    # equals dt * (sum_wt_trans_unnorm/sum) ... exercised end-to-end
+    # by test_btstep_eta_transport_consistency below
+
+
+def test_btstep_eta_transport_consistency():
+    """The filtered eta must equal eta0 − dt·div(uhbtav) exactly —
+    the discrete consistency the wt_trans weighting is built for."""
+    d, g, vg = setup()
+    rng = np.random.default_rng(7)
+    nk = 3
+    shp = (nk, d.njh, d.nih)
+    h = d.fill_halos(d.pad(jnp.full((nk, 24, 24), 300.0)))
+    eta = d.fill_halos(jnp.asarray(
+        0.1 * rng.standard_normal((d.njh, d.nih))))
+    u = jnp.zeros(shp)
+    v = jnp.zeros(shp)
+    acc = jnp.zeros(shp)
+    pbce = jnp.full(shp, 9.8 / nk)
+    cfg = BarotropicCfg(nstep=set_dtbt(d, g, vg, BarotropicCfg(), 900.0),
+                        dt_bt_filter=-0.25)
+    bt = btstep(d, g, vg, u, v, eta, h, acc, acc, pbce, u, v,
+                900.0, cfg)
+    from mom6_tpu.parallel.stencil import im1, jm1
+    div = ((bt.uhbtav - im1(bt.uhbtav))
+           + (bt.vhbtav - jm1(bt.vhbtav))) * g.IareaT
+    lhs = np.asarray(d.interior(bt.eta))
+    rhs = np.asarray(d.interior(eta - 900.0 * div))
+    np.testing.assert_allclose(lhs, rhs, rtol=0, atol=1e-12)
+
+
+def test_eta_cor_pulls_eta_to_layered_surface():
+    d, g, vg = setup()
+    nk = 3
+    shp = (nk, d.njh, d.nih)
+    h = d.fill_halos(d.pad(jnp.full((nk, 24, 24), 300.0)))
+    # barotropic eta starts 1 m BELOW the layered surface Σh − D
+    eta_true = jnp.sum(h, axis=0) - g.bathyT
+    eta = eta_true - 1.0
+    u = jnp.zeros(shp)
+    v = jnp.zeros(shp)
+    acc = jnp.zeros(shp)
+    pbce = jnp.full(shp, 9.8 / nk)
+    cfg = BarotropicCfg(nstep=set_dtbt(d, g, vg, BarotropicCfg(), 900.0),
+                        dt_bt_filter=0.0)
+    eta_cor = g.mask2dT * (eta_true - eta)
+    bt = btstep(d, g, vg, u, v, eta, h, acc, acc, pbce, u, v,
+                900.0, cfg, eta_cor=eta_cor)
+    # without the source eta would stay ~1 m low; with it the final
+    # eta closes most of the gap (the injected mass also excites a
+    # uniform gravity mode, so allow a loose band)
+    gap = np.asarray(d.interior(eta_true - bt.eta))
+    assert np.abs(gap).max() < 0.5
+    bt0 = btstep(d, g, vg, u, v, eta, h, acc, acc, pbce, u, v,
+                 900.0, cfg)
+    gap0 = np.asarray(d.interior(eta_true - bt0.eta))
+    assert np.abs(gap0).min() > 0.9
