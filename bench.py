@@ -1,12 +1,16 @@
-"""Benchmark: flagship dynamics step throughput on the local accelerator.
+"""Benchmark: flagship FULL ocean step throughput on the local chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Metric: wet grid-points processed per second per chip for the full
-dynamics step (the reference publishes no absolute numbers — see
-BASELINE.md — so vs_baseline is points/s normalized by the BASELINE.json
-north-star placeholder of 50M points/s/chip for a full dyn step).
+The headline metric is wet grid-points processed per second per chip
+for the full model step — split RK2 dynamics + thermodynamics (KPP +
+background mixing + surface restoring) + GM thickness diffusion + MLE
+restratification + T/S/age tracer advection + lateral tracer diffusion
++ Z* ALE regrid/remap — i.e. step_ocean, not just the dynamical core.
+The dyn-core-only number is reported alongside for continuity with
+round 1.  vs_baseline normalizes by the BASELINE.json 50M points/s
+placeholder (the reference publishes no absolute numbers).
 """
 
 from __future__ import annotations
@@ -14,66 +18,95 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
+
+CONFIG = """
+NIGLOBAL = 512
+NJGLOBAL = 512
+NK = 25
+DT = 600.0
+DT_THERM = 1200.0
+DAYMAX = 1.0
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 5120.0
+LENLAT = 5120.0
+REENTRANT_X = True
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 4000.0
+F_0 = 1.0e-4
+BETA = 2.0e-11
+TS_CONFIG = linear
+T_RANGE = 12.0
+EQN_OF_STATE = WRIGHT
+BULKMIXEDLAYER = False
+USE_REGRIDDING = True
+REGRIDDING_COORDINATE_MODE = Z*
+KD = 1.0e-5
+USE_KPP = True
+KHTH = 600.0
+KHTR = 600.0
+MIXEDLAYER_RESTRAT = True
+WIND_CONFIG = gyres
+TAUX_MAGNITUDE = 0.1
+BUOY_CONFIG = linear_restoring
+RESTOREBUOY = True
+FLUXCONST = 0.5
+USE_IDEAL_AGE_TRACER = True
+BIHARMONIC = True
+SMAGORINSKY_AH = True
+SMAG_BI_CONST = 0.06
+"""
+
+
+def _bench(step_fn, state, split, tracers, nsteps, n0=0):
+    import jax
+    # warmup: compile thermo/non-thermo × parity × (mld None/array)
+    # variants before timing
+    s, a, tr = state, split, tracers
+    for k in range(4):
+        s, a, tr = step_fn(s, a, tr, n=k)
+    jax.block_until_ready(s.h)
+    t0 = time.perf_counter()
+    for k in range(nsteps):
+        s, a, tr = step_fn(s, a, tr, n=4 + n0 + k)
+    jax.block_until_ready(s.h)
+    return time.perf_counter() - t0
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-    from mom6_tpu.parallel.domain import Domain
-    from mom6_tpu.core.grid import cartesian_grid
-    from mom6_tpu.core.vertical_grid import VerticalGrid
-    from mom6_tpu.core.state import State
-    from mom6_tpu.core.forcing import MechForcing
-    from mom6_tpu.core.dynamics_split_rk2 import (
-        SplitCfg, init_split_state, step_dyn_split_rk2)
-    from mom6_tpu.core.barotropic import BarotropicCfg
-    from mom6_tpu.core.vert_friction import VertViscCfg
-    from mom6_tpu.param.lateral.hor_visc import HorViscCfg
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
 
-    # benchmark-class config: 1/4-degree-like regional tile per chip,
-    # production split RK2 path with a 27-substep barotropic subcycle
-    ni, nj, nk = 512, 512, 25
-    dt = 600.0
-    d = Domain(ni=ni, nj=nj, halo=4, reentrant_x=True)
-    g = cartesian_grid(d, lenlon_km=ni * 10.0, lenlat_km=nj * 10.0,
-                       f0=1e-4, beta=2e-11, max_depth=4000.0)
-    vg = VerticalGrid.uniform(nk=nk, gint=0.005)
-    cfg = SplitCfg(vertvisc=VertViscCfg(kv=1e-4),
-                   horvisc=HorViscCfg(biharmonic=True,
-                                      smag_bi_const=0.06, dt=dt),
-                   barotropic=BarotropicCfg(nstep=27))
-    shape = (nk, nj + 8, ni + 8)
-    dtype = jnp.float32
-    h = d.fill_halos(jnp.full(shape, 4000.0 / nk, dtype))
-    state = State(u=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                  h=h)
-    split = init_split_state(d, g, vg, state)
-    forces = MechForcing(taux=(0.1 * g.mask2dCu).astype(dtype))
+    m = build_model(ParamFile(text=CONFIG))
+    ni, nj, nk = m.domain.ni, m.domain.nj, m.vgrid.nk
+    nsteps = 12
+    wall_full = _bench(m.step_fn(), m.state, m.split_state, m.tracers,
+                       nsteps)
+    pts_full = ni * nj * nk * nsteps / wall_full
 
-    @jax.jit
-    def step(s, a):
-        s2, a2, _ = step_dyn_split_rk2(d, g, vg, s, a, forces, dt, cfg)
-        return s2, a2
+    # dyn-core-only comparison config (round-1 metric)
+    dyn_cfg = CONFIG.replace("ENABLE_THERMODYNAMICS = True", "") \
+        + ("ADIABATIC = True\n#override USE_REGRIDDING = False\n"
+           "#override KHTR = 0.0\n#override KHTH = 0.0\n"
+           "#override MIXEDLAYER_RESTRAT = False\n"
+           "#override USE_IDEAL_AGE_TRACER = False\n"
+           "#override USE_KPP = False\n#override BUOY_CONFIG = zero\n")
+    m2 = build_model(ParamFile(text=dyn_cfg))
+    wall_dyn = _bench(m2.step_fn(), m2.state, m2.split_state,
+                      m2.tracers, nsteps)
+    pts_dyn = ni * nj * nk * nsteps / wall_dyn
 
-    # warmup/compile
-    state, split = step(state, split)
-    jax.block_until_ready(state)
-
-    nsteps = 20
-    t0 = time.perf_counter()
-    for _ in range(nsteps):
-        state, split = step(state, split)
-    jax.block_until_ready(state)
-    dt_wall = time.perf_counter() - t0
-
-    points = ni * nj * nk * nsteps
-    pps = points / dt_wall
     print(json.dumps({
-        "metric": "split-RK2 step grid-points/s/chip (512x512x25 fp32)",
-        "value": round(pps, 1),
+        "metric": "full ocean step grid-points/s/chip "
+                  "(512x512x25 fp32: split RK2 + KPP thermo + GM + "
+                  "MLE + tracers + Z* ALE)",
+        "value": round(pts_full, 1),
         "unit": "points/s",
-        "vs_baseline": round(pps / 50e6, 3),
+        "vs_baseline": round(pts_full / 50e6, 3),
+        "dyn_core_only_points_per_s": round(pts_dyn, 1),
+        "full_step_ms": round(1e3 * wall_full / nsteps, 2),
+        "dyn_step_ms": round(1e3 * wall_dyn / nsteps, 2),
     }))
 
 
