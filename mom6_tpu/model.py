@@ -733,10 +733,13 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                      1e-3 if int_tide else 0.0,
                                      units="W m-2")),
         use_kpp=pf.get("USE_KPP", bool, False),
-        kpp=KPPCfg(ri_crit=pf.get("RI_CRIT", float, 0.3)),
+        kpp=KPPCfg(ri_crit=pf.get("RI_CRIT", float, 0.3),
+                   cv=pf.get("KPP_CV", float, 1.7)),
         use_epbl=use_epbl,
         epbl=EPBLCfg(mstar=pf.get("EPBL_MSTAR", float, 1.2),
-                     nstar=pf.get("EPBL_NSTAR", float, 0.2)),
+                     mstar_mode=pf.get("EPBL_MSTAR_MODE", int, 0),
+                     nstar=pf.get("EPBL_NSTAR", float, 0.2),
+                     tke_decay=pf.get("EPBL_TKE_DECAY", float, 2.5)),
         rho0=rho0,
         use_opacity=pen_sw_nbands > 0,
         opacity=OpacityCfg(

@@ -148,9 +148,15 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
         kd_int = kd_int + kpp.kd_int
         mld = kpp.bld
     elif cfg.use_epbl and vgrid is not None:
+        absf = None
+        if grid is not None:
+            from mom6_tpu.parallel.stencil import im1, jm1
+            fq = jnp.abs(grid.CoriolisBu)
+            # h-point average of the four surrounding corner values
+            absf = 0.25 * ((fq + im1(jm1(fq))) + (im1(fq) + jm1(fq)))
         ep = energetic_pbl(cfg.epbl, h, T, S, eos, cfg.rho0,
                            vgrid.g_Earth, dt, ustar=ustar,
-                           buoy_flux=buoy_flux)
+                           buoy_flux=buoy_flux, absf=absf)
         kd_int = kd_int + ep.kd_int
         mld = ep.mld
 

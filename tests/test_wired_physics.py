@@ -43,6 +43,7 @@ TS_CONFIG = linear
 T_RANGE = 8.0
 S_RANGE = 0.0
 EQN_OF_STATE = LINEAR
+BULKMIXEDLAYER = False
 """
 
 
