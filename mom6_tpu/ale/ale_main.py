@@ -34,10 +34,16 @@ class ALECfg:
 
 def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
                      cfg: ALECfg, eos=None,
-                     tracers: dict | None = None):
+                     tracers: dict | None = None,
+                     aux_u: dict | None = None,
+                     aux_v: dict | None = None):
     """One ALE step: (state, tracers) on h → same on the new grid.
 
-    Returns (new_state, new_tracers, h_new)."""
+    aux_u/aux_v: optional extra face-staggered layer fields to remap
+    onto the new grid with the velocity face-thickness rule (the
+    split scheme's u_av/v_av auxiliaries; remap_dyn_split_RK2_aux_vars,
+    MOM_dynamics_split_RK2.F90:1273).
+    Returns (new_state, new_tracers, h_new, aux_u, aux_v)."""
     h = state.h
     h_new = build_grid(cfg.regrid, h, grid.bathyT, state.T, state.S, eos,
                        rlay=vgrid.Rlay, rho0=vgrid.Rho0, g=vgrid.g_Earth)
@@ -60,6 +66,15 @@ def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
         * grid.mask2dCu
     v_new = remap_column_means(h_v_src, state.v, h_v_dst, cfg.vel_remap) \
         * grid.mask2dCv
+    aux_u_new = aux_v_new = None
+    if aux_u is not None:
+        aux_u_new = {k: remap_column_means(h_u_src, f, h_u_dst,
+                                           cfg.vel_remap)
+                     * grid.mask2dCu for k, f in aux_u.items()}
+    if aux_v is not None:
+        aux_v_new = {k: remap_column_means(h_v_src, f, h_v_dst,
+                                           cfg.vel_remap)
+                     * grid.mask2dCv for k, f in aux_v.items()}
 
     new_state = state.replace(u=u_new, v=v_new, h=h_new, T=T_new, S=S_new)
-    return new_state, new_tracers, h_new
+    return new_state, new_tracers, h_new, aux_u_new, aux_v_new

@@ -76,6 +76,9 @@ class BarotropicCfg:
     dt_bt_filter: float = -0.25
     # USE_BT_CONT_TYPE: use the continuity-fitted face-area curves
     use_bt_cont: bool = True
+    # fuse the subcycle into the Pallas TPU kernel when supported
+    # (single device, fp32, no OBC; see barotropic_pallas.py)
+    use_pallas: bool = True
 
 
 class BTResult(NamedTuple):
@@ -184,7 +187,7 @@ def uhbt_to_ubt(uhbt, fa_far_neg, fa_0_neg, fa_0_pos, fa_far_pos,
 
 
 def _filter_weights(nstep: int, nfilt: int, total: int, dt_filt: float,
-                    dtbt: float):
+                    dtbt: float, dtype=None):
     """Host-side filter weights (MOM_barotropic.F90:1768-1810): a
     linear ramp of half-width dt_filt centered on substep nstep for
     wt_vel/wt_eta; wt_trans/wt_accel are their reverse cumulative
@@ -211,8 +214,12 @@ def _filter_weights(nstep: int, nfilt: int, total: int, dt_filt: float,
     wt_eta /= max(wt_eta.sum(), 1e-300)
     wt_trans /= max(wt_trans.sum(), 1e-300)
     wt_accel /= max(wt_accel.sum(), 1e-300)
-    return (jnp.asarray(wt_vel), jnp.asarray(wt_eta),
-            jnp.asarray(wt_trans), jnp.asarray(wt_accel))
+    npdt = np.dtype("float32" if dtype == jnp.float32 else "float64")
+    # plain HOST numpy: the pallas path embeds these in the kernel
+    # call, the jnp path converts at its use site (converting here
+    # inside a jit trace would hand back tracers)
+    return tuple(w.astype(npdt)
+                 for w in (wt_vel, wt_eta, wt_trans, wt_accel))
 
 
 def _widen_domain(domain: Domain, hw: int) -> Domain:
@@ -406,7 +413,43 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     nblocks = -(-(nstep + nfilt) // chunk)
     total = nblocks * chunk
     wt_vel_a, wt_eta_a, wt_trans_a, wt_accel_a = _filter_weights(
-        nstep, nfilt, total, dt_filt, dtbt)
+        nstep, nfilt, total, dt_filt, dtbt, dtype=eta_in.dtype)
+
+    # --- fused Pallas subcycle (TPU, single device, no OBC) ---
+    from mom6_tpu.core.barotropic_pallas import (pallas_supported,
+                                                 subcycle_pallas)
+    if (cfg.use_pallas and period == 1
+            and pallas_supported(domain, obc, period, eta_in.dtype)):
+        import numpy as _np
+        wt_rows = _np.stack([wt_vel_a, wt_eta_a, wt_trans_a,
+                             wt_accel_a])
+        curve_args = None
+        if use_curve:
+            curve_args = (consts["cu"], consts["cv"],
+                          consts["uhbt0"], consts["vhbt0"])
+        eta_r0, ubt_r0, vbt_r0 = fill((eta_in, ubt0, vbt0),
+                                      width=_bt_w(domain))
+        _, _, _, sums = subcycle_pallas(
+            eta_r0, ubt_r0, vbt_r0, consts, curve_args, wt_rows,
+            dtbt, bebt, nblocks * chunk,
+            domain.reentrant_x, domain.halo, domain.nil, domain.njl)
+        sums = fill(sums, width=_bt_w(domain))
+        u_accel_bt = sums["accel_u"]
+        v_accel_bt = sums["accel_v"]
+        e_anom = sums["eta"] - eta_pf
+        accel_layer_u = u_accel_bt[None] - (
+            ip1((pbce - gtot_W[None]) * e_anom[None])
+            - (pbce - gtot_E[None]) * e_anom[None]) * grid.IdxCu[None]
+        accel_layer_v = v_accel_bt[None] - (
+            jp1((pbce - gtot_S[None]) * e_anom[None])
+            - (pbce - gtot_N[None]) * e_anom[None]) * grid.IdyCv[None]
+        accel_layer_u = accel_layer_u * grid.mask2dCu
+        accel_layer_v = accel_layer_v * grid.mask2dCv
+        return BTResult(eta=sums["eta"], eta_av=sums["eta"],
+                        uhbtav=sums["uhbt"], vhbtav=sums["vhbt"],
+                        accel_layer_u=accel_layer_u,
+                        accel_layer_v=accel_layer_v,
+                        ubt_av=sums["ubt"], vbt_av=sums["vbt"])
 
     if period > 1:
         # communication-avoiding march: each exchange refreshes
@@ -424,6 +467,11 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                                    width=_bt_w(domain))
         fill_w = _bt_w(domain)
     run_fill = dom_run.fill_halos
+
+    wt_vel_j = jnp.asarray(wt_vel_a)
+    wt_eta_j = jnp.asarray(wt_eta_a)
+    wt_trans_j = jnp.asarray(wt_trans_a)
+    wt_accel_j = jnp.asarray(wt_accel_a)
 
     c = consts
 
@@ -504,10 +552,10 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         # ramped filter weights: transports/accelerations use the
         # reverse-cumulative weights so the mean transport is exactly
         # consistent with the filtered eta (:1758-1810)
-        w_v = wt_vel_a[n]
-        w_e = wt_eta_a[n]
-        w_t = wt_trans_a[n]
-        w_a = wt_accel_a[n]
+        w_v = wt_vel_j[n]
+        w_e = wt_eta_j[n]
+        w_t = wt_trans_j[n]
+        w_a = wt_accel_j[n]
         sums = dict(
             uhbt=sums["uhbt"] + w_t * uhbt2,
             vhbt=sums["vhbt"] + w_t * vhbt2,

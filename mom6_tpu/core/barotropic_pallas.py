@@ -1,0 +1,320 @@
+"""Pallas TPU kernel for the barotropic subcycle.
+
+The barotropic substep (MOM_barotropic.F90:1860 btstep inner loop) is
+~15 small 2D stencil ops; under plain XLA each substep costs ~0.13 ms
+at 512² — 3× the HBM-traffic bound — because the op chain round-trips
+HBM between fusions.  This kernel fuses CHUNK (=4) substeps into one
+``pallas_call``:
+
+* the padded (njh, nih) fields are row-blocked; each block stages its
+  rows plus a 2·CHUNK+2-row overlap into VMEM scratch via async DMA,
+  runs the CHUNK substeps entirely in VMEM (validity shrinks ≤2 rows
+  per substep from the block edges — the same communication-avoiding
+  recompute-overlap trick the wide-halo multi-chip march uses between
+  chips), and writes back only its own rows;
+* per-substep x-halo wraps (reentrant) and y-wall zeroing reproduce
+  ``Domain.fill_halos`` width-3 semantics in-register;
+* the ramped filter-weight accumulations (wt_vel/wt_eta/wt_trans/
+  wt_accel) ride along in VMEM, weights indexed from SMEM;
+* transports follow either the linearized Datu·ubt or the BT_cont
+  face-area curves (find_uhbt), chosen statically.
+
+Restrictions (callers fall back to the jnp fori_loop otherwise):
+single-device layout (1,1), no OBC segments, no wide-halo period,
+non-reentrant y, float32, TPU backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.parallel.stencil import ip1, im1, jp1, jm1
+
+__all__ = ["subcycle_pallas", "pallas_supported"]
+
+CHUNK = 4          # substeps fused per pallas_call (even: parity)
+BLOCK = 64         # valid rows per grid block
+# each substep's validity chain consumes 3 rows (the jnp path fills a
+# 3-ring halo per substep); +2 margin
+OVERLAP = 3 * CHUNK + 2   # recompute margin rows on each side
+
+# stable ordering of the 2D constant fields
+_CONST_LINEAR = ("Datu", "Datv")
+_CONST_SHARED = ("gtot_E", "gtot_W", "gtot_N", "gtot_S", "q", "Du_q",
+                 "Dv_q", "Cor_ref_u", "Cor_ref_v", "bt_rem_u",
+                 "bt_rem_v", "BT_force_u", "BT_force_v", "eta_pf",
+                 "IdxCu", "IdyCv", "IareaT", "eta_src")
+_N_CURVE = 10      # per-direction curve fields
+
+
+def _interpret() -> bool:
+    import os
+    return bool(os.environ.get("MOM6_PALLAS_INTERPRET"))
+
+
+def pallas_supported(domain, obc, period, dtype) -> bool:
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    ok_backend = backend == "tpu" and dtype == jnp.float32
+    if _interpret():
+        ok_backend = True         # CPU interpreter testing path
+    return (ok_backend and not domain.shmap
+            and domain.layout == (1, 1) and obc is None
+            and period == 1 and not domain.reentrant_y)
+
+
+def _find_uhbt_k(u, c10):
+    """find_uhbt on unpacked curve constants (see barotropic.find_uhbt)."""
+    (fa_ee, fa_e0, fa_w0, fa_ww, u_ee, u_ww, crv_e, uh_ee, crv_w,
+     uh_ww) = c10
+    lin_neg = (u - u_ee) * fa_ee + uh_ee
+    cub_neg = u * (fa_e0 + crv_e * u * u)
+    cub_pos = u * (fa_w0 + crv_w * u * u)
+    lin_pos = (u - u_ww) * fa_ww + uh_ww
+    return jnp.where(u < u_ee, lin_neg,
+                     jnp.where(u < 0.0, cub_neg,
+                               jnp.where(u <= u_ww, cub_pos, lin_pos)))
+
+
+def _make_kernel(n_in, n_const, use_curve, reentrant_x, H, ni, nj,
+                 njp, nip, dtbt, bebt, total, R, B):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(n0_ref, *refs):
+        # refs layout: ins (10 state/sums + n_const consts + wt),
+        # outs (10), scratch (buf, sem)
+        in_state = refs[:10]
+        in_consts = refs[10:10 + n_const]
+        wt_ref = refs[10 + n_const]            # SMEM (4, total_pad)
+        out_state = refs[11 + n_const:21 + n_const]
+        buf = refs[21 + n_const]               # VMEM (10+n_const, R, nip)
+        sem = refs[22 + n_const]               # DMA sem array
+
+        i = pl.program_id(0)
+        r0 = jnp.minimum(i * B, njp - B)             # valid-row start
+        in_start = jnp.clip(r0 - OVERLAP, 0, njp - R)
+        off = r0 - in_start                          # valid offset
+
+        # stage all fields into VMEM
+        copies = []
+        for k in range(10):
+            copies.append(pltpu.make_async_copy(
+                in_state[k].at[pl.ds(in_start, R), :],
+                buf.at[k], sem.at[k]))
+        for k in range(n_const):
+            copies.append(pltpu.make_async_copy(
+                in_consts[k].at[pl.ds(in_start, R), :],
+                buf.at[10 + k], sem.at[10 + k]))
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        eta = buf[0]
+        ubt = buf[1]
+        vbt = buf[2]
+        sums = [buf[3 + k] for k in range(7)]
+        con = {}
+        names = (list(_CONST_SHARED) if use_curve
+                 else list(_CONST_LINEAR) + list(_CONST_SHARED))
+        for k, nm in enumerate(names):
+            con[nm] = buf[10 + k]
+        if use_curve:
+            base = 10 + len(names)
+            cu = tuple(buf[base + k] for k in range(_N_CURVE))
+            cv = tuple(buf[base + _N_CURVE + k] for k in range(_N_CURVE))
+            uhbt0 = buf[base + 2 * _N_CURVE]
+            vhbt0 = buf[base + 2 * _N_CURVE + 1]
+
+            def trans_u(u):
+                return _find_uhbt_k(u, cu) + uhbt0
+
+            def trans_v(v):
+                return _find_uhbt_k(v, cv) + vhbt0
+        else:
+            def trans_u(u):
+                return con["Datu"] * u
+
+            def trans_v(v):
+                return con["Datv"] * v
+
+        # global row ids for the y-wall zeroing
+        grow = jax.lax.broadcasted_iota(jnp.int32, (R, nip), 0) \
+            + in_start
+        y_wet = (grow >= H) & (grow < H + nj)
+
+        def yfix(f):
+            return jnp.where(y_wet, f, 0.0)
+
+        def xfix(f):
+            # static-slice concatenation (Mosaic has no scatter):
+            # columns [H-3,H) ← east interior, [H+ni,H+ni+3) ← west
+            if reentrant_x:
+                src_w = f[:, H + ni - 3:H + ni]
+                src_e = f[:, H:H + 3]
+            else:
+                src_w = jnp.zeros_like(f[:, :3])
+                src_e = jnp.zeros_like(f[:, :3])
+            return jnp.concatenate(
+                [f[:, :H - 3], src_w, f[:, H:H + ni], src_e,
+                 f[:, H + ni + 3:]], axis=1)
+
+        def cor_u(vbt):
+            dvv = con["Dv_q"] * vbt
+            A = con["q"] * (ip1(dvv) + dvv)
+            return A + jm1(A)
+
+        def cor_v(ubt):
+            duu = con["Du_q"] * ubt
+            B = con["q"] * (duu + jp1(duu))
+            return -(B + im1(B))
+
+        def div(uh, vh):
+            return ((uh - im1(uh)) + (vh - jm1(vh))) * con["IareaT"]
+
+        n0 = n0_ref[0]
+        for s in range(CHUNK):
+            n = n0 + s
+            uhbt = trans_u(ubt)
+            vhbt = trans_v(vbt)
+            eta_pred = (eta + con["eta_src"]) - dtbt * div(uhbt, vhbt)
+            eta_bt_pf = (1.0 - bebt) * eta + bebt * eta_pred
+            d_eta = eta_bt_pf - con["eta_pf"]
+            pf_u = (d_eta * con["gtot_E"]
+                    - ip1(d_eta * con["gtot_W"])) * con["IdxCu"]
+            pf_v = (d_eta * con["gtot_N"]
+                    - jp1(d_eta * con["gtot_S"])) * con["IdyCv"]
+            if s % 2 == 0:
+                cu_t = cor_u(vbt) - con["Cor_ref_u"]
+                ubt2 = con["bt_rem_u"] * (
+                    ubt + dtbt * ((con["BT_force_u"] + cu_t) + pf_u))
+                cv_t = cor_v(ubt2) - con["Cor_ref_v"]
+                vbt2 = con["bt_rem_v"] * (
+                    vbt + dtbt * ((con["BT_force_v"] + cv_t) + pf_v))
+            else:
+                cv_t = cor_v(ubt) - con["Cor_ref_v"]
+                vbt2 = con["bt_rem_v"] * (
+                    vbt + dtbt * ((con["BT_force_v"] + cv_t) + pf_v))
+                cu_t = cor_u(vbt2) - con["Cor_ref_u"]
+                ubt2 = con["bt_rem_u"] * (
+                    ubt + dtbt * ((con["BT_force_u"] + cu_t) + pf_u))
+
+            uhbt2 = trans_u(ubt2)
+            vhbt2 = trans_v(vbt2)
+            eta2 = (eta + con["eta_src"]) - dtbt * div(uhbt2, vhbt2)
+
+            # fill_halos(width=3) semantics
+            eta = xfix(yfix(eta2))
+            ubt = xfix(yfix(ubt2))
+            vbt = xfix(yfix(vbt2))
+
+            # weighted accumulations (wt rows: vel, eta, trans, accel)
+            w_v = wt_ref[0, n]
+            w_e = wt_ref[1, n]
+            w_t = wt_ref[2, n]
+            w_a = wt_ref[3, n]
+            sums[0] = sums[0] + w_t * uhbt2
+            sums[1] = sums[1] + w_t * vhbt2
+            sums[2] = sums[2] + w_e * eta
+            sums[3] = sums[3] + w_a * (cu_t + pf_u)
+            sums[4] = sums[4] + w_a * (cv_t + pf_v)
+            sums[5] = sums[5] + w_v * ubt
+            sums[6] = sums[6] + w_v * vbt
+
+        # write back valid rows only
+        buf[0, :, :] = eta
+        buf[1, :, :] = ubt
+        buf[2, :, :] = vbt
+        for k in range(7):
+            buf[3 + k, :, :] = sums[k]
+        wb = []
+        for k in range(10):
+            wb.append(pltpu.make_async_copy(
+                buf.at[k, pl.ds(off, B), :],
+                out_state[k].at[pl.ds(r0, B), :],
+                sem.at[k]))
+        for c in wb:
+            c.start()
+        for c in wb:
+            c.wait()
+
+    return kernel
+
+
+def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
+                    dtbt: float, bebt: float, total: int,
+                    reentrant_x: bool, H: int, ni: int, nj: int):
+    """Run the full ``total``-substep barotropic subcycle through the
+    fused kernel.  consts: dict of 2D fields; curve_args: None or
+    (cu(10), cv(10), uhbt0, vhbt0); wt_rows: (4, total) numpy weights.
+    Returns (eta, ubt, vbt, sums dict)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    njp, nip = eta0.shape
+    dtype = eta0.dtype
+    use_curve = curve_args is not None
+
+    const_list = []
+    if not use_curve:
+        const_list += [consts["Datu"], consts["Datv"]]
+    const_list += [consts[k] for k in _CONST_SHARED]
+    if use_curve:
+        cu, cv, uhbt0, vhbt0 = curve_args
+        const_list += list(cu) + list(cv) + [uhbt0, vhbt0]
+    n_const = len(const_list)
+
+    # pad weights to a chunk multiple
+    nchunks = -(-total // CHUNK)
+    tpad = nchunks * CHUNK
+    wt = np.zeros((4, tpad), np.float32)
+    wt[:, :total] = wt_rows[:, :total]
+    wt = jnp.asarray(wt)
+
+    zero = jnp.zeros_like(eta0)
+    state = [eta0, ubt0, vbt0] + [zero] * 7
+
+    B = min(BLOCK, njp)
+    R = min(B + 2 * OVERLAP, njp)
+    kernel = _make_kernel(0, n_const, use_curve, reentrant_x, H,
+                          ni, nj, njp, nip, dtbt, bebt, tpad, R, B)
+    nblocks = -(-njp // B)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] * 10
+                  + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_const
+                  + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 10,
+        scratch_shapes=[
+            pltpu.VMEM((10 + n_const, R, nip), dtype),
+            pltpu.SemaphoreType.DMA((10 + n_const,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((njp, nip), dtype)] * 10,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )
+
+    def chunk_step(c, st):
+        n0 = jnp.reshape(c * CHUNK, (1,)).astype(jnp.int32)
+        outs = call(n0, *st, *const_list, wt)
+        return list(outs)
+
+    state = jax.lax.fori_loop(0, nchunks, chunk_step, state)
+    eta_f, ubt_f, vbt_f = state[0], state[1], state[2]
+    sums = dict(uhbt=state[3], vhbt=state[4], eta=state[5],
+                accel_u=state[6], accel_v=state[7], ubt=state[8],
+                vbt=state[9])
+    return eta_f, ubt_f, vbt_f, sums

@@ -274,11 +274,23 @@ def _bt_cont_1dir(u, h, h_minus, h_plus, dt, args, vr, cfg, dx_face):
     MOM_continuity_PPM.F90:1247): probe the layered flux function at
     the zero-transport correction du0 and at CFL-limited corrections
     that make every layer flow one way, then fit the 3-segment
-    marginal-area curve the barotropic solver evaluates."""
+    marginal-area curve the barotropic solver evaluates.
+
+    Perf note: du0 only anchors the PROBE locations — the curve is
+    re-anchored to the exact layered transports via the uhbt0 residual
+    in btstep — so a short Newton (3 iterations) suffices."""
     zero2 = jnp.zeros_like(u[0])
-    _, _, du0 = _flux_adjust(u, h, h_minus, h_plus, dt, args, zero2,
-                             vr, cfg, dx_face=dx_face)
-    du_max = cfg.cfl_limit * dx_face / dt
+    # short Newton for the zero-transport correction
+    du0 = jnp.zeros_like(zero2)
+    du_lim = cfg.cfl_limit * dx_face / dt
+    for _ in range(3):
+        flux, dfdu = _flux_1dir(u + vr * du0[None], h, h_minus,
+                                h_plus, dt, *args, visc_rem=vr)
+        err = jnp.sum(flux, axis=0)
+        denom = jnp.sum(dfdu, axis=0)
+        step = -err / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        du0 = jnp.clip(du0 + step, -du_lim, du_lim)
+    du_max = du_lim
     du_cfl = 1.0e-6 * dx_face / dt
     vr_max = jnp.max(vr, axis=0)
     vr_lim = jnp.maximum(vr, 0.1 * vr_max[None]) + 1e-30

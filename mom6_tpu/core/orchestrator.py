@@ -272,16 +272,23 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         if state.T is not None:
             state = state.replace(T=domain.fill_halos(state.T),
                                   S=domain.fill_halos(state.S))
-        state, tracers, _ = ale_regrid_remap(grid, vgrid, state,
-                                             cfg.ale, eos=eos,
-                                             tracers=tracers)
+        aux_u = aux_v = None
+        if cfg.split and split_state is not None:
+            aux_u = {"u_av": domain.fill_halos(split_state.u_av)}
+            aux_v = {"v_av": domain.fill_halos(split_state.v_av)}
+        state, tracers, _, aux_u, aux_v = ale_regrid_remap(
+            grid, vgrid, state, cfg.ale, eos=eos, tracers=tracers,
+            aux_u=aux_u, aux_v=aux_v)
         state = state.replace(h=domain.fill_halos(state.h))
         if cfg.split and split_state is not None:
-            # keep the split auxiliaries on the new grid: remap the
-            # simple way — refresh h_av to the new h (aux velocities
-            # remap is a planned refinement, cf. ALE remap of dyn aux
-            # vars MOM_dynamics_split_RK2.F90:1273)
-            split_state = dataclasses.replace(split_state, h_av=state.h)
+            # carry the split auxiliaries onto the new grid: remap the
+            # time-mean velocities with the face-thickness rule and
+            # refresh h_av (remap of dyn aux vars,
+            # MOM_dynamics_split_RK2.F90:1273)
+            split_state = dataclasses.replace(
+                split_state, h_av=state.h,
+                u_av=domain.fill_halos(aux_u["u_av"]),
+                v_av=domain.fill_halos(aux_v["v_av"]))
 
     if obc_reservoirs is not None:
         return state, split_state, tracers, diags, obc_reservoirs

@@ -1,0 +1,86 @@
+"""The fused Pallas barotropic subcycle must reproduce the reference
+jnp fori_loop path exactly (same math, same fill semantics), for both
+the linearized and the BT_cont face-area-curve transports.
+
+Runs the Pallas kernel through its interpreter on CPU (the compiled
+path is exercised on the real chip by bench.py); the comparison is
+bitwise in fp32 because both paths execute the identical operation
+sequence.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mom6_tpu.parallel.domain import Domain
+from mom6_tpu.core.grid import cartesian_grid
+from mom6_tpu.core.vertical_grid import VerticalGrid
+from mom6_tpu.core.barotropic import BarotropicCfg, btstep, set_dtbt
+from mom6_tpu.core.continuity_ppm import ContinuityCfg, set_up_bt_cont
+
+
+@pytest.mark.parametrize("curve", [False, True])
+def test_pallas_subcycle_matches_fori_loop(curve, monkeypatch):
+    ni, nj, nk = 32, 24, 3
+    import jax
+    d = Domain(ni=ni, nj=nj, halo=4, reentrant_x=True,
+               reentrant_y=False)
+    g = cartesian_grid(d, lenlon_km=320.0, lenlat_km=240.0, f0=1e-4,
+                       max_depth=900.0)
+    # fp32 throughout (the TPU-native precision the kernel targets);
+    # the test env enables x64, so cast the metric fields down
+    g = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "astype") and a.dtype == jnp.float64 else a, g)
+    vg = VerticalGrid.uniform(nk=nk)
+    vg = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "astype") and a.dtype == jnp.float64 else a, vg)
+    rng = np.random.default_rng(5)
+    f32 = jnp.float32
+    shape = (nk, d.njh, d.nih)
+    h = d.fill_halos(d.pad(jnp.asarray(
+        rng.uniform(250.0, 350.0, (nk, nj, ni)), f32)))
+    u = d.fill_halos(d.pad(jnp.asarray(
+        0.05 * rng.standard_normal((nk, nj, ni)), f32)))
+    v = d.fill_halos(d.pad(jnp.asarray(
+        0.05 * rng.standard_normal((nk, nj, ni)), f32)))
+    eta = d.fill_halos(d.pad(jnp.asarray(
+        0.05 * rng.standard_normal((nj, ni)), f32)))
+    acc = d.fill_halos(d.pad(jnp.asarray(
+        1e-6 * rng.standard_normal((nk, nj, ni)), f32)))
+    pbce = jnp.full(shape, 9.8 / nk, f32)
+    ecor = d.fill_halos(d.pad(jnp.asarray(
+        0.01 * rng.standard_normal((nj, ni)), f32)))
+    nstep = set_dtbt(d, g, vg, BarotropicCfg(), 600.0)
+    bc = set_up_bt_cont(g, vg, u, v, h, 600.0, ContinuityCfg()) \
+        if curve else None
+    uh0 = jnp.sum(h * 0.01, 0) if curve else None
+    vh0 = jnp.sum(h * 0.005, 0) if curve else None
+
+    results = {}
+    for use_p in (False, True):
+        if use_p:
+            monkeypatch.setenv("MOM6_PALLAS_INTERPRET", "1")
+        else:
+            monkeypatch.delenv("MOM6_PALLAS_INTERPRET", raising=False)
+        cfg = BarotropicCfg(nstep=nstep, use_bt_cont=curve,
+                            use_pallas=use_p)
+        results[use_p] = btstep(
+            d, g, vg, u, v, eta, h, acc, acc, pbce, u, v, 600.0, cfg,
+            bt_cont=bc, eta_cor=ecor, uhbt_in=uh0, vhbt_in=vh0)
+
+    H = d.halo
+    sl = (slice(H, H + nj), slice(H, H + ni))
+    for f in ("eta", "uhbtav", "vhbtav", "ubt_av", "vbt_av"):
+        a = np.asarray(getattr(results[False], f))[sl]
+        b = np.asarray(getattr(results[True], f))[sl]
+        scale = np.abs(a).max() + 1e-12
+        assert np.abs(a - b).max() / scale < 2e-6, f
+    for f in ("accel_layer_u", "accel_layer_v"):
+        a = np.asarray(getattr(results[False], f))[:, sl[0], sl[1]]
+        b = np.asarray(getattr(results[True], f))[:, sl[0], sl[1]]
+        scale = np.abs(a).max() + 1e-12
+        assert np.abs(a - b).max() / scale < 2e-6, f
