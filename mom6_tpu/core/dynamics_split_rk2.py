@@ -127,7 +127,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     v_bc_accel = (ca.CAv + pf.PFv) + dv.diffv
 
     dt_pred = dt * cfg.be
-    coefs = vertvisc_coef(grid, u_av, v_av, h, cfg=cfg.vertvisc)
+    coefs = vertvisc_coef(grid, u_av, v_av, h, cfg=cfg.vertvisc, vgrid=vgrid)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
 
     # eta mass-source correction: the discrepancy between the layered
@@ -162,7 +162,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     up = grid.mask2dCu * (u + dt_pred * (u_bc_accel + bt.accel_layer_u))
     vp = grid.mask2dCv * (v + dt_pred * (v_bc_accel + bt.accel_layer_v))
 
-    coefs = vertvisc_coef(grid, up, vp, h, cfg=cfg.vertvisc)
+    coefs = vertvisc_coef(grid, up, vp, h, cfg=cfg.vertvisc, vgrid=vgrid)
     up, vp = vertvisc(grid, up, vp, h, coefs, dt_pred,
                       forces.taux, forces.tauy, rho0)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
@@ -205,7 +205,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     u_new = grid.mask2dCu * (u + dt * (u_bc_accel + bt.accel_layer_u))
     v_new = grid.mask2dCv * (v + dt * (v_bc_accel + bt.accel_layer_v))
 
-    coefs = vertvisc_coef(grid, u_new, v_new, h, cfg=cfg.vertvisc)
+    coefs = vertvisc_coef(grid, u_new, v_new, h, cfg=cfg.vertvisc, vgrid=vgrid)
     u_new, v_new = vertvisc(grid, u_new, v_new, h, coefs, dt,
                             forces.taux, forces.tauy, rho0)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt)

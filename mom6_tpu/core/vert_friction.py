@@ -36,7 +36,7 @@ _H_NEGLECT = 1e-20
 @dataclasses.dataclass(frozen=True)
 class VertViscCfg:
     kv: float = 1e-4              # KV background vertical viscosity [m2 s-1]
-    hbbl: float = 10.0            # HBBL bottom boundary layer thickness [m]
+    hbbl: float = 10.0            # HBBL near-bottom averaging depth [m]
     cdrag: float = 0.003          # CDRAG quadratic bottom drag
     drag_bg_vel: float = 0.0      # DRAG_BG_VEL [m s-1]
     bottomdraglaw: bool = True    # BOTTOMDRAGLAW (quadratic via BBL)
@@ -44,6 +44,13 @@ class VertViscCfg:
     maxvel: float = 6.0           # MAXVEL truncation [m s-1]
     cfl_trunc: float = 0.9        # CFL_TRUNCATE
     channel_drag: bool = False    # CHANNEL_DRAG (side-wall Rayleigh drag)
+    # stratified/rotational BBL thickness (set_viscous_BBL,
+    # MOM_set_viscosity.F90:800-860): the drag acts over
+    # h_bbl = h_N/(1/2+sqrt(1/4+(2f h_N/u*)^2)), h_N the KW99
+    # stratification limit, instead of the fixed HBBL
+    dynamic_bbl: bool = True
+    bbl_thick_min: float = 0.1    # BBL_THICK_MIN [m]
+    kv_bbl_min: float = 1e-4      # KV_BBL_MIN [m2 s-1]
 
 
 class ViscCoefs(NamedTuple):
@@ -56,42 +63,114 @@ class ViscCoefs(NamedTuple):
 
 
 def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
-                  cfg: VertViscCfg = VertViscCfg()) -> ViscCoefs:
+                  cfg: VertViscCfg = VertViscCfg(),
+                  vgrid=None) -> ViscCoefs:
     """Build interface coupling coefficients at u and v columns.
 
     kv_int: optional (nk+1, njh, nih) interface viscosity at h points
     (from set_diffusivity/CVMix); defaults to the constant cfg.kv.
-    Bottom coupling uses a quadratic-drag piston velocity
-    cdrag*(|u_bot| + drag_bg_vel) (set_viscous_BBL's kv_bbl/bbl_thick
-    collapsed to its drag-law essence).
+
+    The bottom coupling follows set_viscous_BBL
+    (MOM_set_viscosity.F90): the near-bottom velocity is averaged
+    over the bottom HBBL meters, u* = √(cdrag)·√(u_bbl²+u_bg²), the
+    BBL thickness is limited by stratification (the KW99 limit
+    h_N ≈ 20u*/N, integrated through the layered Δρ ladder) and
+    rotation (h_f = u*/2f) through
+    h_bbl = h_N/(½+√(¼+(2f h_N/u*)²)), and the bottom viscosity
+    kv_bbl = √(cdrag)·u*·h_bbl gives the drag-law stress when the
+    shear occupies h_bbl.  With cfg.dynamic_bbl False (or no vgrid)
+    this collapses to the fixed-HBBL drag-law piston.
     """
     nk = h.shape[0]
 
-    def face_coefs(h_face, u_face, kv_face):
+    # reduced gravities across interior interfaces for the
+    # stratification-limited BBL (layered ladder; ALE-mode runs
+    # carry their stratification in Rlay only weakly and mostly see
+    # the rotational limit)
+    gp_int = None
+    if vgrid is not None and cfg.dynamic_bbl:
+        import numpy as _np
+        rl = _np.asarray(vgrid.Rlay)
+        gp = _np.maximum(vgrid.g_Earth * (rl[1:] - rl[:-1])
+                         / vgrid.Rho0, 0.0)
+        gp_int = jnp.asarray(gp.reshape((-1,) + (1,) * (h.ndim - 1)))
+
+    def face_coefs(h_face, u_face, umag2_face, kv_face, absf):
         # interior interfaces K=1..nk-1: a = Kv / dz between layer centers
         dz = 0.5 * (h_face[:-1] + h_face[1:]) + _H_NEGLECT
         a_int = kv_face[1:-1] / dz
         a_top = jnp.zeros_like(h_face[0])[None]
-        # bottom: piston velocity from the drag law
-        if cfg.bottomdraglaw:
-            if cfg.linear_drag:
-                piston = cfg.cdrag * cfg.drag_bg_vel * jnp.ones_like(h_face[0])
-            else:
-                piston = cfg.cdrag * (jnp.abs(u_face[-1]) + cfg.drag_bg_vel)
-            a_bot = (piston + kv_face[-1] / (0.5 * h_face[-1]
-                                             + 0.5 * cfg.hbbl))[None]
-            # Slave every interface within HBBL of the bottom to the
-            # drag: near-bottom (possibly massless) layers couple into
-            # the bottom boundary layer instead of free-slipping above
-            # it (set_viscous_BBL's kv_bbl/bbl_thick essence,
-            # MOM_set_viscosity.F90 set_viscous_BBL).
-            hab = jnp.cumsum(h_face[::-1], axis=0)[::-1]   # above-bottom
-            hab_int = hab[1:]          # height of interfaces K=1..nk-1
-            in_bbl = hab_int < cfg.hbbl
-            a_int = jnp.where(in_bbl, jnp.maximum(a_int, piston[None]),
-                              a_int)
-        else:
+        if not cfg.bottomdraglaw:
             a_bot = (kv_face[-1] / (0.5 * h_face[-1] + _H_NEGLECT))[None]
+            return jnp.concatenate([a_top, a_int, a_bot], axis=0)
+
+        # height of interfaces above the bottom (K=0..nk; [-1]=0)
+        hab = jnp.concatenate(
+            [jnp.cumsum(h_face[::-1], axis=0)[::-1],
+             jnp.zeros_like(h_face[:1])], axis=0)
+
+        if cfg.linear_drag:
+            piston = cfg.cdrag * cfg.drag_bg_vel \
+                * jnp.ones_like(h_face[0])
+            bbl_thick = jnp.full_like(h_face[0], cfg.hbbl)
+        else:
+            # |u| averaged over the bottom HBBL meters (:627)
+            w = jnp.clip(cfg.hbbl - hab[1:], 0.0,
+                         h_face) / cfg.hbbl
+            u_bbl2 = jnp.sum(w * umag2_face, axis=0) \
+                / jnp.maximum(jnp.sum(w, axis=0), 1e-10)
+            ustar = jnp.sqrt(cfg.cdrag
+                             * (u_bbl2 + cfg.drag_bg_vel ** 2))
+            if gp_int is not None and nk > 1:
+                # KW99 stratification limit: the largest height h with
+                # Σ_{K below h} g'_K (h − hab_K) ≤ 400 u*²
+                # (the layered integral of Δρ from the bottom, :761)
+                targ = 400.0 * ustar * ustar
+                habi = hab[1:nk]            # interior interfaces
+                # gcum[k] = Σ_{j>=k} g'_j: stratification felt by
+                # heights in the segment ABOVE interface k (the
+                # interface-k term vanishes at h = habi[k], so the
+                # same sums also evaluate f(habi[k]) for the
+                # reachability test)
+                gcum = jnp.cumsum(gp_int[::-1], axis=0)[::-1]
+                gh = jnp.cumsum((gp_int * habi)[::-1], axis=0)[::-1]
+                lhs = habi * gcum - gh
+                ok = lhs <= targ[None]
+                # per-segment crossing: h = (targ + Σg'hab)/Σg',
+                # valid between this interface and the one above it
+                ub = jnp.concatenate([hab[:1], habi[:-1]], axis=0)
+                h_cand = jnp.where(
+                    gcum > 0.0,
+                    (targ[None] + gh)
+                    / jnp.maximum(gcum, 1e-30), ub)
+                h_cand = jnp.clip(h_cand, habi, ub)
+                h_n = jnp.max(jnp.where(ok, h_cand, 0.0), axis=0)
+                h_n = jnp.where(jnp.any(ok, axis=0), h_n,
+                                cfg.bbl_thick_min)
+                h_n = jnp.minimum(h_n, hab[0])
+                # rotational limit: h_bbl = h_N/(½+√(¼+(2f h_N/u*)²)),
+                # guarded for u*→0 (:832-845)
+                ust = jnp.maximum(ustar, 1e-12)
+                root = jnp.sqrt(0.25 * ust * ust
+                                + (2.0 * absf * h_n) ** 2)
+                bbl_thick = jnp.maximum(
+                    (h_n * ust) / (0.5 * ust + root),
+                    cfg.bbl_thick_min)
+            else:
+                # no stratification information: fixed-HBBL behavior
+                bbl_thick = jnp.full_like(h_face[0], cfg.hbbl)
+            kv_bbl = jnp.maximum(jnp.sqrt(cfg.cdrag) * ustar
+                                 * bbl_thick, cfg.kv_bbl_min)
+            piston = kv_bbl / jnp.maximum(bbl_thick,
+                                          cfg.bbl_thick_min)
+        a_bot = (piston + kv_face[-1] / (0.5 * h_face[-1]
+                                         + 0.5 * cfg.hbbl))[None]
+        # slave every interface within the (dynamic) BBL of the
+        # bottom to the drag coupling, so near-bottom massless
+        # layers do not free-slip above it
+        in_bbl = hab[1:nk] < bbl_thick[None]
+        a_int = jnp.where(in_bbl, jnp.maximum(a_int, piston[None]),
+                          a_int)
         return jnp.concatenate([a_top, a_int, a_bot], axis=0)
 
     h_u = 0.5 * (h + ip1(h))
@@ -103,8 +182,21 @@ def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
         kv_u = 0.5 * (kv_int + ip1(kv_int))
         kv_v = 0.5 * (kv_int + jp1(kv_int))
 
-    a_u = face_coefs(h_u, u, kv_u) * grid.mask2dCu[None]
-    a_v = face_coefs(h_v, v, kv_v) * grid.mask2dCv[None]
+    # squared speed at faces (the cross-component averaged over the 4
+    # surrounding faces, :698 set_viscous_BBL)
+    from mom6_tpu.parallel.stencil import im1, jm1
+    v_at_u = 0.25 * ((v + ip1(v)) + jm1(v + ip1(v)))
+    u_at_v = 0.25 * ((u + jp1(u)) + im1(u + jp1(u)))
+    umag2_u = u * u + v_at_u * v_at_u
+    umag2_v = v * v + u_at_v * u_at_v
+    fq = jnp.abs(grid.CoriolisBu)
+    absf_u = 0.5 * (fq + jm1(fq))
+    absf_v = 0.5 * (fq + im1(fq))
+
+    a_u = face_coefs(h_u, u, umag2_u, kv_u, absf_u) \
+        * grid.mask2dCu[None]
+    a_v = face_coefs(h_v, v, umag2_v, kv_v, absf_v) \
+        * grid.mask2dCv[None]
 
     ray_u = ray_v = None
     if cfg.channel_drag:

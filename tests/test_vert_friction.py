@@ -87,6 +87,93 @@ def test_surface_stress_accelerates():
     np.testing.assert_allclose(got, [0.036, 0.0, 0.0], atol=1e-14)
 
 
+def _bbl_setup(f0=0.0, rlay=None, u0=0.3, nk=4):
+    """Small flat-bottom grid + uniform flow for BBL coupling tests."""
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    from mom6_tpu.core.vertical_grid import VerticalGrid
+    d = Domain(ni=8, nj=4, halo=4)
+    g = cartesian_grid(d, lenlon_km=80.0, lenlat_km=40.0, f0=f0)
+    if rlay is None:
+        rlay = np.full(nk, 1035.0)
+    vg = VerticalGrid.from_rlay(np.asarray(rlay, np.float64))
+    h = jnp.full((nk, 12, 16), 25.0)
+    u = jnp.full_like(h, u0)
+    v = jnp.zeros_like(h)
+    return d, g, vg, h, u, v
+
+
+def test_dynamic_bbl_rotational_limit():
+    """Unstratified column: the BBL thickness is the rotational
+    (Ekman) limit u*/(2f), so the drag-law viscosity kv_bbl =
+    sqrt(cdrag)*u**2/(2f) and the piston velocity stays
+    sqrt(cdrag)*u*.  set_viscous_BBL, MOM_set_viscosity.F90:832-845."""
+    from mom6_tpu.core.vert_friction import VertViscCfg, vertvisc_coef
+    f0 = 1e-4
+    cfg = VertViscCfg(kv=0.0, cdrag=0.0025, hbbl=10.0)
+    d, g, vg, h, u, v = _bbl_setup(f0=f0)
+    co = vertvisc_coef(g, u, v, h, cfg=cfg, vgrid=vg)
+    ja, ia = 6, 8
+    ustar = np.sqrt(cfg.cdrag) * 0.3
+    # total depth 100 m >> u*/2f = 75 m?  u* = 0.015, u*/2f = 75 m —
+    # rotational-limited well below the 100 m water depth
+    piston = float(np.asarray(co.a_u)[-1, ja, ia])
+    # h_N caps at the water depth (100 m); rotation then thins it to
+    # h_bbl = h_N/(1/2+sqrt(1/4+(2 f h_N/u*)^2)) ≈ u*/2f = 75 m
+    hn = 100.0
+    root = np.sqrt(0.25 * ustar**2 + (2 * f0 * hn) ** 2)
+    hbbl_expect = hn * ustar / (0.5 * ustar + root)
+    kv_bbl = np.sqrt(cfg.cdrag) * ustar * hbbl_expect
+    np.testing.assert_allclose(piston, kv_bbl / hbbl_expect, rtol=1e-5)
+
+
+def test_dynamic_bbl_stratification_thins_bbl():
+    """Strong near-bottom stratification caps the BBL at the KW99
+    height, slaving fewer interfaces to the drag than a weakly
+    stratified column (MOM_set_viscosity.F90:761)."""
+    from mom6_tpu.core.vert_friction import VertViscCfg, vertvisc_coef
+    cfg = VertViscCfg(kv=1e-6, cdrag=0.0025, hbbl=10.0)
+    # strong g' ladder: Δρ = 2 kg/m3 per interface
+    rlay_strong = 1030.0 + 2.0 * np.arange(4)
+    d, g, vg_s, h, u, v = _bbl_setup(f0=0.0, rlay=rlay_strong, u0=0.05)
+    co_s = vertvisc_coef(g, u, v, h, cfg=cfg, vgrid=vg_s)
+    _, _, vg_w, _, _, _ = _bbl_setup(f0=0.0)
+    co_w = vertvisc_coef(g, u, v, h, cfg=cfg, vgrid=vg_w)
+    ja, ia = 6, 8
+    a_s = np.asarray(co_s.a_u)[:, ja, ia]
+    a_w = np.asarray(co_w.a_u)[:, ja, ia]
+    # unstratified/f=0 column: BBL fills the water column, every
+    # interior interface is slaved to the drag piston
+    # drag-law piston sqrt(cdrag)*u* (a_bot adds kv/(h/2+hbbl/2) on top)
+    piston = np.sqrt(cfg.cdrag) * np.sqrt(cfg.cdrag) * 0.05
+    assert np.all(a_w[1:-1] >= piston - 1e-12)
+    # strongly stratified: the BBL fills the (unstratified) bottom
+    # layer plus 400u*²/g' ≈ 0.13 m past its top interface, so the
+    # deepest interior interface is slaved but those at 50/75 m stay
+    # at background kv
+    assert a_s[-2] >= piston - 1e-12
+    assert np.all(a_s[1:-2] < 1e-3 * piston)
+    # bottom coupling itself stays drag-law in both
+    assert a_s[-1] > 0.0
+
+
+def test_dynamic_bbl_off_matches_fixed_hbbl():
+    """DYNAMIC_BBL=False (or a missing vgrid) reproduces the fixed
+    HBBL drag-law piston."""
+    import dataclasses as _dc
+    from mom6_tpu.core.vert_friction import VertViscCfg, vertvisc_coef
+    cfg = VertViscCfg(kv=1e-5, cdrag=0.0025, hbbl=10.0)
+    d, g, vg, h, u, v = _bbl_setup(f0=1e-4)
+    co_off = vertvisc_coef(g, u, v, h,
+                           cfg=_dc.replace(cfg, dynamic_bbl=False),
+                           vgrid=vg)
+    co_none = vertvisc_coef(g, u, v, h, cfg=cfg, vgrid=None)
+    np.testing.assert_array_equal(np.asarray(co_off.a_u),
+                                  np.asarray(co_none.a_u))
+    np.testing.assert_array_equal(np.asarray(co_off.a_v),
+                                  np.asarray(co_none.a_v))
+
+
 def test_channel_drag_slows_flow_along_topography():
     """With CHANNEL_DRAG, the part of a column deeper than the shallow
     side of a face feels Rayleigh drag; a flat bottom feels none."""
