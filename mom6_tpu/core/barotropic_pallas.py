@@ -39,8 +39,10 @@ __all__ = ["subcycle_pallas", "pallas_supported"]
 CHUNK = 4          # substeps fused per pallas_call (even: parity)
 BLOCK = 64         # valid rows per grid block
 # each substep's validity chain consumes 3 rows (the jnp path fills a
-# 3-ring halo per substep); +2 margin
-OVERLAP = 3 * CHUNK + 2   # recompute margin rows on each side
+# 3-ring halo per substep), needing 3*CHUNK+2=14; rounded up to a
+# sublane-tile multiple (8) so every DMA row slice/offset the kernel
+# issues is 8-aligned, which Mosaic requires
+OVERLAP = 16              # recompute margin rows on each side
 
 # stable ordering of the 2D constant fields
 _CONST_LINEAR = ("Datu", "Datv")
@@ -98,9 +100,13 @@ def _make_kernel(n_in, n_const, use_curve, reentrant_x, H, ni, nj,
         sem = refs[22 + n_const]               # DMA sem array
 
         i = pl.program_id(0)
-        r0 = jnp.minimum(i * B, njp - B)             # valid-row start
-        in_start = jnp.clip(r0 - OVERLAP, 0, njp - R)
-        off = r0 - in_start                          # valid offset
+        # compute row offsets in 8-row tile units and multiply out, so
+        # Mosaic can prove every DMA slice offset is sublane-aligned
+        r0_t = jnp.minimum(i * (B // 8), (njp - B) // 8)
+        in_t = jnp.clip(r0_t - OVERLAP // 8, 0, (njp - R) // 8)
+        r0 = r0_t * 8                                # valid-row start
+        in_start = in_t * 8
+        off = (r0_t - in_t) * 8                      # valid offset
 
         # stage all fields into VMEM
         copies = []
@@ -258,9 +264,26 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    njp, nip = eta0.shape
+    njp_raw, nip_raw = eta0.shape
     dtype = eta0.dtype
     use_curve = curve_args is not None
+
+    # Mosaic DMA slicing needs tile-aligned extents: zero-pad the x
+    # (lane) axis to 128 and the y (sublane) axis to 8.  Safe because
+    # reads never reach past ring 3 of the x halo (refreshed in-kernel
+    # by xfix every substep) and padded rows sit beyond the y wall,
+    # re-zeroed by yfix every substep.
+    nip = -(-nip_raw // 128) * 128
+    njp = -(-njp_raw // 8) * 8
+    xpad = nip - nip_raw
+    ypad = njp - njp_raw
+
+    def _pad(a):
+        if xpad == 0 and ypad == 0:
+            return a
+        return jnp.pad(a, ((0, ypad), (0, xpad)))
+
+    eta0, ubt0, vbt0 = _pad(eta0), _pad(ubt0), _pad(vbt0)
 
     const_list = []
     if not use_curve:
@@ -269,6 +292,7 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
     if use_curve:
         cu, cv, uhbt0, vhbt0 = curve_args
         const_list += list(cu) + list(cv) + [uhbt0, vhbt0]
+    const_list = [_pad(a) for a in const_list]
     n_const = len(const_list)
 
     # pad weights to a chunk multiple
@@ -313,6 +337,11 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
         return list(outs)
 
     state = jax.lax.fori_loop(0, nchunks, chunk_step, state)
+
+    def _crop(a):
+        return a[:njp_raw, :nip_raw] if (xpad or ypad) else a
+
+    state = [_crop(a) for a in state]
     eta_f, ubt_f, vbt_f = state[0], state[1], state[2]
     sums = dict(uhbt=state[3], vhbt=state[4], eta=state[5],
                 accel_u=state[6], accel_v=state[7], ubt=state[8],

@@ -3,9 +3,14 @@ jnp fori_loop path exactly (same math, same fill semantics), for both
 the linearized and the BT_cont face-area-curve transports.
 
 Runs the Pallas kernel through its interpreter on CPU (the compiled
-path is exercised on the real chip by bench.py); the comparison is
-bitwise in fp32 because both paths execute the identical operation
-sequence.
+path is exercised on the real chip by bench.py).  When the padded
+x extent is already 128-aligned both paths execute the identical
+operation sequence and the comparison is near-bitwise; with an
+unaligned extent the kernel zero-pads the lane axis, XLA:CPU then
+vectorizes/FMA-contracts the two layouts differently, and isolated
+find_uhbt branch flips give ~1e-5-relative isolated diffs, so that
+case gets a looser gate (the padding must still never leak into the
+interior — ring-4 halo columns are excluded from the check).
 """
 
 import os
@@ -22,8 +27,10 @@ from mom6_tpu.core.continuity_ppm import ContinuityCfg, set_up_bt_cont
 
 
 @pytest.mark.parametrize("curve", [False, True])
-def test_pallas_subcycle_matches_fori_loop(curve, monkeypatch):
-    ni, nj, nk = 32, 24, 3
+@pytest.mark.parametrize("ni", [32, 120])
+def test_pallas_subcycle_matches_fori_loop(ni, curve, monkeypatch):
+    nj, nk = 24, 3
+    tol = 2e-6 if (ni + 8) % 128 == 0 else 5e-5
     import jax
     d = Domain(ni=ni, nj=nj, halo=4, reentrant_x=True,
                reentrant_y=False)
@@ -78,9 +85,9 @@ def test_pallas_subcycle_matches_fori_loop(curve, monkeypatch):
         a = np.asarray(getattr(results[False], f))[sl]
         b = np.asarray(getattr(results[True], f))[sl]
         scale = np.abs(a).max() + 1e-12
-        assert np.abs(a - b).max() / scale < 2e-6, f
+        assert np.abs(a - b).max() / scale < tol, f
     for f in ("accel_layer_u", "accel_layer_v"):
         a = np.asarray(getattr(results[False], f))[:, sl[0], sl[1]]
         b = np.asarray(getattr(results[True], f))[:, sl[0], sl[1]]
         scale = np.abs(a).max() + 1e-12
-        assert np.abs(a - b).max() / scale < 2e-6, f
+        assert np.abs(a - b).max() / scale < tol, f
