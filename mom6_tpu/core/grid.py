@@ -133,8 +133,23 @@ def _build(domain: Domain, lon_c, lat_c, lon_f, lat_f, dx_fn, dy_fn,
     dyBu = dy_fn(dlat, LaBu)
 
     areaT = dxT * dyT
-    areaBu = dxBu * dyBu
     depth = depth_fn(LoT, LaT)
+    f = f_fn(LoBu, LaBu)
+    return _assemble(
+        domain, depth, min_depth, f,
+        dict(dxT=dxT, dyT=dyT, areaT=areaT,
+             dxCu=dxCu, dyCu=dyCu, areaCu=dxCu * dyCu,
+             dxCv=dxCv, dyCv=dyCv, areaCv=dxCv * dyCv,
+             dxBu=dxBu, dyBu=dyBu, areaBu=dxBu * dyBu),
+        dict(geoLatT=LaT, geoLonT=LoT, geoLatCu=LaCu, geoLonCu=LoCu,
+             geoLatCv=LaCv, geoLonCv=LoCv, geoLatBu=LaBu,
+             geoLonBu=LoBu))
+
+
+def _assemble(domain: Domain, depth, min_depth: float, f_Bu,
+              metrics: dict, coords: dict) -> Grid:
+    """Masks, Adcroft reciprocals and Grid packing from halo-padded
+    metric/coordinate arrays."""
     # Apply the domain's boundary semantics to the topography before
     # deriving masks: halo cells beyond a solid wall become land
     # (depth 0), reentrant halos wrap — so wall faces get mask 0, just
@@ -149,30 +164,31 @@ def _build(domain: Domain, lon_c, lat_c, lon_f, lat_f, dx_fn, dy_fn,
     # land depth clamped to 0 for cleanliness
     depth = np.where(maskT > 0, depth, 0.0)
 
-    f = f_fn(LoBu, LaBu)
-
     a = jnp.asarray
+    m = metrics
     return Grid(
         domain=domain,
-        dxT=a(dxT), dyT=a(dyT),
-        IdxT=a(_adcroft_recip(dxT)), IdyT=a(_adcroft_recip(dyT)),
-        areaT=a(areaT), IareaT=a(_adcroft_recip(areaT)),
-        dxCu=a(dxCu), dyCu=a(dyCu), IdxCu=a(_adcroft_recip(dxCu)),
-        IdyCu=a(_adcroft_recip(dyCu)), areaCu=a(dxCu * dyCu),
-        IareaCu=a(_adcroft_recip(dxCu * dyCu)),
-        dxCv=a(dxCv), dyCv=a(dyCv), IdxCv=a(_adcroft_recip(dxCv)),
-        IdyCv=a(_adcroft_recip(dyCv)), areaCv=a(dxCv * dyCv),
-        IareaCv=a(_adcroft_recip(dxCv * dyCv)),
-        dxBu=a(dxBu), dyBu=a(dyBu), IdxBu=a(_adcroft_recip(dxBu)),
-        IdyBu=a(_adcroft_recip(dyBu)),
-        areaBu=a(areaBu), IareaBu=a(_adcroft_recip(areaBu)),
+        dxT=a(m["dxT"]), dyT=a(m["dyT"]),
+        IdxT=a(_adcroft_recip(m["dxT"])),
+        IdyT=a(_adcroft_recip(m["dyT"])),
+        areaT=a(m["areaT"]), IareaT=a(_adcroft_recip(m["areaT"])),
+        dxCu=a(m["dxCu"]), dyCu=a(m["dyCu"]),
+        IdxCu=a(_adcroft_recip(m["dxCu"])),
+        IdyCu=a(_adcroft_recip(m["dyCu"])), areaCu=a(m["areaCu"]),
+        IareaCu=a(_adcroft_recip(m["areaCu"])),
+        dxCv=a(m["dxCv"]), dyCv=a(m["dyCv"]),
+        IdxCv=a(_adcroft_recip(m["dxCv"])),
+        IdyCv=a(_adcroft_recip(m["dyCv"])), areaCv=a(m["areaCv"]),
+        IareaCv=a(_adcroft_recip(m["areaCv"])),
+        dxBu=a(m["dxBu"]), dyBu=a(m["dyBu"]),
+        IdxBu=a(_adcroft_recip(m["dxBu"])),
+        IdyBu=a(_adcroft_recip(m["dyBu"])),
+        areaBu=a(m["areaBu"]),
+        IareaBu=a(_adcroft_recip(m["areaBu"])),
         mask2dT=a(maskT), mask2dCu=a(maskCu), mask2dCv=a(maskCv),
         mask2dBu=a(maskBu),
-        CoriolisBu=a(f), bathyT=a(depth),
-        geoLatT=a(LaT), geoLonT=a(LoT),
-        geoLatCu=a(LaCu), geoLonCu=a(LoCu),
-        geoLatCv=a(LaCv), geoLonCv=a(LoCv),
-        geoLatBu=a(LaBu), geoLonBu=a(LoBu),
+        CoriolisBu=a(f_Bu), bathyT=a(depth),
+        **{k: a(v) for k, v in coords.items()},
     )
 
 
@@ -293,6 +309,95 @@ def mercator_grid(domain: Domain, west_lon: float, lenlon: float,
 
     return _build(domain, lon_c, lat_c, lon_f, lat_f, dx_fn, dy_fn,
                   f_fn, depth_fn, min_depth)
+
+
+def _pad_metric(domain: Domain, interior: np.ndarray) -> np.ndarray:
+    """Halo-pad an interior (nj, ni) metric: wrap along reentrant axes,
+    edge-replicate at solid walls (metrics must stay positive in halos
+    so Adcroft reciprocals behave; masks handle land)."""
+    H = domain.halo
+    out = np.pad(interior, ((H, H), (0, 0)),
+                 mode="wrap" if domain.reentrant_y else "edge")
+    return np.pad(out, ((0, 0), (H, H)),
+                  mode="wrap" if domain.reentrant_x else "edge")
+
+
+def mosaic_grid(domain: Domain, grid_file: str, depth_fn=None,
+                min_depth: float = 0.0) -> Grid:
+    """Read the horizontal grid from an FMS mosaic supergrid file
+    (GRID_CONFIG='mosaic'; set_grid_metrics_from_mosaic,
+    /root/reference/src/initialization/MOM_grid_initialize.F90:127).
+
+    The supergrid holds coordinates x,y at (2nj+1, 2ni+1) points,
+    segment lengths dx (2nj+1, 2ni) / dy (2nj, 2ni+1) and cell areas
+    (2nj, 2ni) at double resolution: model cell (j,i) spans supergrid
+    cells [2j:2j+2, 2i:2i+2], its center sits at supergrid point
+    (2j+1, 2i+1) and its NE corner at (2j+2, 2i+2).  Cell metrics sum
+    the two supergrid segments crossing the point; halos wrap along
+    reentrant axes and edge-replicate at walls.
+    """
+    from mom6_tpu.framework.io import read_field
+    x = np.asarray(read_field(grid_file, "x"), np.float64)
+    y = np.asarray(read_field(grid_file, "y"), np.float64)
+    sdx = np.asarray(read_field(grid_file, "dx"), np.float64)
+    sdy = np.asarray(read_field(grid_file, "dy"), np.float64)
+    sarea = np.asarray(read_field(grid_file, "area"), np.float64)
+    nj, ni = domain.nj, domain.ni
+    if x.shape != (2 * nj + 1, 2 * ni + 1):
+        raise ValueError(
+            f"supergrid x shape {x.shape} incompatible with "
+            f"NIGLOBAL={ni}, NJGLOBAL={nj} (want {(2*nj+1, 2*ni+1)})")
+
+    jc = 2 * np.arange(nj) + 1          # center rows/cols
+    ic = 2 * np.arange(ni) + 1
+    jf = 2 * np.arange(nj) + 2          # north-face / NE-corner rows
+    if_ = 2 * np.arange(ni) + 2         # east-face cols
+    # supergrid segment indices straddling a face position p are p-1,p;
+    # the last face's second segment (index 2n) does not exist in the
+    # file — wrap for reentrant axes, duplicate the last segment at
+    # walls (the face is masked land there anyway)
+    ix2 = np.where(if_ < 2 * ni, if_, 0 if domain.reentrant_x
+                   else 2 * ni - 1)
+    jy2 = np.where(jf < 2 * nj, jf, 0 if domain.reentrant_y
+                   else 2 * nj - 1)
+
+    dxT = sdx[jc][:, 2 * np.arange(ni)] + sdx[jc][:, ic]
+    dyT = sdy[2 * np.arange(nj)][:, ic] + sdy[jc - 1 + 1][:, ic] \
+        if False else sdy[2 * np.arange(nj)][:, ic] + sdy[jc][:, ic]
+    dxCu = sdx[jc][:, ic] + sdx[jc][:, ix2]
+    dyCu = sdy[2 * np.arange(nj)][:, if_] + sdy[jc][:, if_]
+    dxCv = sdx[jf][:, 2 * np.arange(ni)] + sdx[jf][:, ic]
+    dyCv = sdy[jc][:, ic] + sdy[jy2][:, ic]
+    dxBu = sdx[jf][:, ic] + sdx[jf][:, ix2]
+    dyBu = sdy[jc][:, if_] + sdy[jy2][:, if_]
+    areaT = (sarea[::2, ::2] + sarea[1::2, ::2]
+             + sarea[::2, 1::2] + sarea[1::2, 1::2])
+
+    lonT, latT = x[jc[:, None], ic], y[jc[:, None], ic]
+    lonCu, latCu = x[jc[:, None], if_], y[jc[:, None], if_]
+    lonCv, latCv = x[jf[:, None], ic], y[jf[:, None], ic]
+    lonBu, latBu = x[jf[:, None], if_], y[jf[:, None], if_]
+
+    P = lambda arr: _pad_metric(domain, arr)
+    metrics = dict(dxT=P(dxT), dyT=P(dyT), areaT=P(areaT),
+                   dxCu=P(dxCu), dyCu=P(dyCu),
+                   areaCu=P(dxCu) * P(dyCu),
+                   dxCv=P(dxCv), dyCv=P(dyCv),
+                   areaCv=P(dxCv) * P(dyCv),
+                   dxBu=P(dxBu), dyBu=P(dyBu),
+                   areaBu=P(dxBu) * P(dyBu))
+    coords = dict(geoLatT=P(latT), geoLonT=P(lonT),
+                  geoLatCu=P(latCu), geoLonCu=P(lonCu),
+                  geoLatCv=P(latCv), geoLonCv=P(lonCv),
+                  geoLatBu=P(latBu), geoLonBu=P(lonBu))
+
+    deg2rad = np.pi / 180.0
+    f = 2.0 * OMEGA * np.sin(deg2rad * coords["geoLatBu"])
+    if depth_fn is None:
+        def depth_fn(lon, lat):
+            return np.full_like(lat, 4000.0)
+    depth = depth_fn(coords["geoLonT"], coords["geoLatT"])
+    return _assemble(domain, depth, min_depth, f, metrics, coords)
 
 
 def blockify(domain: Domain, padded_global: jnp.ndarray) -> jnp.ndarray:

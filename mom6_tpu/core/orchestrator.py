@@ -257,7 +257,8 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         sd = cfg.sponge_data
         damped = apply_sponge({"T": state.T, "S": state.S}, state.h,
                               sd["idamp"], dt,
-                              {"T": sd["T"], "S": sd["S"]})
+                              {"T": sd["T"], "S": sd["S"]},
+                              ref_h=sd.get("ref_h"))
         state = state.replace(T=damped["T"], S=damped["S"])
     # per-tracer column physics (call_tracer_column_fns,
     # MOM_tracer_flow_control.F90)

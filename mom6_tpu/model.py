@@ -79,7 +79,6 @@ _PARITY_INERT = [
     ("KH_VEL_SCALE", float, 0.0), ("PRANDTL_TURB", float, 0.0),
     ("DYNAMIC_VISCOUS_ML", bool, False), ("U_TRUNC_FILE", str, ""),
     ("V_TRUNC_FILE", str, ""), ("ML_OMEGA_FRAC", float, 0.0),
-    ("BBL_THICK_MIN", float, 0.0),
     ("BOUND_BT_CORRECTION", bool, False),
     ("BT_THICK_SCHEME", str, "FROM_BT_CONT"),
     ("BT_STRONG_DRAG", bool, False), ("RECLAIM_FRAZIL", bool, True),
@@ -130,12 +129,6 @@ _PARITY_INERT = [
     ("SSH_EXTRA", float, 10.0), ("BBL_EFFIC", float, 0.0),
     ("BBL_USE_EOS", bool, False), ("CORIOLIS_EN_DIS", bool, False),
     ("RECONSTRUCT_FOR_PRESSURE", bool, True),
-    ("INIT_LAYERS_FROM_Z_FILE", bool, False),
-    ("TEMP_SALT_Z_INIT_FILE", str, ""),
-    ("Z_INIT_ALE_REMAPPING", bool, False),
-    ("INTERPOLATE_SPONGE_TIME_SPACE", bool, False),
-    ("SPONGE_DATA_ONGRID", bool, False),
-    ("GRID_FILE", str, ""),
 ]
 
 
@@ -269,6 +262,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     lenlat = pf.get("LENLAT", float, float(nj))
     west = pf.get("WESTLON", float, 0.0)
     lenlon = pf.get("LENLON", float, float(ni))
+    # absent MAXIMUM_DEPTH is diagnosed from the topography after the
+    # grid is built (MOM_fixed_initialization diagnoseMaximumDepth)
+    max_depth_diagnose = not pf.has("MAXIMUM_DEPTH")
     max_depth = pf.get("MAXIMUM_DEPTH", float, 4000.0, units="m")
     min_depth = pf.get("MINIMUM_DEPTH", float, 0.0, units="m")
     topo_config = pf.get("TOPO_CONFIG", str, "flat")
@@ -336,10 +332,18 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                              north_lat=south + lenlat,
                              depth_fn=depth_fn, max_depth=max_depth,
                              min_depth=min_depth)
+    elif grid_config == "mosaic":
+        # FMS supergrid file (tc4-class / OM4-class grids)
+        from mom6_tpu.core.grid import mosaic_grid
+        import os as _os
+        gfile = _os.path.join(pf.get("INPUTDIR", str, "."),
+                              pf.get("GRID_FILE", str, "ocean_hgrid.nc"))
+        grid = mosaic_grid(domain, gfile, depth_fn=depth_fn,
+                           min_depth=min_depth)
     else:
         raise ValueError(f"Unknown GRID_CONFIG '{grid_config}'")
     if rotation in ("beta", "betaplane") \
-            and grid_config in ("spherical", "mercator"):
+            and grid_config in ("spherical", "mercator", "mosaic"):
         # override the geographic 2Ω sinφ with an f/beta plane
         import dataclasses as _dc
         y_m = (grid.geoLatT - south) * 111194.9266
@@ -348,6 +352,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                  + jnp.roll(jnp.roll(y_m, -1, -2),
                                             -1, -1))
         grid = _dc.replace(grid, CoriolisBu=fq)
+
+    if max_depth_diagnose and topo_config != "flat":
+        max_depth = float(np.max(np.asarray(grid.bathyT)))
 
     pf.module("MOM_open_boundary")
     obc = build_open_boundaries(pf, domain)
@@ -464,7 +471,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         linear_drag=pf.get("LINEAR_DRAG", bool, False),
         drag_bg_vel=pf.get("DRAG_BG_VEL", float, 0.0, units="m s-1"),
         maxvel=pf.get("MAXVEL", float, 6.0, units="m s-1"),
-        channel_drag=pf.get("CHANNEL_DRAG", bool, False))
+        channel_drag=pf.get("CHANNEL_DRAG", bool, False),
+        dynamic_bbl=pf.get("DYNAMIC_BBL", bool, True),
+        bbl_thick_min=pf.get("BBL_THICK_MIN", float, 0.1, units="m"),
+        kv_bbl_min=pf.get("KV_BBL_MIN", float, 1e-4,
+                          units="m2 s-1"))
     pf.module("MOM_hor_visc")
     # reference semantics: SMAGORINSKY_KH/AH are Booleans enabling the
     # scheme, with the constants in SMAG_LAP_CONST / SMAG_BI_CONST
@@ -515,7 +526,49 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     pf.module("MOM_state_initialization")
     thick_cfg = pf.get("THICKNESS_CONFIG", str, "uniform")
     shape = (nk, domain.njh, domain.nih)
-    if thick_cfg in thickness_registry:
+    init_from_z = pf.get("INIT_LAYERS_FROM_Z_FILE", bool, False)
+    if init_from_z:
+        # Z-space initial conditions
+        # (MOM_temp_salt_initialize_from_Z,
+        # MOM_state_initialization.F90:2407): read lat-lon-z T/S,
+        # horizontally regrid, and (Z_INIT_ALE_REMAPPING) remap onto
+        # the model's target thicknesses
+        pf.module("MOM_initialize_layers_from_Z")
+        import os as _os
+        from mom6_tpu.framework.io import read_field
+        from mom6_tpu.initialization import temp_salt_from_z
+        zfile = _os.path.join(
+            pf.get("INPUTDIR", str, "."),
+            pf.get("TEMP_SALT_Z_INIT_FILE", str, "temp_salt_z.nc"))
+        pvar = pf.get("Z_INIT_FILE_PTEMP_VAR", str, "ptemp")
+        svar = pf.get("Z_INIT_FILE_SALT_VAR", str, "salt")
+        pf.get("Z_INIT_ALE_REMAPPING", bool, False,
+               desc="remap straight to the model coordinate")
+
+        def _dropt(a):
+            a = np.asarray(a, np.float64)
+            return a[0] if a.ndim == 4 else a
+
+        T_zf = _dropt(read_field(zfile, pvar))
+        S_zf = _dropt(read_field(zfile, svar))
+        src_lon = np.asarray(read_field(zfile, "lon"), np.float64)
+        src_lat = np.asarray(read_field(zfile, "lat"), np.float64)
+        z_cent = np.asarray(read_field(zfile, "depth"), np.float64)
+        # model target thicknesses: ALE_RESOLUTION z* levels (default
+        # uniform max_depth/nk), clipped by the bathymetry
+        res = pf.get("ALE_RESOLUTION", list, [max_depth / nk] * nk)
+        z_nom = np.concatenate([[0.0], np.cumsum(res)])
+        z_cap = np.minimum(z_nom.reshape(-1, 1, 1),
+                           np.asarray(grid.bathyT)[None])
+        hz = np.maximum(z_cap[1:] - z_cap[:-1], vgrid.angstrom)
+        T, S = temp_salt_from_z(
+            T_zf, S_zf, src_lon, src_lat, z_cent,
+            np.asarray(grid.geoLonT), np.asarray(grid.geoLatT),
+            np.asarray(grid.bathyT), jnp.asarray(hz), vgrid.angstrom)
+        h = jnp.asarray(hz)
+        T = domain.local().fill_halos(T) if not domain.shmap else T
+        S = domain.local().fill_halos(S) if not domain.shmap else S
+    elif thick_cfg in thickness_registry:
         user_ctx2 = dict(user_ctx, grid=grid, vgrid=vgrid,
                          domain=domain, eos=eos, thermo=thermo,
                          nk_rho_varies=nk_rho_varies, p_ref=p_ref,
@@ -545,8 +598,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         raise ValueError(f"THICKNESS_CONFIG '{thick_cfg}' not implemented")
     h = domain.local().fill_halos(h) if not domain.shmap else h
 
-    T = S = None
-    if thermo:
+    if not init_from_z:
+        T = S = None
+    if thermo and not init_from_z:
         ts_cfg = pf.get("TS_CONFIG", str, "uniform")
         T0 = pf.get("T_REF", float, 10.0, units="degC")
         S0 = pf.get("S_REF", float, 35.0, units="ppt")
@@ -832,13 +886,45 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 a = a[0]          # drop time (and depth for Idamp)
             return a
 
+        # INTERPOLATE_SPONGE_TIME_SPACE / SPONGE_DATA_ONGRID
+        # (MOM_ALE_sponge.F90): with a single-time on-grid file these
+        # reduce to reading the first record; off-grid data are
+        # bilinearly regridded at init
+        pf.get("INTERPOLATE_SPONGE_TIME_SPACE", bool, False)
+        pf.get("SPONGE_DATA_ONGRID", bool, False)
         idamp = domain.fill_halos(domain.pad(
             jnp.asarray(_load(dfile, ivar))))
-        t_ref = domain.fill_halos(domain.pad(
-            jnp.asarray(_load(sfile, pvar))))
-        s_ref = domain.fill_halos(domain.pad(
-            jnp.asarray(_load(sfile, svar))))
+        t_ref = _load(sfile, pvar)
+        s_ref = _load(sfile, svar)
+        spath = _os.path.join(indir, sfile)
+        from mom6_tpu.framework.io import field_names
+        ref_h = None
+        if t_ref.shape[0] != nk and "depth" in field_names(spath):
+            # z-space sponge targets on their own vertical grid: keep
+            # them there and let apply_sponge remap onto the evolving
+            # model h (the ALE sponge path)
+            from mom6_tpu.initialization import (z_edges_from_centers,
+                                                 thickness_from_z_edges)
+            z_cent = np.asarray(read_field(spath, "depth"), np.float64)
+            ze = z_edges_from_centers(z_cent, max_depth)
+            hz_ref = thickness_from_z_edges(
+                ze, np.asarray(grid.bathyT), vgrid.angstrom)
+            ref_h = domain.fill_halos(jnp.asarray(hz_ref)) \
+                if not domain.shmap else jnp.asarray(hz_ref)
+            pad3 = lambda a: np.pad(
+                a, ((0, 0), (domain.halo, domain.halo),
+                    (domain.halo, domain.halo)), mode="edge")
+            t_ref, s_ref = pad3(t_ref), pad3(s_ref)
+            t_ref = domain.fill_halos(jnp.asarray(t_ref)) \
+                if not domain.shmap else jnp.asarray(t_ref)
+            s_ref = domain.fill_halos(jnp.asarray(s_ref)) \
+                if not domain.shmap else jnp.asarray(s_ref)
+        else:
+            t_ref = domain.fill_halos(domain.pad(jnp.asarray(t_ref)))
+            s_ref = domain.fill_halos(domain.pad(jnp.asarray(s_ref)))
         sponge_data = {"idamp": idamp, "T": t_ref, "S": s_ref}
+        if ref_h is not None:
+            sponge_data["ref_h"] = ref_h
 
     # transports accumulate over n_dyn_per_therm dynamics steps, so
     # tracer advection needs enough alternating sweeps to exhaust an

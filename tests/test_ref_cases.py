@@ -11,12 +11,15 @@ in ``goldens_ref_cases.json``.
 The goldens are this model's own outputs (re-baselined when physics
 legitimately changes), standing in for the reference's
 ocean.stats since bitwise Fortran parity is out of scope — the delta
-vs the reference formulas is documented in docs/STATUS.md.  tc4 needs
-the mosaic-grid reader and Z-space init and is tracked separately.
+vs the reference formulas is documented in docs/STATUS.md.  tc4's
+input files (supergrid/topog/z-space T-S/sponge) are generated on
+demand by ``cases/ref_tc4/gen_data.py`` with the reference
+generators' formulas.
 """
 
 import json
 import os
+import runpy
 
 import numpy as np
 import pytest
@@ -31,10 +34,26 @@ GOLDENS = json.load(open(os.path.join(os.path.dirname(__file__),
                                       "goldens_ref_cases.json")))
 
 
+def _ensure_tc4_data():
+    case = os.path.join(CASES, "ref_tc4")
+    if not os.path.exists(os.path.join(case, "ocean_hgrid.nc")):
+        mod = runpy.run_path(os.path.join(case, "gen_data.py"))
+        mod["gen"](case)
+    return case
+
+
 def _run(case, nsteps):
-    pf = ParamFile(os.path.join(CASES, case, "MOM_input"),
-                   os.path.join(CASES, case, "MOM_override"))
-    m = build_model(pf)
+    cwd = os.getcwd()
+    if case == "ref_tc4":
+        # tc4 reads its input files from INPUTDIR="." (the reference
+        # runs in-place in the case directory)
+        os.chdir(_ensure_tc4_data())
+    try:
+        pf = ParamFile(os.path.join(CASES, case, "MOM_input"),
+                       os.path.join(CASES, case, "MOM_override"))
+        m = build_model(pf)
+    finally:
+        os.chdir(cwd)
     # every parameter in the verbatim file must be known (implemented
     # or registered inert) — a typo'd/unknown param is a fatal audit,
     # matching MOM_file_parser.F90:260.  ENERGYSAVEDAYS/TIMEUNIT/
@@ -52,7 +71,7 @@ def _run(case, nsteps):
 
 
 @pytest.mark.parametrize("case", ["ref_tc0", "ref_tc1", "ref_tc2",
-                                  "ref_tc3"])
+                                  "ref_tc3", "ref_tc4"])
 def test_ref_case_matches_goldens(case):
     g = GOLDENS[case]
     m, s, st = _run(case, g["nsteps"])
@@ -102,6 +121,36 @@ def test_ref_tc2_features_active():
     assert m.ocean_cfg.diabatic.diffusivity.use_kappa_shear
     assert m.split_cfg.vertvisc.channel_drag
     assert m.split_cfg.horvisc.smag_lap_const == 0.06
+
+
+def test_ref_tc4_features_active():
+    """tc4 must exercise the mosaic supergrid reader, Z-space init
+    with ALE remapping, and the z-grid (ALE) sponge."""
+    case = _ensure_tc4_data()
+    cwd = os.getcwd()
+    os.chdir(case)
+    try:
+        pf = ParamFile("MOM_input", "MOM_override")
+        m = build_model(pf)
+    finally:
+        os.chdir(cwd)
+    # supergrid metrics: model cells span two 0.01° supergrid
+    # segments, dxT ≈ R·Δλ·cos(φ) with Δλ=0.02°
+    dxT = float(m.domain.interior(m.grid.dxT)[0, 0])
+    expect = 6.378e6 * np.deg2rad(0.02) * np.cos(np.deg2rad(0.01))
+    np.testing.assert_allclose(dxT, expect, rtol=1e-5)
+    # Z-file init through ALE remapping: the 3-level [1, .5, 0]·cone
+    # profile remapped onto 2×50 m layers gives a stratified column
+    T = np.asarray(m.domain.interior(m.state.T))
+    h = np.asarray(m.domain.interior(m.state.h))
+    np.testing.assert_allclose(h, 50.0, atol=1e-9)
+    assert T[0].max() > 0.6 and abs(T[1].max()) < 1e-9
+    assert np.allclose(np.asarray(m.domain.interior(m.state.S)), 35.0)
+    # the sponge keeps its targets on the file z-grid for remapping
+    sd = m.ocean_cfg.sponge_data
+    assert sd is not None and sd.get("ref_h") is not None
+    assert sd["T"].shape[0] == 3 and m.vgrid.nk == 2
+    assert m.split_cfg.vertvisc.linear_drag
 
 
 def test_ref_tc3_features_active():
