@@ -47,6 +47,35 @@ def main(argv=None):
     pf = ParamFile(*sources)
 
     model = build_model(pf)
+    # diag mediator driven by the case's diag_table
+    # (MOM_diag_mediator.F90; DIAG_AS_CHKSUM replaces binary output
+    # with bitcount checksum lines, the reference's layout-test mode)
+    pf.module("MOM_diag_mediator")
+    as_chksum = pf.get("DIAG_AS_CHKSUM", bool, False)
+    nz_diag = pf.get("NK_ZSPACE", int, model.vgrid.nk,
+                     desc="z levels for _z diagnostics")
+    diag_path = os.path.join(args.case_dir, "diag_table")
+    diag_text = open(diag_path).read() \
+        if os.path.exists(diag_path) else None
+    diags = None
+    if diag_text is not None or as_chksum:
+        from mom6_tpu.framework.diag import (DiagMediator,
+                                             parse_diag_table)
+        from mom6_tpu.diagnostics.prognostic_diags import PrognosticDiags
+        if as_chksum and diag_text is not None \
+                and not parse_diag_table(diag_text)[2]:
+            # chksum mode with a bare diag_table (title + base date
+            # only): checksum every registered diagnostic, like the
+            # reference test suite's generated full table
+            diag_text = None
+        med = DiagMediator(model.domain, args.case_dir,
+                           diag_table_text=diag_text,
+                           as_chksum=as_chksum)
+        max_depth = float(jax.numpy.max(model.grid.bathyT))
+        diags = PrognosticDiags.create(med, model.grid, model.vgrid,
+                                       max_depth, nz_diag)
+        if not (diags.any_requested() or as_chksum):
+            diags = None
     pf.module("MOM_sum_output")
     # ENERGYSAVEDAYS counts TIMEUNIT seconds like DAYMAX
     timeunit = pf.get("TIMEUNIT", float, 86400.0, units="s")
@@ -102,10 +131,14 @@ def main(argv=None):
             with open(stats_path, "a") as f:
                 f.write(line)
             print(line, end="")
+            if diags is not None:
+                diags.post_state(g, vg, state)
         if n == step0 + nsteps:
             break
         state, split_state, tracers = step(state, split_state, tracers, n)
     jax.block_until_ready(state.h)
+    if diags is not None:
+        diags.med.flush("diags.nc", time_value=daymax)
     wall = time.perf_counter() - wall0
     pts = model.domain.ni * model.domain.nj * model.vgrid.nk * nsteps
     print(f"run complete: {nsteps} steps, {wall:.2f}s wall, "
