@@ -62,24 +62,39 @@ class ViscCoefs(NamedTuple):
     ray_v: jnp.ndarray | None = None
 
 
-def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
-                  cfg: VertViscCfg = VertViscCfg(),
-                  vgrid=None) -> ViscCoefs:
-    """Build interface coupling coefficients at u and v columns.
+class BBLInfo(NamedTuple):
+    """Per-face bottom-boundary-layer state (set_viscous_BBL output:
+    the visc%kv_bbl_u / bbl_thick_u analogs)."""
+    piston_u: jnp.ndarray    # kv_bbl/bbl_thick at u faces [m s-1]
+    thick_u: jnp.ndarray     # BBL thickness at u faces [m]
+    piston_v: jnp.ndarray
+    thick_v: jnp.ndarray
 
-    kv_int: optional (nk+1, njh, nih) interface viscosity at h points
-    (from set_diffusivity/CVMix); defaults to the constant cfg.kv.
 
-    The bottom coupling follows set_viscous_BBL
-    (MOM_set_viscosity.F90): the near-bottom velocity is averaged
-    over the bottom HBBL meters, u* = √(cdrag)·√(u_bbl²+u_bg²), the
-    BBL thickness is limited by stratification (the KW99 limit
-    h_N ≈ 20u*/N, integrated through the layered Δρ ladder) and
-    rotation (h_f = u*/2f) through
-    h_bbl = h_N/(½+√(¼+(2f h_N/u*)²)), and the bottom viscosity
-    kv_bbl = √(cdrag)·u*·h_bbl gives the drag-law stress when the
-    shear occupies h_bbl.  With cfg.dynamic_bbl False (or no vgrid)
-    this collapses to the fixed-HBBL drag-law piston.
+def _hab_interfaces(h_face):
+    """Height of interfaces above the bottom (K=0..nk; [-1]=0)."""
+    return jnp.concatenate(
+        [jnp.cumsum(h_face[::-1], axis=0)[::-1],
+         jnp.zeros_like(h_face[:1])], axis=0)
+
+
+def set_viscous_bbl(grid: Grid, u, v, h,
+                    cfg: VertViscCfg = VertViscCfg(),
+                    vgrid=None) -> BBLInfo:
+    """Bottom-boundary-layer piston velocity and thickness at u/v
+    faces (set_viscous_BBL, MOM_set_viscosity.F90): the near-bottom
+    velocity is averaged over the bottom HBBL meters,
+    u* = √(cdrag)·√(u_bbl²+u_bg²), the BBL thickness is limited by
+    stratification (the KW99 limit h_N ≈ 20u*/N, integrated through
+    the layered Δρ ladder, :761) and rotation (h_f = u*/2f) through
+    h_bbl = h_N/(½+√(¼+(2f h_N/u*)²)) (:832-845), and the bottom
+    viscosity kv_bbl = √(cdrag)·u*·h_bbl gives the drag-law stress
+    when the shear occupies h_bbl.  With cfg.dynamic_bbl False (or no
+    vgrid) this collapses to the fixed-HBBL drag-law piston.
+
+    Like the reference, this is meant to be computed ONCE per dynamics
+    step from the pre-step state and reused by every vertvisc_coef
+    call within the step.
     """
     nk = h.shape[0]
 
@@ -95,7 +110,89 @@ def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
                          / vgrid.Rho0, 0.0)
         gp_int = jnp.asarray(gp.reshape((-1,) + (1,) * (h.ndim - 1)))
 
-    def face_coefs(h_face, u_face, umag2_face, kv_face, absf):
+    def face_bbl(h_face, umag2_face, absf):
+        hab = _hab_interfaces(h_face)
+        if cfg.linear_drag:
+            piston = cfg.cdrag * cfg.drag_bg_vel \
+                * jnp.ones_like(h_face[0])
+            return piston, jnp.full_like(h_face[0], cfg.hbbl)
+        # |u| averaged over the bottom HBBL meters (:627)
+        w = jnp.clip(cfg.hbbl - hab[1:], 0.0, h_face) / cfg.hbbl
+        u_bbl2 = jnp.sum(w * umag2_face, axis=0) \
+            / jnp.maximum(jnp.sum(w, axis=0), 1e-10)
+        ustar = jnp.sqrt(cfg.cdrag * (u_bbl2 + cfg.drag_bg_vel ** 2))
+        if gp_int is not None and nk > 1:
+            # KW99 stratification limit: the largest height h with
+            # Σ_{K below h} g'_K (h − hab_K) ≤ 400 u*²
+            targ = 400.0 * ustar * ustar
+            habi = hab[1:nk]            # interior interfaces
+            # gcum[k] = Σ_{j>=k} g'_j: stratification felt by heights
+            # in the segment ABOVE interface k (the interface-k term
+            # vanishes at h = habi[k], so the same sums also evaluate
+            # f(habi[k]) for the reachability test)
+            gcum = jnp.cumsum(gp_int[::-1], axis=0)[::-1]
+            gh = jnp.cumsum((gp_int * habi)[::-1], axis=0)[::-1]
+            lhs = habi * gcum - gh
+            ok = lhs <= targ[None]
+            # per-segment crossing: h = (targ + Σg'hab)/Σg', valid
+            # between this interface and the one above it
+            ub = jnp.concatenate([hab[:1], habi[:-1]], axis=0)
+            h_cand = jnp.where(
+                gcum > 0.0,
+                (targ[None] + gh) / jnp.maximum(gcum, 1e-30), ub)
+            h_cand = jnp.clip(h_cand, habi, ub)
+            h_n = jnp.max(jnp.where(ok, h_cand, 0.0), axis=0)
+            h_n = jnp.where(jnp.any(ok, axis=0), h_n,
+                            cfg.bbl_thick_min)
+            h_n = jnp.minimum(h_n, hab[0])
+            # rotational limit, guarded for u*→0
+            ust = jnp.maximum(ustar, 1e-12)
+            root = jnp.sqrt(0.25 * ust * ust
+                            + (2.0 * absf * h_n) ** 2)
+            bbl_thick = jnp.maximum(
+                (h_n * ust) / (0.5 * ust + root), cfg.bbl_thick_min)
+        else:
+            # no stratification information: fixed-HBBL behavior
+            bbl_thick = jnp.full_like(h_face[0], cfg.hbbl)
+        kv_bbl = jnp.maximum(jnp.sqrt(cfg.cdrag) * ustar * bbl_thick,
+                             cfg.kv_bbl_min)
+        piston = kv_bbl / jnp.maximum(bbl_thick, cfg.bbl_thick_min)
+        return piston, bbl_thick
+
+    h_u = 0.5 * (h + ip1(h))
+    h_v = 0.5 * (h + jp1(h))
+    # squared speed at faces (the cross-component averaged over the 4
+    # surrounding faces, :698 set_viscous_BBL)
+    from mom6_tpu.parallel.stencil import im1, jm1
+    v_at_u = 0.25 * ((v + ip1(v)) + jm1(v + ip1(v)))
+    u_at_v = 0.25 * ((u + jp1(u)) + im1(u + jp1(u)))
+    fq = jnp.abs(grid.CoriolisBu)
+    pu, tu = face_bbl(h_u, u * u + v_at_u * v_at_u,
+                      0.5 * (fq + jm1(fq)))
+    pv, tv = face_bbl(h_v, v * v + u_at_v * u_at_v,
+                      0.5 * (fq + im1(fq)))
+    return BBLInfo(piston_u=pu, thick_u=tu, piston_v=pv, thick_v=tv)
+
+
+def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
+                  cfg: VertViscCfg = VertViscCfg(),
+                  vgrid=None, bbl: BBLInfo | None = None) -> ViscCoefs:
+    """Build interface coupling coefficients at u and v columns.
+
+    kv_int: optional (nk+1, njh, nih) interface viscosity at h points
+    (from set_diffusivity/CVMix); defaults to the constant cfg.kv.
+
+    The bottom coupling uses the set_viscous_BBL piston velocity and
+    BBL thickness (``bbl``, computed once per step; recomputed here
+    from (u, v, h) when not supplied), slaving every interface within
+    the BBL to the drag so near-bottom massless layers do not
+    free-slip above it (MOM_vert_friction.F90 vertvisc_coef).
+    """
+    nk = h.shape[0]
+    if cfg.bottomdraglaw and bbl is None:
+        bbl = set_viscous_bbl(grid, u, v, h, cfg, vgrid)
+
+    def face_coefs(h_face, kv_face, piston, bbl_thick):
         # interior interfaces K=1..nk-1: a = Kv / dz between layer centers
         dz = 0.5 * (h_face[:-1] + h_face[1:]) + _H_NEGLECT
         a_int = kv_face[1:-1] / dz
@@ -103,71 +200,9 @@ def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
         if not cfg.bottomdraglaw:
             a_bot = (kv_face[-1] / (0.5 * h_face[-1] + _H_NEGLECT))[None]
             return jnp.concatenate([a_top, a_int, a_bot], axis=0)
-
-        # height of interfaces above the bottom (K=0..nk; [-1]=0)
-        hab = jnp.concatenate(
-            [jnp.cumsum(h_face[::-1], axis=0)[::-1],
-             jnp.zeros_like(h_face[:1])], axis=0)
-
-        if cfg.linear_drag:
-            piston = cfg.cdrag * cfg.drag_bg_vel \
-                * jnp.ones_like(h_face[0])
-            bbl_thick = jnp.full_like(h_face[0], cfg.hbbl)
-        else:
-            # |u| averaged over the bottom HBBL meters (:627)
-            w = jnp.clip(cfg.hbbl - hab[1:], 0.0,
-                         h_face) / cfg.hbbl
-            u_bbl2 = jnp.sum(w * umag2_face, axis=0) \
-                / jnp.maximum(jnp.sum(w, axis=0), 1e-10)
-            ustar = jnp.sqrt(cfg.cdrag
-                             * (u_bbl2 + cfg.drag_bg_vel ** 2))
-            if gp_int is not None and nk > 1:
-                # KW99 stratification limit: the largest height h with
-                # Σ_{K below h} g'_K (h − hab_K) ≤ 400 u*²
-                # (the layered integral of Δρ from the bottom, :761)
-                targ = 400.0 * ustar * ustar
-                habi = hab[1:nk]            # interior interfaces
-                # gcum[k] = Σ_{j>=k} g'_j: stratification felt by
-                # heights in the segment ABOVE interface k (the
-                # interface-k term vanishes at h = habi[k], so the
-                # same sums also evaluate f(habi[k]) for the
-                # reachability test)
-                gcum = jnp.cumsum(gp_int[::-1], axis=0)[::-1]
-                gh = jnp.cumsum((gp_int * habi)[::-1], axis=0)[::-1]
-                lhs = habi * gcum - gh
-                ok = lhs <= targ[None]
-                # per-segment crossing: h = (targ + Σg'hab)/Σg',
-                # valid between this interface and the one above it
-                ub = jnp.concatenate([hab[:1], habi[:-1]], axis=0)
-                h_cand = jnp.where(
-                    gcum > 0.0,
-                    (targ[None] + gh)
-                    / jnp.maximum(gcum, 1e-30), ub)
-                h_cand = jnp.clip(h_cand, habi, ub)
-                h_n = jnp.max(jnp.where(ok, h_cand, 0.0), axis=0)
-                h_n = jnp.where(jnp.any(ok, axis=0), h_n,
-                                cfg.bbl_thick_min)
-                h_n = jnp.minimum(h_n, hab[0])
-                # rotational limit: h_bbl = h_N/(½+√(¼+(2f h_N/u*)²)),
-                # guarded for u*→0 (:832-845)
-                ust = jnp.maximum(ustar, 1e-12)
-                root = jnp.sqrt(0.25 * ust * ust
-                                + (2.0 * absf * h_n) ** 2)
-                bbl_thick = jnp.maximum(
-                    (h_n * ust) / (0.5 * ust + root),
-                    cfg.bbl_thick_min)
-            else:
-                # no stratification information: fixed-HBBL behavior
-                bbl_thick = jnp.full_like(h_face[0], cfg.hbbl)
-            kv_bbl = jnp.maximum(jnp.sqrt(cfg.cdrag) * ustar
-                                 * bbl_thick, cfg.kv_bbl_min)
-            piston = kv_bbl / jnp.maximum(bbl_thick,
-                                          cfg.bbl_thick_min)
         a_bot = (piston + kv_face[-1] / (0.5 * h_face[-1]
                                          + 0.5 * cfg.hbbl))[None]
-        # slave every interface within the (dynamic) BBL of the
-        # bottom to the drag coupling, so near-bottom massless
-        # layers do not free-slip above it
+        hab = _hab_interfaces(h_face)
         in_bbl = hab[1:nk] < bbl_thick[None]
         a_int = jnp.where(in_bbl, jnp.maximum(a_int, piston[None]),
                           a_int)
@@ -182,21 +217,12 @@ def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
         kv_u = 0.5 * (kv_int + ip1(kv_int))
         kv_v = 0.5 * (kv_int + jp1(kv_int))
 
-    # squared speed at faces (the cross-component averaged over the 4
-    # surrounding faces, :698 set_viscous_BBL)
-    from mom6_tpu.parallel.stencil import im1, jm1
-    v_at_u = 0.25 * ((v + ip1(v)) + jm1(v + ip1(v)))
-    u_at_v = 0.25 * ((u + jp1(u)) + im1(u + jp1(u)))
-    umag2_u = u * u + v_at_u * v_at_u
-    umag2_v = v * v + u_at_v * u_at_v
-    fq = jnp.abs(grid.CoriolisBu)
-    absf_u = 0.5 * (fq + jm1(fq))
-    absf_v = 0.5 * (fq + im1(fq))
-
-    a_u = face_coefs(h_u, u, umag2_u, kv_u, absf_u) \
-        * grid.mask2dCu[None]
-    a_v = face_coefs(h_v, v, umag2_v, kv_v, absf_v) \
-        * grid.mask2dCv[None]
+    pu = bbl.piston_u if bbl is not None else None
+    tu = bbl.thick_u if bbl is not None else None
+    pv = bbl.piston_v if bbl is not None else None
+    tv = bbl.thick_v if bbl is not None else None
+    a_u = face_coefs(h_u, kv_u, pu, tu) * grid.mask2dCu[None]
+    a_v = face_coefs(h_v, kv_v, pv, tv) * grid.mask2dCv[None]
 
     ray_u = ray_v = None
     if cfg.channel_drag:
