@@ -397,8 +397,11 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     # round substep count up to an even multiple of the exchange period
     period = max(1, int(cfg.wide_halo_period))
     if period > 1 and obc is not None:
-        raise NotImplementedError(
-            "wide-halo barotropic march with OBC segments")
+        # the comm-avoiding wide-halo march recomputes a shrinking
+        # overlap between exchanges, which would skip the per-substep
+        # Flather/extension updates at open faces — fall back to
+        # exchanging every substep when segments are present
+        period = 1
     if period % 2:
         period = period + 1 if period > 1 else 1
     chunk = max(2, period)

@@ -357,7 +357,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         max_depth = float(np.max(np.asarray(grid.bathyT)))
 
     pf.module("MOM_open_boundary")
-    obc = build_open_boundaries(pf, domain)
+    obc = build_open_boundaries(pf, domain,
+                                indir=pf.get("INPUTDIR", str, "."))
     if obc is not None:
         grid = open_grid_masks(grid, obc)
 

@@ -14,10 +14,12 @@ through halo extension along open edges.
 
 The current build supports whole-edge and partial (sub-edge strip)
 segments on any of the four domain edges with FLATHER / ORLANSKI /
-GRADIENT schemes, constant external data (OBC_SEGMENT_XXX_DATA
-"U=value:…,SSH=value:…,TEMP=value:…"), and tracer reservoirs with
-both in/out relaxation length scales.  File-driven (time-interpolated)
-segment data and decomposed-layout segments are still to come.
+GRADIENT schemes, constant (``U=value:…``) or file-profile
+(``U=file:name.nc(var)``, static first record) external data, tracer
+reservoirs with both in/out relaxation length scales, and decomposed
+layouts: the per-edge 2D ownership masks make every edge operator an
+identity on shards that do not own the boundary, so the same program
+runs under shard_map on any layout (see blockify_obc).
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ import jax.numpy as jnp
 from mom6_tpu.parallel.domain import Domain
 
 __all__ = ["Segment", "OpenBoundaries", "parse_segments",
-           "build_open_boundaries", "open_grid_masks"]
+           "build_open_boundaries", "open_grid_masks", "blockify_obc"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,16 +43,38 @@ class Segment:
     flather: bool = True
     orlanski: bool = True
     gradient: bool = False
-    u_ext: float = 0.0
-    v_ext: float = 0.0
-    ssh_ext: float = 0.0
+    u_ext: object = 0.0       # float, or along-edge profile array
+    v_ext: object = 0.0
+    ssh_ext: object = 0.0
     lo: int | None = None     # perpendicular global range [lo, hi);
     hi: int | None = None     # None = the whole edge
     tracer_ext: dict | None = None   # external tracer values by name
 
 
-def parse_segments(pf) -> list[Segment]:
-    """Read OBC_NUMBER_OF_SEGMENTS + OBC_SEGMENT_%03d (+_DATA)."""
+def _load_segment_var(indir: str, fname: str, var: str):
+    """Read a segment-data variable (``file:name.nc(var)`` refs,
+    MOM_open_boundary.F90 segment fields): the first time record,
+    depth-averaged if a vertical axis remains, squeezed to an
+    along-edge profile (or a scalar)."""
+    import os
+    import numpy as np
+    from mom6_tpu.framework.io import read_field
+    arr = np.asarray(read_field(os.path.join(indir, fname), var),
+                     dtype=np.float64)
+    arr = np.squeeze(arr)
+    if arr.ndim >= 3:
+        arr = arr[0]              # first time record
+    if arr.ndim == 2:
+        arr = arr.mean(axis=0)    # depth-average for the BT fields
+    return float(arr) if arr.ndim == 0 else arr
+
+
+def parse_segments(pf, indir: str = ".") -> list[Segment]:
+    """Read OBC_NUMBER_OF_SEGMENTS + OBC_SEGMENT_%03d (+_DATA).
+
+    _DATA entries support ``KEY=value:const`` and
+    ``KEY=file:name.nc(var)`` (static first-record profiles along the
+    segment)."""
     n = pf.get("OBC_NUMBER_OF_SEGMENTS", int, 0)
     segs = []
     for i in range(1, n + 1):
@@ -83,9 +107,14 @@ def parse_segments(pf) -> list[Segment]:
         tracer_ext = {}
         for part in data.split(","):
             dm = re.match(r'\s*(\w+)=value:([-0-9.eE+]+)', part)
-            if not dm:
+            fm = re.match(r'\s*(\w+)=file:([^(]+)\((\w+)\)', part)
+            if dm:
+                key, v = dm.group(1), float(dm.group(2))
+            elif fm:
+                key = fm.group(1)
+                v = _load_segment_var(indir, fm.group(2), fm.group(3))
+            else:
                 continue
-            key, v = dm.group(1), float(dm.group(2))
             if key in vals:
                 vals[key] = v
             else:
@@ -116,17 +145,23 @@ class OpenBoundaries:
     halo: int = dataclasses.field(metadata=dict(static=True))
     nil: int = dataclasses.field(metadata=dict(static=True))
     njl: int = dataclasses.field(metadata=dict(static=True))
-    # external data per edge (scalars for now)
-    ssh_w: float = 0.0
-    ssh_e: float = 0.0
-    ssh_s: float = 0.0
-    ssh_n: float = 0.0
-    u_w: float = 0.0
-    u_e: float = 0.0
-    v_s: float = 0.0
-    v_n: float = 0.0
-    # per-edge open strips for partial segments: (njl+2H,) for W/E,
-    # (nil+2H,) for S/N; 1 where the edge is open. None = whole edge.
+    # external data per edge: scalars, or (njh, nih) fields painted
+    # per segment (file-profile data varies along the edge)
+    ssh_w: object = 0.0
+    ssh_e: object = 0.0
+    ssh_s: object = 0.0
+    ssh_n: object = 0.0
+    u_w: object = 0.0
+    u_e: object = 0.0
+    v_s: object = 0.0
+    v_n: object = 0.0
+    # per-edge ownership masks, (njh, nih) [blockified on decomposed
+    # layouts]: 1 exactly at the cells this edge's operators may
+    # modify (boundary face + halo band, restricted to the segment's
+    # open strip).  Off the boundary-owning shard every written cell
+    # reads mask 0, so the same program is a no-op there — the
+    # shard-map-friendly replacement for segment-owning PE lists
+    # (MOM_open_boundary.F90 open_boundary_config + mpp domains).
     strip_w: jnp.ndarray | None = None
     strip_e: jnp.ndarray | None = None
     strip_s: jnp.ndarray | None = None
@@ -142,11 +177,19 @@ class OpenBoundaries:
     tracer_ext: tuple = dataclasses.field(
         default=(), metadata=dict(static=True))
 
+    def _xval(self, v, col):
+        """External datum at a W/E boundary column: per-row profile
+        when the edge carries a painted 2D field, else the scalar."""
+        return v[..., :, col] if getattr(v, "ndim", 0) == 2 else v
+
+    def _yval(self, v, row):
+        return v[..., row, :] if getattr(v, "ndim", 0) == 2 else v
+
     def _blend_x(self, a, cols, val, strip):
-        """Set a[..., :, cols] = val where the W/E strip is open."""
+        """Set a[..., :, cols] = val where the W/E mask is open."""
         if strip is None:
             return a.at[..., :, cols].set(val)
-        w = strip[:, None] if isinstance(cols, slice) else strip
+        w = strip[:, cols]
         return a.at[..., :, cols].set(
             jnp.where(w > 0, val, a[..., :, cols]))
 
@@ -154,7 +197,7 @@ class OpenBoundaries:
         if strip is None:
             return a.at[..., rows, :].set(val)
         return a.at[..., rows, :].set(
-            jnp.where(strip > 0, val, a[..., rows, :]))
+            jnp.where(strip[rows, :] > 0, val, a[..., rows, :]))
 
     # -- halo extension (zero-gradient through open edges) -------------
     def extend(self, f):
@@ -200,19 +243,19 @@ class OpenBoundaries:
             iE = H + ni - 1
             ssh_in = eta[..., :, iE]              # eastmost interior cell
             u_inlet = ubt[..., :, iE - 1]
-            val = 0.5 * ((u_inlet + self.u_e)
+            val = 0.5 * ((u_inlet + self._xval(self.u_e, iE))
                          + (cg[..., :, iE] / jnp.maximum(D_u[..., :, iE],
                                                          1e-10))
-                         * (ssh_in - self.ssh_e))
+                         * (ssh_in - self._xval(self.ssh_e, iE)))
             ubt = self._blend_x(ubt, iE, val, self.strip_e)
         if self.open_w:
             iW = H - 1
             ssh_in = eta[..., :, H]               # westmost interior cell
             u_inlet = ubt[..., :, H]
-            val = 0.5 * ((u_inlet + self.u_w)
+            val = 0.5 * ((u_inlet + self._xval(self.u_w, iW))
                          + (cg[..., :, iW] / jnp.maximum(D_u[..., :, iW],
                                                          1e-10))
-                         * (self.ssh_w - ssh_in))
+                         * (self._xval(self.ssh_w, iW) - ssh_in))
             ubt = self._blend_x(ubt, iW, val, self.strip_w)
         return ubt
 
@@ -225,19 +268,19 @@ class OpenBoundaries:
             jN = H + nj - 1
             ssh_in = eta[..., H + nj - 1, :]
             v_inlet = vbt[..., jN - 1, :]
-            val = 0.5 * ((v_inlet + self.v_n)
+            val = 0.5 * ((v_inlet + self._yval(self.v_n, jN))
                          + (cg[..., jN, :] / jnp.maximum(D_v[..., jN, :],
                                                          1e-10))
-                         * (ssh_in - self.ssh_n))
+                         * (ssh_in - self._yval(self.ssh_n, jN)))
             vbt = self._blend_y(vbt, jN, val, self.strip_n)
         if self.open_s:
             jS = H - 1
             ssh_in = eta[..., H, :]
             v_inlet = vbt[..., H, :]
-            val = 0.5 * ((v_inlet + self.v_s)
+            val = 0.5 * ((v_inlet + self._yval(self.v_s, jS))
                          + (cg[..., jS, :] / jnp.maximum(D_v[..., jS, :],
                                                          1e-10))
-                         * (self.ssh_s - ssh_in))
+                         * (self._yval(self.ssh_s, jS) - ssh_in))
             vbt = self._blend_y(vbt, jS, val, self.strip_s)
         return vbt
 
@@ -389,55 +432,90 @@ class OpenBoundaries:
         return out
 
 
-def build_open_boundaries(pf, domain: Domain) -> Optional[OpenBoundaries]:
-    segs = parse_segments(pf)
+def build_open_boundaries(pf, domain: Domain,
+                          indir: str = ".") -> Optional[OpenBoundaries]:
+    segs = parse_segments(pf, indir)
     if not segs:
         return None
-    if domain.layout != (1, 1):
-        raise NotImplementedError(
-            "OBC with a decomposed layout: segment-owning shards are a "
-            "planned refinement")
     H = domain.halo
+    ni, nj = domain.ni, domain.nj
     kw = dict(open_w=False, open_e=False, open_s=False, open_n=False,
               halo=H, nil=domain.nil, njl=domain.njl)
     data = {}
-    # per-edge open strips (union over this edge's segments); a strip
-    # stays None (= whole edge) unless some segment is partial
-    extent = {"W": domain.njl, "E": domain.njl,
-              "S": domain.nil, "N": domain.nil}
+    # Per-edge 2D ownership masks in the padded GLOBAL index space: 1
+    # exactly at the cells the edge's operators write (the boundary
+    # face column/row plus the halo band beyond it), restricted to the
+    # segment's open range.  On a decomposed layout, blockification
+    # places these cells only on the boundary-owning shards; every
+    # other shard's edge ops read mask 0 and reduce to identity.
+    extent = {"W": nj, "E": nj, "S": ni, "N": ni}
     strips = {d: None for d in extent}
-    partial = {d: False for d in extent}
 
     def seg_strip(d, s):
+        st = jnp.zeros((nj + 2 * H, ni + 2 * H))
         n = extent[d]
-        st = jnp.zeros(n + 2 * H)
         lo = 0 if s.lo is None else max(0, s.lo)
         hi = n if s.hi is None else min(n, s.hi)
-        return st.at[H + lo:H + hi].set(1.0)
+        whole = s.lo is None and s.hi is None
+        # whole-edge segments also own the corner halo rows/cols (the
+        # historical whole-edge behavior wrote the full halo band)
+        plo, phi = (0, n + 2 * H) if whole else (H + lo, H + hi)
+        if d == "W":
+            return st.at[plo:phi, 0:H].set(1.0)
+        if d == "E":
+            return st.at[plo:phi, H + ni - 1:].set(1.0)
+        if d == "S":
+            return st.at[0:H, plo:phi].set(1.0)
+        return st.at[H + nj - 1:, plo:phi].set(1.0)
 
+    ext_pairs = {d: [] for d in extent}     # (segment, ssh, vel) list
     for s in segs:
         d = s.direction
-        if d == "W":
-            kw["open_w"] = True
-            data["ssh_w"], data["u_w"] = s.ssh_ext, s.u_ext
-        elif d == "E":
-            kw["open_e"] = True
-            data["ssh_e"], data["u_e"] = s.ssh_ext, s.u_ext
-        elif d == "S":
-            kw["open_s"] = True
-            data["ssh_s"], data["v_s"] = s.ssh_ext, s.v_ext
-        elif d == "N":
-            kw["open_n"] = True
-            data["ssh_n"], data["v_n"] = s.ssh_ext, s.v_ext
+        kw["open_" + d.lower()] = True
+        ext_pairs[d].append(
+            (s, s.ssh_ext, s.u_ext if d in ("W", "E") else s.v_ext))
         st = seg_strip(d, s)
         strips[d] = st if strips[d] is None else jnp.maximum(strips[d],
                                                              st)
-        partial[d] = partial[d] or (s.lo is not None
-                                    or s.hi is not None)
     for d, key in (("W", "strip_w"), ("E", "strip_e"),
                    ("S", "strip_s"), ("N", "strip_n")):
-        if partial[d] and strips[d] is not None:
+        if strips[d] is not None:
             data[key] = strips[d]
+
+    def paint_edge(d, pairs, which):
+        """Per-edge external datum: one scalar stays a scalar; profile
+        data / several segments paint a 2D (njh, nih) field, uniform
+        across the perpendicular axis (blockify-safe)."""
+        import numpy as np
+        vals = [p[which] for p in pairs]
+        if len(pairs) == 1 and np.ndim(vals[0]) == 0:
+            return float(vals[0])
+        n = extent[d]
+        vec = np.zeros(n + 2 * H)
+        for (s, *_), v in zip(pairs, vals):
+            lo = 0 if s.lo is None else max(0, s.lo)
+            hi = n if s.hi is None else min(n, s.hi)
+            v = np.asarray(v, np.float64)
+            if v.ndim == 1 and v.size not in (hi - lo, n):
+                raise ValueError(
+                    f"segment data profile length {v.size} matches "
+                    f"neither the segment extent {hi - lo} nor the "
+                    f"edge length {n}")
+            vec[H + lo:H + hi] = v[lo:hi] if v.ndim == 1 \
+                and v.size == n else v
+        vec[:H] = vec[H]
+        vec[n + H:] = vec[n + H - 1]
+        if d in ("W", "E"):
+            f2 = np.tile(vec[:, None], (1, ni + 2 * H))
+        else:
+            f2 = np.tile(vec[None, :], (nj + 2 * H, 1))
+        return jnp.asarray(f2)
+
+    for d, s_key, v_key in (("W", "ssh_w", "u_w"), ("E", "ssh_e", "u_e"),
+                            ("S", "ssh_s", "v_s"), ("N", "ssh_n", "v_n")):
+        if ext_pairs[d]:
+            data[s_key] = paint_edge(d, ext_pairs[d], 1)
+            data[v_key] = paint_edge(d, ext_pairs[d], 2)
     data["res_len_out"] = pf.get(
         "OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT", float, 1.0e4,
         units="m")
@@ -451,6 +529,25 @@ def build_open_boundaries(pf, domain: Domain) -> Optional[OpenBoundaries]:
     data["tracer_ext"] = tuple(
         (e, tuple(sorted(kv.items()))) for e, kv in sorted(text.items()))
     return OpenBoundaries(**kw, **data)
+
+
+def blockify_obc(domain_sharded: Domain,
+                 obc: OpenBoundaries) -> OpenBoundaries:
+    """Re-block the edge ownership masks for a decomposed layout (the
+    blockify_grid counterpart): after blockification only the
+    boundary-owning shards carry nonzero mask cells, so the edge
+    operators become identity on every other shard."""
+    import dataclasses as dc
+    from mom6_tpu.core.grid import blockify
+    kw = {}
+    for key in ("strip_w", "strip_e", "strip_s", "strip_n",
+                "ssh_w", "ssh_e", "ssh_s", "ssh_n",
+                "u_w", "u_e", "v_s", "v_n"):
+        v = getattr(obc, key)
+        if getattr(v, "ndim", 0) == 2:
+            kw[key] = blockify(domain_sharded, v)
+    return dc.replace(obc, nil=domain_sharded.nil,
+                      njl=domain_sharded.njl, **kw)
 
 
 def open_grid_masks(grid, obc: OpenBoundaries):

@@ -160,23 +160,30 @@ OBC_SEGMENT_001 = "I=N,J=2:6,FLATHER"
     from mom6_tpu.obc.open_boundary import build_open_boundaries
     obc = build_open_boundaries(pf, d)
     assert obc.open_e and not obc.open_w
+    # 2D ownership mask: 1 on the E face column + halo band, only in
+    # the segment's rows
     st = np.asarray(obc.strip_e)
-    assert st.sum() == 4.0 and st[6] == 1.0 and st[1 + 4] == 0.0
-
     H, ni = 4, 10
+    assert st.shape == (18, 18)
+    assert st.sum() == 4.0 * (1 + H)
+    assert np.all(st[H + 2:H + 6, H + ni - 1:] == 1.0)
+    assert st[H + 1, H + ni - 1] == 0.0 and st[H + 6, H + ni - 1] == 0.0
+    assert np.all(st[:, :H + ni - 1] == 0.0)
+
     f = jnp.zeros((2, 18, 18)).at[..., :, H + ni - 1].set(7.0)
     ext = np.asarray(obc.extend(f))
     # halo beyond the open strip rows gets the edge value; closed rows
     # stay zero
     assert np.all(ext[:, H + 2:H + 6, H + ni:] == 7.0)
     assert np.all(ext[:, H + 7, H + ni:] == 0.0)
-    # whole-edge OBC (no range) leaves strips None → old behavior
+    # whole-edge OBC (no range): the mask owns the full edge rows
+    # including the corner halos
     pf2 = ParamFile(text='''
 OBC_NUMBER_OF_SEGMENTS = 1
 OBC_SEGMENT_001 = "I=N,J=0:N,FLATHER"
 ''')
     obc2 = build_open_boundaries(pf2, d)
-    assert obc2.strip_e is None
+    assert np.all(np.asarray(obc2.strip_e)[:, H + ni - 1:] == 1.0)
     ext2 = np.asarray(obc2.extend(f))
     assert np.all(ext2[:, :, H + ni:] == 7.0)
     # grid masks open only across the strip
