@@ -31,7 +31,10 @@ __all__ = ["stat_sums", "Stats", "format_stats_header", "format_stats_line",
            "EnergyBlowupError"]
 
 
-class EnergyBlowupError(RuntimeError):
+from mom6_tpu.framework.error_handler import FatalError
+
+
+class EnergyBlowupError(FatalError):
     pass
 
 
@@ -121,9 +124,13 @@ def collect_stats(raw: dict, vgrid: VerticalGrid, step: int, day: float,
     mass = vgrid.Rho0 * vol
     epm = (ke + pe) / max(mass / vgrid.Rho0, 1e-300)
     if not math.isfinite(epm) or abs(epm) > energy_cap:
-        raise EnergyBlowupError(
-            f"Energy per mass {epm:.6e} m2 s-2 exceeds cap {energy_cap:g} "
-            f"at step {step} — model blowup detected")
+        # route through the error channel (MOM_error FATAL analog)
+        # before raising the typed abort
+        from mom6_tpu.framework.error_handler import (MOM_error, WARNING)
+        msg = (f"Energy per mass {epm:.6e} m2 s-2 exceeds cap "
+               f"{energy_cap:g} at step {step} — model blowup detected")
+        MOM_error(WARNING, msg)
+        raise EnergyBlowupError(msg)
     heat = val(raw["heat"]) / max(vol, 1e-300) if "heat" in raw else 0.0
     salt = val(raw["salt"]) / max(vol, 1e-300) if "salt" in raw else 0.0
     return Stats(step=step, day=day, truncs=truncs,

@@ -36,6 +36,9 @@ def main(argv=None):
 
     from mom6_tpu.framework.config import ParamFile
     from mom6_tpu.framework.restart import (save_restart, restore_restart)
+    from mom6_tpu.framework.clock import clock
+    from mom6_tpu.framework.error_handler import (MOM_error, WARNING,
+                                                  NOTE, set_verbosity)
     from mom6_tpu.model import build_model
     from mom6_tpu.diagnostics.sum_output import (
         stat_sums, collect_stats, format_stats_header, format_stats_line)
@@ -45,8 +48,11 @@ def main(argv=None):
     if os.path.exists(override):
         sources.append(override)
     pf = ParamFile(*sources)
+    set_verbosity(pf.get("VERBOSITY", int, 2,
+                         desc="0 errors, 1 +warnings, 2 +notes"))
 
-    model = build_model(pf)
+    with clock("initialization"):
+        model = build_model(pf)
     # diag mediator driven by the case's diag_table
     # (MOM_diag_mediator.F90; DIAG_AS_CHKSUM replaces binary output
     # with bitcount checksum lines, the reference's layout-test mode)
@@ -85,9 +91,10 @@ def main(argv=None):
     restint = pf.get("RESTINT", float, 0.0, units="days")
     unused = pf.close(fatal_unused=False)
     if unused:
-        print(f"WARNING: {len(unused)} unimplemented/unused parameters: "
-              + ", ".join(unused[:12])
-              + (" ..." if len(unused) > 12 else ""), file=sys.stderr)
+        MOM_error(WARNING,
+                  f"{len(unused)} unimplemented/unused parameters: "
+                  + ", ".join(unused[:12])
+                  + (" ..." if len(unused) > 12 else ""))
     pf.write_docs(args.case_dir)
 
     daymax = args.days if args.days is not None else model.daymax
@@ -106,12 +113,14 @@ def main(argv=None):
     nsteps = int(round((daymax - t_days) * 86400.0 / dt))
     if nsteps <= 0:
         if daymax > t_days:
-            print(f"Nothing to do: the {daymax - t_days} days from "
-                  f"current time {t_days} to DAYMAX {daymax} round to "
-                  f"0 steps of DT = {dt} s", file=sys.stderr)
+            MOM_error(NOTE,
+                      f"Nothing to do: the {daymax - t_days} days from "
+                      f"current time {t_days} to DAYMAX {daymax} round "
+                      f"to 0 steps of DT = {dt} s")
         else:
-            print(f"Nothing to do: current time {t_days} days already "
-                  f"≥ requested DAYMAX {daymax} days", file=sys.stderr)
+            MOM_error(NOTE,
+                      f"Nothing to do: current time {t_days} days "
+                      f"already ≥ requested DAYMAX {daymax} days")
         return
     stats_every = max(1, int(round(energysavedays * 86400.0 / dt)))
 
@@ -122,33 +131,46 @@ def main(argv=None):
     wall0 = time.perf_counter()
     for n in range(step0, step0 + nsteps + 1):
         if n % stats_every == 0:
-            s = collect_stats(stats_jit(d, g, vg, state, dt), vg, n,
-                              n * dt / 86400.0,
-                              truncs=step.truncations())
-            if mass0 is None:
-                mass0 = s.total_mass
-            line = format_stats_line(s, mass0)
-            with open(stats_path, "a") as f:
-                f.write(line)
-            print(line, end="")
+            with clock("ocean.stats"):
+                s = collect_stats(stats_jit(d, g, vg, state, dt), vg, n,
+                                  n * dt / 86400.0,
+                                  truncs=step.truncations())
+                if mass0 is None:
+                    mass0 = s.total_mass
+                line = format_stats_line(s, mass0)
+                with open(stats_path, "a") as f:
+                    f.write(line)
+                print(line, end="")
             if diags is not None:
-                diags.post_state(g, vg, state)
+                with clock("diag mediator"):
+                    diags.post_state(g, vg, state)
         if n == step0 + nsteps:
             break
-        state, split_state, tracers = step(state, split_state, tracers, n)
+        with clock("step_MOM"):
+            state, split_state, tracers = step(state, split_state,
+                                               tracers, n)
     jax.block_until_ready(state.h)
     if diags is not None:
-        diags.med.flush("diags.nc", time_value=daymax)
+        with clock("diag mediator"):
+            diags.med.flush("diags.nc", time_value=daymax)
     wall = time.perf_counter() - wall0
     pts = model.domain.ni * model.domain.nj * model.vgrid.nk * nsteps
     print(f"run complete: {nsteps} steps, {wall:.2f}s wall, "
           f"{pts / max(wall, 1e-9):.3g} points/s")
 
     if restint > 0 or True:
-        save_restart(os.path.join(args.case_dir, "RESTART", "MOM.res"),
-                     {"state": state, "split": split_state},
-                     meta={"step": step0 + nsteps,
-                           "time_days": daymax})
+        with clock("restart save"):
+            save_restart(
+                os.path.join(args.case_dir, "RESTART", "MOM.res"),
+                {"state": state, "split": split_state},
+                meta={"step": step0 + nsteps,
+                      "time_days": daymax})
+
+    # MOM_cpu_clock end-of-run summary (mpp_clock report analog)
+    report = clock.report()
+    print(report, file=sys.stderr)
+    with open(os.path.join(args.case_dir, "clocks.txt"), "w") as f:
+        f.write(report)
 
 
 if __name__ == "__main__":
