@@ -1,9 +1,13 @@
-"""Analytic surface forcing configurations for the solo driver.
+"""Analytic and file-driven surface forcing for the solo driver.
 
 Re-design of /root/reference/config_src/drivers/solo_driver/
 MOM_surface_forcing.F90: named wind configurations (zero, constant,
-gyres, 2gyre, scurves) and buoyancy configurations (zero, constant
-heat flux, linear SST/SSS restoring) producing (MechForcing, Fluxes).
+gyres, 2gyre, file) and buoyancy configurations (zero, constant
+heat flux, linear SST/SSS restoring, file) producing
+(MechForcing, Fluxes).  File configs (wind_forcing_from_file :677,
+buoyancy_forcing_from_files :860) return functions of a *traced*
+model time so that the time interpolation runs inside the jitted
+step (see framework/interp_external.py).
 """
 
 from __future__ import annotations
@@ -92,3 +96,59 @@ def buoyancy_restoring(cfg: SurfaceForcingCfg, grid: Grid, sst, south,
             salt = piston * cfg.rho0 * (sss_target - sss) / 1000.0 \
                 * grid.mask2dT
     return Fluxes(sensible=heat * grid.mask2dT, salt_flux=salt)
+
+
+def wind_forcing_from_file(grid, wind_file: str, x_var: str, y_var: str,
+                           stagger: str = "C", scale: float = 1.0):
+    """WIND_CONFIG='file': build a function t[s] -> MechForcing with
+    stresses time-interpolated from ``wind_file``
+    (wind_forcing_from_file, MOM_surface_forcing.F90:677).
+
+    WIND_STAGGER='A' regrids from the file's own lon/lat straight to
+    the model's u/v points; 'C' expects ongrid fields.
+    """
+    from mom6_tpu.framework.interp_external import load_external_field
+    # A-grid files carry their own lon/lat and regrid to the u/v
+    # points; C-grid ('ongrid') files must already match the compute
+    # domain and are only halo-padded.  Both cases are resolved by
+    # shape inside load_external_field.
+    tx = load_external_field(wind_file, x_var, grid=grid, stagger="U",
+                             scale=scale)
+    ty = load_external_field(wind_file, y_var, grid=grid, stagger="V",
+                             scale=scale)
+
+    def forces_fn(t):
+        return MechForcing(taux=tx.at(t) * grid.mask2dCu,
+                           tauy=ty.at(t) * grid.mask2dCv)
+    forces_fn.time_varying = not (tx.static and ty.static)
+    return forces_fn
+
+
+_BUOY_FILE_FIELDS = (
+    # (Fluxes field, MOM_input parameter, file variable, sign)
+    ("lw", "LONGWAVE_FILE", "LW", 1.0),
+    ("sw", "SHORTWAVE_FILE", "SW", 1.0),
+    ("latent", "LATENTHEAT_FILE", "latent", 1.0),
+    ("sensible", "SENSIBLEHEAT_FILE", "sensible", 1.0),
+    ("evap", "EVAPORATION_FILE", "evap", 1.0),
+    ("lprec", "RAIN_FILE", "liq_precip", 1.0),
+    ("fprec", "SNOW_FILE", "froz_precip", 1.0),
+)
+
+
+def buoyancy_forcing_from_files(grid, files: dict):
+    """BUOY_CONFIG='file': heat/freshwater fluxes time-interpolated
+    from per-component files (buoyancy_forcing_from_files,
+    MOM_surface_forcing.F90:860).  ``files`` maps Fluxes field names
+    to (path, varname).
+    """
+    from mom6_tpu.framework.interp_external import load_external_field
+    efs = {name: load_external_field(path, var, grid=grid, stagger="T")
+           for name, (path, var) in files.items()}
+
+    def fluxes_fn(state, t):
+        vals = {name: ef.at(t) * grid.mask2dT
+                for name, ef in efs.items()}
+        return Fluxes(**vals)
+    fluxes_fn.time_varying = any(not ef.static for ef in efs.values())
+    return fluxes_fn

@@ -130,6 +130,9 @@ class ParamFile:
         self._doc: dict[str, _DocEntry] = {}
         self._module = "?"
         self._closed = False
+        # case (run) directory: where MOM_input lives; used to find
+        # sibling tables (data_table, diag_table)
+        self.case_dir = os.path.dirname(sources[0]) if sources else "."
         for path in sources:
             with open(path) as f:
                 self._ingest(f.read(), label=os.path.basename(path))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Optional
 
 import numpy as np
@@ -174,9 +175,16 @@ class Model:
     tracers: Optional[dict] = None
     tracer_registry: Any = None
     obc: Any = None
-    # pure fn state → Fluxes (solo-driver buoyancy forcing); evaluated
-    # inside the jitted step each thermo step.  None → no buoy fluxes
+    # pure fn (state, t) → Fluxes (solo-driver buoyancy forcing);
+    # evaluated inside the jitted step each thermo step.  None → no
+    # buoyancy fluxes
     fluxes_fn: Any = None
+    # pure fn t → MechForcing for time-varying (file) wind; None →
+    # the static ``forces`` above is used
+    forces_fn: Any = None
+    # DataOverride from the case data_table, applied on top of the
+    # configured forcing inside the jitted step
+    data_override: Any = None
 
     def step_fn(self):
         """Jitted full ocean step; x_first alternates per call site
@@ -190,15 +198,25 @@ class Model:
         # of a device pytree, like the transport accumulators)
         use_res = self.obc is not None and bool(self.tracers)
 
+        dov = self.data_override
+
         def mk(x_first, do_thermo):
             def step(state, split_state, tracers, uacc, vacc, res,
-                     mld):
-                fl = self.fluxes_fn(state) \
+                     mld, t):
+                # t: traced model time (s) at the step center, for
+                # time-interpolated file forcing / data_override
+                fc = self.forces_fn(t) if self.forces_fn is not None \
+                    else forces
+                fl = self.fluxes_fn(state, t) \
                     if (do_thermo and self.fluxes_fn is not None
                         and state.T is not None) else None
+                if dov is not None:
+                    fc = dov.mech(fc, t, g)
+                    if do_thermo and state.T is not None:
+                        fl = dov.fluxes(fl, t, g)
                 st, a, tr, diags, *rest = step_ocean(
                     d, g, vg, state, split_state, tracers,
-                    forces, fl, self.dt, cfg, eos=eos,
+                    fc, fl, self.dt, cfg, eos=eos,
                     x_first=x_first,
                     tracer_registry=self.tracer_registry,
                     obc=self.obc, do_thermo=do_thermo,
@@ -221,9 +239,14 @@ class Model:
             z = jnp.zeros_like(state.h)
             ua = acc["u"] if acc["u"] is not None else z
             va = acc["v"] if acc["v"] is not None else z
+            # step-centered time, like the reference's day_center
+            # forcing time (MOM_driver.F90); a traced scalar so time
+            # advance never recompiles
+            t = jnp.asarray((n + 0.5) * self.dt,
+                            dtype=jnp.result_type(float))
             s, a, tr, uh, vh, tn, res, mld = f(
                 state, split_state, tracers, ua, va, acc["res"],
-                acc["mld"])
+                acc["mld"], t)
             if res is not None:
                 acc["res"] = res
             if mld is not None:
@@ -659,6 +682,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     from mom6_tpu.drivers.surface_forcing import (SurfaceForcingCfg,
                                                   build_wind,
                                                   buoyancy_restoring)
+    from mom6_tpu.drivers.surface_forcing import (
+        wind_forcing_from_file, buoyancy_forcing_from_files,
+        _BUOY_FILE_FIELDS)
     sf_cfg = SurfaceForcingCfg(
         wind_config=pf.get("WIND_CONFIG", str, "zero"),
         taux_magnitude=pf.get("TAUX_MAGNITUDE", float, 0.1, units="Pa"),
@@ -679,27 +705,62 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         rho0=rho0,
         cp=pf.get("C_P", float, 3991.86795711963,
                   units="J kg-1 K-1"))
-    forces = build_wind(sf_cfg, grid, south, lenlat)
+    indir = pf.get("INPUTDIR", str, ".")
+    forces_fn = None
+    if sf_cfg.wind_config.lower() == "file":
+        # wind_forcing_from_file (MOM_surface_forcing.F90:677)
+        forces_fn = wind_forcing_from_file(
+            grid,
+            os.path.join(indir, pf.get("WIND_FILE", str)),
+            pf.get("WINDSTRESS_X_VAR", str, "STRESS_X"),
+            pf.get("WINDSTRESS_Y_VAR", str, "STRESS_Y"),
+            stagger=pf.get("WIND_STAGGER", str, "C"),
+            scale=pf.get("WINDSTRESS_SCALE", float, 1.0))
+        forces = forces_fn(jnp.zeros(()))
+        if not forces_fn.time_varying:
+            forces_fn = None            # static file wind: bake it in
+    else:
+        forces = build_wind(sf_cfg, grid, south, lenlat)
 
-    # buoyancy fluxes: a pure function of the surface state, evaluated
-    # inside the jitted step each thermo step (kills the fluxes=None
-    # path — surface heating/restoring now reaches the column physics)
+    # buoyancy fluxes: a pure function of (surface state, time),
+    # evaluated inside the jitted step each thermo step (kills the
+    # fluxes=None path — surface heating/restoring reaches the column
+    # physics)
     fluxes_fn = None
     if thermo and sf_cfg.buoy_config not in ("zero", "NONE"):
         if sf_cfg.buoy_config in ("linear_restoring", "linear"):
-            def fluxes_fn(state, _cfg=sf_cfg, _g=grid, _s=south,
+            def fluxes_fn(state, t, _cfg=sf_cfg, _g=grid, _s=south,
                           _l=lenlat):
                 return buoyancy_restoring(_cfg, _g, state.T[0], _s, _l,
                                           sss=state.S[0])
         elif sf_cfg.buoy_config == "const_heat":
-            def fluxes_fn(state, _cfg=sf_cfg, _g=grid):
+            def fluxes_fn(state, t, _cfg=sf_cfg, _g=grid):
                 from mom6_tpu.core.forcing import Fluxes
                 return Fluxes(sensible=jnp.full_like(state.h[0],
                                                      _cfg.sensible_heat)
                               * _g.mask2dT)
+        elif sf_cfg.buoy_config.lower() == "file":
+            # buoyancy_forcing_from_files (MOM_surface_forcing.F90:860)
+            files = {}
+            for fld, param, default_var, _sgn in _BUOY_FILE_FIELDS:
+                if pf.has(param):
+                    fpath = os.path.join(indir, pf.get(param, str))
+                    var = pf.get(param.replace("_FILE", "_VAR"), str,
+                                 default_var)
+                    files[fld] = (fpath, var)
+            if not files:
+                raise ValueError("BUOY_CONFIG='file' but no *_FILE "
+                                 "parameters were set")
+            fluxes_fn = buoyancy_forcing_from_files(grid, files)
         else:
             raise ValueError(
                 f"BUOY_CONFIG '{sf_cfg.buoy_config}' not implemented")
+
+    # data_override: case-directory data_table replaces forcing fields
+    # with file data / constants (FMS data_override analog)
+    from mom6_tpu.framework.data_override import DataOverride
+    data_override = DataOverride.build(
+        os.path.join(pf.case_dir, "data_table"), grid, indir=indir)
 
     split_state = None
     if split:
@@ -996,4 +1057,5 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                  thermo=thermo, forces=forces, state=state,
                  split_state=split_state, tracers=tracers,
                  tracer_registry=registry if tracers else None,
-                 obc=obc, fluxes_fn=fluxes_fn)
+                 obc=obc, fluxes_fn=fluxes_fn, forces_fn=forces_fn,
+                 data_override=data_override)
