@@ -273,11 +273,24 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     nj = pf.get("NJGLOBAL", int, desc="y grid points")
     reentrant_x = pf.get("REENTRANT_X", bool, False)
     reentrant_y = pf.get("REENTRANT_Y", bool, False)
+    tripolar_n = pf.get("TRIPOLAR_N", bool, False,
+                        desc="fold the north edge (tripolar grid)")
     halo = pf.get("NIHALO", int, 4, desc="halo width")
+    if layout == (1, 1) and pf.has("LAYOUT"):
+        lay = pf.get("LAYOUT", list, [1, 1],
+                     desc="processor layout (nx, ny)")
+        layout = (int(lay[0]), int(lay[1]))
+        if not sharded and layout != (1, 1):
+            # single-device build of a case that declares a layout:
+            # run unsharded, keep the layout for mask-table checks
+            layout = (1, 1)
     domain = Domain(ni=ni, nj=nj, halo=halo, layout=layout,
-                    reentrant_x=reentrant_x, reentrant_y=reentrant_y)
+                    reentrant_x=reentrant_x, reentrant_y=reentrant_y,
+                    tripolar_n=tripolar_n)
     if sharded:
         domain = domain.sharded()
+    masktable = pf.get("MASKTABLE", str, "")
+    auto_masktable = pf.get("AUTO_MASKTABLE", bool, False)
 
     pf.module("MOM_grid_init")
     grid_config = pf.get("GRID_CONFIG", str, "cartesian")
@@ -378,6 +391,35 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
 
     if max_depth_diagnose and topo_config != "flat":
         max_depth = float(np.max(np.asarray(grid.bathyT)))
+
+    if masktable or auto_masktable:
+        # land-block accounting (MOM_domains.F90:306-335): validate or
+        # generate the all-land block list for this topography.  Under
+        # XLA SPMD masked blocks still execute (the mesh is fixed), so
+        # the table is a validated audit + layout-selection aid rather
+        # than a communicator edit; answers are unchanged either way.
+        from mom6_tpu.parallel.layout import (
+            read_mask_table, auto_mask_table, apply_mask_table,
+            write_mask_table)
+        from mom6_tpu.parallel.domain import unpad_field
+        from mom6_tpu.framework.error_handler import MOM_error, NOTE
+        wet = np.asarray(unpad_field(domain, grid.mask2dT))
+        if masktable:
+            tbl_lay, blocks = read_mask_table(
+                os.path.join(pf.get("INPUTDIR", str, "."), masktable))
+            apply_mask_table(wet, tbl_lay, blocks, strict=True)
+            MOM_error(NOTE, f"MASKTABLE {masktable}: {len(blocks)} "
+                      f"all-land blocks of layout {tbl_lay} verified")
+        else:
+            tbl_lay = layout if layout != (1, 1) else \
+                (max(1, ni // 32), max(1, nj // 32))
+            blocks = auto_mask_table(wet, tbl_lay)
+            write_mask_table(
+                os.path.join(pf.case_dir, "MOM_auto_mask_table"),
+                tbl_lay, blocks)
+            MOM_error(NOTE, f"AUTO_MASKTABLE: {len(blocks)} all-land "
+                      f"blocks of layout {tbl_lay} written to "
+                      "MOM_auto_mask_table")
 
     pf.module("MOM_open_boundary")
     obc = build_open_boundaries(pf, domain,

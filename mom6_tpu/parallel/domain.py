@@ -53,6 +53,11 @@ class Domain:
     layout: tuple[int, int] = (1, 1)     # (shards_x, shards_y)
     reentrant_x: bool = False
     reentrant_y: bool = False
+    # tripolar fold along the northern edge (the FOLD_NORTH_EDGE
+    # flag of MOM_domains.F90:572): the north halo is the model's own
+    # top rows reflected in x about the fold, with stagger-dependent
+    # index shifts and a sign flip for vector components
+    tripolar_n: bool = False
     shmap: bool = False          # True when executing inside shard_map
     axis_x: str = "x"
     axis_y: str = "y"
@@ -120,12 +125,19 @@ class Domain:
         return jnp.pad(f, pads)
 
     # -- halo exchange ---------------------------------------------------
-    def fill_halos(self, f, width: int | None = None, corners: bool = True):
+    def fill_halos(self, f, width: int | None = None, corners: bool = True,
+                   stagger: str = "T", sign: float = 1.0):
         """Refresh halo zones of a field or pytree of fields.
 
         Functional counterpart of pass_var/pass_vector/do_group_pass
         (MOM_domain_infra.F90:218,514,1141): returns arrays with halos
         filled to ``width`` (default: full halo).
+
+        ``stagger`` ('T'|'U'|'V'|'Q') and ``sign`` only matter across a
+        tripolar fold (tripolar_n), where the reflected copy is offset
+        by one point for face/corner quantities and vector components
+        change sign; every field in the pytree must share them — use
+        :meth:`fill_vector_halos` for (u, v) pairs.
         """
         w = self.halo if width is None else width
         if w == 0:
@@ -133,9 +145,45 @@ class Domain:
         if w > self.halo:
             raise ValueError(f"halo width {w} exceeds allocated halo {self.halo}")
         fn = self._fill_shmap if self.shmap else self._fill_local
-        return jax.tree.map(lambda a: fn(a, w, corners), f)
+        return jax.tree.map(lambda a: fn(a, w, corners, stagger, sign), f)
 
-    def _fill_local(self, f: jnp.ndarray, w: int, corners: bool) -> jnp.ndarray:
+    def fill_vector_halos(self, u, v, width: int | None = None,
+                          corners: bool = True, stagger: str = "C"):
+        """pass_vector analog: C-grid (u at east faces, v at north
+        faces) or B-grid (both at corners) component pairs, with the
+        tripolar-fold sign flip."""
+        if stagger.upper() == "B":
+            su = sv = "Q"
+        else:
+            su, sv = "U", "V"
+        return (self.fill_halos(u, width, corners, stagger=su, sign=-1.0),
+                self.fill_halos(v, width, corners, stagger=sv, sign=-1.0))
+
+    def _fold_strip(self, f: jnp.ndarray, w: int, stagger: str,
+                    sign: float) -> jnp.ndarray:
+        """The w rows that a tripolar fold writes into the north halo,
+        built from this tile's own top rows: y-reflected about the
+        fold, x-reversed in the local frame (the cross-shard reversal
+        is the partner-column ppermute in _exchange_y), with the
+        one-point shifts of face/corner staggering.
+
+        Index map (global, 0-based): T/V points reflect x as
+        i -> ni-1-i, U/Q (east-face/corner) as i -> ni-2-i; T/U halo
+        row nj+k sources row nj-1-k, V/Q (north-face/corner) source
+        row nj-2-k.  The local flip of the *padded* tile realizes the
+        global x reversal because column c's flipped tile lands on
+        column px-1-c (MOM_domain_infra.F90 pass_var fold semantics).
+        """
+        H, nj = self.halo, self.njl
+        joff = 2 if stagger in ("V", "Q") else 1
+        rows = f[..., H + nj - joff - (w - 1):H + nj - joff + 1, :]
+        strip = jnp.flip(jnp.flip(rows, axis=-2), axis=-1)
+        if stagger in ("U", "Q"):
+            strip = jnp.roll(strip, -1, axis=-1)
+        return sign * strip
+
+    def _fill_local(self, f: jnp.ndarray, w: int, corners: bool,
+                    stagger: str = "T", sign: float = 1.0) -> jnp.ndarray:
         H, ni, nj = self.halo, self.nil, self.njl
         if self.layout != (1, 1):
             raise ValueError("local halo fill requires layout (1,1); "
@@ -156,13 +204,26 @@ class Domain:
         else:
             south = jnp.zeros_like(f[..., :w, :])
             north = jnp.zeros_like(f[..., :w, :])
+        if self.tripolar_n:
+            north = self._fold_strip(f, w, stagger, sign)
         f = f.at[..., H - w:H, :].set(south)
         f = f.at[..., H + nj:H + nj + w, :].set(north)
+        if self.tripolar_n and self.reentrant_x:
+            # corner refresh: fold-row x halos wrap through the
+            # (correct) compute columns of the fold rows
+            f = self._fill_local_x(f, w)
         return f
 
-    def _fill_shmap(self, f: jnp.ndarray, w: int, corners: bool) -> jnp.ndarray:
+    def _fill_shmap(self, f: jnp.ndarray, w: int, corners: bool,
+                    stagger: str = "T", sign: float = 1.0) -> jnp.ndarray:
         f = self._exchange_x(f, w)
-        return self._exchange_y(f, w)
+        f = self._exchange_y(f, w, stagger, sign)
+        if self.tripolar_n:
+            # corner refresh: the fold writes new north-halo rows whose
+            # own x-halo columns must wrap through the x neighbors (the
+            # reference refreshes folded corners the same way)
+            f = self._exchange_x(f, w)
+        return f
 
     def _exchange_x(self, f: jnp.ndarray, w: int) -> jnp.ndarray:
         H, ni = self.halo, self.nil
@@ -186,7 +247,8 @@ class Domain:
             f = f.at[..., :, H + ni:H + ni + w].set(z)
         return f
 
-    def _exchange_y(self, f: jnp.ndarray, w: int) -> jnp.ndarray:
+    def _exchange_y(self, f: jnp.ndarray, w: int, stagger: str = "T",
+                    sign: float = 1.0) -> jnp.ndarray:
         H, nj = self.halo, self.njl
         py = self.layout[1]
         if py > 1 or self.reentrant_y:
@@ -205,7 +267,35 @@ class Domain:
             z = jnp.zeros_like(f[..., :w, :])
             f = f.at[..., H - w:H, :].set(z)
             f = f.at[..., H + nj:H + nj + w, :].set(z)
+        if self.tripolar_n:
+            f = self._fold_shmap(f, w, stagger, sign)
         return f
+
+    def _fold_shmap(self, f: jnp.ndarray, w: int, stagger: str,
+                    sign: float) -> jnp.ndarray:
+        """Tripolar north-halo fill under shard_map: every shard builds
+        its fold strip locally; shard column c swaps strips with its
+        mirror column px-1-c via ppermute; only the top shard row
+        (ry == py-1) writes the result into its north halo."""
+        H, nj = self.halo, self.njl
+        px, py = self.layout
+        strip = self._fold_strip(f, w, stagger, sign)
+        if px > 1:
+            pairs = [(c, px - 1 - c) for c in range(px)
+                     if c != px - 1 - c]
+            swapped = jax.lax.ppermute(strip, self.axis_x, pairs)
+            if px % 2 == 1:
+                cx = jax.lax.axis_index(self.axis_x)
+                mid = (cx == px - 1 - cx)
+                swapped = jnp.where(mid, strip, swapped)
+            strip = swapped
+        north = f[..., H + nj:H + nj + w, :]
+        if py > 1:
+            ry = jax.lax.axis_index(self.axis_y)
+            north = jnp.where(ry == py - 1, strip, north)
+        else:
+            north = strip
+        return f.at[..., H + nj:H + nj + w, :].set(north)
 
     # single-direction fills used by directionally-split sweeps
     def fill_halos_x(self, f, width: int | None = None):
@@ -214,11 +304,14 @@ class Domain:
             return jax.tree.map(lambda a: self._exchange_x(a, w), f)
         return jax.tree.map(lambda a: self._fill_local_x(a, w), f)
 
-    def fill_halos_y(self, f, width: int | None = None):
+    def fill_halos_y(self, f, width: int | None = None,
+                     stagger: str = "T", sign: float = 1.0):
         w = self.halo if width is None else width
         if self.shmap:
-            return jax.tree.map(lambda a: self._exchange_y(a, w), f)
-        return jax.tree.map(lambda a: self._fill_local_y(a, w), f)
+            return jax.tree.map(
+                lambda a: self._exchange_y(a, w, stagger, sign), f)
+        return jax.tree.map(
+            lambda a: self._fill_local_y(a, w, stagger, sign), f)
 
     def _fill_local_x(self, f, w):
         H, ni = self.halo, self.nil
@@ -232,7 +325,7 @@ class Domain:
         f = f.at[..., :, H + ni:H + ni + w].set(east)
         return f
 
-    def _fill_local_y(self, f, w):
+    def _fill_local_y(self, f, w, stagger: str = "T", sign: float = 1.0):
         H, nj = self.halo, self.njl
         if self.reentrant_y:
             south = f[..., H + nj - w:H + nj, :]
@@ -240,6 +333,8 @@ class Domain:
         else:
             south = jnp.zeros_like(f[..., :w, :])
             north = jnp.zeros_like(f[..., :w, :])
+        if self.tripolar_n:
+            north = self._fold_strip(f, w, stagger, sign)
         f = f.at[..., H - w:H, :].set(south)
         f = f.at[..., H + nj:H + nj + w, :].set(north)
         return f
