@@ -8,9 +8,13 @@ several published discretizations, plus the kinetic-energy gradient:
     CAu =  <q vh> - d(KE)/dx ,   CAv = - <q uh> - d(KE)/dy .
 
 Schemes implemented: SADOURNY75_ENERGY (default), SADOURNY75_ENSTRO,
-ARAKAWA_HSU90.  (ARAKAWA_LAMB81, AL_BLEND, ROBUST_ENSTRO and the
-energy-dissipating bias remain to be added.)  KE schemes: KE_ARAKAWA
-(default), KE_SIMPLE_GUDONOV, KE_GUDONOV.
+ARAKAWA_HSU90, ARAKAWA_LAMB81, ARAKAWA_LAMB_BLEND (:543 per-point
+blending of AL81/AH90/Sadourny-energy by effective-Coriolis ratio),
+ROBUST_ENSTRO (:687 enstrophy form robust to vanishing layers, with
+PV_ADV_SCHEME centered/upwind1), and BOUND_CORIOLIS (:734 clamp of
+the PV flux to the surrounding f*v range).  KE schemes: KE_ARAKAWA
+(default), KE_SIMPLE_GUDONOV, KE_GUDONOV.  (CORIOLIS_EN_DIS needs the
+continuity solver's second transport estimate and is inert.)
 
 Positional convention: q[j, i] sits at the NE corner of cell (j, i);
 shifts I-1 → im1, J-1 → jm1 on the trailing axes.
@@ -36,7 +40,11 @@ class CoriolisCfg:
     scheme: str = "SADOURNY75_ENERGY"   # CORIOLIS_SCHEME
     ke_scheme: str = "KE_ARAKAWA"       # KE_SCHEME
     no_slip: bool = False               # NOSLIP
-    bound_coriolis: bool = False        # BOUND_CORIOLIS (not yet applied)
+    bound_coriolis: bool = False        # BOUND_CORIOLIS
+    pv_adv_upwind: bool = False         # PV_ADV_SCHEME = PV_ADV_UPWIND1
+    blend_wt_lin: float = 0.125         # CORIOLIS_BLEND_WT_LIN
+    blend_f_eff_max: float = 4.0        # CORIOLIS_BLEND_F_EFF_MAX
+    h_tiny: float = 1e-10               # Angstrom thickness [m]
 
 
 class CoriolisResult(NamedTuple):
@@ -87,20 +95,147 @@ def coriolis_adv(grid: Grid, u, v, h, uh, vh,
                * ((vh + ip1(vh)) + (jm1(vh) + ip1(jm1(vh)))))
         CAv = (-0.125 * grid.IdyCv * (q + im1(q))
                * ((uh + jp1(uh)) + (im1(uh) + im1(jp1(uh)))))
-    elif cfg.scheme == "ARAKAWA_HSU90":
+    elif cfg.scheme in ("ARAKAWA_HSU90", "ARAKAWA_LAMB81",
+                        "ARAKAWA_LAMB_BLEND", "AL_BLEND"):
         c12 = 1.0 / 12.0
-        a_w = (q + (ip1(q) + jm1(q))) * c12
-        d_w = ((q + ip1(jm1(q))) + jm1(q)) * c12
-        b_w = (q + (im1(q) + jm1(q))) * c12
-        c_w = ((q + im1(jm1(q))) + jm1(q)) * c12
+        c24 = 1.0 / 24.0
+        ep_u = ep_v = None
+        if cfg.scheme == "ARAKAWA_HSU90":
+            a_w = (q + (ip1(q) + jm1(q))) * c12
+            d_w = ((q + ip1(jm1(q))) + jm1(q)) * c12
+            b_w = (q + (im1(q) + jm1(q))) * c12
+            c_w = ((q + im1(jm1(q))) + jm1(q)) * c12
+        elif cfg.scheme == "ARAKAWA_LAMB81":
+            # MOM_CoriolisAdv.F90:534-541, reindexed to faces
+            a_w = (2.0 * (ip1(q) + jm1(q)) + (q + ip1(jm1(q)))) * c24
+            d_w = ((ip1(q) + jm1(q)) + 2.0 * (q + ip1(jm1(q)))) * c24
+            b_w = ((q + im1(jm1(q))) + 2.0 * (im1(q) + jm1(q))) * c24
+            c_w = (2.0 * (q + im1(jm1(q))) + (im1(q) + jm1(q))) * c24
+            ep_u = ((q - im1(jm1(q))) + (im1(q) - jm1(q))) * c24
+            ep_v = (-(q - im1(jm1(q))) + (im1(q) - jm1(q))) * c24
+        else:
+            # ARAKAWA_LAMB_BLEND (:543-588): per-cell weights from the
+            # spread of 1/h around each cell keep the effective
+            # Coriolis amplification under F_eff_max, blending AL81 →
+            # AH90 → Sadourny energy as the spread grows.
+            fe_m2 = cfg.blend_f_eff_max - 2.0
+            wt_lin = min(1.0, max(cfg.blend_wt_lin, 1e-16))
+            rat_lin = 1.5 * fe_m2 / max(wt_lin, 1e-16)
+            if cfg.blend_f_eff_max <= 2.0:
+                fe_m2, rat_lin = -1.0, -1.0
+            q00, q10 = im1(jm1(Ih_q)), jm1(Ih_q)
+            q01, q11 = im1(Ih_q), Ih_q
+            min_ihq = jnp.minimum(jnp.minimum(q00, q10),
+                                  jnp.minimum(q01, q11))
+            max_ihq = jnp.maximum(jnp.maximum(q00, q10),
+                                  jnp.maximum(q01, q11))
+            rat_m1 = jnp.where(max_ihq < 1e15 * min_ihq,
+                               max_ihq / jnp.maximum(min_ihq, 1e-300)
+                               - 1.0, 1e15)
+            al_wt = jnp.where(
+                rat_m1 <= fe_m2, 1.0,
+                jnp.where(rat_m1 < 1.5 * fe_m2,
+                          3.0 * fe_m2 / jnp.maximum(rat_m1, 1e-300)
+                          - 2.0, 0.0))
+            sad_wt = jnp.where(
+                rat_m1 <= 1.5 * fe_m2, 0.0,
+                jnp.where(
+                    rat_m1 <= rat_lin,
+                    1.0 - (1.5 * fe_m2) / jnp.maximum(rat_m1, 1e-300),
+                    jnp.where(rat_m1 < 2.0 * rat_lin,
+                              1.0 - (wt_lin / rat_lin)
+                              * (rat_m1 - 2.0 * rat_lin), 1.0)))
+            swp, alp = ip1(sad_wt), ip1(al_wt)   # weights of east cell
+            a_w = (swp * 0.25 * q + (1.0 - swp)
+                   * (((2.0 - alp) * q + alp * ip1(jm1(q)))
+                      + 2.0 * (ip1(q) + jm1(q))) * c24)
+            d_w = (swp * 0.25 * jm1(q) + (1.0 - swp)
+                   * (((2.0 - alp) * jm1(q) + alp * ip1(q))
+                      + 2.0 * (q + ip1(jm1(q)))) * c24)
+            b_w = (sad_wt * 0.25 * q + (1.0 - sad_wt)
+                   * (((2.0 - al_wt) * q + al_wt * im1(jm1(q)))
+                      + 2.0 * (im1(q) + jm1(q))) * c24)
+            c_w = (sad_wt * 0.25 * jm1(q) + (1.0 - sad_wt)
+                   * (((2.0 - al_wt) * jm1(q) + al_wt * im1(q))
+                      + 2.0 * (q + im1(jm1(q)))) * c24)
+            ep_u = al_wt * ((q - im1(jm1(q)))
+                            + (im1(q) - jm1(q))) * c24
+            ep_v = al_wt * (-(q - im1(jm1(q)))
+                            + (im1(q) - jm1(q))) * c24
         CAu = ((a_w * ip1(vh) + c_w * jm1(vh))
                + (b_w * vh + d_w * ip1(jm1(vh)))) * grid.IdxCu
         # CAv(i,J) = -((a(I-1,j) uh(I-1,j) + c(I,j+1) uh(I,j+1)) +
         #              (b(I,j) uh(I,j) + d(I-1,j+1) uh(I-1,j+1))) IdyCv
         CAv = -((im1(a_w) * im1(uh) + jp1(c_w) * jp1(uh))
                 + (b_w * uh + im1(jp1(d_w)) * im1(jp1(uh)))) * grid.IdyCv
+        if ep_u is not None:
+            # Arakawa & Lamb divergence-correction terms (:717, :841)
+            CAu = CAu + (ep_u * im1(uh)
+                         - ip1(ep_u) * ip1(uh)) * grid.IdxCu
+            CAv = CAv + (ep_v * jm1(vh)
+                         - jp1(ep_v) * jp1(vh)) * grid.IdyCv
+    elif cfg.scheme == "ROBUST_ENSTRO":
+        # enstrophy-conserving form robust to vanishing layers (:687):
+        # the PV flux divides by effective thicknesses diagnosed from
+        # transport/velocity, clamped into the neighbor-h range
+        eps_vel = 1e-10
+        h_tiny = cfg.h_tiny
+
+        def heff(tr, vel, h_a, h_b, idx):
+            he = jnp.abs(tr * idx) / (eps_vel + jnp.abs(vel))
+            he = jnp.maximum(he, jnp.minimum(h_a, h_b))
+            return jnp.minimum(he, jnp.maximum(h_a, h_b))
+
+        # u equation: v-transports around the u face
+        he1 = heff(vh, v, h, jp1(h), grid.IdxCv)
+        he2 = heff(jm1(vh), jm1(v), jm1(h), h, jm1(grid.IdxCv))
+        he3, he4 = ip1(he1), ip1(he2)
+        vheff = (vh + ip1(jm1(vh))) + (jm1(vh) + ip1(vh))
+        denom_u = h_tiny + ((he1 + he4) + (he2 + he3))
+        if cfg.pv_adv_upwind:
+            qvh = 0.5 * ((abs_vort + jm1(abs_vort)) * vheff
+                         - (abs_vort - jm1(abs_vort)) * jnp.abs(vheff))
+            CAu = qvh / denom_u * grid.IdxCu
+        else:
+            CAu = (0.5 * (abs_vort + jm1(abs_vort)) * vheff
+                   / denom_u * grid.IdxCu)
+        # v equation: u-transports around the v face
+        hf1 = heff(uh, u, h, ip1(h), grid.IdyCu)
+        hf2 = heff(im1(uh), im1(u), im1(h), h, im1(grid.IdyCu))
+        hf3, hf4 = jp1(hf1), jp1(hf2)
+        uheff = (uh + im1(jp1(uh))) + (im1(uh) + jp1(uh))
+        denom_v = h_tiny + ((hf1 + hf4) + (hf2 + hf3))
+        if cfg.pv_adv_upwind:
+            quh = 0.5 * ((abs_vort + im1(abs_vort)) * uheff
+                         - (abs_vort - im1(abs_vort)) * jnp.abs(uheff))
+            CAv = -quh / denom_v * grid.IdyCv
+        else:
+            CAv = (-0.5 * (abs_vort + im1(abs_vort)) * uheff
+                   / denom_v * grid.IdyCv)
     else:
         raise ValueError(f"Unsupported CORIOLIS_SCHEME {cfg.scheme}")
+
+    if cfg.bound_coriolis and cfg.scheme != "ROBUST_ENSTRO":
+        # clamp the PV flux to the range of f_eff*v (f_eff*u) at the
+        # four surrounding points (:734, :859)
+        fv1 = abs_vort * ip1(v)
+        fv2 = abs_vort * v
+        fv3 = jm1(abs_vort) * ip1(jm1(v))
+        fv4 = jm1(abs_vort) * jm1(v)
+        CAu = jnp.clip(CAu,
+                       jnp.minimum(jnp.minimum(fv1, fv2),
+                                   jnp.minimum(fv3, fv4)),
+                       jnp.maximum(jnp.maximum(fv1, fv2),
+                                   jnp.maximum(fv3, fv4)))
+        fu1 = -abs_vort * jp1(u)
+        fu2 = -abs_vort * u
+        fu3 = -im1(abs_vort) * im1(jp1(u))
+        fu4 = -im1(abs_vort) * im1(u)
+        CAv = jnp.clip(CAv,
+                       jnp.minimum(jnp.minimum(fu1, fu2),
+                                   jnp.minimum(fu3, fu4)),
+                       jnp.maximum(jnp.maximum(fu1, fu2),
+                                   jnp.maximum(fu3, fu4)))
 
     # --- KE gradient (gradKE) ---
     if cfg.ke_scheme == "KE_ARAKAWA":

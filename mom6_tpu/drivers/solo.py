@@ -82,6 +82,27 @@ def main(argv=None):
                                        max_depth, nz_diag)
         if not (diags.any_requested() or as_chksum):
             diags = None
+    # ---- offline tracer mode (MOM.F90:2267 OFFLINE_TRACER_MODE /
+    # MOM_offline_main.F90:1367-1383) ----
+    pf.module("MOM")
+    offline_mode = pf.get("OFFLINE_TRACER_MODE", bool, False)
+    off_cfg = None
+    if offline_mode:
+        pf.module("MOM_offline")
+        off_cfg = dict(
+            dir=pf.get("OFFLINEDIR", str,
+                       pf.get("INPUTDIR", str, ".")),
+            sum_file=pf.get("OFF_SUM_FILE", str, "off_sum.nc"),
+            snap_file=pf.get("OFF_SNAP_FILE", str, "off_snap.nc"),
+            numtime=pf.get("NUMTIME", int, 0,
+                           desc="time levels before looping back"),
+            dt_offline=pf.get("DT_OFFLINE", float, model.dt_therm,
+                              units="s"))
+    # mom6_tpu extension: an online run records its per-thermo-step
+    # transports/thicknesses as the offline forcing files
+    write_offline = pf.get(
+        "WRITE_OFFLINE_FIELDS", bool, False,
+        desc="write OFF_SUM/OFF_SNAP files from this online run")
     pf.module("MOM_sum_output")
     # ENERGYSAVEDAYS counts TIMEUNIT seconds like DAYMAX
     timeunit = pf.get("TIMEUNIT", float, 86400.0, units="s")
@@ -106,6 +127,10 @@ def main(argv=None):
         state, split_state = trees["state"], trees["split"]
         step0, t_days = int(meta["step"]), float(meta["time_days"])
 
+    if offline_mode:
+        _run_offline(args, model, off_cfg, daymax, t_days)
+        return
+
     step = model.step_fn()
     tracers = model.tracers
     stats_jit = jax.jit(stat_sums)
@@ -128,6 +153,7 @@ def main(argv=None):
     with open(stats_path, "w") as f:
         f.write(format_stats_header())
     mass0 = None
+    off_records, off_last = [], None
     wall0 = time.perf_counter()
     for n in range(step0, step0 + nsteps + 1):
         if n % stats_every == 0:
@@ -149,7 +175,17 @@ def main(argv=None):
         with clock("step_MOM"):
             state, split_state, tracers = step(state, split_state,
                                                tracers, n)
+        if write_offline:
+            off = step.offline_fields()
+            if off is not None and off is not off_last:
+                off_last = off
+                import numpy as _np
+                off_records.append(tuple(
+                    _np.asarray(model.domain.interior(x))
+                    for x in off))
     jax.block_until_ready(state.h)
+    if write_offline and off_records:
+        _write_offline_fields(args.case_dir, model, off_records)
     if diags is not None:
         with clock("diag mediator"):
             diags.med.flush("diags.nc", time_value=daymax)
@@ -171,6 +207,92 @@ def main(argv=None):
     print(report, file=sys.stderr)
     with open(os.path.join(args.case_dir, "clocks.txt"), "w") as f:
         f.write(report)
+
+
+def _write_offline_fields(case_dir: str, model, records) -> None:
+    """Write the OFF_SUM/OFF_SNAP NetCDF pair from an online run's
+    per-thermo-interval (uhtr, vhtr, h_end) records."""
+    import numpy as np
+    from mom6_tpu.framework.io import write_fields
+    uh = np.stack([r[0] for r in records])
+    vh = np.stack([r[1] for r in records])
+    h = np.stack([r[2] for r in records])
+    t = np.arange(len(records), dtype=np.float64)
+    dims4 = ("time", "zl", "yh", "xh")
+    write_fields(os.path.join(case_dir, "off_sum.nc"),
+                 {"time": t, "uhtr": uh, "vhtr": vh},
+                 dims={"time": ("time",), "uhtr": dims4,
+                       "vhtr": dims4},
+                 attrs={"uhtr": {"units": "m3"},
+                        "vhtr": {"units": "m3"}})
+    write_fields(os.path.join(case_dir, "off_snap.nc"),
+                 {"time": t, "h_end": h},
+                 dims={"time": ("time",), "h_end": dims4},
+                 attrs={"h_end": {"units": "m"}})
+    print(f"offline fields written: {len(records)} intervals")
+
+
+def _run_offline(args, model, off, daymax: float, t_days: float):
+    """Offline tracer loop (MOM.F90:1797 step_offline /
+    MOM_offline_main.F90): re-advect the registered tracers from
+    stored transports, looping over NUMTIME file levels."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from mom6_tpu.framework.io import read_field
+    from mom6_tpu.framework.restart import save_restart
+    from mom6_tpu.tracer.offline import OfflineCfg, step_offline
+
+    if not model.tracers:
+        raise SystemExit("OFFLINE_TRACER_MODE requires registered "
+                         "tracers (e.g. USE_IDEAL_AGE_TRACER)")
+    d = model.domain
+    sum_path = os.path.join(off["dir"], off["sum_file"])
+    snap_path = os.path.join(off["dir"], off["snap_file"])
+    uh_all = np.asarray(read_field(sum_path, "uhtr"), np.float64)
+    vh_all = np.asarray(read_field(sum_path, "vhtr"), np.float64)
+    h_all = np.asarray(read_field(snap_path, "h_end"), np.float64)
+    numtime = off["numtime"] or uh_all.shape[0]
+    dt_off = off["dt_offline"]
+    nsteps = int(round((daymax - t_days) * 86400.0 / dt_off))
+    cfg = OfflineCfg(dt_offline=dt_off)
+
+    @partial(jax.jit, static_argnames=("x_first",))
+    def jstep(tracers, h_end, uhtr, vhtr, x_first=True):
+        return step_offline(d, model.grid, tracers, h_end, uhtr, vhtr,
+                            None, cfg, registry=model.tracer_registry,
+                            x_first=x_first)
+
+    tracers = model.tracers
+    stats_path = os.path.join(args.case_dir, "ocean.stats")
+    area = model.grid.areaT
+    with open(stats_path, "w") as f:
+        f.write("# offline tracer mode: step, day, "
+                + ", ".join(f"total[{k}]" for k in sorted(tracers))
+                + "\n")
+    wall0 = time.perf_counter()
+    for n in range(nsteps):
+        lvl = n % numtime
+        h_end = d.pad(jnp.asarray(h_all[lvl]))
+        uhtr = d.pad(jnp.asarray(uh_all[lvl]))
+        vhtr = d.pad(jnp.asarray(vh_all[lvl]))
+        tracers, h = jstep(tracers, h_end, uhtr, vhtr,
+                           x_first=(n % 2 == 0))
+        if n % max(1, numtime) == numtime - 1 or n == nsteps - 1:
+            tots = {k: float(jnp.sum(d.interior(v * h) * d.interior(
+                area))) for k, v in sorted(tracers.items())}
+            line = (f"{n + 1}, {(n + 1) * dt_off / 86400.0:.4f}, "
+                    + ", ".join(f"{v:.10e}" for v in tots.values())
+                    + "\n")
+            with open(stats_path, "a") as f:
+                f.write(line)
+            print(line, end="")
+    wall = time.perf_counter() - wall0
+    print(f"offline run complete: {nsteps} steps, {wall:.2f}s wall")
+    save_restart(os.path.join(args.case_dir, "RESTART", "MOM.res"),
+                 {"tracers": tracers},
+                 meta={"step": nsteps, "time_days": daymax})
 
 
 if __name__ == "__main__":

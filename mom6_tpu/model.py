@@ -76,8 +76,7 @@ _PARITY_INERT = [
     ("KHTH_SLOPE_CFF", float, 0.0), ("KHTR_SLOPE_CFF", float, 0.0),
     ("VARMIX_KTOP", int, 2), ("VISBECK_L_SCALE", float, 0.0),
     ("ETA_TOLERANCE", float, 0.0), ("VELOCITY_TOLERANCE", float, 0.0),
-    ("BOUND_CORIOLIS", bool, False), ("AH_VEL_SCALE", float, 0.0),
-    ("KH_VEL_SCALE", float, 0.0), ("PRANDTL_TURB", float, 0.0),
+    ("PRANDTL_TURB", float, 0.0),
     ("DYNAMIC_VISCOUS_ML", bool, False), ("U_TRUNC_FILE", str, ""),
     ("V_TRUNC_FILE", str, ""), ("ML_OMEGA_FRAC", float, 0.0),
     ("BOUND_BT_CORRECTION", bool, False),
@@ -252,6 +251,11 @@ class Model:
             if mld is not None:
                 acc["mld"] = mld
             if do_thermo:
+                # completed accumulation interval: the transports the
+                # tracer advection just consumed plus the end-of-
+                # interval thickness — the offline-mode source fields
+                # (OFF_SUM_FILE / OFF_SNAP_FILE of MOM_offline_main)
+                acc["off"] = (uh, vh, s.h)
                 acc["u"], acc["v"] = None, None
             else:
                 acc["u"], acc["v"] = uh, vh
@@ -264,6 +268,10 @@ class Model:
         step.truncations = lambda: int(acc["truncs"])
         # current OBC tracer reservoirs (None without OBC+tracers)
         step.obc_reservoirs = lambda: acc["res"]
+        # (uhtr, vhtr, h_end) of the last completed thermo interval —
+        # the per-interval offline forcing fields (None before the
+        # first thermo step)
+        step.offline_fields = lambda: acc.get("off")
         return step
 
 
@@ -527,7 +535,13 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     cor = CoriolisCfg(
         scheme=pf.get("CORIOLIS_SCHEME", str, "SADOURNY75_ENERGY"),
         ke_scheme=pf.get("KE_SCHEME", str, "KE_ARAKAWA"),
-        no_slip=pf.get("NOSLIP", bool, False))
+        no_slip=pf.get("NOSLIP", bool, False),
+        bound_coriolis=pf.get("BOUND_CORIOLIS", bool, False),
+        pv_adv_upwind=pf.get("PV_ADV_SCHEME", str, "PV_ADV_CENTERED"
+                             ).upper() == "PV_ADV_UPWIND1",
+        blend_wt_lin=pf.get("CORIOLIS_BLEND_WT_LIN", float, 0.125),
+        blend_f_eff_max=pf.get("CORIOLIS_BLEND_F_EFF_MAX", float, 4.0),
+        h_tiny=pf.get("ANGSTROM", float, 1e-10, units="m"))
     pf.module("MOM_vert_friction")
     vv = VertViscCfg(
         kv=pf.get("KV", float, 1e-4, units="m2 s-1"),
@@ -549,15 +563,28 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     smag_kh = pf.get("SMAGORINSKY_KH", bool, False)
     smag_ah = pf.get("SMAGORINSKY_AH", bool, False)
     use_bih = pf.get("BIHARMONIC", bool, smag_ah)
+    aniso_dir = pf.get("ANISO_GRID_DIR", list, [1.0, 0.0])
     hv = HorViscCfg(
         laplacian=pf.get("LAPLACIAN", bool, False),
         biharmonic=use_bih,
         kh=pf.get("KH", float, 0.0, units="m2 s-1"),
         ah=pf.get("AH", float, 0.0, units="m4 s-1"),
+        kh_vel_scale=pf.get("KH_VEL_SCALE", float, 0.0, units="m s-1"),
+        ah_vel_scale=pf.get("AH_VEL_SCALE", float, 0.0, units="m s-1"),
         smag_lap_const=pf.get("SMAG_LAP_CONST", float, 0.0)
         if smag_kh else 0.0,
         smag_bi_const=pf.get("SMAG_BI_CONST", float, 0.0)
         if smag_ah else 0.0,
+        leith_kh=pf.get("LEITH_KH", bool, False),
+        leith_lap_const=pf.get("LEITH_LAP_CONST", float, 0.0),
+        leith_ah=pf.get("LEITH_AH", bool, False),
+        leith_bi_const=pf.get("LEITH_BI_CONST", float, 0.0),
+        modified_leith=pf.get("MODIFIED_LEITH", bool, False),
+        add_les_viscosity=pf.get("ADD_LES_VISCOSITY", bool, False),
+        anisotropic=pf.get("ANISOTROPIC_VISCOSITY", bool, False),
+        kh_aniso=pf.get("KH_ANISO", float, 0.0, units="m2 s-1"),
+        aniso_n=(float(aniso_dir[0]), float(aniso_dir[1])),
+        no_slip=pf.get("NOSLIP", bool, False),
         dt=dt)
     pf.module("MOM_barotropic")
     # NONLINEAR_BT_CONTINUITY / BT_THICK_SCHEME=FROM_BT_CONT are the

@@ -2,18 +2,26 @@
 
 Re-design of /root/reference/src/parameterizations/lateral/
 MOM_hor_visc.F90:245 horizontal_viscosity: stress-tensor Laplacian and
-biharmonic friction with constant and Smagorinsky (1963) nonlinear
-coefficients.  Horizontal tension sh_xx lives at h points, shearing
-strain sh_xy at q points; the divergence of the thickness-weighted
-stress gives (diffu, diffv).  (Leith, anisotropic, GME/backscatter and
-the Kh/Ah stability bounds beyond the basic CFL bound remain to be
-added.)
+biharmonic friction with constant, velocity-scale (KH_VEL_SCALE /
+AH_VEL_SCALE, :2516,:2604), Smagorinsky (1963), and Leith (1996)
+nonlinear coefficients (incl. the modified Leith divergence-gradient
+term), anisotropic viscosity along a fixed direction (:1154-1221,
+:1545-1592), and the CFL stability bounds.  Horizontal tension sh_xx
+lives at h points, shearing strain sh_xy at q points; the divergence
+of the thickness-weighted stress gives (diffu, diffv).
+
+Following the reference, nonlinear coefficients combine with the
+background by ``max`` (or by addition with ADD_LES_VISCOSITY), and
+the Leith coefficients are Δ³|∇ω|/π³ (Laplacian, :1095-1103) and
+Δ⁶|∇²ω|/π⁶ (biharmonic, :1251-1255).  (GME/backscatter remains the
+one absent option; it needs the MEKE energy threaded in.)
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+import math
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -23,14 +31,27 @@ from mom6_tpu.parallel.stencil import ip1, im1, jp1, jm1
 __all__ = ["HorViscCfg", "horizontal_viscosity"]
 
 _H_NEGLECT = 1e-20
+_INV_PI3 = 1.0 / math.pi ** 3
+_INV_PI6 = _INV_PI3 * _INV_PI3
 
 
 @dataclasses.dataclass(frozen=True)
 class HorViscCfg:
     kh: float = 0.0               # KH background Laplacian [m2 s-1]
     ah: float = 0.0               # AH background biharmonic [m4 s-1]
-    smag_lap_const: float = 0.0   # SMAGORINSKY_KH constant
-    smag_bi_const: float = 0.0    # SMAGORINSKY_AH constant
+    kh_vel_scale: float = 0.0     # KH_VEL_SCALE [m s-1]: Kh >= vel*Δ
+    ah_vel_scale: float = 0.0     # AH_VEL_SCALE [m s-1]: Ah >= vel*Δ³
+    smag_lap_const: float = 0.0   # SMAG_LAP_CONST (SMAGORINSKY_KH)
+    smag_bi_const: float = 0.0    # SMAG_BI_CONST (SMAGORINSKY_AH)
+    leith_kh: bool = False        # LEITH_KH
+    leith_lap_const: float = 0.0  # LEITH_LAP_CONST
+    leith_ah: bool = False        # LEITH_AH
+    leith_bi_const: float = 0.0   # LEITH_BI_CONST
+    modified_leith: bool = False  # MODIFIED_LEITH (adds |grad div|)
+    add_les_viscosity: bool = False   # ADD_LES_VISCOSITY
+    anisotropic: bool = False     # ANISOTROPIC_VISCOSITY
+    kh_aniso: float = 0.0         # KH_ANISO [m2 s-1]
+    aniso_n: tuple = (1.0, 0.0)   # ANISO_GRID_DIR direction (n1, n2)
     laplacian: bool = False       # LAPLACIAN
     biharmonic: bool = False      # BIHARMONIC
     no_slip: bool = False         # NOSLIP
@@ -57,7 +78,13 @@ def _strains(grid: Grid, u, v, no_slip: bool):
         sh_xy = (2.0 - grid.mask2dBu) * (dvdx + dudy)
     else:
         sh_xy = grid.mask2dBu * (dvdx + dudy)
-    return sh_xx, sh_xy
+    return sh_xx, sh_xy, dudx + dvdy, dvdx - dudy
+
+
+def _combine(base, les, add):
+    """Reference semantics: nonlinear coefficients take the max with
+    the background unless ADD_LES_VISCOSITY."""
+    return base + les if add else jnp.maximum(base, les)
 
 
 def horizontal_viscosity(grid: Grid, u, v, h,
@@ -74,11 +101,13 @@ def horizontal_viscosity(grid: Grid, u, v, h,
     dy2q = grid.dyBu * grid.dyBu
     dx2q = grid.dxBu * grid.dxBu
 
-    sh_xx, sh_xy = _strains(grid, u, v, cfg.no_slip)
+    sh_xx, sh_xy, div_xx, vort_xy = _strains(grid, u, v, cfg.no_slip)
 
-    # grid spacing scales for Smagorinsky and stability bounds
+    # grid spacing scales for the nonlinear coefficients and bounds
     grid_sp_h2 = (2.0 * dx2h * dy2h) / (dx2h + dy2h + _H_NEGLECT)
     grid_sp_q2 = (2.0 * dx2q * dy2q) / (dx2q + dy2q + _H_NEGLECT)
+    grid_sp_h3 = grid_sp_h2 * jnp.sqrt(grid_sp_h2)
+    grid_sp_q3 = grid_sp_q2 * jnp.sqrt(grid_sp_q2)
 
     def shear_mag_h():
         xy2 = 0.25 * ((sh_xy * sh_xy + im1(jm1(sh_xy * sh_xy)))
@@ -90,22 +119,82 @@ def horizontal_viscosity(grid: Grid, u, v, h,
                       + (ip1(sh_xx * sh_xx) + jp1(sh_xx * sh_xx)))
         return jnp.sqrt(sh_xy * sh_xy + xx2)
 
+    use_leith = cfg.leith_kh or cfg.leith_ah
+    if use_leith:
+        # vorticity gradient (MOM_hor_visc.F90:934-943): d/dx at
+        # v-points, d/dy at u-points
+        DY_dxBu = grid.dyBu * grid.IdxBu
+        DX_dyBu = grid.dxBu * grid.IdyBu
+        vdx = DY_dxBu * (vort_xy * grid.IdyCu
+                         - im1(vort_xy * grid.IdyCu))
+        vdy = DX_dyBu * (vort_xy * grid.IdxCv
+                         - jm1(vort_xy * grid.IdxCv))
+        gvort_h = jnp.sqrt((0.5 * (vdx + jm1(vdx))) ** 2
+                           + (0.5 * (vdy + im1(vdy))) ** 2)
+        gvort_q = jnp.sqrt((0.5 * (vdx + ip1(vdx))) ** 2
+                           + (0.5 * (vdy + jp1(vdy))) ** 2)
+        if cfg.modified_leith:
+            # add the divergence-gradient magnitude (full Leith)
+            ddx = (ip1(div_xx) - div_xx) * grid.IdxCu
+            ddy = (jp1(div_xx) - div_xx) * grid.IdyCv
+            gdiv_h = jnp.sqrt((0.5 * (ddx + im1(ddx))) ** 2
+                              + (0.5 * (ddy + jm1(ddy))) ** 2)
+            gdiv_q = jnp.sqrt((0.5 * (ddx + jp1(ddx))) ** 2
+                              + (0.5 * (ddy + ip1(ddy))) ** 2)
+            gvort_h = gvort_h + gdiv_h
+            gvort_q = gvort_q + gdiv_q
+        if cfg.leith_ah:
+            # Laplacian of vorticity at q, averaged to h (:965,:1251)
+            d2v_q = (DY_dxBu * (ip1(vdx * grid.IdyCv)
+                                - vdx * grid.IdyCv)
+                     + DX_dyBu * (jp1(vdy * grid.IdxCu)
+                                  - vdy * grid.IdxCu))
+            d2v_h = 0.25 * ((d2v_q + im1(jm1(d2v_q)))
+                            + (im1(d2v_q) + jm1(d2v_q)))
+
     str_xx = jnp.zeros_like(sh_xx)
     str_xy = jnp.zeros_like(sh_xy)
 
     if cfg.laplacian:
-        Kh_h = cfg.kh
-        Kh_q = cfg.kh
+        # background: constant or velocity-scale floor (:2516)
+        Kh_h = jnp.maximum(
+            jnp.asarray(cfg.kh),
+            cfg.kh_vel_scale * jnp.sqrt(grid_sp_h2))
+        Kh_q = jnp.maximum(
+            jnp.asarray(cfg.kh),
+            cfg.kh_vel_scale * jnp.sqrt(grid_sp_q2))
         if cfg.smag_lap_const > 0.0:
-            lap2_h = cfg.smag_lap_const * grid_sp_h2
-            lap2_q = cfg.smag_lap_const * grid_sp_q2
-            Kh_h = Kh_h + lap2_h * shear_mag_h()
-            Kh_q = Kh_q + lap2_q * shear_mag_q()
+            Kh_h = _combine(Kh_h, cfg.smag_lap_const * grid_sp_h2
+                            * shear_mag_h(), cfg.add_les_viscosity)
+            Kh_q = _combine(Kh_q, cfg.smag_lap_const * grid_sp_q2
+                            * shear_mag_q(), cfg.add_les_viscosity)
+        if cfg.leith_kh:
+            Kh_h = _combine(Kh_h, cfg.leith_lap_const * grid_sp_h3
+                            * gvort_h * _INV_PI3, cfg.add_les_viscosity)
+            Kh_q = _combine(Kh_q, cfg.leith_lap_const * grid_sp_q3
+                            * gvort_q * _INV_PI3, cfg.add_les_viscosity)
+        if cfg.anisotropic:
+            n1, n2 = cfg.aniso_n
+            nmag = math.hypot(n1, n2) or 1.0
+            n1, n2 = n1 / nmag, n2 / nmag
+            n1n2 = n1 * n2
+            n11_m_n22 = n1 * n1 - n2 * n2
+            # isotropic part of the anisotropic tensor (:1157, :1545)
+            Kh_h = Kh_h + cfg.kh_aniso * (1.0 - n1n2 ** 2)
+            Kh_q = Kh_q + cfg.kh_aniso * n1n2 ** 2
         if cfg.bound_coef:
             Kh_h = jnp.minimum(Kh_h, 0.2 * grid_sp_h2 / cfg.dt)
             Kh_q = jnp.minimum(Kh_q, 0.2 * grid_sp_q2 / cfg.dt)
         str_xx = str_xx - Kh_h * sh_xx
         str_xy = str_xy - Kh_q * sh_xy
+        if cfg.anisotropic and cfg.kh_aniso != 0.0:
+            # cross-components of the direction tensor (:1221, :1592)
+            strain_h = 0.25 * ((sh_xy + im1(jm1(sh_xy)))
+                               + (im1(sh_xy) + jm1(sh_xy)))
+            strain_q = 0.25 * ((sh_xx + ip1(jp1(sh_xx)))
+                               + (ip1(sh_xx) + jp1(sh_xx)))
+            str_xx = str_xx - cfg.kh_aniso * n1n2 * n11_m_n22 * strain_h
+            str_xy = str_xy - cfg.kh_aniso * n1n2 * n11_m_n22 * strain_q
 
     if cfg.biharmonic:
         Idxdy2u = grid.IdxCu * grid.IdyCu * grid.IdyCu
@@ -116,16 +205,26 @@ def horizontal_viscosity(grid: Grid, u, v, h,
                  + Idx2dyCu * (dx2q * sh_xy - jm1(dx2q * sh_xy)))
         Del2v = (Idxdy2v * (dy2q * sh_xy - im1(dy2q * sh_xy))
                  - Idx2dyCv * (jp1(dx2h * sh_xx) - dx2h * sh_xx))
-        bh_xx, bh_xy = _strains(grid, Del2u, Del2v, cfg.no_slip)
-        Ah_h = cfg.ah
-        Ah_q = cfg.ah
+        bh_xx, bh_xy, _, _ = _strains(grid, Del2u, Del2v, cfg.no_slip)
+        # background: constant or velocity-scale floor (:2604)
+        Ah_h = jnp.maximum(jnp.asarray(cfg.ah),
+                           cfg.ah_vel_scale * grid_sp_h3)
+        Ah_q = jnp.maximum(jnp.asarray(cfg.ah),
+                           cfg.ah_vel_scale * grid_sp_q3)
         if cfg.smag_bi_const > 0.0:
-            bi2_h = (cfg.smag_bi_const ** 1.0) * grid_sp_h2 * grid_sp_h2 \
-                / 16.0
-            bi2_q = (cfg.smag_bi_const ** 1.0) * grid_sp_q2 * grid_sp_q2 \
-                / 16.0
-            Ah_h = Ah_h + bi2_h * shear_mag_h()
-            Ah_q = Ah_q + bi2_q * shear_mag_q()
+            Ah_h = _combine(Ah_h, cfg.smag_bi_const * grid_sp_h2
+                            * grid_sp_h2 / 16.0 * shear_mag_h(),
+                            cfg.add_les_viscosity)
+            Ah_q = _combine(Ah_q, cfg.smag_bi_const * grid_sp_q2
+                            * grid_sp_q2 / 16.0 * shear_mag_q(),
+                            cfg.add_les_viscosity)
+        if cfg.leith_ah:
+            Ah_h = _combine(Ah_h, cfg.leith_bi_const * grid_sp_h3
+                            * grid_sp_h3 * jnp.abs(d2v_h) * _INV_PI6,
+                            cfg.add_les_viscosity)
+            Ah_q = _combine(Ah_q, cfg.leith_bi_const * grid_sp_q3
+                            * grid_sp_q3 * jnp.abs(d2v_q) * _INV_PI6,
+                            cfg.add_les_viscosity)
         if cfg.bound_coef:
             Ah_h = jnp.minimum(Ah_h, 0.012 * grid_sp_h2 ** 2 / cfg.dt)
             Ah_q = jnp.minimum(Ah_q, 0.012 * grid_sp_q2 ** 2 / cfg.dt)

@@ -27,16 +27,18 @@ class OfflineCfg:
     dt_offline: float = 86400.0
 
 
-def step_offline(domain, grid: Grid, tracers: dict, h_start,
+def step_offline(domain, grid: Grid, tracers: dict, h_end,
                  uhtr, vhtr, kd_int, cfg: OfflineCfg,
                  registry=None, x_first: bool = True):
     """One offline step.  uhtr/vhtr are the time-integrated transports
-    [m3] over dt_offline; h_start the thickness at interval start.
-    Returns (tracers, h_end)."""
+    [m3] over dt_offline; h_end the thickness at interval END (the
+    reference's OFF_SNAP_FILE stores end-of-timestep h,
+    MOM_offline_main.F90:1635) — the pre-transport thickness is
+    reconstructed inside advect_tracers.  Returns (tracers, h_end)."""
     tracers = domain.fill_halos(tracers, width=2)
-    h_start, uhtr, vhtr = domain.fill_halos((h_start, uhtr, vhtr),
-                                            width=2)
-    tracers, h_end = advect_tracers(domain, grid, tracers, h_start,
+    h_end, uhtr, vhtr = domain.fill_halos((h_end, uhtr, vhtr),
+                                          width=2)
+    tracers, h_end = advect_tracers(domain, grid, tracers, h_end,
                                     uhtr, vhtr, cfg.tracer_adv,
                                     x_first=x_first)
     if kd_int is not None:
