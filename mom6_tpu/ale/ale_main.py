@@ -46,7 +46,8 @@ def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
     Returns (new_state, new_tracers, h_new, aux_u, aux_v)."""
     h = state.h
     h_new = build_grid(cfg.regrid, h, grid.bathyT, state.T, state.S, eos,
-                       rlay=vgrid.Rlay, rho0=vgrid.Rho0, g=vgrid.g_Earth)
+                       rlay=vgrid.Rlay, rho0=vgrid.Rho0, g=vgrid.g_Earth,
+                       mask2dT=grid.mask2dT)
 
     def remap_t(f):
         return remap_column_means(h, f, h_new, cfg.remap)

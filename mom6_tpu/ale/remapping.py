@@ -14,9 +14,16 @@ vectorized over all (j, i) columns at once), and target cell means are
 differences of that integral.  Exactly conservative when the column
 totals agree, which ALE regridding guarantees.
 
-Schemes: PCM, PLM (monotonized), PPM_H4 / PPM_IH4 (4th-order edge
-values + monotonic limiter), PPM_CW.  Naming follows
-REMAPPING_SCHEME (MOM_remapping.F90:50-59).
+Schemes: PCM, PLM (monotonized), PLM_HYBGEN, PPM_H4 (explicit
+non-uniform 4th-order edges), PPM_IH4 (implicit 4th-order edges via a
+column tridiagonal), PPM_CW, PPM_HYBGEN, WENO_HYBGEN (the
+Shchepetkin/Engwirda WENO-reconciled parabola of
+MOM_hybgen_remap.F90:hybgen_weno_coefs), and PQM_IH4IH3 (White &
+Adcroft quartic with implicit edges; reduced limiter).  Naming
+follows REMAPPING_SCHEME (MOM_remapping.F90:50-59); edge formulas
+follow regrid_edge_values.F90 (edge_values_explicit_h4 :222 in its
+post-2018 non-uniform form, edge_values_implicit_h4 :491, boundary
+cubic fits via the 4-cell integral Vandermonde solve).
 """
 
 from __future__ import annotations
@@ -28,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["RemapCfg", "remap_column_means", "reconstruct",
-           "edge_values_h2", "edge_values_h4", "interface_positions"]
+           "edge_values_h2", "edge_values_h4", "edge_values_ih4",
+           "interface_positions"]
 
 _H_NEGLECT = 1e-30
 
@@ -85,26 +93,232 @@ def edge_values_h2(h, u):
     return jnp.concatenate([top, eint[1:], bot], axis=0)
 
 
+def _iface_cells(f, off):
+    """Cell value f[K+off] as an interface-indexed (nk+1, ...) array
+    with edge clamping (only interior interfaces consume the clamps)."""
+    nk = f.shape[0]
+    idx = jnp.clip(jnp.arange(nk + 1) + off, 0, nk - 1)
+    return f[idx]
+
+
+def _boundary_cubic(h, u, bottom: bool):
+    """Edge values at the outermost two interfaces from an integral
+    cubic fit over the 4 cells nearest the boundary — the boundary
+    closure of edge_values_explicit/implicit_h4
+    (regrid_edge_values.F90:594-607): solve the 4x4 Vandermonde
+    integral-matching system and evaluate the cubic at the boundary
+    and at the first interior interface.  Returns (e_edge, e_next)."""
+    if bottom:
+        hh = h[::-1][:4]
+        uu = u[::-1][:4]
+    else:
+        hh = h[:4]
+        uu = u[:4]
+    h_min = 1e-10 * (jnp.sum(hh, axis=0) + _H_NEGLECT)
+    dz = jnp.maximum(hh, h_min[None])
+    x = jnp.concatenate([jnp.zeros_like(dz[:1]),
+                         jnp.cumsum(dz, axis=0)], axis=0)  # (5, ...)
+    # batch axes last → move to front for linalg
+    powers = jnp.arange(1, 5)                              # j+1
+    # A[i, j] = (x[i+1]^(j+1) - x[i]^(j+1)) / (j+1)
+    xi = x[:-1]                                            # (4, ...)
+    xip = x[1:]
+    A = (xip[:, None] ** powers.reshape(1, 4, *([1] * (h.ndim - 1)))
+         - xi[:, None] ** powers.reshape(1, 4, *([1] * (h.ndim - 1)))
+         ) / powers.reshape(1, 4, *([1] * (h.ndim - 1)))   # (4,4,...)
+    B = uu * dz                                            # (4, ...)
+    batch = A.shape[2:]
+    Ab = jnp.moveaxis(A.reshape(4, 4, -1), -1, 0)          # (n,4,4)
+    Bb = jnp.moveaxis(B.reshape(4, -1), -1, 0)[..., None]  # (n,4,1)
+    C = jnp.linalg.solve(Ab, Bb)[..., 0]                   # (n,4)
+    C = jnp.moveaxis(C, 0, -1).reshape((4,) + batch)
+    x1 = x[1]
+    e_edge = C[0]
+    e_next = C[0] + x1 * (C[1] + x1 * (C[2] + x1 * C[3]))
+    return e_edge, e_next
+
+
 def edge_values_h4(h, u):
-    """4th-order explicit edge estimates (edge_values_explicit_h4),
-    falling back to h2 at the two boundary interfaces."""
+    """4th-order explicit edge estimates on a non-uniform grid
+    (edge_values_explicit_h4, post-2018 expressions,
+    regrid_edge_values.F90:299-313), with integral-cubic boundary
+    closures at the outer two interfaces on each end."""
     nk = h.shape[0]
     if nk < 4:
         return edge_values_h2(h, u)
-    e2 = edge_values_h2(h, u)
-    # uniform-grid 4th-order interior estimate (nonuniform weights are a
-    # planned refinement): e_K = (7(u_{K-1}+u_K) − (u_{K-2}+u_{K+1}))/12
-    um1 = u                      # cell K-1 at interface K → index K-1
-    # build interface-indexed (nk+1) arrays
-    uK = jnp.concatenate([u, u[-1:]], axis=0)        # cell K (clamped)
-    uKm1 = jnp.concatenate([u[0:1], u], axis=0)      # cell K-1
-    uKm2 = jnp.concatenate([u[0:1], u[0:1], u[:-1]], axis=0)
-    uKp1 = jnp.concatenate([u[1:], u[-1:], u[-1:]], axis=0)
-    e4 = (7.0 * (uKm1 + uK) - (uKm2 + uKp1)) / 12.0
-    # valid only at interior interfaces 2..nk-2
+    hn = jnp.maximum(h, _H_NEGLECT)
+    # interface-indexed neighbor cells: K-2, K-1, K, K+1 (0-based
+    # interface K between cells K-1 and K)
+    h0 = _iface_cells(hn, -2)
+    h1 = _iface_cells(hn, -1)
+    h2 = _iface_cells(hn, 0)
+    h3 = _iface_cells(hn, 1)
+    um2 = _iface_cells(u, -2)
+    um1 = _iface_cells(u, -1)
+    u0 = _iface_cells(u, 0)
+    up1 = _iface_cells(u, 1)
+    I_h12 = 1.0 / (h1 + h2)
+    I_den_et2 = 1.0 / (((h0 + h1) + h2) * (h0 + h1))
+    I_h012 = (h0 + h1) * I_den_et2
+    I_den_et3 = 1.0 / ((h1 + (h2 + h3)) * (h2 + h3))
+    I_h123 = (h2 + h3) * I_den_et3
+    et1 = ((1.0 + (h1 * I_h012 + (h0 + h1) * I_h123))
+           * I_h12 * (h2 * (h2 + h3)) * um1
+           + (1.0 + (h2 * I_h123 + (h2 + h3) * I_h012))
+           * I_h12 * (h1 * (h0 + h1)) * u0)
+    et2 = (h1 * (h2 * (h2 + h3)) * I_den_et2) * (um1 - um2)
+    et3 = (h2 * (h1 * (h0 + h1)) * I_den_et3) * (u0 - up1)
+    e4 = (et1 + (et2 + et3)) / ((h0 + h1) + (h2 + h3))
+    # boundary closures
+    top0, top1 = _boundary_cubic(h, u, bottom=False)
+    bot0, bot1 = _boundary_cubic(h, u, bottom=True)
     K = jnp.arange(nk + 1).reshape((-1,) + (1,) * (h.ndim - 1))
-    interior = (K >= 2) & (K <= nk - 2)
-    return jnp.where(interior, e4, e2)
+    e = jnp.where((K >= 2) & (K <= nk - 2), e4, 0.0)
+    e = jnp.where(K == 0, top0[None], e)
+    e = jnp.where(K == 1, top1[None], e)
+    e = jnp.where(K == nk - 1, bot1[None], e)
+    e = jnp.where(K == nk, bot0[None], e)
+    return e
+
+
+def _thomas_interfaces(lo, dg, up, rhs):
+    """Solve a tridiagonal system along the leading (interface) axis
+    with lax.scan (the column solver pattern of vert_friction)."""
+    nki = rhs.shape[0]
+
+    def fwd(carry, row):
+        cp, dp_ = carry
+        l, d, u_, b = row
+        denom = d - l * cp
+        cpn = u_ / denom
+        dpn = (b - l * dp_) / denom
+        return (cpn, dpn), (cpn, dpn)
+
+    z = jnp.zeros_like(rhs[0])
+    (_, _), (cps, dps) = jax.lax.scan(fwd, (z, z), (lo, dg, up, rhs))
+
+    def bwd(carry, row):
+        cp, dp_ = row
+        x = dp_ - cp * carry
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, z, (cps, dps), reverse=True)
+    return xs
+
+
+def edge_values_ih4(h, u):
+    """Implicit 4th-order edge values (edge_values_implicit_h4,
+    regrid_edge_values.F90:491): a tridiagonal system over the column
+    interfaces with integral-cubic boundary closures."""
+    nk = h.shape[0]
+    if nk < 4:
+        return edge_values_h2(h, u)
+    hn = jnp.maximum(h, _H_NEGLECT)
+    h0 = _iface_cells(hn, -1)          # cell above interface K
+    h1 = _iface_cells(hn, 0)           # cell below
+    u0 = _iface_cells(u, -1)
+    u1 = _iface_cells(u, 0)
+    I_h2 = 1.0 / ((h0 + h1) ** 2)
+    alpha = (h1 * h1) * I_h2
+    beta = (h0 * h0) * I_h2
+    abmix = (h0 * h1) * I_h2
+    a = 2.0 * alpha * (alpha + 2.0 * beta + 3.0 * abmix)
+    b = 2.0 * beta * (beta + 2.0 * alpha + 3.0 * abmix)
+    lo = alpha
+    dg = jnp.ones_like(alpha)
+    up = beta
+    rhs = a * u0 + b * u1
+    # boundary rows: pinned to the cubic end values
+    top0, _ = _boundary_cubic(h, u, bottom=False)
+    bot0, _ = _boundary_cubic(h, u, bottom=True)
+    K = jnp.arange(nk + 1).reshape((-1,) + (1,) * (h.ndim - 1))
+    edge_row = (K == 0) | (K == nk)
+    lo = jnp.where(edge_row, 0.0, lo)
+    up = jnp.where(edge_row, 0.0, up)
+    dg = jnp.where(edge_row, 1.0, dg)
+    rhs = jnp.where(K == 0, top0[None], rhs)
+    rhs = jnp.where(K == nk, bot0[None], rhs)
+    return _thomas_interfaces(lo, dg, up, rhs)
+
+
+def _hybgen_plm_slope(h, u, thin=1e-10):
+    """PLM slope*h with hybgen thickness weighting
+    (MOM_hybgen_remap.F90 hybgen_plm_coefs)."""
+    dp = jnp.maximum(h, thin)
+    u_up = _shift_k(u, -1)
+    u_dn = _shift_k(u, 1)
+    qcen = dp / (dp + 0.5 * (_shift_k(dp, -1) + _shift_k(dp, 1)))
+    ztop = 2.0 * (u - u_up)
+    zbot = 2.0 * (u_dn - u)
+    zcen = qcen * (u_dn - u_up)
+    mono = ztop * zbot > 0.0
+    slope = jnp.sign(zbot) * jnp.minimum(
+        jnp.abs(zcen), jnp.minimum(jnp.abs(zbot), jnp.abs(ztop)))
+    slope = jnp.where(mono, slope, 0.0)
+    nk = h.shape[0]
+    K = jnp.arange(nk).reshape((-1,) + (1,) * (h.ndim - 1))
+    slope = jnp.where((K == 0) | (K == nk - 1), 0.0, slope)
+    return jnp.where(h <= thin, 0.0, slope)
+
+
+def _hybgen_weno_edges(h, u, thin=1e-10):
+    """WENO-reconciled parabola edge values
+    (MOM_hybgen_remap.F90 hybgen_weno_coefs).  Returns (eL, eR)."""
+    nk = h.shape[0]
+    dp = jnp.maximum(h, thin)
+    pcm = h <= thin
+    dpm1 = _shift_k(dp, -1)
+    dpp1 = _shift_k(dp, 1)
+    qdpkm = 1.0 / (dpm1 + dp)                 # at interface above cell
+    qdpkmkp = 1.0 / (dpm1 + dp + dpp1)
+    dpkm2kp = dpm1 + 2.0 * dp + dpp1
+    u_up = _shift_k(u, -1)
+    # slope at interface above cell k (K): (u_k - u_{k-1})/(h_{k-1}+h_k)
+    sl_above = qdpkm * (u - u_up)             # per cell: slope_edge(K)
+    sl_below = _shift_k(sl_above, 1)          # slope_edge(K+1)
+    K = jnp.arange(nk).reshape((-1,) + (1,) * (h.ndim - 1))
+    sl_below = jnp.where(K == nk - 1, sl_above, sl_below)
+    use_pcm = (sl_above * sl_below < 0.0) | pcm \
+        | (K == 0) | (K == nk - 1)
+    seh1 = dp * sl_below
+    seh2 = dp * sl_above
+    q01 = dpkm2kp * sl_below
+    q02 = dpkm2kp * sl_above
+    seh1 = jnp.where(jnp.abs(seh1) > jnp.abs(q02), q02, seh1)
+    seh2 = jnp.where(jnp.abs(seh2) > jnp.abs(q01), q01, seh2)
+    curv = (seh1 - seh2) * qdpkmkp
+    q001 = seh1 - curv * dpp1
+    q002 = seh2 + curv * dpm1
+    eR0 = jnp.where(use_pcm, u, u + q001)      # lower edge estimate
+    eL0 = jnp.where(use_pcm, u, u - q002)      # upper edge estimate
+    zw1 = jnp.where(use_pcm, 0.0, (2.0 * q001 - q002) ** 2)
+    zw2 = jnp.where(use_pcm, 0.0, (2.0 * q002 - q001) ** 2)
+    # reconcile shared interface values by smoothness weights
+    min_ratio = 1e-8
+    zw1_k = zw1                                 # cell k, upper edge wt
+    zw2_km = _shift_k(zw2, -1)                  # cell k-1, lower edge
+    tot = zw1_k + zw2_km
+    wt1 = jnp.where(tot <= 0.0, 0.5,
+                    jnp.clip(zw1_k / jnp.maximum(tot, 1e-300),
+                             min_ratio, 1.0 - min_ratio))
+    eR_km = _shift_k(eR0, -1)                   # cell k-1 lower edge
+    val_edge = wt1 * eR_km + (1.0 - wt1) * eL0  # at interface above k
+    val_below = _shift_k(val_edge, 1)
+    val_below = jnp.where(K == nk - 1, 2.0 * u - val_edge, val_below)
+    # final monotonic adjustment within each cell: the reference's
+    # exclusive if/elif chain, branchless
+    q01 = val_below - u
+    q02 = u - val_edge
+    bad = q01 * q02 < 0.0
+    q01z = jnp.where(bad, 0.0, q01)
+    q02z = jnp.where(bad, 0.0, q02)
+    c1 = (~bad) & (jnp.abs(q01z) > jnp.abs(2.0 * q02z))
+    c2 = (~bad) & (~c1) & (jnp.abs(q02z) > jnp.abs(2.0 * q01z))
+    q01f = jnp.where(c1, 2.0 * q02z, q01z)
+    q02f = jnp.where(c2, 2.0 * q01z, q02z)
+    eL = jnp.where(use_pcm, u, u - q02f)
+    eR = jnp.where(use_pcm, u, u + q01f)
+    return eL, eR
 
 
 def _limit_edges(u, eL, eR):
@@ -148,12 +362,28 @@ def reconstruct(h, u, cfg: RemapCfg) -> Reconstruction:
         slope = jnp.where(s_l * s_r > 0.0, slope, 0.0)
         return Reconstruction(c0=u - 0.5 * slope, c1=slope,
                               c2=jnp.zeros_like(u))
+    if scheme == "PLM_HYBGEN":
+        slope = _hybgen_plm_slope(h, u)
+        return Reconstruction(c0=u - 0.5 * slope, c1=slope,
+                              c2=jnp.zeros_like(u))
+    if scheme == "WENO_HYBGEN":
+        eL, eR = _hybgen_weno_edges(h, u)
+        dU = eR - eL
+        u6 = 6.0 * u - 3.0 * (eL + eR)
+        return Reconstruction(c0=eL, c1=dU + u6, c2=-u6)
     if scheme in ("PQM_IH4IH3", "PQM_IH6IH5"):
-        # White & Adcroft (2008) piecewise quartic: cell mean + h4 edge
-        # values + 4th-order edge slopes pin the quartic; currently
-        # unlimited (the PQM limiter is a planned refinement).
+        # White & Adcroft (2008) piecewise quartic: cell mean + edge
+        # values + edge slopes pin the quartic.  Edges come from the
+        # implicit h4 system; the limiter is a reduced form (edge
+        # bounding + extrema flattening + overshoot fallback to PPM)
+        # of the full PQM_limiter.
         import numpy as _np
-        edges = edge_values_h4(h, u)
+        edges = edge_values_ih4(h, u)
+        if cfg.force_monotonic:
+            eb_L, eb_R = _limit_edges(u, edges[:-1], edges[1:])
+            edges = jnp.concatenate(
+                [eb_L[:1], 0.5 * (eb_R[:-1] + eb_L[1:]), eb_R[-1:]],
+                axis=0)
         eL, eR = edges[:-1], edges[1:]
         # 4th-order interface gradient (per unit ξ of the lower cell):
         # d_K ≈ (27(u_K − u_{K-1}) − (u_{K+1} − u_{K-2}))/24
@@ -174,10 +404,40 @@ def reconstruct(h, u, cfg: RemapCfg) -> Reconstruction:
         a2 = Minv[0, 0] * r1 + Minv[0, 1] * r2 + Minv[0, 2] * r3
         a3 = Minv[1, 0] * r1 + Minv[1, 1] * r2 + Minv[1, 2] * r3
         a4 = Minv[2, 0] * r1 + Minv[2, 1] * r2 + Minv[2, 2] * r3
+        if cfg.force_monotonic:
+            # reduced PQM limiter: flatten local extrema to PCM and
+            # fall back to limited PPM where the quartic overshoots
+            # the [eL, eR, u] envelope at interior sample points
+            u_up = _shift_k(u, -1)
+            u_dn = _shift_k(u, 1)
+            extremum = (u - u_up) * (u_dn - u) <= 0.0
+            lo = jnp.minimum(jnp.minimum(eL, eR), u)
+            hi = jnp.maximum(jnp.maximum(eL, eR), u)
+            over = jnp.zeros_like(extremum)
+            for xi in (0.25, 0.5, 0.75):
+                val = a0 + xi * (a1 + xi * (a2 + xi * (a3 + xi * a4)))
+                over = over | (val < lo - 1e-14 * (hi - lo + 1.0)) \
+                    | (val > hi + 1e-14 * (hi - lo + 1.0))
+            eLp, eRp = _ppm_limit(u, eL, eR)
+            dUp = eRp - eLp
+            u6p = 6.0 * u - 3.0 * (eLp + eRp)
+            z = jnp.zeros_like(u)
+            a0 = jnp.where(extremum, u, jnp.where(over, eLp, a0))
+            a1 = jnp.where(extremum, z, jnp.where(over, dUp + u6p, a1))
+            a2 = jnp.where(extremum, z, jnp.where(over, -u6p, a2))
+            a3 = jnp.where(extremum | over, z, a3)
+            a4 = jnp.where(extremum | over, z, a4)
         return Reconstruction(c0=a0, c1=a1, c2=a2, c3=a3, c4=a4)
     if scheme in ("PPM_H4", "PPM_IH4", "PPM_CW", "PPM_HYBGEN"):
         if scheme == "PPM_CW":
             edges = edge_values_h2(h, u)
+        elif scheme == "PPM_IH4":
+            edges = edge_values_ih4(h, u)
+        elif scheme == "PPM_HYBGEN":
+            eLh, eRh = _hybgen_weno_edges(h, u)
+            edges = jnp.concatenate(
+                [eLh[:1], 0.5 * (eRh[:-1] + eLh[1:]), eRh[-1:]],
+                axis=0)
         else:
             edges = edge_values_h4(h, u)
         eL = edges[:-1]      # top edge of each cell

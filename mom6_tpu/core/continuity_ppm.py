@@ -207,15 +207,32 @@ def _flux_adjust(u, h, h_minus, h_plus, dt, flux_args, hbt, visc_rem,
     return flux, u_cor, du
 
 
+def _porous_factor(grid: Grid, h, stagger: str):
+    """Per-layer open-face fraction when the grid carries subgrid
+    (porous-barrier) topography; 1.0 otherwise.  Multiplies the face
+    mask so partially blocked faces pass reduced transport
+    (MOM_continuity_PPM.F90:167 por_face_areaU)."""
+    davg = grid.porous_DavgU if stagger == "U" else grid.porous_DavgV
+    if davg is None:
+        return None
+    from mom6_tpu.core.porous_barriers import porous_widths_from_h
+    porU, porV = porous_widths_from_h(grid, h)
+    return porU if stagger == "U" else porV
+
+
 def zonal_mass_flux(grid: Grid, u, h, h_W, h_E, dt, cfg: ContinuityCfg,
                     uhbt=None, visc_rem_u=None):
     """uh at east faces; optionally Newton-corrected to match uhbt.
 
     Returns (uh, duhdu, u_cor)."""
     vr = visc_rem_u if visc_rem_u is not None else jnp.ones_like(u)
+    mask = grid.mask2dCu
+    por = _porous_factor(grid, h, "U")
+    if por is not None:
+        mask = mask * por
     args = (grid.dyCu, grid.IdxT, ip1(grid.IdxT),
             grid.IareaT, ip1(grid.IareaT), ip1,
-            cfg.vol_cfl, grid.mask2dCu)
+            cfg.vol_cfl, mask)
     uh, duhdu = _flux_1dir(u, h, h_W, h_E, dt, *args, visc_rem=vr)
     u_cor = None
     if uhbt is not None:
@@ -228,9 +245,13 @@ def meridional_mass_flux(grid: Grid, v, h, h_S, h_N, dt, cfg: ContinuityCfg,
                          vhbt=None, visc_rem_v=None):
     """vh at north faces; optionally Newton-corrected to match vhbt."""
     vr = visc_rem_v if visc_rem_v is not None else jnp.ones_like(v)
+    mask = grid.mask2dCv
+    por = _porous_factor(grid, h, "V")
+    if por is not None:
+        mask = mask * por
     args = (grid.dxCv, grid.IdyT, jp1(grid.IdyT),
             grid.IareaT, jp1(grid.IareaT), jp1,
-            cfg.vol_cfl, grid.mask2dCv)
+            cfg.vol_cfl, mask)
     vh, dvhdv = _flux_1dir(v, h, h_S, h_N, dt, *args, visc_rem=vr)
     v_cor = None
     if vhbt is not None:

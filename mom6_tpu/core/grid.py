@@ -92,6 +92,15 @@ class Grid:
     geoLonCv: jnp.ndarray
     geoLatBu: jnp.ndarray
     geoLonBu: jnp.ndarray
+    # porous-barrier subgrid topography at faces (SUBGRID_TOPO_AT_VEL;
+    # heights, negative down, like the reference's porous_D*): None
+    # unless a TOPO_AT_VEL file was read
+    porous_DminU: Optional[jnp.ndarray] = None
+    porous_DmaxU: Optional[jnp.ndarray] = None
+    porous_DavgU: Optional[jnp.ndarray] = None
+    porous_DminV: Optional[jnp.ndarray] = None
+    porous_DmaxV: Optional[jnp.ndarray] = None
+    porous_DavgV: Optional[jnp.ndarray] = None
 
     @property
     def H(self) -> int:

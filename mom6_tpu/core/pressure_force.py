@@ -41,6 +41,9 @@ class PressureForceCfg:
     rho_ref: float = 1035.0      # RHO_PGF_REF
     gfs_scale: float = 1.0       # reduced-gravity trick scale on sfc PG
     montgomery: bool = False     # ANALYTIC_FV_PGF=False → Montgomery form
+    # USE_STANLEY_PGF: subgrid-T-variance density correction
+    # (MOM_PressureForce_FV.F90:997); < 0 disables
+    stanley_coeff: float = -1.0  # STANLEY_COEFF
 
 
 class PressureForceResult(NamedTuple):
@@ -84,6 +87,13 @@ def pressure_force(grid: Grid, vgrid: VerticalGrid, h, T=None, S=None,
         return _montgomery_bouss(grid, vgrid, h, e, p_atm, cfg)
 
     rho = _layer_densities(vgrid, h, e, T, S, eos, rho0, g)
+    if cfg.stanley_coeff >= 0.0 and T is not None and eos is not None:
+        # Stanley parameterization: rho += 0.5 varT d2rho/dT2
+        from mom6_tpu.core.stoch_eos import (calc_varT,
+                                             density_second_dT2)
+        p_mid = -rho0 * g * 0.5 * (e[:-1] + e[1:])
+        varT = calc_varT(grid, h, T, cfg.stanley_coeff)
+        rho = rho + 0.5 * varT * density_second_dT2(eos, T, S, p_mid)
     rho_ref = cfg.rho_ref
 
     # pressure anomaly at the top interface of each layer

@@ -184,6 +184,9 @@ class Model:
     # DataOverride from the case data_table, applied on top of the
     # configured forcing inside the jitted step
     data_override: Any = None
+    # pure fn (obc, grid, h, t) → obc refreshing time-dependent user
+    # boundary data (MOM_boundary_update registry); None → static OBC
+    obc_update_fn: Any = None
 
     def step_fn(self):
         """Jitted full ocean step; x_first alternates per call site
@@ -213,12 +216,15 @@ class Model:
                     fc = dov.mech(fc, t, g)
                     if do_thermo and state.T is not None:
                         fl = dov.fluxes(fl, t, g)
+                ob = self.obc
+                if ob is not None and self.obc_update_fn is not None:
+                    ob = self.obc_update_fn(ob, g, state.h, t)
                 st, a, tr, diags, *rest = step_ocean(
                     d, g, vg, state, split_state, tracers,
                     fc, fl, self.dt, cfg, eos=eos,
                     x_first=x_first,
                     tracer_registry=self.tracer_registry,
-                    obc=self.obc, do_thermo=do_thermo,
+                    obc=ob, do_thermo=do_thermo,
                     uhtr_accum=uacc, vhtr_accum=vacc,
                     obc_reservoirs=res, mld_prev=mld)
                 res_out = rest[0] if rest else None
@@ -429,11 +435,41 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                       f"blocks of layout {tbl_lay} written to "
                       "MOM_auto_mask_table")
 
+    # ---- porous-barrier subgrid topography (SUBGRID_TOPO_AT_VEL,
+    # MOM_fixed_initialization.F90:148 / set_subgrid_topo_at_vel_from_file)
+    if pf.get("SUBGRID_TOPO_AT_VEL", bool, False):
+        from mom6_tpu.framework.io import read_field
+        tvf = os.path.join(pf.get("INPUTDIR", str, "."),
+                           pf.get("TOPO_AT_VEL_FILE", str,
+                                  "topog_edge.nc"))
+        names = dict(
+            DmaxU=pf.get("TOPO_AT_VEL_VARNAME_U_HIGH", str, "depthu_hi"),
+            DminU=pf.get("TOPO_AT_VEL_VARNAME_U_LOW", str, "depthu_lo"),
+            DavgU=pf.get("TOPO_AT_VEL_VARNAME_U_AVE", str, "depthu_av"),
+            DmaxV=pf.get("TOPO_AT_VEL_VARNAME_V_HIGH", str, "depthv_hi"),
+            DminV=pf.get("TOPO_AT_VEL_VARNAME_V_LOW", str, "depthv_lo"),
+            DavgV=pf.get("TOPO_AT_VEL_VARNAME_V_AVE", str, "depthv_av"))
+        H = halo
+        por = {}
+        for key, var in names.items():
+            arr = np.asarray(read_field(tvf, var), dtype=np.float64)
+            # file stores positive depths below the surface; convert
+            # to heights (negative down) like the reference's scale
+            por["porous_" + key] = jnp.asarray(
+                -np.pad(arr, H, mode="edge"))
+        grid = dataclasses.replace(grid, **por)
+
     pf.module("MOM_open_boundary")
     obc = build_open_boundaries(pf, domain,
                                 indir=pf.get("INPUTDIR", str, "."))
+    obc_update_fn = None
     if obc is not None:
         grid = open_grid_masks(grid, obc)
+        # time-dependent user boundary updates (MOM_boundary_update)
+        pf.module("MOM_boundary_update")
+        from mom6_tpu.obc.boundary_update import build_obc_update
+        obc_update_fn = build_obc_update(pf, south=south,
+                                         axis_units=axis_units)
 
     pf.module("MOM_verticalGrid")
     nk = pf.get("NK", int, 1, units="nondim", desc="number of layers")
@@ -585,7 +621,16 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         kh_aniso=pf.get("KH_ANISO", float, 0.0, units="m2 s-1"),
         aniso_n=(float(aniso_dir[0]), float(aniso_dir[1])),
         no_slip=pf.get("NOSLIP", bool, False),
+        use_zb2020=pf.get("USE_ZB2020", bool, False),
+        zb_scaling=pf.get("ZB_SCALING", float, 0.5),
+        zb_type=pf.get("ZB_TYPE", int, 0),
+        zb_cons=pf.get("ZB_CONS", int, 0),
         dt=dt)
+    pf.module("MOM_PressureForce")
+    use_stanley_pgf = pf.get("USE_STANLEY_PGF", bool, False)
+    pgf_cfg = PressureForceCfg(
+        stanley_coeff=pf.get("STANLEY_COEFF", float, -1.0)
+        if use_stanley_pgf else -1.0)
     pf.module("MOM_barotropic")
     # NONLINEAR_BT_CONTINUITY / BT_THICK_SCHEME=FROM_BT_CONT are the
     # reference's switches for the same face-area-curve machinery
@@ -610,10 +655,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         split_cfg = SplitCfg(be=pf.get("BE", float, 0.6),
                              begw=pf.get("BEGW", float, 0.0),
                              continuity=cont, coriolis=cor, vertvisc=vv,
-                             horvisc=hv, barotropic=btcfg)
+                             horvisc=hv, barotropic=btcfg,
+                             pressure=pgf_cfg)
     else:
         unsplit_cfg = UnsplitCfg(continuity=cont, coriolis=cor,
-                                 vertvisc=vv, horvisc=hv)
+                                 vertvisc=vv, horvisc=hv,
+                                 pressure=pgf_cfg)
 
     # ---- state initialization ----
     pf.module("MOM_state_initialization")
@@ -842,13 +889,23 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         mode = pf.get("REGRIDDING_COORDINATE_MODE", str, "Z*")
         res = pf.get("ALE_RESOLUTION", list, [])
         scheme = pf.get("REMAPPING_SCHEME", str, "PPM_H4")
-        # PPM_IH4 (the implicit-h4 edge variant) maps onto PPM_H4
-        if scheme.upper() == "PPM_IH4":
-            scheme = "PPM_H4"
+        adapt_kw = {}
+        if mode.upper().startswith("ADAPT"):
+            adapt_kw = dict(
+                adapt_time_ratio=pf.get("ADAPT_TIME_RATIO", float, 0.1),
+                adapt_zoom=pf.get("ADAPT_ZOOM_DEPTH", float, 200.0,
+                                  units="m"),
+                adapt_zoom_coeff=pf.get("ADAPT_ZOOM_COEFF", float, 0.2),
+                adapt_buoy_coeff=pf.get("ADAPT_BUOY_COEFF", float, 0.8),
+                adapt_alpha=pf.get("ADAPT_ALPHA", float, 1.0),
+                adapt_drho0=pf.get("ADAPT_DRHO0", float, 0.5,
+                                   units="kg m-3"),
+                adapt_do_min=pf.get("ADAPT_DO_MIN_DEPTH", bool, False))
         ale_cfg = ALECfg(
             regrid=RegridCfg(mode=mode, resolution=tuple(res),
                              min_thickness=pf.get("MIN_THICKNESS", float,
-                                                  1e-3, units="m")),
+                                                  1e-3, units="m"),
+                             **adapt_kw),
             remap=RemapCfg(scheme=scheme),
             vel_remap=RemapCfg(scheme=pf.get("VELOCITY_REMAPPING_SCHEME",
                                              str, scheme)))
@@ -1127,4 +1184,5 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                  split_state=split_state, tracers=tracers,
                  tracer_registry=registry if tracers else None,
                  obc=obc, fluxes_fn=fluxes_fn, forces_fn=forces_fn,
-                 data_override=data_override)
+                 data_override=data_override,
+                 obc_update_fn=obc_update_fn)

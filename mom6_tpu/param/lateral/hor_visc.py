@@ -57,6 +57,10 @@ class HorViscCfg:
     no_slip: bool = False         # NOSLIP
     bound_coef: bool = True       # BOUND_KH/BOUND_AH CFL-stability bounds
     dt: float = 3600.0            # used only for the stability bounds
+    use_zb2020: bool = False      # USE_ZB2020 (added to diffu/diffv)
+    zb_scaling: float = 0.5       # ZB_SCALING
+    zb_type: int = 0              # ZB_TYPE
+    zb_cons: int = 0              # ZB_CONS
 
 
 class HorViscResult(NamedTuple):
@@ -92,8 +96,19 @@ def horizontal_viscosity(grid: Grid, u, v, h,
     """(diffu, diffv) [m s-2] from Laplacian+biharmonic friction.
 
     Needs u, v valid to ≥2 halo rings, h to ≥1."""
+    zb_u = zb_v = None
+    if cfg.use_zb2020:
+        from mom6_tpu.param.lateral.zanna_bolton import (ZB2020Cfg,
+                                                         zb2020_accel)
+        zb = zb2020_accel(grid, u, v, h,
+                          ZB2020Cfg(amplitude=cfg.zb_scaling,
+                                    zb_type=cfg.zb_type,
+                                    zb_cons=cfg.zb_cons))
+        zb_u, zb_v = zb.du, zb.dv
     if not (cfg.laplacian or cfg.biharmonic):
         z = jnp.zeros_like(u)
+        if zb_u is not None:
+            return HorViscResult(zb_u, zb_v)
         return HorViscResult(z, z)
 
     dy2h = grid.dyT * grid.dyT
@@ -251,5 +266,9 @@ def horizontal_viscosity(grid: Grid, u, v, h,
     diffv = ((grid.IdyCv * (im1(dy2q * str_xy_h) - dy2q * str_xy_h)
               - grid.IdxCv * (dx2h * str_xx_h - jp1(dx2h * str_xx_h)))
              * grid.IareaCv) / (h_v + _H_NEGLECT)
-    return HorViscResult(diffu=diffu * grid.mask2dCu,
-                         diffv=diffv * grid.mask2dCv)
+    diffu = diffu * grid.mask2dCu
+    diffv = diffv * grid.mask2dCv
+    if zb_u is not None:
+        diffu = diffu + zb_u
+        diffv = diffv + zb_v
+    return HorViscResult(diffu=diffu, diffv=diffv)

@@ -14,7 +14,8 @@ def col(a):
     return jnp.asarray(np.asarray(a, dtype=np.float64)).reshape(-1, 1, 1)
 
 
-SCHEMES = ["PCM", "PLM", "PPM_H4", "PPM_CW"]
+SCHEMES = ["PCM", "PLM", "PLM_HYBGEN", "PPM_H4", "PPM_IH4", "PPM_CW",
+           "PPM_HYBGEN", "WENO_HYBGEN", "PQM_IH4IH3"]
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)
@@ -92,14 +93,64 @@ def test_identity_remap_bitwise_mean():
     np.testing.assert_allclose(np.asarray(got), np.asarray(u), atol=1e-12)
 
 
-def test_monotone_no_overshoot():
+@pytest.mark.parametrize("scheme", ["PPM_H4", "PPM_IH4", "PLM_HYBGEN",
+                                    "WENO_HYBGEN", "PQM_IH4IH3"])
+def test_monotone_no_overshoot(scheme):
     h_src = col([10.0] * 6)
     u = col([1, 1, 1, 5, 5, 5])
     h_dst = col([7, 13, 9, 11, 12, 8])
     got = np.asarray(remap_column_means(
-        h_src, u, h_dst, RemapCfg(scheme="PPM_H4"))).ravel()
+        h_src, u, h_dst, RemapCfg(scheme=scheme))).ravel()
     assert got.min() >= 1.0 - 1e-12
     assert got.max() <= 5.0 + 1e-12
+
+
+def test_h4_nonuniform_cubic_exact():
+    """The non-uniform explicit h4 edges reproduce a cubic profile's
+    interface point values exactly (4th-order exactness,
+    edge_values_explicit_h4) — including the boundary closures."""
+    rng = np.random.default_rng(3)
+    h = rng.uniform(5.0, 40.0, 9)
+    zi = np.concatenate([[0.0], np.cumsum(h)])
+
+    def P(z):                      # a cubic
+        return 2.0 + 0.3 * z - 0.002 * z ** 2 + 1.5e-5 * z ** 3
+
+    def Pint(z):                   # its antiderivative
+        return (2.0 * z + 0.15 * z ** 2 - 0.002 / 3 * z ** 3
+                + 1.5e-5 / 4 * z ** 4)
+
+    means = (Pint(zi[1:]) - Pint(zi[:-1])) / h
+    e = np.asarray(edge_values_h4(col(h), col(means))).ravel()
+    np.testing.assert_allclose(e, P(zi), rtol=1e-10)
+
+
+def test_ih4_nonuniform_cubic_exact():
+    from mom6_tpu.ale.remapping import edge_values_ih4
+    rng = np.random.default_rng(5)
+    h = rng.uniform(5.0, 40.0, 12)
+    zi = np.concatenate([[0.0], np.cumsum(h)])
+
+    def P(z):
+        return -1.0 + 0.1 * z + 0.004 * z ** 2 - 2e-5 * z ** 3
+
+    def Pint(z):
+        return (-z + 0.05 * z ** 2 + 0.004 / 3 * z ** 3
+                - 0.5e-5 * z ** 4)
+
+    means = (Pint(zi[1:]) - Pint(zi[:-1])) / h
+    e = np.asarray(edge_values_ih4(col(h), col(means))).ravel()
+    np.testing.assert_allclose(e, P(zi), rtol=1e-9)
+
+
+def test_weno_hybgen_mean_preserving():
+    """The WENO parabola integrates back to the cell mean."""
+    rng = np.random.default_rng(7)
+    h = col(rng.uniform(2.0, 30.0, 8))
+    u = col(np.cumsum(rng.standard_normal(8)))
+    rec = reconstruct(h, u, RemapCfg(scheme="WENO_HYBGEN"))
+    np.testing.assert_allclose(np.asarray(rec.cell_mean()),
+                               np.asarray(u), rtol=1e-12)
 
 
 def test_vanished_layers():
