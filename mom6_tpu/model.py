@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from mom6_tpu.framework.config import ParamFile
 from mom6_tpu.parallel.domain import Domain
+from mom6_tpu.parallel.stencil import ip1 as ip1_, jp1 as jp1_
 from mom6_tpu.core.grid import Grid, cartesian_grid, spherical_grid
 from mom6_tpu.core.vertical_grid import VerticalGrid
 from mom6_tpu.core.state import State
@@ -187,6 +188,9 @@ class Model:
     # pure fn (obc, grid, h, t) → obc refreshing time-dependent user
     # boundary data (MOM_boundary_update registry); None → static OBC
     obc_update_fn: Any = None
+    # ice shelf over the ocean: ShelfState + ShelfCfg (None → no shelf)
+    ice_shelf: Any = None
+    shelf_cfg: Any = None
 
     def step_fn(self):
         """Jitted full ocean step; x_first alternates per call site
@@ -219,6 +223,38 @@ class Model:
                 ob = self.obc
                 if ob is not None and self.obc_update_fn is not None:
                     ob = self.obc_update_fn(ob, g, state.h, t)
+                if self.ice_shelf is not None:
+                    # shelf coupling (MOM_ice_shelf.F90): basal
+                    # pressure on the free surface, stress shielding,
+                    # and (thermo steps) 3-equation melt fluxes
+                    from mom6_tpu.ice_shelf.shelf_main import (
+                        shelf_surface_pressure, shelf_fluxes)
+                    import dataclasses as _dc
+                    from mom6_tpu.core.forcing import Fluxes as _Fl
+                    sc, ss = self.shelf_cfg, self.ice_shelf
+                    smask = ss.mask(sc.min_thickness)
+                    p_shelf = shelf_surface_pressure(sc, ss)
+                    p0 = fc.p_surf if fc.p_surf is not None else 0.0
+                    fc = _dc.replace(
+                        fc, p_surf=p0 + p_shelf,
+                        taux=None if fc.taux is None else fc.taux
+                        * (1.0 - (1.0 - sc.stress_frac)
+                           * 0.5 * (smask + ip1_(smask))),
+                        tauy=None if fc.tauy is None else fc.tauy
+                        * (1.0 - (1.0 - sc.stress_frac)
+                           * 0.5 * (smask + jp1_(smask))))
+                    if do_thermo and state.T is not None:
+                        heat, fw, _melt = shelf_fluxes(
+                            sc, ss, state.T[0], state.S[0])
+                        if fl is None:
+                            fl = _Fl()
+                        fl = _dc.replace(
+                            fl,
+                            sensible=(fl.sensible
+                                      if fl.sensible is not None
+                                      else 0.0) + heat,
+                            lprec=(fl.lprec if fl.lprec is not None
+                                   else 0.0) + fw)
                 st, a, tr, diags, *rest = step_ocean(
                     d, g, vg, state, split_state, tracers,
                     fc, fl, self.dt, cfg, eos=eos,
@@ -662,6 +698,40 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                  vertvisc=vv, horvisc=hv,
                                  pressure=pgf_cfg)
 
+    # ---- ice shelf over the ocean (MOM.F90:2544 ICE_SHELF;
+    # MOM_ice_shelf.F90 coupling: basal pressure, melt fluxes,
+    # stress shielding) ----
+    ice_shelf = None
+    shelf_cfg = None
+    if pf.get("ICE_SHELF", bool, False):
+        from mom6_tpu.ice_shelf.shelf_main import (
+            ShelfCfg, ShelfState, init_shelf_thickness)
+        from mom6_tpu.ice_shelf.thermo import IceShelfCfg as _IST
+        shelf_cfg = ShelfCfg(
+            thermo=_IST(
+                gamma_t=pf.get("SHELF_3EQ_GAMMA_T", float, 1e-4,
+                               units="m s-1"),
+                rho_ice=pf.get("DENSITY_ICE", float, 918.0,
+                               units="kg m-3"),
+                rho0=rho0),
+            dynamic=pf.get("DYNAMIC_SHELF", bool, False),
+            g=g_earth,
+            stress_frac=pf.get("SHELF_STRESS_FRACTION", float, 0.0))
+        icfg = pf.get("ICE_PROFILE_CONFIG", str, "channel")
+        tfile = pf.get("ICE_THICKNESS_FILE", str, "")
+        ice_shelf = ShelfState(h_shelf=init_shelf_thickness(
+            icfg if not tfile else "file", grid,
+            max_thick=pf.get("SHELF_MAX_THICKNESS", float, 500.0,
+                             units="m"),
+            lon_extent=pf.get("SHELF_LENGTH_LON", float,
+                              0.25 * lenlon),
+            west=west,
+            thick_file=os.path.join(
+                pf.get("INPUTDIR", str, "."), tfile)
+            if tfile else None,
+            var=pf.get("ICE_THICKNESS_VARNAME", str, "thick"),
+            halo=halo))
+
     # ---- state initialization ----
     pf.module("MOM_state_initialization")
     thick_cfg = pf.get("THICKNESS_CONFIG", str, "uniform")
@@ -791,6 +861,20 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         if "v" in fields:
             v0 = jnp.asarray(fields["v"])
     state = State(u=u0, v=v0, h=h, T=T, S=S)
+    if ice_shelf is not None:
+        # depress the initial free surface into isostatic balance with
+        # the ice load (depress_surface / TRIM_IC_FOR_P_SURF,
+        # MOM_state_initialization.F90): scale each column so
+        # eta = -p_shelf/(rho0 g), avoiding the startup barotropic
+        # shock at the ice front
+        from mom6_tpu.ice_shelf.shelf_main import shelf_surface_pressure
+        p_sh = shelf_surface_pressure(shelf_cfg, ice_shelf)
+        eta0 = -p_sh / (rho0 * g_earth)
+        htot = jnp.sum(state.h, axis=0)
+        target = jnp.maximum(grid.bathyT + eta0, 1e-3)
+        scale = jnp.where(htot > 0, target / jnp.maximum(htot, 1e-30),
+                          1.0)
+        state = state.replace(h=state.h * scale[None])
 
     # ---- forcing (solo-driver surface forcing library,
     # config_src/drivers/solo_driver/MOM_surface_forcing.F90) ----
@@ -1185,4 +1269,5 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                  tracer_registry=registry if tracers else None,
                  obc=obc, fluxes_fn=fluxes_fn, forces_fn=forces_fn,
                  data_override=data_override,
-                 obc_update_fn=obc_update_fn)
+                 obc_update_fn=obc_update_fn,
+                 ice_shelf=ice_shelf, shelf_cfg=shelf_cfg)
