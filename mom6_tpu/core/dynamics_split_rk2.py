@@ -24,7 +24,7 @@ steps exactly as the reference's control structure + restart fields do
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,9 @@ class SplitCfg:
     vertvisc: VertViscCfg = VertViscCfg()
     horvisc: HorViscCfg = HorViscCfg()
     barotropic: BarotropicCfg = BarotropicCfg()
+    # pure fn (eta, t) -> tidal + SAL geopotential height anomaly [m]
+    # (calc_tidal_forcing; None → no tides)
+    tides_fn: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +107,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                        state: State, split: SplitDynState,
                        forces: MechForcing, dt: float, cfg: SplitCfg,
                        eos=None, x_first: bool = True, obc=None,
+                       t=None,
                        ) -> tuple[State, SplitDynState, SplitDiags]:
     if obc is not None:
         def fill(f, **kw):
@@ -118,9 +122,15 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     uh, vh = fill((split.uh, split.vh), width=2)
     eta = fill(split.eta)
 
+    # tidal + SAL geopotential anomaly, once per dynamics step from
+    # the mass-consistent eta (calc_tidal_forcing cadence)
+    e_tidal = None
+    if cfg.tides_fn is not None:
+        e_tidal = cfg.tides_fn(eta, 0.0 if t is None else t)
+
     # ---- PREDICTOR ----
     pf = pressure_force(grid, vgrid, h, T, S, eos, p_atm=forces.p_surf,
-                        cfg=cfg.pressure)
+                        cfg=cfg.pressure, e_tidal=e_tidal)
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc)
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
@@ -187,7 +197,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     else:
         hp_pf = hp
     pf = pressure_force(grid, vgrid, hp_pf, T, S, eos,
-                        p_atm=forces.p_surf, cfg=cfg.pressure)
+                        p_atm=forces.p_surf, cfg=cfg.pressure,
+                        e_tidal=e_tidal)
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc)
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)

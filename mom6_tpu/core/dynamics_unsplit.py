@@ -49,6 +49,8 @@ class UnsplitCfg:
     vertvisc: VertViscCfg = VertViscCfg()
     horvisc: HorViscCfg = HorViscCfg()
     scheme: str = "RK3"            # RK3 (Matsuno-like) or RK2
+    # pure fn (eta, t) -> tidal + SAL geopotential anomaly [m]
+    tides_fn: object = None
 
 
 class DynDiags(NamedTuple):
@@ -67,15 +69,22 @@ class DynDiags(NamedTuple):
 
 def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                      state: State, forces: MechForcing, dt: float,
-                     cfg: UnsplitCfg, eos=None) -> tuple[State, DynDiags]:
+                     cfg: UnsplitCfg, eos=None,
+                     t=None) -> tuple[State, DynDiags]:
     u, v, h, T, S = state.u, state.v, state.h, state.T, state.S
     fill = domain.fill_halos
     rho0 = vgrid.Rho0
 
+    e_tidal = None
+    if cfg.tides_fn is not None:
+        eta0 = jnp.sum(h, axis=0) - grid.bathyT
+        e_tidal = cfg.tides_fn(eta0, 0.0 if t is None else t)
+
     def accel(uu, vv, h_av, uh, vh):
         ca = coriolis_adv(grid, uu, vv, h_av, uh, vh, cfg.coriolis)
         pf = pressure_force(grid, vgrid, h_av, T, S, eos,
-                            p_atm=forces.p_surf, cfg=cfg.pressure)
+                            p_atm=forces.p_surf, cfg=cfg.pressure,
+                            e_tidal=e_tidal)
         return ca.CAu + pf.PFu, ca.CAv + pf.PFv
 
     u, v, h = fill((u, v, h))

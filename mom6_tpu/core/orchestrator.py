@@ -82,7 +82,8 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                dt: float, cfg: OceanCfg, eos=None,
                x_first: bool = True, tracer_registry=None, obc=None,
                do_thermo: bool = True, uhtr_accum=None,
-               vhtr_accum=None, obc_reservoirs=None, mld_prev=None):
+               vhtr_accum=None, obc_reservoirs=None, mld_prev=None,
+               t=None):
     """One full ocean step of length dt.
 
     ``do_thermo`` gates the tracer-advection/diabatic/ALE phases (the
@@ -158,11 +159,11 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     if cfg.split:
         state, split_state, diags = step_dyn_split_rk2(
             domain, grid, vgrid, state, split_state, forces, dt,
-            cfg.split_cfg, eos=eos, x_first=x_first, obc=obc)
+            cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t)
     else:
         state, diags = step_dyn_unsplit(
             domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,
-            eos=eos)
+            eos=eos, t=t)
 
     # --- mixed-layer restratification (MOM_mixed_layer_restrat.F90):
     # submesoscale overturning transports applied to h after the

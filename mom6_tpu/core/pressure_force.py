@@ -74,17 +74,28 @@ def _layer_densities(vgrid: VerticalGrid, h, e, T, S, eos, rho0, g):
 
 def pressure_force(grid: Grid, vgrid: VerticalGrid, h, T=None, S=None,
                    eos=None, p_atm=None,
-                   cfg: PressureForceCfg = PressureForceCfg()
-                   ) -> PressureForceResult:
+                   cfg: PressureForceCfg = PressureForceCfg(),
+                   e_tidal=None) -> PressureForceResult:
     """PFu, PFv, pbce, eta (PressureForce_FV_Bouss,
-    MOM_PressureForce_FV.F90:462)."""
+    MOM_PressureForce_FV.F90:462).
+
+    ``e_tidal``: tidal + self-attraction/loading geopotential height
+    anomaly [m] at h points; heights are measured relative to the
+    perturbed equipotential (the FV analog of the Montgomery form's
+    geopot_bot -= g(e_eq+e_sal), MOM_PressureForce_Montgomery.F90:228).
+    The returned eta_pf stays the true free surface for the
+    barotropic mass coupling."""
     g = vgrid.g_Earth
     rho0 = vgrid.Rho0
     I_rho0 = 1.0 / rho0
-    e = interface_heights(vgrid, h, grid.bathyT)
+    e_true = interface_heights(vgrid, h, grid.bathyT)
+    e = e_true if e_tidal is None else e_true - e_tidal[None]
 
     if cfg.montgomery and (T is None or eos is None):
-        return _montgomery_bouss(grid, vgrid, h, e, p_atm, cfg)
+        res = _montgomery_bouss(grid, vgrid, h, e, p_atm, cfg)
+        if e_tidal is not None:
+            res = res._replace(eta_pf=e_true[0])
+        return res
 
     rho = _layer_densities(vgrid, h, e, T, S, eos, rho0, g)
     if cfg.stanley_coeff >= 0.0 and T is not None and eos is not None:
@@ -130,7 +141,8 @@ def pressure_force(grid: Grid, vgrid: VerticalGrid, h, T=None, S=None,
         PFv = PFv - (jp1(dM) - dM) * grid.IdyCv * grid.mask2dCv
 
     pbce = set_pbce_bouss(vgrid, e, T, S, eos, cfg.gfs_scale)
-    return PressureForceResult(PFu=PFu, PFv=PFv, pbce=pbce, eta_pf=e[0])
+    return PressureForceResult(PFu=PFu, PFv=PFv, pbce=pbce,
+                               eta_pf=e_true[0])
 
 
 def _montgomery_bouss(grid: Grid, vgrid: VerticalGrid, h, e, p_atm,

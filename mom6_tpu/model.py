@@ -262,7 +262,7 @@ class Model:
                     tracer_registry=self.tracer_registry,
                     obc=ob, do_thermo=do_thermo,
                     uhtr_accum=uacc, vhtr_accum=vacc,
-                    obc_reservoirs=res, mld_prev=mld)
+                    obc_reservoirs=res, mld_prev=mld, t=t)
                 res_out = rest[0] if rest else None
                 return (st, a, tr, diags.uhtr, diags.vhtr,
                         diags.truncs, res_out, diags.mld)
@@ -516,6 +516,13 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
 
     pf.module("MOM")
     split = pf.get("SPLIT", bool, True)
+    # SPLIT_RK2B (MOM.F90:2198): the alternate split scheme that
+    # recomputes the predictor accelerations from the time-filtered
+    # velocities each step instead of inheriting stored tendencies —
+    # which is already this core's structure (step_dyn_split_rk2
+    # rebuilds CAu/PFu from the carried u_av/h_av), so the flag is an
+    # accepted alias
+    pf.get("SPLIT_RK2B", bool, False)
     dt = pf.get("DT", float, units="s")
     dt_forcing = pf.get("DT_FORCING", float, dt, units="s")
     dt_therm = pf.get("DT_THERM", float, dt, units="s")
@@ -667,6 +674,38 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     pgf_cfg = PressureForceCfg(
         stanley_coeff=pf.get("STANLEY_COEFF", float, -1.0)
         if use_stanley_pgf else -1.0)
+
+    # ---- astronomical tides + self-attraction and loading
+    # (MOM_tidal_forcing.F90 / MOM_self_attr_load.F90) ----
+    pf.module("MOM_tidal_forcing")
+    tides_fn = None
+    if pf.get("TIDES", bool, False):
+        from mom6_tpu.param.lateral.tidal_forcing import (
+            TidalForcingCfg, equilibrium_tide, CONSTITUENTS)
+        from mom6_tpu.param.lateral.self_attr_load import SALHarmonics
+        consts = tuple(
+            c for c in CONSTITUENTS
+            if pf.get(f"TIDE_{c}", bool, c == "M2"))
+        use_sal_scalar = pf.get("SAL_SCALAR_APPROX", bool, True)
+        t_cfg = TidalForcingCfg(
+            constituents=consts,
+            use_sal_scalar=use_sal_scalar,
+            sal_scalar=pf.get("SAL_SCALAR_VALUE", float, 0.094))
+        sal_sht = None
+        if pf.get("SAL_HARMONICS", bool, False):
+            nd = pf.get("SAL_HARMONICS_DEGREE", int, 6)
+            sal_sht = SALHarmonics.build(
+                grid, nd, rho_w=rho0,
+                rho_e=pf.get("RHO_SOLID_EARTH", float, 5517.0,
+                             units="kg m-3"))
+
+        def tides_fn(eta, t, _cfg=t_cfg, _g=grid, _sht=sal_sht):
+            e = equilibrium_tide(_cfg, t, _g.geoLatT, _g.geoLonT)
+            if _sht is not None:
+                e = e + _sht(eta)
+            elif _cfg.use_sal_scalar:
+                e = e + _cfg.sal_scalar * eta
+            return e * _g.mask2dT
     pf.module("MOM_barotropic")
     # NONLINEAR_BT_CONTINUITY / BT_THICK_SCHEME=FROM_BT_CONT are the
     # reference's switches for the same face-area-curve machinery
@@ -692,11 +731,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                              begw=pf.get("BEGW", float, 0.0),
                              continuity=cont, coriolis=cor, vertvisc=vv,
                              horvisc=hv, barotropic=btcfg,
-                             pressure=pgf_cfg)
+                             pressure=pgf_cfg, tides_fn=tides_fn)
     else:
         unsplit_cfg = UnsplitCfg(continuity=cont, coriolis=cor,
                                  vertvisc=vv, horvisc=hv,
-                                 pressure=pgf_cfg)
+                                 pressure=pgf_cfg, tides_fn=tides_fn)
 
     # ---- ice shelf over the ocean (MOM.F90:2544 ICE_SHELF;
     # MOM_ice_shelf.F90 coupling: basal pressure, melt fluxes,
