@@ -91,6 +91,9 @@ class SplitDiags(NamedTuple):
     # boundary-layer / mixed-layer depth [m] from the diabatic phase
     # (KPP BLD or ePBL MLD; consumed by mixed-layer restrat next step)
     mld: Optional[jnp.ndarray] = None
+    # internal-tide energy density (n_angle, njh, nih) [J m-2],
+    # carried across steps when INTERNAL_TIDES is on
+    int_tide_en: Optional[jnp.ndarray] = None
 
 
 def init_split_state(domain: Domain, grid: Grid, vgrid: VerticalGrid,

@@ -74,6 +74,11 @@ class OceanCfg:
     hordiff: TracerHorDiffCfg = TracerHorDiffCfg()
     use_neutral: bool = False            # USE_NEUTRAL_DIFFUSION
     neutral: NeutralDiffCfg = NeutralDiffCfg()
+    # --- internal tide energy propagation (MOM_internal_tides.F90);
+    # None -> the local-dissipation assumption in tidal mixing ---
+    int_tides: Optional[object] = None   # InternalTidesCfg
+    int_tide_utide: float = 0.0          # UTIDE barotropic rms [m s-1]
+    int_tide_h2: float = 2500.0          # roughness variance [m2]
 
 
 def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -83,7 +88,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                x_first: bool = True, tracer_registry=None, obc=None,
                do_thermo: bool = True, uhtr_accum=None,
                vhtr_accum=None, obc_reservoirs=None, mld_prev=None,
-               t=None):
+               t=None, int_tide_en=None):
     """One full ocean step of length dt.
 
     ``do_thermo`` gates the tracer-advection/diabatic/ALE phases (the
@@ -243,9 +248,44 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
 
     # --- thermodynamics / column physics ---
     if cfg.thermo and not cfg.adiabatic:
+        tidal_e2d = None
+        if cfg.int_tides is not None:
+            # propagate the internal-tide energy field and hand its
+            # wave-drag dissipation map to the tidal mixing scheme
+            # (propagate_int_tide -> itidal_lowmode_loss chain)
+            from mom6_tpu.param.lateral.internal_tides import (
+                step_internal_tides, init_en)
+            from mom6_tpu.diagnostics.wave_speed import (
+                brunt_vaisala2, wave_speed_wkb)
+            hf = domain.fill_halos(state.h)
+            tt = domain.fill_halos(state.T) \
+                if state.T is not None else None
+            ss = domain.fill_halos(state.S) \
+                if state.S is not None else None
+            n2i = brunt_vaisala2(vgrid, hf, tt, ss, eos)
+            nb = jnp.sqrt(jnp.maximum(n2i[-1], 0.0))
+            cn1 = wave_speed_wkb(vgrid, hf, tt, ss, eos)
+            htot = jnp.sum(hf, axis=0)
+            from mom6_tpu.param.vertical.tidal_mixing import \
+                internal_tide_input
+            tke_in = internal_tide_input(
+                cfg.int_tide_utide,
+                jnp.sqrt(cfg.int_tide_h2), nb,
+                rho0=vgrid.Rho0,
+                kappa_itides=cfg.int_tides.kappa_itides)
+            en = int_tide_en if int_tide_en is not None \
+                else init_en(cfg.int_tides, state.h.shape[1:])
+            itr = step_internal_tides(
+                cfg.int_tides, domain, grid, en, cn1, dt, tke_in,
+                nb, htot, u_bt2=cfg.int_tide_utide ** 2,
+                h2_rough=cfg.int_tide_h2)
+            int_tide_en = itr.En
+            tidal_e2d = itr.itidal_loss
+            diags = diags._replace(int_tide_en=int_tide_en)
         state, tracers, dia = diabatic(state, fluxes, dt, cfg.diabatic,
                                        tracers, vgrid=vgrid, eos=eos,
-                                       forces=forces, grid=grid)
+                                       forces=forces, grid=grid,
+                                       tidal_energy_2d=tidal_e2d)
         if "frazil" in dia:
             diags = diags._replace(frazil=dia["frazil"])
         if "mld" in dia:

@@ -208,7 +208,7 @@ class Model:
 
         def mk(x_first, do_thermo):
             def step(state, split_state, tracers, uacc, vacc, res,
-                     mld, t):
+                     mld, t, iten):
                 # t: traced model time (s) at the step center, for
                 # time-interpolated file forcing / data_override
                 fc = self.forces_fn(t) if self.forces_fn is not None \
@@ -262,15 +262,17 @@ class Model:
                     tracer_registry=self.tracer_registry,
                     obc=ob, do_thermo=do_thermo,
                     uhtr_accum=uacc, vhtr_accum=vacc,
-                    obc_reservoirs=res, mld_prev=mld, t=t)
+                    obc_reservoirs=res, mld_prev=mld, t=t,
+                    int_tide_en=iten)
                 res_out = rest[0] if rest else None
                 return (st, a, tr, diags.uhtr, diags.vhtr,
-                        diags.truncs, res_out, diags.mld)
+                        diags.truncs, res_out, diags.mld,
+                        diags.int_tide_en)
             return jax.jit(step)
         fns = {(xf, th): mk(xf, th) for xf in (True, False)
                for th in (True, False)}
         acc = {"u": None, "v": None, "truncs": 0, "res": None,
-               "mld": None}
+               "mld": None, "iten": None}
         if use_res:
             acc["res"] = self.obc.init_tracer_reservoirs(self.tracers)
 
@@ -285,13 +287,15 @@ class Model:
             # advance never recompiles
             t = jnp.asarray((n + 0.5) * self.dt,
                             dtype=jnp.result_type(float))
-            s, a, tr, uh, vh, tn, res, mld = f(
+            s, a, tr, uh, vh, tn, res, mld, iten = f(
                 state, split_state, tracers, ua, va, acc["res"],
-                acc["mld"], t)
+                acc["mld"], t, acc["iten"])
             if res is not None:
                 acc["res"] = res
             if mld is not None:
                 acc["mld"] = mld
+            if iten is not None:
+                acc["iten"] = iten
             if do_thermo:
                 # completed accumulation interval: the transports the
                 # tracer advection just consumed plus the end-of-
@@ -1243,6 +1247,37 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     # reference's domore re-sweep loop, MOM_tracer_advect.F90)
     adv_cfg = TracerAdvectCfg(
         n_sweep_pairs=max(2, n_dyn_per_therm + 1))
+    # ---- internal tide energy propagation (MOM_internal_tides.F90;
+    # MOM.F90 INTERNAL_TIDES) ----
+    pf.module("MOM_internal_tides")
+    int_tides_cfg = None
+    it_utide = 0.0
+    it_h2 = 2500.0
+    if pf.get("INTERNAL_TIDES", bool, False):
+        from mom6_tpu.param.lateral.internal_tides import \
+            InternalTidesCfg
+        import math as _math
+        period1 = pf.get("FIRST_MODE_PERIOD", float, 44712.0,
+                         units="s")
+        int_tides_cfg = InternalTidesCfg(
+            n_angle=pf.get("INTERNAL_TIDE_ANGLES", int, 24),
+            freq=2.0 * _math.pi / period1,
+            q_itides=pf.get("GAMMA_ITIDES", float, 0.3333),
+            decay_rate=pf.get("INT_TIDE_DECAY_RATE", float, 0.0,
+                              units="s-1"),
+            apply_background_drag=pf.get(
+                "INT_TIDE_BACKGROUND_DRAG", bool, False),
+            apply_bottom_drag=pf.get("INT_TIDE_QUAD_DRAG", bool, True),
+            apply_wave_drag=pf.get("INT_TIDE_WAVE_DRAG", bool, True),
+            cdrag=pf.get("CDRAG", float, 0.003),
+            kappa_itides=2.0 * _math.pi
+            / pf.get("ITIDE_WAVELENGTH", float, 125e3, units="m"),
+            kappa_h2_factor=pf.get("KAPPA_H2_FACTOR", float, 0.75),
+            rho0=rho0)
+        it_utide = pf.get("UTIDE", float, 0.0, units="m s-1")
+        it_h2 = pf.get("TIDAL_ROUGHNESS_H2", float, 2500.0,
+                       units="m2")
+
     ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
                          unsplit_cfg=unsplit_cfg,
                          tracer_adv=adv_cfg,
@@ -1262,7 +1297,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                              "RESOLN_SCALED_KHTH", bool, False),
                          use_mle=use_mle, mlrestrat=mle_cfg,
                          hordiff=hordiff_cfg,
-                         use_neutral=use_neutral, neutral=neutral_cfg)
+                         use_neutral=use_neutral, neutral=neutral_cfg,
+                         int_tides=int_tides_cfg,
+                         int_tide_utide=it_utide, int_tide_h2=it_h2)
     if use_meke:
         state = state.replace(meke=jnp.zeros_like(state.h[0])
                               + pf.get("MEKE_INIT", float, 1e-7,

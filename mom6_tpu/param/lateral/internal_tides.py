@@ -1,0 +1,226 @@
+"""Internal tide energy propagation (ray tracing in angle space).
+
+Re-design of /root/reference/src/parameterizations/lateral/
+MOM_internal_tides.F90 (propagate_int_tide :219, refract :1048,
+propagate_x/y :1712/:1793, itidal_lowmode_loss :932): the internal
+tide energy density En(angle, y, x) per frequency is forced by the
+barotropic→baroclinic conversion, refracted in angle by β and
+phase-speed gradients, advected horizontally at the group velocity,
+and damped by background decay, quadratic bottom drag, small-scale
+wave drag and Froude-limited breaking.  The surviving wave-drag loss
+map is what the tidal mixing scheme consumes in place of the
+local-dissipation assumption.
+
+TPU framing: the angle dimension is one more dense axis — every
+angular wedge refracts/advects at once with jnp.roll for the circular
+angle topology and the standard halo exchange for x/y; the whole
+update is branch-free and identical on every shard.  Horizontal
+advection is the reference's first-order upwind option (upwind_1st);
+topographic reflection data (refl_angle files) is not implemented, so
+coastal energy is absorbed by the masked fluxes rather than
+reflected.  Energy is in column-integral units [J m-2].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from mom6_tpu.core.grid import Grid
+from mom6_tpu.parallel.stencil import ip1, im1, jp1, jm1
+
+__all__ = ["InternalTidesCfg", "step_internal_tides", "init_en",
+           "f2_at_h"]
+
+_CN_SUB = 1e-30
+_EN_SUB = 1e-30
+
+
+@dataclasses.dataclass(frozen=True)
+class InternalTidesCfg:
+    n_angle: int = 24                 # INTERNAL_TIDE_ANGLES
+    freq: float = 1.4052e-4           # M2 [rad s-1] (FIRST_MODE_PERIOD)
+    q_itides: float = 0.3333          # GAMMA_ITIDES: fraction lost at
+                                      # the source (local dissipation)
+    decay_rate: float = 0.0           # background leakage [s-1]
+    cdrag: float = 0.003              # CDRAG (quadratic bottom drag)
+    drag_min_depth: float = 1.0       # DRAG_MIN_DEPTH [m]
+    kappa_itides: float = 2.0 * math.pi / 125e3  # ITIDE wavenumber
+    kappa_h2_factor: float = 0.75     # KAPPA_H2_FACTOR
+    apply_background_drag: bool = False
+    apply_bottom_drag: bool = True
+    apply_wave_drag: bool = True
+    apply_froude_drag: bool = False
+    rho0: float = 1035.0
+    h2_default: float = 2500.0        # roughness variance [m2] when no
+                                      # H2_FILE map is provided
+
+
+class IntTideResult(NamedTuple):
+    En: jnp.ndarray                # (n_angle, njh, nih) [J m-2]
+    tot_En: jnp.ndarray            # summed over angles [J m-2]
+    itidal_loss: jnp.ndarray       # wave-drag dissipation [W m-2]
+    leak_loss: jnp.ndarray         # background loss [W m-2]
+    quad_loss: jnp.ndarray         # bottom-drag loss [W m-2]
+
+
+def init_en(cfg: InternalTidesCfg, shape) -> jnp.ndarray:
+    return jnp.zeros((cfg.n_angle,) + tuple(shape))
+
+
+def f2_at_h(grid: Grid):
+    """Squared Coriolis parameter averaged to h points."""
+    fB = grid.CoriolisBu
+    return 0.25 * ((fB ** 2 + im1(jm1(fB ** 2)))
+                   + (im1(fB ** 2) + jm1(fB ** 2)))
+
+
+def _cn_face(cn, shift):
+    """Face-average of the mode speed skipping zero (land) values
+    (refract :1092-1104)."""
+    m = (cn != 0.0).astype(cn.dtype)
+    mn = shift(m)
+    w1 = m - 0.5 * m * mn
+    w2 = mn - 0.5 * m * mn
+    return w1 * cn + w2 * shift(cn)
+
+
+def _refract(cfg: InternalTidesCfg, grid: Grid, En, cn, dt):
+    """Angular upwind advection at the refraction rate
+    (refract :1048): dθ/dt = cosθ·Dl − sinθ·Dk with
+    D(k,l)/Dt/|K| = −(f·∇f + (ω²−f²)∇ln c_n)/ω|K|."""
+    freq = cfg.freq
+    na = cfg.n_angle
+    fB = grid.CoriolisBu
+    f2 = f2_at_h(grid)
+    favg = 0.25 * ((fB + im1(jm1(fB))) + (im1(fB) + jm1(fB)))
+    df_dx = 0.5 * ((fB + jm1(fB)) - (im1(fB) + im1(jm1(fB)))) \
+        * grid.IdxT
+    df_dy = 0.5 * ((fB + im1(fB)) - (jm1(fB) + im1(jm1(fB)))) \
+        * grid.IdyT
+    cn_u = _cn_face(cn, ip1)
+    cn_v = _cn_face(cn, jp1)
+    dlnCn_dx = grid.IdxT * (cn_u - im1(cn_u)) \
+        / (0.5 * (cn_u + im1(cn_u)) + _CN_SUB)
+    dlnCn_dy = grid.IdyT * (cn_v - jm1(cn_v)) \
+        / (0.5 * (cn_v + jm1(cn_v)) + _CN_SUB)
+    kmag2 = (freq ** 2 - f2) / (cn ** 2 + _CN_SUB ** 2)
+    i_kmag = jnp.where(kmag2 > 0.0,
+                       1.0 / jnp.sqrt(jnp.maximum(kmag2, 1e-300)), 0.0)
+    ifreq = 1.0 / freq
+    dk = -ifreq * (favg * df_dx + (freq ** 2 - f2) * dlnCn_dx) * i_kmag
+    dl = -ifreq * (favg * df_dy + (freq ** 2 - f2) * dlnCn_dy) * i_kmag
+    dk = jnp.where(kmag2 > 0.0, dk, 0.0)
+    dl = jnp.where(kmag2 > 0.0, dl, 0.0)
+
+    dtheta = 2.0 * math.pi / na
+    # angular EDGE A sits between wedges A and A+1; its angle is
+    # (A+0.5-0.5)*dtheta per the reference's (A-0.5) with 1-based A
+    import numpy as np
+    edge_ang = (np.arange(na) + 0.5) * dtheta
+    cosA = jnp.asarray(np.cos(edge_ang)).reshape(-1, 1, 1)
+    sinA = jnp.asarray(np.sin(edge_ang)).reshape(-1, 1, 1)
+    cfl = jnp.clip((cosA * dl[None] - sinA * dk[None]) * (dt / dtheta),
+                   -1.0, 1.0)
+    # upwind flux across edge A: from wedge A if cfl>0 else wedge A+1
+    En_up = jnp.roll(En, -1, axis=0)          # wedge A+1
+    flux = jnp.where(cfl > 0.0, cfl * En, cfl * En_up)
+    return En + (jnp.roll(flux, 1, axis=0) - flux)
+
+
+def _propagate(cfg: InternalTidesCfg, domain, grid: Grid, En, cn, dt):
+    """First-order upwind flux-form x/y advection at the per-angle
+    group velocity (propagate_x/propagate_y with upwind_1st)."""
+    freq = cfg.freq
+    na = cfg.n_angle
+    f2 = f2_at_h(grid)
+    speed = cn * jnp.sqrt(jnp.maximum(freq ** 2 - f2, 0.0)) / freq
+    speed_u = 0.5 * (speed + ip1(speed)) * grid.mask2dCu
+    speed_v = 0.5 * (speed + jp1(speed)) * grid.mask2dCv
+    import numpy as np
+    dtheta = 2.0 * math.pi / na
+    # wedge-average of cos/sin over each wedge
+    a0 = np.arange(na) * dtheta
+    a1 = a0 + dtheta
+    cgx_av = jnp.asarray((np.sin(a1) - np.sin(a0)) / dtheta
+                         ).reshape(-1, 1, 1)
+    cgy_av = jnp.asarray((np.cos(a0) - np.cos(a1)) / dtheta
+                         ).reshape(-1, 1, 1)
+
+    cg_x = speed_u[None] * cgx_av            # (na, njh, nih) at u
+    flux_x = jnp.where(cg_x > 0.0, En, ip1(En)) * cg_x * grid.dyCu
+    En = En + dt * grid.IareaT * (im1(flux_x) - flux_x)
+    En = domain.fill_halos(En)
+    cg_y = speed_v[None] * cgy_av
+    flux_y = jnp.where(cg_y > 0.0, En, jp1(En)) * cg_y * grid.dxCv
+    En = En + dt * grid.IareaT * (jm1(flux_y) - flux_y)
+    return jnp.maximum(En, 0.0) * grid.mask2dT
+
+
+def step_internal_tides(cfg: InternalTidesCfg, domain, grid: Grid,
+                        En, cn, dt, tke_input, Nb, htot,
+                        u_bt2=0.0, h2_rough=None) -> IntTideResult:
+    """One internal-tide energy step (propagate_int_tide :219).
+
+    En: (n_angle, njh, nih) [J m-2]; cn: mode-1 speed [m s-1];
+    tke_input: barotropic conversion [W m-2]; Nb: near-bottom
+    buoyancy frequency [s-1]; htot: column depth [m]; u_bt2: squared
+    barotropic tidal speed [m2 s-2]; h2_rough: topographic roughness
+    variance [m2] (defaults to (kappa_h2_factor/kappa)²)."""
+    na = cfg.n_angle
+    freq = cfg.freq
+    f2 = f2_at_h(grid)
+    propagating = (freq ** 2 > f2).astype(En.dtype) * grid.mask2dT
+
+    # source: the non-local fraction of the conversion, spread evenly
+    # over the angular wedges (:348-356)
+    En = En + dt * ((1.0 - cfg.q_itides) / na) \
+        * (tke_input * propagating)[None]
+
+    En = domain.fill_halos(En)
+    En = _refract(cfg, grid, En, cn, 0.5 * dt)
+    En = domain.fill_halos(En)
+    En = _propagate(cfg, domain, grid, En, cn, dt)
+
+    leak = jnp.zeros_like(htot)
+    if cfg.apply_background_drag and cfg.decay_rate > 0.0:
+        leak = jnp.sum(En, axis=0) * cfg.decay_rate
+        En = En / (1.0 + dt * cfg.decay_rate)
+
+    quad = jnp.zeros_like(htot)
+    if cfg.apply_bottom_drag:
+        tot_mode = jnp.sum(En, axis=0)
+        i_d = 1.0 / jnp.maximum(htot, cfg.drag_min_depth)
+        drag_scale = cfg.cdrag * jnp.sqrt(jnp.maximum(
+            0.0, u_bt2 + tot_mode * i_d / cfg.rho0)) * i_d
+        quad = tot_mode * drag_scale
+        En = En / (1.0 + dt * drag_scale[None])
+
+    itidal = jnp.zeros_like(htot)
+    if cfg.apply_wave_drag:
+        # Jayne & St. Laurent small-scale wave drag
+        # (itidal_lowmode_loss :932): loss = q κ h² Nb Ub², with the
+        # modal near-bottom velocity estimated by energy
+        # equipartition Ub² ≈ 2 E_tot/(ρ0 D) (the reference projects
+        # the vertical mode structure; this is its flat-bottom limit)
+        if h2_rough is None:
+            h2_rough = cfg.h2_default
+        tot_mode = jnp.sum(En, axis=0)
+        ub2 = 2.0 * tot_mode / (cfg.rho0
+                                * jnp.maximum(htot, cfg.drag_min_depth))
+        loss_fixed = 0.5 * cfg.kappa_h2_factor * cfg.kappa_itides \
+            * h2_rough * cfg.rho0
+        loss_tot = cfg.q_itides * loss_fixed * Nb * ub2
+        loss_rate = loss_tot / (tot_mode + _EN_SUB)
+        itidal = loss_tot * (tot_mode > 0.0)
+        En = En / (1.0 + dt * loss_rate[None])
+
+    En = domain.fill_halos(En)
+    En = _refract(cfg, grid, En, cn, 0.5 * dt)
+    En = jnp.maximum(En, 0.0) * grid.mask2dT
+    return IntTideResult(En=En, tot_En=jnp.sum(En, axis=0),
+                         itidal_loss=itidal, leak_loss=leak,
+                         quad_loss=quad)

@@ -109,7 +109,7 @@ def _surface_buoyancy_flux(fluxes, T, S, eos, rho0, g):
 def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
              cfg: DiabaticCfg, tracers: dict | None = None,
              vgrid=None, eos=None, forces: MechForcing | None = None,
-             grid=None):
+             grid=None, tidal_energy_2d=None):
     """Apply surface fluxes + implicit vertical mixing to T/S/tracers.
 
     Returns (new_state, new_tracers, dia) where ``dia`` is a dict of
@@ -123,7 +123,8 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
     g = vgrid.g_Earth if vgrid is not None else 9.8
     dres = set_diffusivity(h, cfg.diffusivity, vgrid=vgrid,
                            u=state.u, v=state.v, T=T, S=S, eos=eos,
-                           lat=grid.geoLatT if grid is not None else None)
+                           lat=grid.geoLatT if grid is not None else None,
+                           tidal_energy_2d=tidal_energy_2d)
     kd_int = dres.kd_int
 
     ustar = jnp.zeros_like(h[0])

@@ -1,0 +1,160 @@
+"""Internal tide energy propagation (MOM_internal_tides.F90
+re-design): angular refraction, group-velocity advection, drag
+losses, and the coupling into the tidal-mixing dissipation map."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mom6_tpu.parallel.domain import Domain
+from mom6_tpu.core.grid import cartesian_grid
+from mom6_tpu.param.lateral.internal_tides import (
+    InternalTidesCfg, step_internal_tides, init_en, f2_at_h)
+
+NI, NJ, H = 20, 16, 4
+
+
+def _setup(f0=5e-5, beta=0.0):
+    d = Domain(ni=NI, nj=NJ, halo=H, reentrant_x=True, reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=2000.0, lenlat_km=1600.0, f0=f0,
+                       beta=beta, depth_fn=lambda lo, la:
+                       np.full_like(la, 4000.0), max_depth=4000.0)
+    return d, g
+
+
+def test_energy_input_and_conservation_without_losses():
+    """Source only, no drags: total energy grows by exactly
+    (1-q)·∫TKE dA dt and advection conserves it."""
+    d, g = _setup()
+    cfg = InternalTidesCfg(n_angle=12, apply_bottom_drag=False,
+                           apply_wave_drag=False)
+    En = init_en(cfg, (d.njh, d.nih))
+    cn = jnp.full((d.njh, d.nih), 2.0)
+    htot = jnp.full((d.njh, d.nih), 4000.0)
+    nb = jnp.full((d.njh, d.nih), 2e-3)
+    tke = jnp.full((d.njh, d.nih), 1e-3)       # W m-2
+    dt = 3600.0
+    area = np.asarray(d.interior(g.areaT))
+    tot0 = 0.0
+    for n in range(3):
+        r = step_internal_tides(cfg, d, g, En, cn, dt, tke, nb, htot)
+        En = r.En
+    tot = float((np.asarray(d.interior(r.tot_En)) * area).sum())
+    expect = 3 * dt * (1.0 - cfg.q_itides) * 1e-3 * area.sum()
+    np.testing.assert_allclose(tot, expect, rtol=1e-9)
+    assert np.all(np.asarray(En) >= 0.0)
+
+
+def test_propagation_moves_energy_outward():
+    """A point source radiates: energy appears away from the source
+    after propagation at cg ≈ cn·sqrt(1-f²/ω²)."""
+    d, g = _setup()
+    cfg = InternalTidesCfg(n_angle=16, apply_bottom_drag=False,
+                           apply_wave_drag=False)
+    En = init_en(cfg, (d.njh, d.nih))
+    jc, ic = H + NJ // 2, H + NI // 2
+    En = En.at[:, jc, ic].set(1.0e3 / cfg.n_angle)
+    cn = jnp.full((d.njh, d.nih), 2.0)
+    htot = jnp.full((d.njh, d.nih), 4000.0)
+    nb = jnp.zeros((d.njh, d.nih))
+    dt = 20000.0                                # cg·dt ≈ 40 km < dx
+    r = step_internal_tides(cfg, d, g, En, cn, dt,
+                            jnp.zeros_like(htot), nb, htot)
+    E2 = np.asarray(r.tot_En)
+    # neighbors on all four sides received energy
+    assert E2[jc, ic + 1] > 0 and E2[jc, ic - 1] > 0
+    assert E2[jc + 1, ic] > 0 and E2[jc - 1, ic] > 0
+    # and the total is conserved (periodic, lossless)
+    area = np.asarray(g.areaT)
+    tot0 = 1.0e3 * area[jc, ic]
+    tot1 = float((np.asarray(d.interior(r.tot_En))
+                  * np.asarray(d.interior(g.areaT))).sum())
+    np.testing.assert_allclose(tot1, tot0, rtol=1e-9)
+
+
+def test_sub_inertial_band_gets_no_input():
+    """Where ω² < f², tidal energy cannot propagate and no input is
+    deposited (the reference's f2 gate)."""
+    d, g = _setup(f0=2e-4)                      # f > M2 frequency
+    cfg = InternalTidesCfg(n_angle=8, apply_bottom_drag=False,
+                           apply_wave_drag=False)
+    En = init_en(cfg, (d.njh, d.nih))
+    r = step_internal_tides(cfg, d, g, En,
+                            jnp.full((d.njh, d.nih), 2.0), 3600.0,
+                            jnp.full((d.njh, d.nih), 1e-3),
+                            jnp.zeros((d.njh, d.nih)),
+                            jnp.full((d.njh, d.nih), 4000.0))
+    assert float(jnp.max(r.tot_En)) == 0.0
+
+
+def test_drags_remove_energy_and_report_losses():
+    d, g = _setup()
+    cfg = InternalTidesCfg(n_angle=8, apply_bottom_drag=True,
+                           apply_wave_drag=True)
+    En = init_en(cfg, (d.njh, d.nih)) + 100.0   # J m-2 everywhere
+    cn = jnp.full((d.njh, d.nih), 2.0)
+    htot = jnp.full((d.njh, d.nih), 4000.0)
+    nb = jnp.full((d.njh, d.nih), 2e-3)
+    r = step_internal_tides(cfg, d, g, En, cn, 3600.0,
+                            jnp.zeros_like(htot), nb, htot,
+                            u_bt2=0.01 ** 2)
+    assert float(jnp.max(r.tot_En)) < 800.0    # decayed from 800
+    assert float(jnp.max(r.itidal_loss)) > 0.0
+    assert float(jnp.max(r.quad_loss)) > 0.0
+
+
+def test_refraction_on_beta_plane_shifts_angles():
+    """With beta, refraction redistributes energy among wedges."""
+    d, g = _setup(f0=5e-5, beta=2e-11)
+    cfg = InternalTidesCfg(n_angle=12, apply_bottom_drag=False,
+                           apply_wave_drag=False)
+    En = init_en(cfg, (d.njh, d.nih))
+    En = En.at[3].set(100.0)                   # all energy in wedge 3
+    cn = jnp.full((d.njh, d.nih), 2.0)
+    htot = jnp.full((d.njh, d.nih), 4000.0)
+    r = step_internal_tides(cfg, d, g, En, cn, 43200.0,
+                            jnp.zeros_like(htot),
+                            jnp.zeros((d.njh, d.nih)), htot)
+    spread = np.asarray(jnp.sum(jnp.abs(r.En), axis=(1, 2)))
+    assert (spread > 1e-6).sum() > 1           # leaked to neighbors
+
+
+def test_internal_tides_in_model():
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
+    text = """
+NIGLOBAL = 12
+NJGLOBAL = 10
+NK = 4
+DT = 1800.0
+DT_THERM = 1800.0
+DAYMAX = 0.05
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 1200.0
+LENLAT = 1000.0
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 4000.0
+F_0 = 5.0e-5
+REENTRANT_X = True
+TS_CONFIG = linear
+T_RANGE = 10.0
+S_RANGE = 0.0
+EQN_OF_STATE = LINEAR
+BULKMIXEDLAYER = False
+USE_REGRIDDING = True
+REGRIDDING_COORDINATE_MODE = Z*
+INTERNAL_TIDES = True
+INTERNAL_TIDE_ANGLES = 8
+UTIDE = 0.05
+INT_TIDE_DISSIPATION = True
+KD = 1.0e-5
+"""
+    m = build_model(ParamFile(text=text))
+    assert m.ocean_cfg.int_tides is not None
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    for k in range(3):
+        s, a, tr = step(s, a, tr, n=k)
+    assert np.all(np.isfinite(np.asarray(s.T)))
+    assert np.isfinite(float(jnp.sum(s.h)))
