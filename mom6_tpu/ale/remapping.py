@@ -101,40 +101,67 @@ def _iface_cells(f, off):
     return f[idx]
 
 
+def _solve4(A, B):
+    """Closed-form Gaussian elimination (no pivoting) of a 4x4 system
+    per point: A (4, 4, ...) and B (4, ...) with arbitrary trailing
+    batch dims.  Pure elementwise arithmetic that XLA fuses — batched
+    ``jnp.linalg.solve`` on hundreds of thousands of tiny systems is
+    two to three orders of magnitude slower on TPU.  The integral
+    Vandermonde systems solved here are diagonally graded and well
+    conditioned after the column-depth normalization, so unpivoted
+    elimination is safe."""
+    a = [[A[i, j] for j in range(4)] for i in range(4)]
+    b = [B[i] for i in range(4)]
+    for k in range(4):
+        inv = 1.0 / a[k][k]
+        for j in range(k + 1, 4):
+            a[k][j] = a[k][j] * inv
+        b[k] = b[k] * inv
+        for i in range(k + 1, 4):
+            f = a[i][k]
+            for j in range(k + 1, 4):
+                a[i][j] = a[i][j] - f * a[k][j]
+            b[i] = b[i] - f * b[k]
+    x3 = b[3]
+    x2 = b[2] - a[2][3] * x3
+    x1 = b[1] - a[1][2] * x2 - a[1][3] * x3
+    x0 = b[0] - a[0][1] * x1 - a[0][2] * x2 - a[0][3] * x3
+    return x0, x1, x2, x3
+
+
 def _boundary_cubic(h, u, bottom: bool):
     """Edge values at the outermost two interfaces from an integral
     cubic fit over the 4 cells nearest the boundary — the boundary
     closure of edge_values_explicit/implicit_h4
     (regrid_edge_values.F90:594-607): solve the 4x4 Vandermonde
     integral-matching system and evaluate the cubic at the boundary
-    and at the first interior interface.  Returns (e_edge, e_next)."""
+    and at the first interior interface.  Returns (e_edge, e_next).
+
+    Positions are normalized by the 4-cell depth so the Vandermonde
+    stays well conditioned; the fit value is invariant under the
+    rescaling."""
     if bottom:
         hh = h[::-1][:4]
         uu = u[::-1][:4]
     else:
         hh = h[:4]
         uu = u[:4]
-    h_min = 1e-10 * (jnp.sum(hh, axis=0) + _H_NEGLECT)
-    dz = jnp.maximum(hh, h_min[None])
+    tot = jnp.sum(hh, axis=0) + _H_NEGLECT
+    h_min = 1e-10
+    dz = jnp.maximum(hh / tot[None], h_min)   # normalized widths
     x = jnp.concatenate([jnp.zeros_like(dz[:1]),
                          jnp.cumsum(dz, axis=0)], axis=0)  # (5, ...)
-    # batch axes last → move to front for linalg
-    powers = jnp.arange(1, 5)                              # j+1
-    # A[i, j] = (x[i+1]^(j+1) - x[i]^(j+1)) / (j+1)
     xi = x[:-1]                                            # (4, ...)
     xip = x[1:]
-    A = (xip[:, None] ** powers.reshape(1, 4, *([1] * (h.ndim - 1)))
-         - xi[:, None] ** powers.reshape(1, 4, *([1] * (h.ndim - 1)))
-         ) / powers.reshape(1, 4, *([1] * (h.ndim - 1)))   # (4,4,...)
+    # A[i, j] = (x_{i+1}^{j+1} − x_i^{j+1})/(j+1)
+    A = jnp.stack([jnp.stack([
+        (xip[i] ** (j + 1) - xi[i] ** (j + 1)) / (j + 1)
+        for j in range(4)], axis=0) for i in range(4)], axis=0)
     B = uu * dz                                            # (4, ...)
-    batch = A.shape[2:]
-    Ab = jnp.moveaxis(A.reshape(4, 4, -1), -1, 0)          # (n,4,4)
-    Bb = jnp.moveaxis(B.reshape(4, -1), -1, 0)[..., None]  # (n,4,1)
-    C = jnp.linalg.solve(Ab, Bb)[..., 0]                   # (n,4)
-    C = jnp.moveaxis(C, 0, -1).reshape((4,) + batch)
+    C0, C1, C2, C3 = _solve4(A, B)
     x1 = x[1]
-    e_edge = C[0]
-    e_next = C[0] + x1 * (C[1] + x1 * (C[2] + x1 * C[3]))
+    e_edge = C0
+    e_next = C0 + x1 * (C1 + x1 * (C2 + x1 * C3))
     return e_edge, e_next
 
 
@@ -458,36 +485,39 @@ def interface_positions(h):
 
 
 def _column_integral_at(h_src, rec: Reconstruction, z_eval):
-    """I(z) = ∫_0^z u dz' for each position in z_eval (m, ...)."""
+    """I(z) = ∫_0^z u dz' for each position in z_eval (m, ...).
+
+    The integral splits into two exactly-disjoint reductions over the
+    source cells — completed cells (their lower interface at or above
+    z contribute their full integral) plus the single containing cell
+    (its partial polynomial integral):
+
+        I(z) = Σ_k cellint_k·[z_{k+1} ≤ z]
+             + Σ_k [z_k ≤ z < z_{k+1}]·h_k·F_k(ξ)
+
+    Both are pure elementwise-into-reduce over the (m, nk, ...) pair
+    space, which XLA fuses without materializing any (m, nk, ...)
+    intermediate — unlike cumulative-scan or gather formulations,
+    which dominated the full-step cost at OM4 scale on TPU.  Vanished
+    layers (z_k == z_{k+1}) never match the inside test and
+    contribute zero width, so shared interfaces are handled without
+    tie-breaking."""
     zs = interface_positions(h_src)          # (nk+1, ...)
     hk = h_src + _H_NEGLECT
-    # cumulative integral at source interfaces
     cell_int = h_src * rec.cell_mean()
-    Icum = jnp.concatenate([jnp.zeros_like(h_src[:1]),
-                            jnp.cumsum(cell_int, axis=0)], axis=0)
     total_z = zs[-1]
     z = jnp.clip(z_eval, 0.0, total_z[None])
 
-    # one-hot interval location: cell k contains z if zs[k] <= z < zs[k+1]
-    zk = zs[:-1]                 # (nk, ...)
-    zk1 = zs[1:]
-    # broadcast (m, 1, ...) vs (1, nk, ...)
-    zb = z[:, None]
-    inside = (zb >= zk[None]) & (zb < zk1[None] + _H_NEGLECT)
-    # exactly one cell per z except z == total: clamp into last cell
-    last = jnp.zeros_like(inside).at[:, -1].set(
-        zb[:, 0] >= zk1[None][:, -1])
-    sel = inside | last
-    # keep only the FIRST matching cell (vanished layers share interfaces)
-    first = jnp.cumsum(sel.astype(jnp.int32), axis=1) == 1
-    sel = sel & first
-
-    xi = (zb - zk[None]) / hk[None]
-    xi = jnp.clip(xi, 0.0, 1.0)
-    partial = hk[None] * rec.integral_to(xi)           # (m, nk, ...)
-    Icum_k = Icum[:-1]
-    I_at = jnp.sum(jnp.where(sel, Icum_k[None] + partial, 0.0), axis=1)
-    return I_at
+    zb = z[:, None]                          # (m, 1, ...)
+    zk = zs[:-1][None]                       # (1, nk, ...)
+    zk1 = zs[1:][None]
+    done = (zk1 <= zb).astype(z.dtype)
+    inside = ((zk <= zb) & (zb < zk1)).astype(z.dtype)
+    I_done = jnp.sum(done * cell_int[None], axis=1)
+    xi = jnp.clip((zb - zk) / hk[None], 0.0, 1.0)
+    partial = hk[None] * rec.integral_to(xi)
+    I_part = jnp.sum(inside * partial, axis=1)
+    return I_done + I_part
 
 
 def remap_column_means(h_src, u_src, h_dst, cfg: RemapCfg = RemapCfg()):
