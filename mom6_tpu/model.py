@@ -372,6 +372,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     if topo_config in ("halfpipe", "benchmark"):
         user_ctx["edge_depth"] = pf.get("EDGE_DEPTH", float, 100.0,
                                         units="m")
+    if pf.has("SHELF_DEPTH"):
+        user_ctx["shelf_depth"] = pf.get("SHELF_DEPTH", float,
+                                         units="m")
     if topo_config in topo_registry:
         _user_topo = topo_registry[topo_config]
 
@@ -825,12 +828,16 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         user_ctx2 = dict(user_ctx, grid=grid, vgrid=vgrid,
                          domain=domain, eos=eos, thermo=thermo,
                          nk_rho_varies=nk_rho_varies, p_ref=p_ref,
+                         t_ref=pf.get("T_REF", float, 10.0,
+                                      units="degC"),
                          s_ref=pf.get("S_REF", float, 35.0,
                                       units="ppt"))
         for k in ("PHILLIPS_SLOPE", "PHILLIPS_AMP", "SLOSHING_AMP",
                   "SEAMOUNT_HEIGHT", "DISK_RADIUS",
                   "DISK_IC_AMPLITUDE", "BENCHMARK_ML_DEPTH_IC",
-                  "BENCHMARK_THERMOCLINE_SCALE", "BENCHMARK_T_LIGHT"):
+                  "BENCHMARK_THERMOCLINE_SCALE", "BENCHMARK_T_LIGHT",
+                  "FRONT_WIDTH", "DELTA_T", "DELTA_S", "ML_DEPTH",
+                  "SSH_ANOMALY_HEIGHT", "SHELF_DEPTH"):
             if pf.has(k):
                 user_ctx2[k.lower()] = pf.get(k, float)
         fields = thickness_registry[thick_cfg](user_ctx2)
@@ -882,9 +889,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 * jnp.ones(shape)
             S = (S0 + S_range * (k_frac - 0.5)).reshape(-1, 1, 1) \
                 * jnp.ones(shape)
-        elif ts_cfg == "benchmark" and thick_cfg == "benchmark":
-            # T/S were built together with the thicknesses
-            # (benchmark_init_temperature_salinity)
+        elif ts_cfg == thick_cfg and thick_cfg in thickness_registry \
+                and "T" in fields:
+            # T/S built together with the thicknesses by the user
+            # config (benchmark / adjustment / rossby_front /
+            # lock_exchange / dense_water families)
             T = jnp.asarray(fields["T"])
             S = jnp.asarray(fields["S"])
         elif ts_cfg == "benchmark":

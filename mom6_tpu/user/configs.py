@@ -89,12 +89,75 @@ def topo_halfpipe(lon, lat, ctx):
         * np.abs(np.sin(np.pi * y))
 
 
+def topo_dome(lon, lat, ctx):
+    """DOME: a deep basin with a continental slope rising to a shelf
+    along the north, cut by an embayment channel in the northwest
+    (DOME_initialization.F90 DOME_initialize_topography)."""
+    H = ctx["max_depth"]
+    south, lenlat = ctx["south"], ctx["lenlat"]
+    west, lenlon = ctx["west"], ctx["lenlon"]
+    yn = (lat - south) / max(lenlat, 1e-30)
+    shelf = ctx.get("shelf_depth", 600.0)
+    # slope from full depth at yn=0.5 up to the shelf at yn=0.8
+    d = H - (H - shelf) * np.clip((yn - 0.5) / 0.3, 0.0, 1.0)
+    # embayment: a channel through the shelf near the west
+    x0 = west + 0.15 * lenlon
+    chan = np.abs(lon - x0) < 0.05 * lenlon
+    d = np.where(chan & (yn > 0.8), shelf, d)
+    return np.maximum(d, ctx.get("min_depth", 1.0))
+
+
+def topo_isomip(lon, lat, ctx):
+    """ISOMIP bedrock: deepens linearly into the cavity
+    (ISOMIP_initialization.F90 essence: flat far field + sloped
+    bedrock under the shelf)."""
+    H = ctx["max_depth"]
+    west, lenlon = ctx["west"], ctx["lenlon"]
+    xn = np.clip((lon - west) / max(lenlon, 1e-30), 0.0, 1.0)
+    return H * (0.6 + 0.4 * xn)
+
+
+def topo_dense_water(lon, lat, ctx):
+    """Dense-water shelf/slope: shallow shelf on the south third,
+    linear slope to the deep basin (dense_water_initialization.F90)."""
+    H = ctx["max_depth"]
+    south, lenlat = ctx["south"], ctx["lenlat"]
+    yn = np.clip((lat - south) / max(lenlat, 1e-30), 0.0, 1.0)
+    shelf = ctx.get("shelf_depth", 500.0)
+    return shelf + (H - shelf) * np.clip((yn - 0.3) / 0.4, 0.0, 1.0)
+
+
+def topo_neverworld(lon, lat, ctx):
+    """Neverworld-style basin: flat abyss with coastal shelves along
+    west/east walls and a mid-basin meridional ridge
+    (Neverworld_initialization.F90 / basin_builder.F90 essence)."""
+    H = ctx["max_depth"]
+    west, lenlon = ctx["west"], ctx["lenlon"]
+    south, lenlat = ctx["south"], ctx["lenlat"]
+    xn = np.clip((lon - west) / max(lenlon, 1e-30), 0.0, 1.0)
+    yn = np.clip((lat - south) / max(lenlat, 1e-30), 0.0, 1.0)
+    d = np.full_like(lon, H, dtype=np.float64)
+    # coastal shelves (cosine ramps over 10% of the basin width)
+    shelf = 0.125 * H
+    for edge in (xn, 1.0 - xn, yn, 1.0 - yn):
+        ramp = np.clip(edge / 0.1, 0.0, 1.0)
+        d = np.minimum(d, shelf + (H - shelf)
+                       * 0.5 * (1.0 - np.cos(np.pi * ramp)))
+    # mid-basin Gaussian ridge up to 0.5H
+    ridge = 0.5 * H * np.exp(-((xn - 0.5) / 0.05) ** 2)
+    return np.maximum(d - ridge, ctx.get("min_depth", 10.0))
+
+
 topo_registry = {
     "seamount": topo_seamount,
     "dome2d": topo_dome2d,
     "dumbbell": topo_dumbbell,
     "benchmark": topo_benchmark,
     "halfpipe": topo_halfpipe,
+    "dome": topo_dome,
+    "isomip": topo_isomip,
+    "dense_water": topo_dense_water,
+    "neverworld": topo_neverworld,
 }
 
 
@@ -295,9 +358,139 @@ def init_circle_obcs(ctx):
     return dict(h=jnp.asarray(h))
 
 
+def init_adjustment(ctx):
+    """Baroclinic adjustment front (adjustment_initialization.F90 /
+    baroclinic_zone_initialization.F90): uniform layers with a tanh
+    temperature front across the channel."""
+    grid, vgrid = ctx["grid"], ctx["vgrid"]
+    nk = vgrid.nk
+    H0 = ctx["max_depth"]
+    latT = np.asarray(grid.geoLatT)
+    south, lenlat = ctx["south"], ctx["lenlat"]
+    yn = (latT - south) / max(lenlat, 1e-30) - 0.5
+    width = ctx.get("front_width", 0.05)          # fraction of LENLAT
+    dT = ctx.get("delta_t", 2.0)
+    t_ref = ctx.get("t_ref", 10.0)
+    shape = (nk,) + latT.shape
+    h = np.full(shape, H0 / nk)
+    T = (t_ref + 0.5 * dT * np.tanh(yn / width))[None] \
+        * np.ones(shape)
+    S = np.full(shape, ctx.get("s_ref", 35.0))
+    return dict(h=jnp.asarray(h), T=jnp.asarray(T), S=jnp.asarray(S))
+
+
+def init_rossby_front(ctx):
+    """Rossby adjustment front (Rossby_front_2d_initialization.F90):
+    a surface temperature front over a mixed layer, with the
+    geostrophically balanced along-front jet."""
+    grid, vgrid = ctx["grid"], ctx["vgrid"]
+    nk = vgrid.nk
+    H0 = ctx["max_depth"]
+    f0 = ctx.get("f0", 1e-4)
+    latT = np.asarray(grid.geoLatT)
+    south, lenlat = ctx["south"], ctx["lenlat"]
+    yn = (latT - south) / max(lenlat, 1e-30) - 0.5
+    dT = ctx.get("delta_t", 2.0)
+    t_ref = ctx.get("t_ref", 10.0)
+    hml = ctx.get("ml_depth", 0.25 * H0)
+    shape = (nk,) + latT.shape
+    h = np.full(shape, H0 / nk)
+    z_mid = (np.arange(nk) + 0.5) * (H0 / nk)
+    in_ml = (z_mid < hml).astype(np.float64)
+    T = t_ref + dT * np.sin(np.pi * np.clip(yn + 0.5, 0, 1)) \
+        * in_ml[:, None, None]
+    S = np.full(shape, ctx.get("s_ref", 35.0))
+    # thermal-wind zonal jet: du/dz = -(g α / f) dT/dy with α≈2e-4
+    latCu = np.asarray(grid.geoLatCu)
+    ynC = (latCu - south) / max(lenlat, 1e-30) - 0.5
+    dTdy = dT * np.pi * np.cos(np.pi * np.clip(ynC + 0.5, 0, 1)) \
+        / max(lenlat * 1e3, 1.0)
+    alpha = 2e-4
+    u_sfc = (9.8 * alpha / f0) * dTdy * hml
+    u = u_sfc[None] * in_ml[:, None, None] \
+        * np.asarray(grid.mask2dCu)[None]
+    return dict(h=jnp.asarray(h), T=jnp.asarray(T), S=jnp.asarray(S),
+                u=jnp.asarray(u))
+
+
+def init_lock_exchange(ctx):
+    """Lock exchange: dense water on the west half of the tank
+    (the classic ALE overturning test)."""
+    grid, vgrid = ctx["grid"], ctx["vgrid"]
+    nk = vgrid.nk
+    H0 = ctx["max_depth"]
+    lonT = np.asarray(grid.geoLonT)
+    xn = (lonT - ctx["west"]) / max(ctx["lenlon"], 1e-30)
+    shape = (nk,) + lonT.shape
+    h = np.full(shape, H0 / nk)
+    dT = ctx.get("delta_t", 2.0)
+    T = (ctx.get("t_ref", 10.0) - dT * (xn < 0.5))[None] \
+        * np.ones(shape)
+    S = np.full(shape, ctx.get("s_ref", 35.0))
+    return dict(h=jnp.asarray(h), T=jnp.asarray(T), S=jnp.asarray(S))
+
+
+def init_external_gwave(ctx):
+    """External gravity wave: a free-surface cosine bump
+    (external_gwave_initialization.F90) — columns scaled so
+    eta = A·cos(πx/L)."""
+    grid, vgrid = ctx["grid"], ctx["vgrid"]
+    nk = vgrid.nk
+    H0 = ctx["max_depth"]
+    amp = ctx.get("ssh_anomaly_height", 1.0)
+    lonT = np.asarray(grid.geoLonT)
+    xn = (lonT - ctx["west"]) / max(ctx["lenlon"], 1e-30)
+    eta = amp * np.cos(np.pi * xn)
+    scale = (H0 + eta) / H0
+    h = np.full((nk,) + lonT.shape, H0 / nk) * scale[None]
+    return dict(h=jnp.asarray(h))
+
+
+def init_dome(ctx):
+    """DOME layered IC (DOME_initialization.F90): exponentially
+    thinning layers toward the bottom so the dense classes start
+    nearly massless outside the inflow."""
+    grid, vgrid = ctx["grid"], ctx["vgrid"]
+    nk = vgrid.nk
+    bathy = np.asarray(grid.bathyT)
+    # exponentially spaced nominal interface depths, clipped by the
+    # local topography (dense classes nearly massless off the slope)
+    zi = np.minimum(np.exp(np.linspace(
+        0.0, np.log(np.maximum(bathy.max(), 1.0) + 1.0),
+        nk + 1))[:, None, None] - 1.0, bathy[None])
+    h = np.maximum(zi[1:] - zi[:-1], 1e-3)
+    return dict(h=jnp.asarray(h))
+
+
+def init_dense_water(ctx):
+    """Dense shelf water (dense_water_initialization.F90): a salinity
+    anomaly in the upper water column over the southern shelf."""
+    grid, vgrid = ctx["grid"], ctx["vgrid"]
+    nk = vgrid.nk
+    H0 = ctx["max_depth"]
+    latT = np.asarray(grid.geoLatT)
+    south, lenlat = ctx["south"], ctx["lenlat"]
+    yn = (latT - south) / max(lenlat, 1e-30)
+    shape = (nk,) + latT.shape
+    h = np.full(shape, H0 / nk)
+    z_mid = (np.arange(nk) + 0.5) * (H0 / nk)
+    in_ml = (z_mid < ctx.get("ml_depth", 0.2 * H0))
+    dS = ctx.get("delta_s", 1.5)
+    S = ctx.get("s_ref", 35.0) \
+        + dS * (yn < 0.3)[None] * in_ml[:, None, None]
+    T = np.full(shape, ctx.get("t_ref", 5.0))
+    return dict(h=jnp.asarray(h), T=jnp.asarray(T), S=jnp.asarray(S))
+
+
 thickness_registry = {
     "phillips": init_phillips,
     "sloshing": init_sloshing,
     "benchmark": init_benchmark,
     "circle_obcs": init_circle_obcs,
+    "adjustment": init_adjustment,
+    "rossby_front": init_rossby_front,
+    "lock_exchange": init_lock_exchange,
+    "external_gwave": init_external_gwave,
+    "dome": init_dome,
+    "dense_water": init_dense_water,
 }
