@@ -131,11 +131,25 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     if cfg.tides_fn is not None:
         e_tidal = cfg.tides_fn(eta, 0.0 if t is None else t)
 
+    # depth-mean velocities for the GME backscatter stress
+    gme_kw = {}
+    if cfg.horvisc.use_gme:
+        from mom6_tpu.parallel.stencil import ip1 as _ip1, jp1 as _jp1
+        h_u = 0.5 * (h_av + _ip1(h_av))
+        h_v = 0.5 * (h_av + _jp1(h_av))
+        gme_kw = dict(
+            u_bt=jnp.sum(h_u * u_av, axis=0)
+            / (jnp.sum(h_u, axis=0) + 1e-30),
+            v_bt=jnp.sum(h_v * v_av, axis=0)
+            / (jnp.sum(h_v, axis=0) + 1e-30),
+            htot=jnp.sum(h_av, axis=0))
+
     # ---- PREDICTOR ----
     pf = pressure_force(grid, vgrid, h, T, S, eos, p_atm=forces.p_surf,
                         cfg=cfg.pressure, e_tidal=e_tidal)
     pbce, eta_pf = pf.pbce, pf.eta_pf
-    dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc)
+    dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
+                              **gme_kw)
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
     u_bc_accel = (ca.CAu + pf.PFu) + dv.diffu
     v_bc_accel = (ca.CAv + pf.PFv) + dv.diffv
@@ -203,7 +217,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                         p_atm=forces.p_surf, cfg=cfg.pressure,
                         e_tidal=e_tidal)
     pbce, eta_pf = pf.pbce, pf.eta_pf
-    dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc)
+    dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
+                              **gme_kw)
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
     u_bc_accel = (ca.CAu + pf.PFu) + dv.diffu
     v_bc_accel = (ca.CAv + pf.PFv) + dv.diffv

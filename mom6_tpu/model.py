@@ -675,6 +675,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         zb_scaling=pf.get("ZB_SCALING", float, 0.5),
         zb_type=pf.get("ZB_TYPE", int, 0),
         zb_cons=pf.get("ZB_CONS", int, 0),
+        use_gme=pf.get("USE_GME", bool, False),
+        gme_h0=pf.get("GME_H0", float, 1000.0, units="m"),
+        gme_efficiency=pf.get("GME_EFFICIENCY", float, 1.0),
+        gme_limiter=pf.get("GME_LIMITER", float, 1.0e7,
+                           units="m2 s-1"),
+        gme_kh=pf.get("KHTH", float, 0.0, units="m2 s-1"),
         dt=dt)
     pf.module("MOM_PressureForce")
     use_stanley_pgf = pf.get("USE_STANLEY_PGF", bool, False)

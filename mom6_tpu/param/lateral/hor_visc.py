@@ -61,6 +61,14 @@ class HorViscCfg:
     zb_scaling: float = 0.5       # ZB_SCALING
     zb_type: int = 0              # ZB_TYPE
     zb_cons: int = 0              # ZB_CONS
+    # GME backscatter (USE_GME, MOM_hor_visc.F90:1685): anti-viscous
+    # stress proportional to the BAROTROPIC strain with the GM
+    # thickness diffusivity as the coefficient
+    use_gme: bool = False         # USE_GME
+    gme_h0: float = 1000.0        # GME_H0 [m]
+    gme_efficiency: float = 1.0   # GME_EFFICIENCY
+    gme_limiter: float = 1.0e7    # GME_LIMITER [m2 s-1]
+    gme_kh: float = 0.0           # GM KH fed back (KHTH)
 
 
 class HorViscResult(NamedTuple):
@@ -91,11 +99,24 @@ def _combine(base, les, add):
     return base + les if add else jnp.maximum(base, les)
 
 
+def _smooth9(f):
+    """One 9-point smoothing pass (the smooth_GME diffusive filter)."""
+    c = 0.25 * f
+    e = 0.125 * (ip1(f) + im1(f) + jp1(f) + jm1(f))
+    x = 0.0625 * (ip1(jp1(f)) + im1(jp1(f))
+                  + ip1(jm1(f)) + im1(jm1(f)))
+    return c + e + x
+
+
 def horizontal_viscosity(grid: Grid, u, v, h,
-                         cfg: HorViscCfg = HorViscCfg()) -> HorViscResult:
+                         cfg: HorViscCfg = HorViscCfg(),
+                         u_bt=None, v_bt=None,
+                         htot=None) -> HorViscResult:
     """(diffu, diffv) [m s-2] from Laplacian+biharmonic friction.
 
-    Needs u, v valid to ≥2 halo rings, h to ≥1."""
+    Needs u, v valid to ≥2 halo rings, h to ≥1.  With USE_GME the
+    caller supplies the (2D) barotropic velocities and column depth;
+    the GME stress backscatters energy at the barotropic strain."""
     zb_u = zb_v = None
     if cfg.use_zb2020:
         from mom6_tpu.param.lateral.zanna_bolton import (ZB2020Cfg,
@@ -245,6 +266,25 @@ def horizontal_viscosity(grid: Grid, u, v, h,
             Ah_q = jnp.minimum(Ah_q, 0.012 * grid_sp_q2 ** 2 / cfg.dt)
         str_xx = str_xx + Ah_h * bh_xx
         str_xy = str_xy + Ah_q * bh_xy
+
+    if cfg.use_gme and u_bt is not None:
+        # GME (:1685-1708): anti-viscous stress at the barotropic
+        # strain, coefficient = efficiency·min(htot/H0,1)²·KH_GM,
+        # capped and smoothed once
+        sh_xx_bt, sh_xy_bt, _, _ = _strains(grid, u_bt, v_bt,
+                                            cfg.no_slip)
+        if htot is None:
+            htot = jnp.sum(h, axis=0)
+        effic_h = cfg.gme_efficiency * grid.mask2dT \
+            * jnp.minimum(htot / cfg.gme_h0, 1.0) ** 2
+        htot_q = 0.25 * ((htot + ip1(jp1(htot)))
+                         + (ip1(htot) + jp1(htot)))
+        effic_q = cfg.gme_efficiency * grid.mask2dBu \
+            * jnp.minimum(htot_q / cfg.gme_h0, 1.0) ** 2
+        coeff_h = jnp.minimum(effic_h * cfg.gme_kh, cfg.gme_limiter)
+        coeff_q = jnp.minimum(effic_q * cfg.gme_kh, cfg.gme_limiter)
+        str_xx = str_xx + _smooth9(coeff_h * sh_xx_bt)
+        str_xy = str_xy + _smooth9(coeff_q * sh_xy_bt) * grid.mask2dBu
 
     # thickness weighting.  hq is the harmonic-style mean of the four
     # surrounding face thicknesses (MOM_hor_visc.F90:1426): it vanishes
