@@ -108,6 +108,13 @@ def main(argv=None):
     timeunit = pf.get("TIMEUNIT", float, 86400.0, units="s")
     energysavedays = pf.get("ENERGYSAVEDAYS", float, 1.0,
                             units="TIMEUNIT") * (timeunit / 86400.0)
+    # DEBUG checksum-flood mode (the reference's DEBUG=True prints
+    # hchksum/uvchksum of the prognostic fields through the step; here
+    # the driver writes one checksum block per step to chksum_debug)
+    pf.module("MOM_debugging")
+    debug_mode = pf.get("DEBUG", bool, False)
+    # U_TRUNC_FILE-style truncation dumps (MOM_PointAccel.F90)
+    u_trunc_file = pf.get("U_TRUNC_FILE", str, "")
     pf.module("MOM_restart")
     restint = pf.get("RESTINT", float, 0.0, units="days")
     unused = pf.close(fatal_unused=False)
@@ -172,9 +179,31 @@ def main(argv=None):
                     diags.post_state(g, vg, state)
         if n == step0 + nsteps:
             break
+        truncs_before = step.truncations() if u_trunc_file else 0
         with clock("step_MOM"):
             state, split_state, tracers = step(state, split_state,
                                                tracers, n)
+        if debug_mode:
+            # checksum flood: one block of prognostic checksums per
+            # step (hchksum/uvchksum analog of DEBUG=True)
+            from mom6_tpu.framework.checksums import hchksum_str
+            with open(os.path.join(args.case_dir, "chksum_debug"),
+                      "a") as f:
+                f.write(f"= step {n + 1}\n")
+                for nm, fld in (("u", state.u), ("v", state.v),
+                                ("h", state.h), ("T", state.T),
+                                ("S", state.S)):
+                    if fld is not None:
+                        f.write(hchksum_str(d, fld, nm) + "\n")
+        if u_trunc_file and step.truncations() > truncs_before:
+            # PointAccel-style dump of the worst column when the
+            # velocity limiter fired this step
+            from mom6_tpu.diagnostics.point_accel import \
+                dump_worst_column
+            dump_worst_column(
+                os.path.join(args.case_dir, u_trunc_file), d,
+                model.grid, state, n + 1,
+                label=f"({step.truncations() - truncs_before} truncs)")
         if write_offline:
             off = step.offline_fields()
             if off is not None and off is not off_last:
