@@ -48,16 +48,22 @@ def test_tidal_mixing_bottom_intensified():
 
 
 def test_porous_fraction():
+    """A knife-edge sill (Dmin ≈ Dmax ≈ Davg at -150 m) blocks
+    everything below and passes everything above — the step-function
+    limit of the Adcroft fit."""
+    import dataclasses as dc
     d = Domain(ni=8, nj=8, halo=2)
     g = cartesian_grid(d, lenlon_km=80.0, lenlat_km=80.0)
-    # 3 layers between 0 and -300
     e = jnp.broadcast_to(jnp.asarray([0.0, -100.0, -200.0, -300.0]
                                      ).reshape(4, 1, 1), (4, 12, 12))
-    sill = jnp.full((12, 12), 150.0)   # sill at 150 m depth
-    pu, pv = porous_widths_layer(g, e, sill_depth_u=sill,
-                                 sill_depth_v=sill)
+    gp = dc.replace(
+        g,
+        porous_DminU=jnp.full((12, 12), -150.0 - 1e-6),
+        porous_DmaxU=jnp.full((12, 12), -150.0 + 1e-6),
+        porous_DavgU=jnp.full((12, 12), -150.0))
+    pu = porous_widths_layer(gp, e, "U")
     pu = np.asarray(pu)[:, 5, 5]
-    np.testing.assert_allclose(pu, [1.0, 0.5, 0.0], atol=1e-12)
+    np.testing.assert_allclose(pu, [1.0, 0.5, 0.0], atol=1e-6)
 
 
 def test_gridded_random_layout_invariant():
