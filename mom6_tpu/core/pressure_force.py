@@ -44,6 +44,11 @@ class PressureForceCfg:
     # USE_STANLEY_PGF: subgrid-T-variance density correction
     # (MOM_PressureForce_FV.F90:997); < 0 disables
     stanley_coeff: float = -1.0  # STANLEY_COEFF
+    # vertical quadrature points for the layer density integral
+    # (MOM_density_integrals.F90 int_density_dz 5-point Boole rule;
+    # 1 = midpoint).  5 recovers the reference's analytic-integral
+    # accuracy for any EOS without per-form closed forms.
+    quad_points: int = 1
 
 
 class PressureForceResult(NamedTuple):
@@ -62,11 +67,29 @@ def interface_heights(vgrid: VerticalGrid, h, bathyT):
     return -bathyT[None] + above_bottom
 
 
-def _layer_densities(vgrid: VerticalGrid, h, e, T, S, eos, rho0, g):
-    """Layer-mean in-situ density (nk, njh, nih)."""
+_BOOLE_W = (7.0 / 90.0, 32.0 / 90.0, 12.0 / 90.0, 32.0 / 90.0,
+            7.0 / 90.0)
+
+
+def _layer_densities(vgrid: VerticalGrid, h, e, T, S, eos, rho0, g,
+                     quad_points: int = 1):
+    """Layer-mean in-situ density (nk, njh, nih).
+
+    quad_points=5 evaluates the EOS at 5 Boole-rule levels through
+    each layer (T/S uniform within the layer, pressure varying) — the
+    vertically exact layer density integral for any smooth EOS, the
+    int_density_dz_generic_pcm analog
+    (MOM_density_integrals.F90:228)."""
     if T is None or eos is None:
         rlay = vgrid.Rlay.reshape(-1, 1, 1)
         return jnp.broadcast_to(rlay, h.shape)
+    if quad_points == 5:
+        rho = 0.0
+        for m, w in enumerate(_BOOLE_W):
+            frac = m / 4.0
+            z = e[:-1] * (1.0 - frac) + e[1:] * frac
+            rho = rho + w * eos.density(T, S, -rho0 * g * z)
+        return rho
     z_mid = 0.5 * (e[:-1] + e[1:])
     p_mid = -rho0 * g * z_mid
     return eos.density(T, S, p_mid)
@@ -97,7 +120,8 @@ def pressure_force(grid: Grid, vgrid: VerticalGrid, h, T=None, S=None,
             res = res._replace(eta_pf=e_true[0])
         return res
 
-    rho = _layer_densities(vgrid, h, e, T, S, eos, rho0, g)
+    rho = _layer_densities(vgrid, h, e, T, S, eos, rho0, g,
+                           quad_points=cfg.quad_points)
     if cfg.stanley_coeff >= 0.0 and T is not None and eos is not None:
         # Stanley parameterization: rho += 0.5 varT d2rho/dT2
         from mom6_tpu.core.stoch_eos import (calc_varT,

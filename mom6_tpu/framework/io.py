@@ -16,7 +16,8 @@ from typing import Any, Optional
 
 import numpy as np
 
-__all__ = ["write_fields", "read_field", "read_fields", "field_names"]
+__all__ = ["write_fields", "read_field", "read_fields", "field_names",
+           "write_fields_decomposed", "combine_decomposed"]
 
 
 def write_fields(path: str, fields: dict[str, np.ndarray],
@@ -79,3 +80,57 @@ def field_names(path: str) -> list[str]:
     from scipy.io import netcdf_file
     with netcdf_file(path, "r") as nc:
         return sorted(nc.variables)
+
+
+def write_fields_decomposed(path: str, fields: dict[str, np.ndarray],
+                            io_layout: tuple[int, int],
+                            dims: dict | None = None,
+                            attrs: dict | None = None) -> list[str]:
+    """Decomposed output (the FMS IO_LAYOUT): split each (..., nj, ni)
+    field into io_layout=(nx, ny) tiles and write ``path.NNNN`` files
+    with tile-offset attributes, the mppnccombine input convention
+    (MOM_domain_infra.F90 IO domains).  Returns the file list."""
+    nx, ny = io_layout
+    sample = next(iter(fields.values()))
+    nj, ni = np.asarray(sample).shape[-2:]
+    if ni % nx or nj % ny:
+        raise ValueError(f"fields ({nj},{ni}) not divisible by "
+                         f"IO_LAYOUT ({nx},{ny})")
+    nil, njl = ni // nx, nj // ny
+    paths = []
+    for by in range(ny):
+        for bx in range(nx):
+            pe = by * nx + bx
+            tile = {k: np.asarray(v)[..., by * njl:(by + 1) * njl,
+                                     bx * nil:(bx + 1) * nil]
+                    for k, v in fields.items()}
+            p = f"{path}.{pe:04d}"
+            a = dict(attrs or {})
+            for k in tile:
+                a.setdefault(k, {})
+                a[k] = dict(a[k], domain_decomposition=np.asarray(
+                    [ni, nj, bx * nil, by * njl], np.int32))
+            write_fields(p, tile, dims=dims, attrs=a)
+            paths.append(p)
+    return paths
+
+
+def combine_decomposed(path: str, io_layout: tuple[int, int]
+                       ) -> dict[str, np.ndarray]:
+    """Reassemble ``path.NNNN`` tiles into global arrays — the
+    mppnccombine analog."""
+    nx, ny = io_layout
+    tiles = [read_fields(f"{path}.{pe:04d}",
+                         field_names(f"{path}.{pe:04d}"))
+             for pe in range(nx * ny)]
+    out = {}
+    for name, t0 in tiles[0].items():
+        njl, nil = t0.shape[-2:]
+        full = np.zeros(t0.shape[:-2] + (njl * ny, nil * nx), t0.dtype)
+        for by in range(ny):
+            for bx in range(nx):
+                full[..., by * njl:(by + 1) * njl,
+                     bx * nil:(bx + 1) * nil] = \
+                    tiles[by * nx + bx][name]
+        out[name] = full
+    return out

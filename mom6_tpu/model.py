@@ -686,7 +686,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     use_stanley_pgf = pf.get("USE_STANLEY_PGF", bool, False)
     pgf_cfg = PressureForceCfg(
         stanley_coeff=pf.get("STANLEY_COEFF", float, -1.0)
-        if use_stanley_pgf else -1.0)
+        if use_stanley_pgf else -1.0,
+        # 5-point Boole layer-density integrals by default with an
+        # active EOS (the reference's analytic int_density_dz);
+        # PGF_QUAD_POINTS=1 falls back to midpoint sampling
+        quad_points=pf.get("PGF_QUAD_POINTS", int,
+                           5 if thermo else 1))
 
     # ---- astronomical tides + self-attraction and loading
     # (MOM_tidal_forcing.F90 / MOM_self_attr_load.F90) ----

@@ -42,6 +42,31 @@ def propagate_ensemble(step_fn: Callable, states, n_steps: int = 1):
     return states
 
 
+def propagate_ensemble_sharded(step_fn: Callable, states,
+                               n_steps: int = 1, mesh=None,
+                               axis: str = "ens"):
+    """Multi-slice ensemble propagation: members sharded over devices
+    (the reference ensemble_manager's PE-list partition,
+    MOM_oda_driver.F90; here a one-axis device mesh instead of MPI
+    pelists).  Each device advances its member slab with the same
+    vmapped program; ensemble statistics afterwards are plain
+    axis-0 reductions with XLA inserting the gathers.
+
+    mesh: a Mesh with axis ``axis`` (default: all devices on one
+    axis).  Leading ensemble dim must divide the axis size."""
+    from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+    import numpy as np
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), (axis,))
+    sharding = NamedSharding(mesh, P(axis))
+    states = jax.tree.map(lambda a: jax.device_put(a, sharding),
+                          states)
+    vstep = jax.jit(jax.vmap(step_fn))
+    for _ in range(n_steps):
+        states = vstep(states)
+    return states
+
+
 def ensemble_stats(field):
     """(mean, spread) over the leading ensemble axis."""
     mean = jnp.mean(field, axis=0)

@@ -76,3 +76,38 @@ def test_pbce_layered():
     # pbce[0] = g (free surface); deeper layers pick up g' contributions
     np.testing.assert_allclose(pbce[0], 9.8, rtol=1e-12)
     assert np.all(pbce[1] > pbce[0] - 1e-9)
+
+
+def test_quadrature_layer_density_exact_for_linear_compressibility():
+    """For an EOS linear in pressure the 5-point Boole layer mean
+    equals the midpoint value; for the Wright EOS (nonlinear in p)
+    the quadrature differs and converges to the true integral."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mom6_tpu.core.pressure_force import _layer_densities
+    from mom6_tpu.core.vertical_grid import VerticalGrid
+    from mom6_tpu.eos import make_eos
+    vg = VerticalGrid.uniform(nk=2)
+    h = jnp.full((2, 3, 3), 2000.0)
+    e = jnp.asarray([0.0, -2000.0, -4000.0]).reshape(3, 1, 1) \
+        * jnp.ones((3, 3, 3))
+    T = jnp.full((2, 3, 3), 5.0)
+    S = jnp.full((2, 3, 3), 35.0)
+    lin = make_eos("LINEAR")
+    r1 = _layer_densities(vg, h, e, T, S, lin, 1035.0, 9.8, 1)
+    r5 = _layer_densities(vg, h, e, T, S, lin, 1035.0, 9.8, 5)
+    np.testing.assert_allclose(np.asarray(r5), np.asarray(r1),
+                               rtol=1e-14)
+    wr = make_eos("WRIGHT")
+    w1 = _layer_densities(vg, h, e, T, S, wr, 1035.0, 9.8, 1)
+    w5 = _layer_densities(vg, h, e, T, S, wr, 1035.0, 9.8, 5)
+    d15 = float(jnp.max(jnp.abs(w5 - w1)))
+    assert d15 > 0.0                        # curvature resolved
+    # brute-force reference: 401-point trapezoid over the layer
+    z = jnp.linspace(0.0, -2000.0, 401).reshape(-1, 1, 1, 1)
+    rho_z = wr.density(T[None, :1], S[None, :1],
+                       -1035.0 * 9.8 * z)
+    w_tz = (jnp.sum(rho_z, axis=0) - 0.5 * (rho_z[0] + rho_z[-1])) \
+        / 400.0
+    np.testing.assert_allclose(float(w5[0, 0, 0]),
+                               float(w_tz[0, 0, 0]), rtol=1e-9)
