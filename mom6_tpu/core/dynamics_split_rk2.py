@@ -94,6 +94,8 @@ class SplitDiags(NamedTuple):
     # internal-tide energy density (n_angle, njh, nih) [J m-2],
     # carried across steps when INTERNAL_TIDES is on
     int_tide_en: Optional[jnp.ndarray] = None
+    # SPPT AR(1) pattern carried across steps when DO_SPPT is on
+    sppt_pattern: Optional[jnp.ndarray] = None
 
 
 def init_split_state(domain: Domain, grid: Grid, vgrid: VerticalGrid,

@@ -79,6 +79,9 @@ class OceanCfg:
     int_tides: Optional[object] = None   # InternalTidesCfg
     int_tide_utide: float = 0.0          # UTIDE barotropic rms [m s-1]
     int_tide_h2: float = 2500.0          # roughness variance [m2]
+    # --- SPPT stochastic physics perturbations (MOM_stochastics) ---
+    sppt: Optional[object] = None        # StochasticsCfg (None = off)
+    sppt_seed: int = 12345
 
 
 def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -88,7 +91,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                x_first: bool = True, tracer_registry=None, obc=None,
                do_thermo: bool = True, uhtr_accum=None,
                vhtr_accum=None, obc_reservoirs=None, mld_prev=None,
-               t=None, int_tide_en=None):
+               t=None, int_tide_en=None, sppt_pattern=None):
     """One full ocean step of length dt.
 
     ``do_thermo`` gates the tracer-advection/diabatic/ALE phases (the
@@ -282,10 +285,30 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             int_tide_en = itr.En
             tidal_e2d = itr.itidal_loss
             diags = diags._replace(int_tide_en=int_tide_en)
+        sppt_on = cfg.sppt is not None and cfg.sppt.do_sppt \
+            and state.T is not None
+        if sppt_on:
+            # SPPT (MOM_stochastics SPPT): an AR(1) smoothed random
+            # pattern multiplies the column-physics tendencies
+            from mom6_tpu.param.stochastic.stochastics import (
+                init_pattern, step_pattern, apply_sppt)
+            step_i = jnp.asarray(
+                jnp.round((0.0 if t is None else t) / dt),
+                jnp.int32)
+            pat = sppt_pattern if sppt_pattern is not None else \
+                init_pattern(domain, cfg.sppt, cfg.sppt_seed)
+            pat = step_pattern(domain, cfg.sppt, pat, cfg.sppt_seed,
+                               step_i)
+            diags = diags._replace(sppt_pattern=pat)
+            T_b, S_b = state.T, state.S
         state, tracers, dia = diabatic(state, fluxes, dt, cfg.diabatic,
                                        tracers, vgrid=vgrid, eos=eos,
                                        forces=forces, grid=grid,
                                        tidal_energy_2d=tidal_e2d)
+        if sppt_on:
+            state = state.replace(
+                T=T_b + apply_sppt(cfg.sppt, state.T - T_b, pat),
+                S=S_b + apply_sppt(cfg.sppt, state.S - S_b, pat))
         if "frazil" in dia:
             diags = diags._replace(frazil=dia["frazil"])
         if "mld" in dia:

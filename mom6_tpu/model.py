@@ -208,7 +208,7 @@ class Model:
 
         def mk(x_first, do_thermo):
             def step(state, split_state, tracers, uacc, vacc, res,
-                     mld, t, iten):
+                     mld, t, iten, sppt_pat):
                 # t: traced model time (s) at the step center, for
                 # time-interpolated file forcing / data_override
                 fc = self.forces_fn(t) if self.forces_fn is not None \
@@ -263,16 +263,16 @@ class Model:
                     obc=ob, do_thermo=do_thermo,
                     uhtr_accum=uacc, vhtr_accum=vacc,
                     obc_reservoirs=res, mld_prev=mld, t=t,
-                    int_tide_en=iten)
+                    int_tide_en=iten, sppt_pattern=sppt_pat)
                 res_out = rest[0] if rest else None
                 return (st, a, tr, diags.uhtr, diags.vhtr,
                         diags.truncs, res_out, diags.mld,
-                        diags.int_tide_en)
+                        diags.int_tide_en, diags.sppt_pattern)
             return jax.jit(step)
         fns = {(xf, th): mk(xf, th) for xf in (True, False)
                for th in (True, False)}
         acc = {"u": None, "v": None, "truncs": 0, "res": None,
-               "mld": None, "iten": None}
+               "mld": None, "iten": None, "sppt": None}
         if use_res:
             acc["res"] = self.obc.init_tracer_reservoirs(self.tracers)
 
@@ -287,15 +287,17 @@ class Model:
             # advance never recompiles
             t = jnp.asarray((n + 0.5) * self.dt,
                             dtype=jnp.result_type(float))
-            s, a, tr, uh, vh, tn, res, mld, iten = f(
+            s, a, tr, uh, vh, tn, res, mld, iten, spat = f(
                 state, split_state, tracers, ua, va, acc["res"],
-                acc["mld"], t, acc["iten"])
+                acc["mld"], t, acc["iten"], acc["sppt"])
             if res is not None:
                 acc["res"] = res
             if mld is not None:
                 acc["mld"] = mld
             if iten is not None:
                 acc["iten"] = iten
+            if spat is not None:
+                acc["sppt"] = spat
             if do_thermo:
                 # completed accumulation interval: the transports the
                 # tracer advection just consumed plus the end-of-
@@ -319,6 +321,19 @@ class Model:
         # first thermo step)
         step.offline_fields = lambda: acc.get("off")
         return step
+
+
+def _build_waves_cfg(pf):
+    """WavesCfg from MOM_input (MOM_wave_interface.F90 params)."""
+    if not pf.get("USE_WAVES", bool, False):
+        return None
+    from mom6_tpu.param.waves.wave_interface import WavesCfg
+    return WavesCfg(
+        wave_method=pf.get("WAVE_METHOD", str, "EMPIRICAL"),
+        const_us=pf.get("CONST_STOKES_DRIFT", float, 0.0,
+                        units="m s-1"),
+        const_decay=pf.get("STOKES_DECAY_SCALE", float, 5.0,
+                           units="m"))
 
 
 def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
@@ -1152,7 +1167,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         do_frazil=pf.get("FRAZIL", bool, False),
         frazil=FrazilCfg(rho0=rho0, g=g_earth,
                          cp=pf.get("C_P", float, 3991.86795711963,
-                                   units="J kg-1 K-1")))
+                                   units="J kg-1 K-1")),
+        use_waves=pf.get("USE_WAVES", bool, False),
+        waves=_build_waves_cfg(pf))
     pf.module("MOM_thickness_diffuse")
     # THICKNESSDIFFUSE is the reference's master switch; KHTH alone
     # also activates the scheme for backward compatibility
@@ -1298,6 +1315,17 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         it_h2 = pf.get("TIDAL_ROUGHNESS_H2", float, 2500.0,
                        units="m2")
 
+    # ---- stochastic physics (MOM_stochastics SPPT) ----
+    pf.module("MOM_stochastics")
+    sppt_cfg = None
+    if pf.get("DO_SPPT", bool, False):
+        from mom6_tpu.param.stochastic.stochastics import StochasticsCfg
+        sppt_cfg = StochasticsCfg(
+            do_sppt=True,
+            sppt_amplitude=pf.get("SPPT_AMPLITUDE", float, 0.5),
+            decorr_steps=pf.get("SPPT_DECORR_STEPS", int, 48),
+            smooth_passes=pf.get("SPPT_SMOOTH_PASSES", int, 4))
+
     ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
                          unsplit_cfg=unsplit_cfg,
                          tracer_adv=adv_cfg,
@@ -1319,7 +1347,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                          hordiff=hordiff_cfg,
                          use_neutral=use_neutral, neutral=neutral_cfg,
                          int_tides=int_tides_cfg,
-                         int_tide_utide=it_utide, int_tide_h2=it_h2)
+                         int_tide_utide=it_utide, int_tide_h2=it_h2,
+                         sppt=sppt_cfg,
+                         sppt_seed=pf.get("SPPT_SEED", int, 12345))
     if use_meke:
         state = state.replace(meke=jnp.zeros_like(state.h[0])
                               + pf.get("MEKE_INIT", float, 1e-7,

@@ -77,6 +77,10 @@ class DiabaticCfg:
     regularize: RegularizeLayersCfg = RegularizeLayersCfg()
     do_frazil: bool = False        # FRAZIL
     frazil: FrazilCfg = FrazilCfg()
+    # surface-wave (Langmuir) enhancement of the boundary-layer mixing
+    # (USE_WAVES; MOM_wave_interface.F90 -> KPP/ePBL enhancement)
+    use_waves: bool = False
+    waves: object = None           # WavesCfg
 
 
 def _surface_buoyancy_flux(fluxes, T, S, eos, rho0, g):
@@ -141,12 +145,27 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
         buoy_flux = _surface_buoyancy_flux(fluxes, T, S, eos,
                                            cfg.rho0, g)
 
+    lang_enh = None
+    if cfg.use_waves and cfg.waves is not None:
+        # Langmuir enhancement from the empirical Stokes drift: the
+        # Li et al. (2016) factor scales the boundary-layer
+        # diffusivity (proportional to the enhanced w_s/mstar)
+        from mom6_tpu.param.waves.wave_interface import (
+            stokes_profile, langmuir_number, langmuir_enhancement)
+        u10 = 800.0 * ustar        # tau continuity across the surface
+        st = stokes_profile(cfg.waves, h, u10=u10)
+        la = langmuir_number(ustar, st.us0)
+        lang_enh = langmuir_enhancement(la)
+
     mld = None
     if cfg.use_kpp and vgrid is not None:
         kpp = kpp_coefficients(cfg.kpp, state.u, state.v, h, T, S, eos,
                                cfg.rho0, vgrid.g_Earth, ustar=ustar,
                                buoy_flux=buoy_flux)
-        kd_int = kd_int + kpp.kd_int
+        kd_kpp = kpp.kd_int
+        if lang_enh is not None:
+            kd_kpp = kd_kpp * lang_enh[None]
+        kd_int = kd_int + kd_kpp
         mld = kpp.bld
     elif cfg.use_epbl and vgrid is not None:
         absf = None
@@ -158,7 +177,10 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
         ep = energetic_pbl(cfg.epbl, h, T, S, eos, cfg.rho0,
                            vgrid.g_Earth, dt, ustar=ustar,
                            buoy_flux=buoy_flux, absf=absf)
-        kd_int = kd_int + ep.kd_int
+        kd_ep = ep.kd_int
+        if lang_enh is not None:
+            kd_ep = kd_ep * lang_enh[None]
+        kd_int = kd_int + kd_ep
         mld = ep.mld
 
     # --- surface flux application (applyBoundaryFluxesInOut) ---
