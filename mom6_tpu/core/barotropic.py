@@ -246,6 +246,17 @@ def _narrow(domain: Domain, dw: Domain, f):
     return domain.fill_halos(out)
 
 
+
+def _fill_bt(domain: Domain, eta, ubt, vbt, width=None):
+    """Fill the (eta, ubt, vbt) trio with fold-aware staggering: eta
+    is a T scalar, (ubt, vbt) a C-grid vector pair (sign flip across
+    a tripolar fold)."""
+    if domain.tripolar_n:
+        eta = domain.fill_halos(eta, width)
+        ubt, vbt = domain.fill_vector_halos(ubt, vbt, width)
+        return eta, ubt, vbt
+    return domain.fill_halos((eta, ubt, vbt), width)
+
 def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
            u_in, v_in, eta_in, h,
            bc_accel_u, bc_accel_v, pbce, u_cor, v_cor,
@@ -352,6 +363,9 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
 
     fill = domain.fill_halos
 
+    def _fill_bt3(trio, width=None):
+        return _fill_bt(domain, trio[0], trio[1], trio[2], width)
+
     # collect the per-call 2D constants the subcycle needs; the wide-
     # halo path re-embeds exactly these into wider padding
     consts = dict(Datu=Datu, Datv=Datv, gtot_E=gtot_E, gtot_W=gtot_W,
@@ -396,6 +410,11 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
 
     # round substep count up to an even multiple of the exchange period
     period = max(1, int(cfg.wide_halo_period))
+    if period > 1 and domain.tripolar_n:
+        # the wide-halo re-embedding fills everything as T scalars;
+        # across a tripolar fold ubt/vbt need vector sign handling,
+        # so exchange every substep there
+        period = 1
     if period > 1 and obc is not None:
         # the comm-avoiding wide-halo march recomputes a shrinking
         # overlap between exchanges, which would skip the per-substep
@@ -430,7 +449,7 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         if use_curve:
             curve_args = (consts["cu"], consts["cv"],
                           consts["uhbt0"], consts["vhbt0"])
-        eta_r0, ubt_r0, vbt_r0 = fill((eta_in, ubt0, vbt0),
+        eta_r0, ubt_r0, vbt_r0 = _fill_bt3((eta_in, ubt0, vbt0),
                                       width=_bt_w(domain))
         _, _, _, sums = subcycle_pallas(
             eta_r0, ubt_r0, vbt_r0, consts, curve_args, wt_rows,
@@ -466,10 +485,13 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         fill_w = 3 * period
     else:
         dom_run = domain
-        eta_r, ubt_r, vbt_r = fill((eta_in, ubt0, vbt0),
+        eta_r, ubt_r, vbt_r = _fill_bt3((eta_in, ubt0, vbt0),
                                    width=_bt_w(domain))
         fill_w = _bt_w(domain)
     run_fill = dom_run.fill_halos
+
+    def _run_fill_bt3(trio, width=None):
+        return _fill_bt(dom_run, trio[0], trio[1], trio[2], width)
 
     wt_vel_j = jnp.asarray(wt_vel_a)
     wt_eta_j = jnp.asarray(wt_eta_a)
@@ -543,7 +565,7 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
 
         if do_fill:
             # each substep's validity chain consumes 3 rings
-            eta2, ubt2, vbt2 = run_fill((eta2, ubt2, vbt2),
+            eta2, ubt2, vbt2 = _run_fill_bt3((eta2, ubt2, vbt2),
                                         width=fill_w)
             if obc is not None:
                 eta2 = obc.extend(eta2)

@@ -68,7 +68,8 @@ def pallas_supported(domain, obc, period, dtype) -> bool:
         ok_backend = True         # CPU interpreter testing path
     return (ok_backend and not domain.shmap
             and domain.layout == (1, 1) and obc is None
-            and period == 1 and not domain.reentrant_y)
+            and period == 1 and not domain.reentrant_y
+            and not domain.tripolar_n)
 
 
 def _find_uhbt_k(u, c10):

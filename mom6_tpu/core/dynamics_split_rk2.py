@@ -115,16 +115,36 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                        t=None,
                        ) -> tuple[State, SplitDynState, SplitDiags]:
     if obc is not None:
+        if domain.tripolar_n:
+            raise ValueError("OBC segments on a tripolar domain are "
+                             "not supported")
+
         def fill(f, **kw):
             return obc.extend(domain.fill_halos(f, **kw))
     else:
         fill = domain.fill_halos
+    if domain.tripolar_n:
+        # vector pairs need the fold's stagger shifts and sign flips
+        def fill_uv(uu, vv, width=None):
+            return domain.fill_vector_halos(uu, vv, width=width)
+
+        def fill_face_scalars(fu, fv, width=None):
+            # positive face scalars (visc_rem): staggered but unsigned
+            return (domain.fill_halos(fu, width, stagger="U"),
+                    domain.fill_halos(fv, width, stagger="V"))
+    else:
+        def fill_uv(uu, vv, width=None):
+            return fill((uu, vv), width=width)
+
+        fill_face_scalars = fill_uv
     rho0 = vgrid.Rho0
     T, S = state.T, state.S
 
-    u, v, h = fill((state.u, state.v, state.h))
-    u_av, v_av, h_av = fill((split.u_av, split.v_av, split.h_av))
-    uh, vh = fill((split.uh, split.vh), width=2)
+    u, v = fill_uv(state.u, state.v)
+    h = fill(state.h)
+    u_av, v_av = fill_uv(split.u_av, split.v_av)
+    h_av = fill(split.h_av)
+    uh, vh = fill_uv(split.uh, split.vh, width=2)
     eta = fill(split.eta)
 
     # tidal + SAL geopotential anomaly, once per dynamics step from
@@ -199,15 +219,16 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     up, vp = vertvisc(grid, up, vp, h, coefs, dt_pred,
                       forces.taux, forces.tauy, rho0)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
-    up, vp = fill((up, vp))
-    visc_rem_u, visc_rem_v = fill((visc_rem_u, visc_rem_v))
+    up, vp = fill_uv(up, vp)
+    visc_rem_u, visc_rem_v = fill_face_scalars(visc_rem_u, visc_rem_v)
 
     res = continuity_ppm(grid, vgrid, up, vp, h, dt, cfg.continuity,
                          uhbt=bt.uhbtav, vhbt=bt.vhbtav,
                          visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
                          x_first=x_first)
-    hp, uh, vh = fill((res.h, res.uh, res.vh))
-    u_av, v_av = fill((res.u_cor, res.v_cor))
+    hp = fill(res.h)
+    uh, vh = fill_uv(res.uh, res.vh)
+    u_av, v_av = fill_uv(res.u_cor, res.v_cor)
     h_av = 0.5 * (h + hp)
 
     # ---- CORRECTOR ----
@@ -250,15 +271,16 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         # Orlanski radiation of the baroclinic velocities at open faces
         u_new = obc.radiate_u(u_new, u)
         v_new = obc.radiate_v(v_new, v)
-    u_new, v_new = fill((u_new, v_new))
-    visc_rem_u, visc_rem_v = fill((visc_rem_u, visc_rem_v))
+    u_new, v_new = fill_uv(u_new, v_new)
+    visc_rem_u, visc_rem_v = fill_face_scalars(visc_rem_u, visc_rem_v)
 
     res = continuity_ppm(grid, vgrid, u_new, v_new, h, dt, cfg.continuity,
                          uhbt=bt.uhbtav, vhbt=bt.vhbtav,
                          visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
                          x_first=x_first)
-    h_new, uh, vh = fill((res.h, res.uh, res.vh))
-    u_av, v_av = fill((res.u_cor, res.v_cor))
+    h_new = fill(res.h)
+    uh, vh = fill_uv(res.uh, res.vh)
+    u_av, v_av = fill_uv(res.u_cor, res.v_cor)
     h_av_new = 0.5 * (h + h_new)
 
     new_state = state.replace(u=u_new, v=v_new, h=h_new)

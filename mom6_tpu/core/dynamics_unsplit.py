@@ -78,6 +78,12 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                      t=None) -> tuple[State, DynDiags]:
     u, v, h, T, S = state.u, state.v, state.h, state.T, state.S
     fill = domain.fill_halos
+    if domain.tripolar_n:
+        def fill_uv(uu, vv, width=None):
+            return domain.fill_vector_halos(uu, vv, width=width)
+    else:
+        def fill_uv(uu, vv, width=None):
+            return fill((uu, vv), width=width)
     rho0 = vgrid.Rho0
 
     e_tidal = None
@@ -92,7 +98,8 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                             e_tidal=e_tidal)
         return ca.CAu + pf.PFu, ca.CAv + pf.PFv
 
-    u, v, h = fill((u, v, h))
+    u, v = fill_uv(u, v)
+    h = fill(h)
     if T is not None:
         T, S = fill((T, S))
 
@@ -100,11 +107,12 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
 
     # --- stage 1 ---
     res1 = continuity_ppm(grid, vgrid, u, v, h, 0.5 * dt, cfg.continuity)
-    hp, uh, vh = fill((res1.h, res1.uh, res1.vh))
+    hp = fill(res1.h)
+    uh, vh = fill_uv(res1.uh, res1.vh)
     h_av = 0.5 * (h + hp)
     u = (u + dt * dv.diffu * grid.mask2dCu)
     v = (v + dt * dv.diffv * grid.mask2dCv)
-    u, v = fill((u, v))
+    u, v = fill_uv(u, v)
     uhtr = 0.5 * dt * uh
     vhtr = 0.5 * dt * vh
 
@@ -117,13 +125,14 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     coefs = vertvisc_coef(grid, up, vp, h_av, cfg=cfg.vertvisc, bbl=bbl)
     up, vp = vertvisc(grid, up, vp, h_av, coefs, dt_pred,
                       forces.taux, forces.tauy, rho0)
-    up, vp = fill((up, vp))
+    up, vp = fill_uv(up, vp)
 
     if cfg.scheme == "RK3":
         # --- stage 2 ---
         res2 = continuity_ppm(grid, vgrid, up, vp, hp, 0.5 * dt,
                               cfg.continuity)
-        h_av2, uh, vh = fill((res2.h, res2.uh, res2.vh))
+        h_av2 = fill(res2.h)
+        uh, vh = fill_uv(res2.uh, res2.vh)
         h_av = 0.5 * (hp + h_av2)
         CAu, CAv = accel(up, vp, h_av, uh, vh)
         upp = grid.mask2dCu * (u + 0.5 * dt * CAu)
@@ -131,14 +140,15 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         coefs = vertvisc_coef(grid, upp, vpp, hp, cfg=cfg.vertvisc, bbl=bbl)
         upp, vpp = vertvisc(grid, upp, vpp, hp, coefs, 0.5 * dt,
                             forces.taux, forces.tauy, rho0)
-        upp, vpp = fill((upp, vpp))
+        upp, vpp = fill_uv(upp, vpp)
     else:
         upp, vpp = up, vp
 
     # --- final stage ---
     res3 = continuity_ppm(grid, vgrid, upp, vpp, hp, 0.5 * dt,
                           cfg.continuity)
-    h_new, uh, vh = fill((res3.h, res3.uh, res3.vh))
+    h_new = fill(res3.h)
+    uh, vh = fill_uv(res3.uh, res3.vh)
     uhtr = uhtr + 0.5 * dt * uh
     vhtr = vhtr + 0.5 * dt * vh
     h_av = 0.5 * (h_new + hp)
@@ -151,7 +161,7 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                             forces.taux, forces.tauy, rho0)
     u_new, v_new, truncs = vertvisc_limit_vel(grid, u_new, v_new, dt,
                                               cfg.vertvisc)
-    u_new, v_new = fill((u_new, v_new))
+    u_new, v_new = fill_uv(u_new, v_new)
 
     new_state = state.replace(u=u_new, v=v_new, h=h_new)
     return new_state, DynDiags(uh=uh, vh=vh, uhtr=uhtr, vhtr=vhtr,
