@@ -63,6 +63,8 @@ class SplitCfg:
     # pure fn (eta, t) -> tidal + SAL geopotential height anomaly [m]
     # (calc_tidal_forcing; None → no tides)
     tides_fn: Any = None
+    # STOCH_EOS: exp(a*pattern) multiplier on the Stanley varT
+    stoch_eos_a: float = 0.0
 
 
 @jax.tree_util.register_dataclass
@@ -112,7 +114,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                        state: State, split: SplitDynState,
                        forces: MechForcing, dt: float, cfg: SplitCfg,
                        eos=None, x_first: bool = True, obc=None,
-                       t=None,
+                       t=None, stoch_pattern=None,
                        ) -> tuple[State, SplitDynState, SplitDiags]:
     if obc is not None:
         if domain.tripolar_n:
@@ -153,6 +155,10 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     if cfg.tides_fn is not None:
         e_tidal = cfg.tides_fn(eta, 0.0 if t is None else t)
 
+    varT_mult = None
+    if cfg.stoch_eos_a != 0.0 and stoch_pattern is not None:
+        varT_mult = jnp.exp(cfg.stoch_eos_a * stoch_pattern)
+
     # depth-mean velocities for the GME backscatter stress
     gme_kw = {}
     if cfg.horvisc.use_gme:
@@ -168,7 +174,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
 
     # ---- PREDICTOR ----
     pf = pressure_force(grid, vgrid, h, T, S, eos, p_atm=forces.p_surf,
-                        cfg=cfg.pressure, e_tidal=e_tidal)
+                        cfg=cfg.pressure, e_tidal=e_tidal,
+                        varT_mult=varT_mult)
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
                               **gme_kw)
@@ -238,7 +245,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         hp_pf = hp
     pf = pressure_force(grid, vgrid, hp_pf, T, S, eos,
                         p_atm=forces.p_surf, cfg=cfg.pressure,
-                        e_tidal=e_tidal)
+                        e_tidal=e_tidal, varT_mult=varT_mult)
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
                               **gme_kw)

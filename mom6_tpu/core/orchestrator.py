@@ -82,6 +82,7 @@ class OceanCfg:
     # --- SPPT stochastic physics perturbations (MOM_stochastics) ---
     sppt: Optional[object] = None        # StochasticsCfg (None = off)
     sppt_seed: int = 12345
+    stoch_eos: bool = False              # STOCH_EOS (pattern -> varT)
 
 
 def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -167,7 +168,8 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     if cfg.split:
         state, split_state, diags = step_dyn_split_rk2(
             domain, grid, vgrid, state, split_state, forces, dt,
-            cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t)
+            cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,
+            stoch_pattern=sppt_pattern)
     else:
         state, diags = step_dyn_unsplit(
             domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,
@@ -285,8 +287,8 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             int_tide_en = itr.En
             tidal_e2d = itr.itidal_loss
             diags = diags._replace(int_tide_en=int_tide_en)
-        sppt_on = cfg.sppt is not None and cfg.sppt.do_sppt \
-            and state.T is not None
+        sppt_on = cfg.sppt is not None and state.T is not None \
+            and (cfg.sppt.do_sppt or cfg.stoch_eos)
         if sppt_on:
             # SPPT (MOM_stochastics SPPT): an AR(1) smoothed random
             # pattern multiplies the column-physics tendencies
@@ -300,6 +302,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             pat = step_pattern(domain, cfg.sppt, pat, cfg.sppt_seed,
                                step_i)
             diags = diags._replace(sppt_pattern=pat)
+            sppt_on = cfg.sppt.do_sppt       # tendencies only if SPPT
             T_b, S_b = state.T, state.S
         state, tracers, dia = diabatic(state, fluxes, dt, cfg.diabatic,
                                        tracers, vgrid=vgrid, eos=eos,

@@ -98,7 +98,7 @@ def _layer_densities(vgrid: VerticalGrid, h, e, T, S, eos, rho0, g,
 def pressure_force(grid: Grid, vgrid: VerticalGrid, h, T=None, S=None,
                    eos=None, p_atm=None,
                    cfg: PressureForceCfg = PressureForceCfg(),
-                   e_tidal=None) -> PressureForceResult:
+                   e_tidal=None, varT_mult=None) -> PressureForceResult:
     """PFu, PFv, pbce, eta (PressureForce_FV_Bouss,
     MOM_PressureForce_FV.F90:462).
 
@@ -128,6 +128,10 @@ def pressure_force(grid: Grid, vgrid: VerticalGrid, h, T=None, S=None,
                                              density_second_dT2)
         p_mid = -rho0 * g * 0.5 * (e[:-1] + e[1:])
         varT = calc_varT(grid, h, T, cfg.stanley_coeff)
+        if varT_mult is not None:
+            # STOCH_EOS (MOM_stoch_eos.F90:254): multiply the SGS
+            # variance by exp(a*pattern)
+            varT = varT * varT_mult[None]
         rho = rho + 0.5 * varT * density_second_dT2(eos, T, S, p_mid)
     rho_ref = cfg.rho_ref
 

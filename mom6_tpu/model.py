@@ -764,7 +764,10 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                              begw=pf.get("BEGW", float, 0.0),
                              continuity=cont, coriolis=cor, vertvisc=vv,
                              horvisc=hv, barotropic=btcfg,
-                             pressure=pgf_cfg, tides_fn=tides_fn)
+                             pressure=pgf_cfg, tides_fn=tides_fn,
+                             stoch_eos_a=pf.get("STANLEY_A", float, 1.0)
+                             if pf.get("STOCH_EOS", bool, False)
+                             else 0.0)
     else:
         unsplit_cfg = UnsplitCfg(continuity=cont, coriolis=cor,
                                  vertvisc=vv, horvisc=hv,
@@ -1318,13 +1321,16 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     # ---- stochastic physics (MOM_stochastics SPPT) ----
     pf.module("MOM_stochastics")
     sppt_cfg = None
-    if pf.get("DO_SPPT", bool, False):
+    do_sppt = pf.get("DO_SPPT", bool, False)
+    use_stoch_eos = pf.get("STOCH_EOS", bool, False)
+    if do_sppt or use_stoch_eos:
         from mom6_tpu.param.stochastic.stochastics import StochasticsCfg
         sppt_cfg = StochasticsCfg(
-            do_sppt=True,
+            do_sppt=do_sppt,
             sppt_amplitude=pf.get("SPPT_AMPLITUDE", float, 0.5),
             decorr_steps=pf.get("SPPT_DECORR_STEPS", int, 48),
             smooth_passes=pf.get("SPPT_SMOOTH_PASSES", int, 4))
+
 
     ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
                          unsplit_cfg=unsplit_cfg,
@@ -1348,7 +1354,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                          use_neutral=use_neutral, neutral=neutral_cfg,
                          int_tides=int_tides_cfg,
                          int_tide_utide=it_utide, int_tide_h2=it_h2,
-                         sppt=sppt_cfg,
+                         sppt=sppt_cfg, stoch_eos=use_stoch_eos,
                          sppt_seed=pf.get("SPPT_SEED", int, 12345))
     if use_meke:
         state = state.replace(meke=jnp.zeros_like(state.h[0])

@@ -99,3 +99,42 @@ def test_sppt_factor_bounded_and_zero_mean_tendency_scaling():
     assert out.min() >= 1.0 - 0.8 * cfg.clip - 1e-12
     np.testing.assert_array_equal(
         np.asarray(apply_sppt(cfg, jnp.zeros_like(tend), pat)), 0.0)
+
+
+def test_stoch_eos_perturbs_pgf():
+    """STOCH_EOS: exp(a*pattern) multiplies the Stanley variance in
+    the pressure force (MOM_stoch_eos.F90:254)."""
+    extra = ("USE_STANLEY_PGF = True\nSTANLEY_COEFF = 10.0\n"
+             "STOCH_EOS = True\nSTANLEY_A = 2.0\n")
+    m1, s1 = _run(extra, n=2)                     # wiring smoke
+    assert m1.ocean_cfg.stoch_eos
+    assert m1.split_cfg.stoch_eos_a == 2.0
+
+    # direct check with a real horizontal T gradient and a pattern
+    import dataclasses as dc
+    from mom6_tpu.core.pressure_force import (PressureForceCfg,
+                                              pressure_force)
+    from mom6_tpu.core.vertical_grid import VerticalGrid
+    from mom6_tpu.eos import make_eos
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    d = Domain(ni=16, nj=16, halo=4, reentrant_x=True,
+               reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=160.0, lenlat_km=160.0, f0=1e-4,
+                       beta=0.0, depth_fn=lambda lo, la:
+                       np.full_like(la, 1000.0), max_depth=1000.0)
+    vg = VerticalGrid.uniform(nk=3)
+    eos = make_eos("WRIGHT")
+    h = jnp.full((3, d.njh, d.nih), 300.0)
+    T = d.fill_halos(
+        10.0 + 2.0 * jnp.sin(2 * jnp.pi * jnp.arange(d.nih)
+                             / d.nih)[None, None, :]
+        * jnp.ones((3, d.njh, d.nih)))
+    S = jnp.full((3, d.njh, d.nih), 35.0)
+    cfgp = PressureForceCfg(stanley_coeff=40.0)
+    base = pressure_force(g, vg, h, T, S, eos, cfg=cfgp)
+    pat = jnp.ones_like(h[0]) * 0.5
+    pert = pressure_force(g, vg, h, T, S, eos, cfg=cfgp,
+                          varT_mult=jnp.exp(2.0 * pat))
+    dpf = np.abs(np.asarray(pert.PFu - base.PFu)).max()
+    assert dpf > 1e-12 * np.abs(np.asarray(base.PFu)).max()
