@@ -30,7 +30,7 @@ from mom6_tpu.core.vertical_grid import VerticalGrid
 from mom6_tpu.parallel.stencil import ip1, jp1
 
 __all__ = ["PressureForceCfg", "pressure_force", "interface_heights",
-           "set_pbce_bouss"]
+           "set_pbce_bouss", "set_pbce_nonbouss"]
 
 _H_NEGLECT = 1e-30
 _DZ_NEGLECT = 1e-30
@@ -108,6 +108,9 @@ def pressure_force(grid: Grid, vgrid: VerticalGrid, h, T=None, S=None,
     geopot_bot -= g(e_eq+e_sal), MOM_PressureForce_Montgomery.F90:228).
     The returned eta_pf stays the true free surface for the
     barotropic mass coupling."""
+    if not vgrid.boussinesq:
+        return _pressure_force_nonbouss(grid, vgrid, h, T, S, eos,
+                                        p_atm, cfg, e_tidal)
     g = vgrid.g_Earth
     rho0 = vgrid.Rho0
     I_rho0 = 1.0 / rho0
@@ -188,6 +191,144 @@ def _montgomery_bouss(grid: Grid, vgrid: VerticalGrid, h, e, p_atm,
     PFv = -(jp1(M) - M) * grid.IdyCv * grid.mask2dCv
     pbce = set_pbce_bouss(vgrid, e, None, None, None, cfg.gfs_scale)
     return PressureForceResult(PFu=PFu, PFv=PFv, pbce=pbce, eta_pf=e[0])
+
+
+def _pressure_force_nonbouss(grid: Grid, vgrid: VerticalGrid, h, T, S,
+                             eos, p_atm, cfg: PressureForceCfg,
+                             e_tidal) -> PressureForceResult:
+    """Non-Boussinesq finite-volume PGF (PressureForce_FV_nonBouss,
+    MOM_PressureForce_FV.F90:89).
+
+    Semi-Boussinesq unit convention (the reference's default,
+    MOM_verticalGrid.F90:138): thickness h stays in meters-equivalent
+    units with column mass = Rho0*h per unit area (H_to_kg_m2 = Rho0,
+    H_to_Z = 1), so every kinematic path is shared with the Boussinesq
+    build and only the pressure force sees true specific volumes.
+
+    Pressure is the mass coordinate: interface pressures accumulate
+    g*Rho0*h downward; the geopotential anomaly
+    za = g*z + alpha_ref*p integrates *upward* from the bottom via
+    dza = int (alpha - alpha_ref) dp per layer (the reference's
+    int_specific_vol_dp, here a Boole/midpoint quadrature in p, the
+    int_spec_vol_dp_generic analog of MOM_density_integrals.F90:1075).
+    With the 2-point face quadrature used throughout this build, the
+    up-then-down ordering of the reference collapses to face means of
+    za, preserving the no-motion state for flat isopycnals exactly.
+    """
+    if cfg.stanley_coeff >= 0.0:
+        raise ValueError("USE_STANLEY_PGF is not implemented in "
+                         "non-Boussinesq mode (matching "
+                         "MOM_PressureForce_FV.F90:183)")
+    g = vgrid.g_Earth
+    rho0 = vgrid.Rho0
+    H_to_P = g * rho0                     # h [m-equiv] -> pressure [Pa]
+    alpha_ref = 1.0 / cfg.rho_ref
+    dp_neglect = H_to_P * 1e-30
+
+    dp = H_to_P * h                                      # (nk, ...)
+    p_surf = p_atm if p_atm is not None else jnp.zeros_like(h[0])
+    p_int = p_surf[None] + jnp.concatenate(
+        [jnp.zeros_like(dp[:1]), jnp.cumsum(dp, axis=0)], axis=0)
+    p_top, p_bot = p_int[:-1], p_int[1:]
+
+    # per-layer specific-volume-anomaly integrals:
+    #   dza     = int    alpha' dp          [m2 s-2]
+    #   intp_dza = int (p - p_top) alpha' dp [Pa m2 s-2]
+    if T is None or eos is None:
+        a_anom = (1.0 / vgrid.Rlay - alpha_ref).reshape(-1, 1, 1)
+        dza = a_anom * dp
+        intp_dza = 0.5 * a_anom * dp * dp
+    elif cfg.quad_points == 5:
+        s0 = 0.0
+        s1 = 0.0
+        for m, w in enumerate(_BOOLE_W):
+            frac = m / 4.0
+            p_m = p_top * (1.0 - frac) + p_bot * frac
+            a_m = 1.0 / eos.density(T, S, p_m) - alpha_ref
+            s0 = s0 + w * a_m
+            s1 = s1 + (w * frac) * a_m
+        dza = s0 * dp
+        intp_dza = s1 * dp * dp
+    else:
+        a_mid = 1.0 / eos.density(T, S, 0.5 * (p_top + p_bot)) - alpha_ref
+        dza = a_mid * dp
+        intp_dza = 0.5 * a_mid * dp * dp
+
+    # geopotential anomaly: bottom -> surface, then back down per layer
+    za_surf = (alpha_ref * p_int[-1] - g * grid.bathyT
+               + jnp.sum(dza, axis=0))
+    if e_tidal is not None:
+        za_surf = za_surf - g * e_tidal
+    # za along the *bottom* interface of each layer
+    za_bot = za_surf[None] - jnp.cumsum(dza, axis=0)
+
+    def _dir(shift, Idx_face, mask_face):
+        dp_n = shift(dp)
+        zb_n = shift(za_bot)
+        ip_n = shift(intp_dza)
+        intx_dza = 0.5 * (dza + shift(dza))
+        intx_za = 0.5 * (za_bot + zb_n)        # == up-then-down w/ 2-pt
+        PF = (((za_bot * dp + intp_dza) - (zb_n * dp_n + ip_n))
+              + ((dp_n - dp) * intx_za
+                 - (shift(p_top) - p_top) * intx_dza)) \
+            * ((2.0 * Idx_face) / ((dp + dp_n) + dp_neglect))
+        return PF * mask_face
+
+    PFu = _dir(ip1, grid.IdxCu, grid.mask2dCu)
+    PFv = _dir(jp1, grid.IdyCv, grid.mask2dCv)
+
+    if cfg.gfs_scale < 1.0:
+        if T is not None and eos is not None:
+            rho_sfc = eos.density(T[0], S[0], p_int[0])
+        else:
+            rho_sfc = vgrid.Rlay[0]
+        dM = (cfg.gfs_scale - 1.0) * (
+            p_int[0] * (1.0 / rho_sfc - alpha_ref) + za_surf)
+        PFu = PFu - (ip1(dM) - dM) * grid.IdxCu * grid.mask2dCu
+        PFv = PFv - (jp1(dM) - dM) * grid.IdyCv * grid.mask2dCv
+
+    pbce = set_pbce_nonbouss(vgrid, p_int, T, S, eos, cfg.gfs_scale)
+    eta_true = interface_heights(vgrid, h, grid.bathyT)[0]
+    return PressureForceResult(PFu=PFu, PFv=PFv, pbce=pbce,
+                               eta_pf=eta_true)
+
+
+def set_pbce_nonbouss(vgrid: VerticalGrid, p_int, T, S, eos,
+                      gfs_scale: float = 1.0):
+    """pbce[k] = ∂(layer k PG accel)/∂(column eta in H units)
+    (Set_pbce_nonBouss, MOM_PressureForce_Montgomery.F90:752).
+
+    Built upward from the bottom: the deepest layer feels
+    dP_dH/rho_bottom per unit added column mass; each interface adds
+    the specific-volume jump weighted by the fractional depth-pressure
+    (p_int - p_surf)/(p_bot - p_surf)."""
+    g = vgrid.g_Earth
+    rho0 = vgrid.Rho0
+    dP_dH = g * rho0
+    dp_neglect = dP_dH * 1e-30
+    C_htot = dP_dH / ((p_int[-1] - p_int[0]) + dp_neglect)
+    if T is not None and eos is not None:
+        rho_bot = eos.density(T[-1], S[-1], p_int[-1])
+        pbce_nz = dP_dH / rho_bot
+        T_i = 0.5 * (T[:-1] + T[1:])
+        S_i = 0.5 * (S[:-1] + S[1:])
+        p_i = p_int[1:-1]
+        rho_i = eos.density(T_i, S_i, p_i)
+        dRdT, dRdS = eos.density_derivs(T_i, S_i, p_i)
+        incs = ((p_i - p_int[0:1]) * C_htot[None]) * (
+            (dRdT * (T[1:] - T[:-1]) + dRdS * (S[1:] - S[:-1]))
+            / (rho_i * rho_i))
+    else:
+        alpha_lay = (1.0 / vgrid.Rlay).reshape(-1, 1, 1)
+        pbce_nz = dP_dH * alpha_lay[-1] * jnp.ones_like(p_int[0])
+        incs = ((p_int[1:-1] - p_int[0:1]) * C_htot) * (
+            alpha_lay[:-1] - alpha_lay[1:])
+    rev = jnp.cumsum(incs[::-1], axis=0)[::-1]
+    pbce = pbce_nz[None] + jnp.concatenate(
+        [rev, jnp.zeros_like(rev[:1])], axis=0)
+    if gfs_scale < 1.0:
+        pbce = pbce + (gfs_scale - 1.0) * pbce[0:1]
+    return pbce
 
 
 def set_pbce_bouss(vgrid: VerticalGrid, e, T, S, eos,

@@ -3,9 +3,14 @@
 Re-design of ``verticalGrid_type``
 (/root/reference/src/core/MOM_verticalGrid.F90:24): layer count, layer
 target densities, gravitational constants, and the thickness-unit
-bookkeeping.  This build is Boussinesq with thickness h in meters
-(H_to_m = 1); non-Boussinesq (h in kg m-2) is carried as a flag for the
-pressure-force/EOS paths that branch on it.
+bookkeeping.  Thickness h is carried in meters-equivalent units in
+both modes.  Boussinesq: h is a geometric thickness (H_to_m = 1).
+Non-Boussinesq (``boussinesq=False``): h carries mass — Rho0*h is the
+layer mass per unit area — which is the reference's default
+*semi*-Boussinesq convention (MOM_verticalGrid.F90:138,208:
+H_to_Z = H_to_kg_m2 / Rho0), so all kinematic/mixing paths are shared
+and only the pressure force (specific-volume FV form,
+MOM_PressureForce_FV.F90:89) and mass bookkeeping branch on the flag.
 """
 
 from __future__ import annotations

@@ -533,6 +533,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     nk = pf.get("NK", int, 1, units="nondim", desc="number of layers")
     g_earth = pf.get("G_EARTH", float, 9.8, units="m s-2")
     rho0 = pf.get("RHO_0", float, 1035.0, units="kg m-3")
+    # BOUSSINESQ=False (MOM_verticalGrid.F90:136) runs the reference's
+    # default semi-Boussinesq non-Boussinesq mode: h carries mass
+    # (Rho0*h per unit area; H_to_Z = 1 in this build's units) and the
+    # pressure force switches to the specific-volume FV form.
+    boussinesq = pf.get("BOUSSINESQ", bool, True)
     gint = pf.get("GINT", float, 0.0, units="m s-2",
                   desc="uniform interface reduced gravity")
 
@@ -587,14 +592,16 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         rrange = pf.get("RLAY_RANGE", float, 2.0, units="kg m-3")
         rlay = light + rrange * np.arange(nk) / max(nk - 1, 1)
         vgrid = VerticalGrid.from_rlay(rlay, g_Earth=g_earth,
-                                       Rho0=rho0)
+                                       Rho0=rho0,
+                                       boussinesq=boussinesq)
     elif coord_cfg == "linear":
         light = pf.get("LIGHTEST_DENSITY", float, rho0,
                        units="kg m-3")
         rrange = pf.get("DENSITY_RANGE", float, 2.0, units="kg m-3")
         rlay = light + rrange * (np.arange(nk) + 0.5) / nk
         vgrid = VerticalGrid.from_rlay(rlay, g_Earth=g_earth,
-                                       Rho0=rho0)
+                                       Rho0=rho0,
+                                       boussinesq=boussinesq)
     elif coord_cfg == "ts_range":
         # layer densities from a T/S range at P_REF
         # (set_coord_from_TS_range, MOM_coord_initialization.F90)
@@ -621,11 +628,13 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         for k in range(k_light - 1, -1, -1):
             rlay[k] = 2.0 * rlay[k + 1] - rlay[k + 2]
         vgrid = VerticalGrid.from_rlay(rlay, g_Earth=g_earth,
-                                       Rho0=rho0)
+                                       Rho0=rho0,
+                                       boussinesq=boussinesq)
     else:
         # none / ALE / gprime: uniform GINT stacking (or unstratified)
         vgrid = VerticalGrid.uniform(nk=nk, g_Earth=g_earth, Rho0=rho0,
-                                     gint=gint if gint > 0 else None)
+                                     gint=gint if gint > 0 else None,
+                                     boussinesq=boussinesq)
 
     pf.module("MOM_continuity_PPM")
     cont = ContinuityCfg(
@@ -699,6 +708,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         dt=dt)
     pf.module("MOM_PressureForce")
     use_stanley_pgf = pf.get("USE_STANLEY_PGF", bool, False)
+    if use_stanley_pgf and not boussinesq:
+        raise ValueError("USE_STANLEY_PGF is not available with "
+                         "BOUSSINESQ=False (MOM_PressureForce_FV.F90:183)")
     pgf_cfg = PressureForceCfg(
         stanley_coeff=pf.get("STANLEY_COEFF", float, -1.0)
         if use_stanley_pgf else -1.0,
