@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 __all__ = ["RemapCfg", "remap_column_means", "reconstruct",
            "edge_values_h2", "edge_values_h4", "edge_values_ih4",
+           "edge_values_ih6", "edge_slopes_ih3", "edge_slopes_ih5",
            "interface_positions"]
 
 _H_NEGLECT = 1e-30
@@ -101,32 +102,44 @@ def _iface_cells(f, off):
     return f[idx]
 
 
-def _solve4(A, B):
-    """Closed-form Gaussian elimination (no pivoting) of a 4x4 system
-    per point: A (4, 4, ...) and B (4, ...) with arbitrary trailing
-    batch dims.  Pure elementwise arithmetic that XLA fuses — batched
-    ``jnp.linalg.solve`` on hundreds of thousands of tiny systems is
-    two to three orders of magnitude slower on TPU.  The integral
-    Vandermonde systems solved here are diagonally graded and well
-    conditioned after the column-depth normalization, so unpivoted
-    elimination is safe."""
-    a = [[A[i, j] for j in range(4)] for i in range(4)]
-    b = [B[i] for i in range(4)]
-    for k in range(4):
+def _gauss_unrolled(a, b):
+    """Closed-form Gaussian elimination (no pivoting) of an n x n
+    system per point: ``a`` is an n x n nested list of broadcastable
+    arrays, ``b`` a list of n arrays.  Pure elementwise arithmetic
+    that XLA fuses — batched ``jnp.linalg.solve`` on hundreds of
+    thousands of tiny systems is two to three orders of magnitude
+    slower on TPU.  The integral Vandermonde / White & Adcroft moment
+    systems solved here are diagonally graded and well conditioned
+    after normalizing widths by the stencil mean, so unpivoted
+    elimination is safe.  Returns the solution as a list."""
+    n = len(b)
+    a = [row[:] for row in a]
+    b = list(b)
+    for k in range(n):
         inv = 1.0 / a[k][k]
-        for j in range(k + 1, 4):
+        for j in range(k + 1, n):
             a[k][j] = a[k][j] * inv
         b[k] = b[k] * inv
-        for i in range(k + 1, 4):
+        for i in range(k + 1, n):
             f = a[i][k]
-            for j in range(k + 1, 4):
+            for j in range(k + 1, n):
                 a[i][j] = a[i][j] - f * a[k][j]
             b[i] = b[i] - f * b[k]
-    x3 = b[3]
-    x2 = b[2] - a[2][3] * x3
-    x1 = b[1] - a[1][2] * x2 - a[1][3] * x3
-    x0 = b[0] - a[0][1] * x1 - a[0][2] * x2 - a[0][3] * x3
-    return x0, x1, x2, x3
+    x = [None] * n
+    for i in reversed(range(n)):
+        xi = b[i]
+        for j in range(i + 1, n):
+            xi = xi - a[i][j] * x[j]
+        x[i] = xi
+    return x
+
+
+def _solve4(A, B):
+    """4x4 special case of :func:`_gauss_unrolled` with stacked-array
+    inputs A (4, 4, ...) and B (4, ...)."""
+    return tuple(_gauss_unrolled(
+        [[A[i, j] for j in range(4)] for i in range(4)],
+        [B[i] for i in range(4)]))
 
 
 def _boundary_cubic(h, u, bottom: bool):
@@ -268,6 +281,279 @@ def edge_values_ih4(h, u):
     return _thomas_interfaces(lo, dg, up, rhs)
 
 
+def _boundary_fit(h, u, n: int, bottom: bool):
+    """Integral polynomial fit over the ``n`` cells nearest a column
+    boundary (the boundary-closure pattern of
+    regrid_edge_values.F90:594,1369): returns the fit coefficients
+    C[0..n-1] in the boundary-anchored coordinate normalized by the
+    n-cell depth, plus that depth, so callers can evaluate the edge
+    value (C[0]) or the physical edge slope (C[1]/depth, negated at
+    the bottom where the coordinate runs inward)."""
+    if bottom:
+        hh = h[::-1][:n]
+        uu = u[::-1][:n]
+    else:
+        hh = h[:n]
+        uu = u[:n]
+    tot = jnp.sum(hh, axis=0) + _H_NEGLECT
+    dz = jnp.maximum(hh / tot[None], 1e-10)
+    x = jnp.concatenate([jnp.zeros_like(dz[:1]),
+                         jnp.cumsum(dz, axis=0)], axis=0)
+    xi, xip = x[:-1], x[1:]
+    A = [[(xip[i] ** (j + 1) - xi[i] ** (j + 1)) / (j + 1)
+          for j in range(n)] for i in range(n)]
+    B = [uu[i] * dz[i] for i in range(n)]
+    return _gauss_unrolled(A, B), tot
+
+
+def edge_slopes_ih3(h, u):
+    """Implicit 3rd-order edge slopes (edge_slopes_implicit_h3,
+    regrid_edge_values.F90:803, post-2019 nondimensionalized
+    coefficients): a diagonally dominant tridiagonal over the column
+    interfaces with cubic boundary-slope closures.  Returns physical
+    slopes du/dh at the nk+1 interfaces."""
+    nk = h.shape[0]
+    hn = jnp.maximum(h, _H_NEGLECT)
+    if nk < 4:
+        h0 = _iface_cells(hn, -1)
+        h1 = _iface_cells(hn, 0)
+        du = _iface_cells(u, 0) - _iface_cells(u, -1)
+        s = 2.0 * du / (h0 + h1)
+        K = jnp.arange(nk + 1).reshape((-1,) + (1,) * (h.ndim - 1))
+        return jnp.where((K == 0) | (K == nk), 0.0, s)
+    h0r = _iface_cells(hn, -1)
+    h1r = _iface_cells(hn, 0)
+    I_h = 1.0 / (h0r + h1r)
+    h0 = h0r * I_h
+    h1 = h1r * I_h
+    h0h1 = h0 * h1
+    I_d = 1.0 / (1.0 + h0h1)
+    lo = (h0h1 - h1 * h1 * h1) * I_d
+    up = (h0h1 - h0 * h0 * h0) * I_d
+    dg = jnp.ones_like(lo)
+    rhs = 12.0 * (h0h1 * I_d) * ((_iface_cells(u, 0)
+                                  - _iface_cells(u, -1)) * I_h)
+    Ct, tot_t = _boundary_fit(hn, u, 4, bottom=False)
+    Cb, tot_b = _boundary_fit(hn, u, 4, bottom=True)
+    K = jnp.arange(nk + 1).reshape((-1,) + (1,) * (h.ndim - 1))
+    edge_row = (K == 0) | (K == nk)
+    lo = jnp.where(edge_row, 0.0, lo)
+    up = jnp.where(edge_row, 0.0, up)
+    dg = jnp.where(edge_row, 1.0, dg)
+    rhs = jnp.where(K == 0, (Ct[1] / tot_t)[None], rhs)
+    rhs = jnp.where(K == nk, (-Cb[1] / tot_b)[None], rhs)
+    return _thomas_interfaces(lo, dg, up, rhs)
+
+
+def _q3(ha, hb):
+    """((hb+ha)^3 - ha^3)/hb — the cumulative cubic moment factor of
+    the White & Adcroft (2009) interior systems."""
+    return 3.0 * ha * ha + hb * (3.0 * ha + hb)
+
+
+def _q4(ha, hb):
+    return 4.0 * ha ** 3 + hb * (6.0 * ha * ha + hb * (4.0 * ha + hb))
+
+
+def _q5(ha, hb):
+    return 5.0 * ha ** 4 + hb * (10.0 * ha ** 3 + hb * (
+        10.0 * ha * ha + hb * (5.0 * ha + hb)))
+
+
+def _q6(ha, hb):
+    return 6.0 * ha ** 5 + hb * (15.0 * ha ** 4 + hb * (
+        20.0 * ha ** 3 + hb * (15.0 * ha * ha + hb * (6.0 * ha + hb))))
+
+
+def _wa6_value_system(h0, h1, h2, h3, kind: str):
+    """The 6-equation White & Adcroft (2009) moment system for one
+    interface's implicit *edge value* (edge_values_implicit_h6,
+    regrid_edge_values.F90:1252): unknowns (alpha, beta, a, b, c, d)
+    of  alpha*e_{K-1} + e_K + beta*e_{K+1} = a*u0 + b*u1 + c*u2 + d*u3
+    over the 4-cell stencil (h0..h3).  ``kind``: 'interior' (Eq. 48),
+    'right' (right-biased second row, Eq. 49), 'left' (left-biased
+    second-to-last row, Eq. 50).  Rows transcribed 1:1 from the
+    reference's Asys columns (each Fortran Asys(:,j) is equation j)."""
+    one = jnp.ones_like(h0)
+    zero = jnp.zeros_like(h0)
+    h1_2, h1_3 = h1 * h1, h1 ** 3
+    h1_4, h1_5 = h1 ** 4, h1 ** 5
+    h2_2, h2_3 = h2 * h2, h2 ** 3
+    h2_4, h2_5 = h2 ** 4, h2 ** 5
+    # alpha / beta columns per kind
+    if kind == "interior":
+        al = [one, -2.0 * h1, 3.0 * h1_2, -4.0 * h1_3, 5.0 * h1_4,
+              -6.0 * h1_5]
+        be = [one, 2.0 * h2, 3.0 * h2_2, 4.0 * h2_3, 5.0 * h2_4,
+              6.0 * h2_5]
+        rhs = [-one, zero, zero, zero, zero, zero]
+    elif kind == "right":
+        hb = h0 + h1
+        al = [one, -2.0 * hb, 3.0 * hb ** 2, -4.0 * hb ** 3,
+              5.0 * hb ** 4, -6.0 * hb ** 5]
+        be = [one, zero, zero, zero, zero, zero]
+        rhs = [-one, 2.0 * h1, -3.0 * h1_2, 4.0 * h1_3, -5.0 * h1_4,
+               6.0 * h1_5]
+    else:                                     # 'left'
+        hb = h2 + h3
+        al = [one, zero, zero, zero, zero, zero]
+        be = [one, 2.0 * hb, 3.0 * hb ** 2, 4.0 * hb ** 3,
+              5.0 * hb ** 4, 6.0 * hb ** 5]
+        rhs = [-one, -2.0 * h2, -3.0 * h2_2, -4.0 * h2_3,
+               -5.0 * h2_4, -6.0 * h2_5]
+    a_col = [-one, 2.0 * h1 + h0, -_q3(h1, h0), _q4(h1, h0),
+             -_q5(h1, h0), _q6(h1, h0)]
+    b_col = [-one, h1, -h1_2, h1_3, -h1_4, h1_5]
+    c_col = [-one, -h2, -h2_2, -h2_3, -h2_4, -h2_5]
+    d_col = [-one, -(2.0 * h2 + h3), -_q3(h2, h3), -_q4(h2, h3),
+             -_q5(h2, h3), -_q6(h2, h3)]
+    # unknown ordering (a, beta, d, c, alpha, b): numerically searched
+    # to maximize the worst-case pivot of the unpivoted elimination
+    # over uniform/random/biased stencils (min pivot 0.035 with
+    # normalized widths vs 0.013 for the natural ordering)
+    A = [[a_col[j], be[j], d_col[j], c_col[j], al[j], b_col[j]]
+         for j in range(6)]
+    x = _gauss_unrolled(A, rhs)
+    return [x[4], x[1], x[0], x[5], x[3], x[2]]
+
+
+def _wa6_slope_system(h0, h1, h2, h3, kind: str):
+    """The 6-equation system for one interface's implicit *edge slope*
+    (edge_slopes_implicit_h5, regrid_edge_values.F90:977, W&A Eq.
+    52-54); same unknown layout as :func:`_wa6_value_system` but for
+    alpha*s_{K-1} + s_K + beta*s_{K+1} = a*u0 + ... with s in units
+    of [u]/[h of the (normalized) widths fed in]."""
+    one = jnp.ones_like(h0)
+    zero = jnp.zeros_like(h0)
+    two = 2.0 * one
+    h1_2, h1_3, h1_4 = h1 * h1, h1 ** 3, h1 ** 4
+    h1_5 = h1 ** 5
+    h2_2, h2_3, h2_4 = h2 * h2, h2 ** 3, h2 ** 4
+    h2_5 = h2 ** 5
+    if kind == "interior":
+        al = [zero, two, 6.0 * h1, -12.0 * h1_2, 20.0 * h1_3,
+              -30.0 * h1_4]
+        be = [zero, two, -6.0 * h2, -12.0 * h2_2, -20.0 * h2_3,
+              -30.0 * h2_4]
+        rhs = [zero, -two, zero, zero, zero, zero]
+    elif kind == "right":
+        hb = h0 + h1
+        al = [zero, two, 6.0 * hb, -12.0 * hb ** 2, 20.0 * hb ** 3,
+              -30.0 * hb ** 4]
+        be = [zero, two, zero, zero, zero, zero]
+        rhs = [zero, -two, -6.0 * h1, 12.0 * h1_2, -20.0 * h1_3,
+               30.0 * h1_4]
+    else:                                     # 'left'
+        hb = h2 + h3
+        al = [zero, two, zero, zero, zero, zero]
+        be = [zero, two, -6.0 * hb, -12.0 * hb ** 2, -20.0 * hb ** 3,
+              -30.0 * hb ** 4]
+        rhs = [zero, -two, 6.0 * h2, 12.0 * h2_2, 20.0 * h2_3,
+               30.0 * h2_4]
+    a_col = [one, 2.0 * h1 + h0, _q3(h1, h0), -_q4(h1, h0),
+             _q5(h1, h0), -_q6(h1, h0)]
+    b_col = [one, h1, h1_2, -h1_3, h1_4, -h1_5]
+    c_col = [one, -h2, h2_2, h2_3, h2_4, h2_5]
+    d_col = [one, -(2.0 * h2 + h3), _q3(h2, h3), _q4(h2, h3),
+             _q5(h2, h3), _q6(h2, h3)]
+    # unknown ordering (c, a, d, beta, alpha, b): numerically searched
+    # to maximize the worst-case pivot of the unpivoted elimination
+    # over uniform/random/biased stencils (min pivot 0.40 with
+    # normalized widths; the natural ordering hits an exactly zero
+    # pivot on uniform grids)
+    A = [[c_col[j], a_col[j], d_col[j], be[j], al[j], b_col[j]]
+         for j in range(6)]
+    x = _gauss_unrolled(A, rhs)
+    return [x[4], x[3], x[1], x[5], x[0], x[2]]
+
+
+def _wa6_tridiag(h, u, slopes: bool):
+    """Assemble and solve the White & Adcroft interface tridiagonal
+    for implicit h6 edge values or h5 edge slopes.  Stencil widths are
+    normalized by their 4-cell mean before the 6x6 solves (the moment
+    systems are invariant under that rescale for values; for slopes
+    the rhs is un-normalized afterwards), keeping the unpivoted
+    elimination well conditioned in fp32."""
+    nk = h.shape[0]
+    hmin_frac = 1e-4 if slopes else 1e-5
+    system = _wa6_slope_system if slopes else _wa6_value_system
+
+    def stencil(hs, kind):
+        h0r, h1r, h2r, h3r = hs
+        tot = (h0r + h1r) + (h2r + h3r)
+        hmin = jnp.maximum(_H_NEGLECT, hmin_frac * tot)
+        s = 0.25 * tot + _H_NEGLECT
+        quad = [jnp.maximum(x, hmin) / s for x in (h0r, h1r, h2r, h3r)]
+        C = system(*quad, kind)
+        return C, s
+
+    # interior rows, vectorized over all interfaces (rows 0, 1, nk-1,
+    # nk are overwritten below)
+    hs_int = [_iface_cells(h, o) for o in (-2, -1, 0, 1)]
+    us_int = [_iface_cells(u, o) for o in (-2, -1, 0, 1)]
+    C, s_int = stencil(hs_int, "interior")
+    lo, up = C[0], C[1]
+    rhs = C[2] * us_int[0] + C[3] * us_int[1] + C[4] * us_int[2] \
+        + C[5] * us_int[3]
+    if slopes:
+        rhs = rhs / s_int
+
+    def biased(cells, kind):
+        hc = [h[c] for c in cells]
+        uc = [u[c] for c in cells]
+        Cb, s = stencil(hc, kind)
+        r = Cb[2] * uc[0] + Cb[3] * uc[1] + Cb[4] * uc[2] \
+            + Cb[5] * uc[3]
+        if slopes:
+            r = r / s
+        return Cb[0], Cb[1], r
+
+    lo_r, up_r, rhs_r = biased([0, 1, 2, 3], "right")
+    lo_l, up_l, rhs_l = biased([nk - 4, nk - 3, nk - 2, nk - 1],
+                               "left")
+    lo = lo.at[1].set(lo_r).at[nk - 1].set(lo_l)
+    up = up.at[1].set(up_r).at[nk - 1].set(up_l)
+    rhs = rhs.at[1].set(rhs_r).at[nk - 1].set(rhs_l)
+
+    # Dirichlet boundary rows from 6-cell quintic integral fits
+    Ct, tot_t = _boundary_fit(h, u, 6, bottom=False)
+    Cb, tot_b = _boundary_fit(h, u, 6, bottom=True)
+    if slopes:
+        top_val = Ct[1] / tot_t
+        bot_val = -Cb[1] / tot_b
+    else:
+        top_val = Ct[0]
+        bot_val = Cb[0]
+    K = jnp.arange(nk + 1).reshape((-1,) + (1,) * (h.ndim - 1))
+    edge_row = (K == 0) | (K == nk)
+    lo = jnp.where(edge_row, 0.0, lo)
+    up = jnp.where(edge_row, 0.0, up)
+    dg = jnp.ones_like(lo)
+    rhs = jnp.where(K == 0, top_val[None], rhs)
+    rhs = jnp.where(K == nk, bot_val[None], rhs)
+    return _thomas_interfaces(lo, dg, up, rhs)
+
+
+def edge_values_ih6(h, u):
+    """Implicit 6th-order edge values (edge_values_implicit_h6,
+    regrid_edge_values.F90:1252): per-interface 6x6 White & Adcroft
+    moment systems (closed-form unrolled elimination) feeding a
+    tridiagonal along the column, with quintic boundary closures.
+    Falls back to ih4 for columns shorter than 6 cells."""
+    if h.shape[0] < 6:
+        return edge_values_ih4(h, u)
+    return _wa6_tridiag(jnp.maximum(h, _H_NEGLECT), u, slopes=False)
+
+
+def edge_slopes_ih5(h, u):
+    """Implicit 5th-order edge slopes (edge_slopes_implicit_h5,
+    regrid_edge_values.F90:977).  Returns physical du/dh at the nk+1
+    interfaces; falls back to ih3 for columns shorter than 6 cells."""
+    if h.shape[0] < 6:
+        return edge_slopes_ih3(h, u)
+    return _wa6_tridiag(jnp.maximum(h, _H_NEGLECT), u, slopes=True)
+
+
 def _hybgen_plm_slope(h, u, thin=1e-10):
     """PLM slope*h with hybgen thickness weighting
     (MOM_hybgen_remap.F90 hybgen_plm_coefs)."""
@@ -400,26 +686,29 @@ def reconstruct(h, u, cfg: RemapCfg) -> Reconstruction:
         return Reconstruction(c0=eL, c1=dU + u6, c2=-u6)
     if scheme in ("PQM_IH4IH3", "PQM_IH6IH5"):
         # White & Adcroft (2008) piecewise quartic: cell mean + edge
-        # values + edge slopes pin the quartic.  Edges come from the
-        # implicit h4 system; the limiter is a reduced form (edge
-        # bounding + extrema flattening + overshoot fallback to PPM)
-        # of the full PQM_limiter.
+        # values + edge slopes pin the quartic.  PQM_IH4IH3 pairs the
+        # implicit-h4 edge values with implicit-h3 edge slopes;
+        # PQM_IH6IH5 the implicit-h6 values with implicit-h5 slopes
+        # (regrid_interp.F90 INTERPOLATION_PQM_IH4IH3/IH6IH5).  The
+        # limiter is a reduced form (edge bounding + extrema
+        # flattening + overshoot fallback to PPM) of the full
+        # PQM_limiter.
         import numpy as _np
-        edges = edge_values_ih4(h, u)
+        if scheme == "PQM_IH6IH5":
+            edges = edge_values_ih6(h, u)
+            slopes = edge_slopes_ih5(h, u)
+        else:
+            edges = edge_values_ih4(h, u)
+            slopes = edge_slopes_ih3(h, u)
         if cfg.force_monotonic:
             eb_L, eb_R = _limit_edges(u, edges[:-1], edges[1:])
             edges = jnp.concatenate(
                 [eb_L[:1], 0.5 * (eb_R[:-1] + eb_L[1:]), eb_R[-1:]],
                 axis=0)
         eL, eR = edges[:-1], edges[1:]
-        # 4th-order interface gradient (per unit ξ of the lower cell):
-        # d_K ≈ (27(u_K − u_{K-1}) − (u_{K+1} − u_{K-2}))/24
-        uK = jnp.concatenate([u, u[-1:]], axis=0)
-        uKm1 = jnp.concatenate([u[0:1], u], axis=0)
-        uKm2 = jnp.concatenate([u[0:1], u[0:1], u[:-1]], axis=0)
-        uKp1 = jnp.concatenate([u[1:], u[-1:], u[-1:]], axis=0)
-        d_int = (27.0 * (uK - uKm1) - (uKp1 - uKm2)) / 24.0
-        dL, dR = d_int[:-1], d_int[1:]
+        # physical interface slopes -> per-unit-ξ slopes of each cell
+        dL = slopes[:-1] * h
+        dR = slopes[1:] * h
         # solve [1,1,1; 2,3,4; 1/3,1/4,1/5] (a2,a3,a4) = rhs
         Minv = _np.linalg.inv(_np.array([[1.0, 1.0, 1.0],
                                          [2.0, 3.0, 4.0],

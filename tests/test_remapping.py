@@ -15,7 +15,7 @@ def col(a):
 
 
 SCHEMES = ["PCM", "PLM", "PLM_HYBGEN", "PPM_H4", "PPM_IH4", "PPM_CW",
-           "PPM_HYBGEN", "WENO_HYBGEN", "PQM_IH4IH3"]
+           "PPM_HYBGEN", "WENO_HYBGEN", "PQM_IH4IH3", "PQM_IH6IH5"]
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)
@@ -275,3 +275,73 @@ def test_hycom1_hybrid_mode():
     z_nom = np.concatenate([[0], np.cumsum([10., 20., 40., 70., 80.,
                                             80.])])
     assert np.all(z[1:-1] >= z_nom[1:-1] - 1e-9)
+
+
+def test_ih6_ih5_quintic_exact_nonuniform():
+    """edge_values_ih6 / edge_slopes_ih5 reproduce a degree-5
+    polynomial exactly (to roundoff) on a random nonuniform grid
+    (White & Adcroft 2009 Eqs. 48-50 / 52-54, the
+    edge_values_implicit_h6 / edge_slopes_implicit_h5 systems)."""
+    from mom6_tpu.ale.remapping import (edge_values_ih6,
+                                        edge_slopes_ih5,
+                                        edge_slopes_ih3)
+    rng = np.random.default_rng(3)
+    nk = 12
+    h = rng.uniform(0.5, 2.0, nk)
+    x = np.concatenate([[0.0], np.cumsum(h)])
+    c = np.array([0.3, -1.2, 0.7, 0.5, -0.08, 0.02])
+
+    def p(z):
+        return sum(cj * z ** j for j, cj in enumerate(c))
+
+    def P(z):
+        return sum(cj * z ** (j + 1) / (j + 1)
+                   for j, cj in enumerate(c))
+
+    def dp(z):
+        return sum(j * cj * z ** (j - 1)
+                   for j, cj in enumerate(c) if j > 0)
+
+    ubar = (P(x[1:]) - P(x[:-1])) / h
+    H = col(h)
+    U = col(ubar)
+    ev = np.asarray(edge_values_ih6(H, U)).ravel()
+    es = np.asarray(edge_slopes_ih5(H, U)).ravel()
+    np.testing.assert_allclose(ev, p(x), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(es, dp(x), rtol=0, atol=1e-9)
+    # ih3 slopes are exact for cubics
+    c3 = c[:4]
+
+    def P3(z):
+        return sum(cj * z ** (j + 1) / (j + 1)
+                   for j, cj in enumerate(c3))
+
+    def dp3(z):
+        return sum(j * cj * z ** (j - 1)
+                   for j, cj in enumerate(c3) if j > 0)
+
+    ub3 = (P3(x[1:]) - P3(x[:-1])) / h
+    es3 = np.asarray(edge_slopes_ih3(H, col(ub3))).ravel()
+    np.testing.assert_allclose(es3, dp3(x), rtol=0, atol=1e-10)
+
+
+def test_pqm_ih6ih5_beats_ih4ih3():
+    """The 6th/5th-order implicit pairing out-converges the 4th/3rd
+    pairing on a smooth profile."""
+    def err(scheme, nk):
+        H = 160.0
+        dz = H / nk
+        h_src = col([dz] * nk)
+        F = lambda z: -60.0 * np.cos(z / 60.0)
+        zs = np.arange(nk + 1) * dz
+        u = col((F(zs[1:]) - F(zs[:-1])) / dz)
+        h_dst = col([0.8 * dz] * (nk // 2) + [1.2 * dz] * (nk // 2))
+        got = np.asarray(remap_column_means(
+            h_src, u, h_dst,
+            RemapCfg(scheme=scheme, force_monotonic=False))).ravel()
+        zd = np.concatenate([[0], np.cumsum(np.asarray(h_dst).ravel())])
+        expect = (F(zd[1:]) - F(zd[:-1])) / np.diff(zd)
+        q = nk // 4
+        return np.max(np.abs(got[q:-q] - expect[q:-q]))
+
+    assert err("PQM_IH6IH5", 32) < 0.5 * err("PQM_IH4IH3", 32)
