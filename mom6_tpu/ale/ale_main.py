@@ -30,6 +30,9 @@ class ALECfg:
     regrid: RegridCfg = RegridCfg()
     remap: RemapCfg = RemapCfg()
     vel_remap: RemapCfg = RemapCfg(scheme="PPM_H4")
+    # hybgen unmixing before a HYCOM1 regrid (MOM_ALE.F90:475,
+    # MOM_hybgen_unmix.F90); None disables
+    hybgen_unmix: Optional["HybgenUnmixCfg"] = None
 
 
 def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
@@ -45,6 +48,16 @@ def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
     MOM_dynamics_split_RK2.F90:1273).
     Returns (new_state, new_tracers, h_new, aux_u, aux_v)."""
     h = state.h
+    if (cfg.hybgen_unmix is not None and eos is not None
+            and state.T is not None):
+        from mom6_tpu.ale.hybgen_unmix import hybgen_unmix
+        h_u, T_u, S_u, tr_u = hybgen_unmix(
+            h, state.T, state.S, tracers, eos, vgrid.Rlay,
+            cfg.hybgen_unmix)
+        state = state.replace(h=h_u, T=T_u, S=S_u)
+        if tracers is not None:
+            tracers = tr_u
+        h = h_u
     h_new = build_grid(cfg.regrid, h, grid.bathyT, state.T, state.S, eos,
                        rlay=vgrid.Rlay, rho0=vgrid.Rho0, g=vgrid.g_Earth,
                        mask2dT=grid.mask2dT)

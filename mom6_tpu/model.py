@@ -1078,6 +1078,17 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 adapt_drho0=pf.get("ADAPT_DRHO0", float, 0.5,
                                    units="kg m-3"),
                 adapt_do_min=pf.get("ADAPT_DO_MIN_DEPTH", bool, False))
+        # hybgen unmixing ahead of a HYCOM1 regrid (MOM_ALE.F90:475)
+        unmix_cfg = None
+        if pf.get("HYBGEN_UNMIX", bool,
+                  False) and mode.upper() in ("HYCOM1", "HYBRID"):
+            from mom6_tpu.ale.hybgen_unmix import HybgenUnmixCfg
+            unmix_cfg = HybgenUnmixCfg(
+                hybiso=pf.get("HYBGEN_REMAP_DENSITY_MATCH", float,
+                              0.01, units="kg m-3"),
+                qhybrlx=pf.get("HYBGEN_REGRID_RELAX", float, 0.25),
+                fixlay=pf.get("HYBGEN_UNMIX_FIXLAY", int, 2),
+                ref_pressure=p_ref)
         ale_cfg = ALECfg(
             regrid=RegridCfg(mode=mode, resolution=tuple(res),
                              min_thickness=pf.get("MIN_THICKNESS", float,
@@ -1085,7 +1096,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                              **adapt_kw),
             remap=RemapCfg(scheme=scheme),
             vel_remap=RemapCfg(scheme=pf.get("VELOCITY_REMAPPING_SCHEME",
-                                             str, scheme)))
+                                             str, scheme)),
+            hybgen_unmix=unmix_cfg)
     pf.module("MOM_set_diffusivity")
     from mom6_tpu.param.vertical.shear_mixing import ShearMixingCfg
     from mom6_tpu.param.vertical.conv_ddiff import (ConvectionCfg,
