@@ -79,6 +79,11 @@ class OceanCfg:
     int_tides: Optional[object] = None   # InternalTidesCfg
     int_tide_utide: float = 0.0          # UTIDE barotropic rms [m s-1]
     int_tide_h2: float = 2500.0          # roughness variance [m2]
+    # topographic reflection maps (REFL_ANGLE/PREF/DBL files;
+    # MOM_internal_tides.F90:2804): (njh, nih) arrays or None
+    int_tide_refl_angle: Optional[jnp.ndarray] = None
+    int_tide_refl_pref: Optional[jnp.ndarray] = None
+    int_tide_refl_dbl: Optional[jnp.ndarray] = None
     # --- SPPT stochastic physics perturbations (MOM_stochastics) ---
     sppt: Optional[object] = None        # StochasticsCfg (None = off)
     sppt_seed: int = 12345
@@ -283,7 +288,10 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             itr = step_internal_tides(
                 cfg.int_tides, domain, grid, en, cn1, dt, tke_in,
                 nb, htot, u_bt2=cfg.int_tide_utide ** 2,
-                h2_rough=cfg.int_tide_h2)
+                h2_rough=cfg.int_tide_h2,
+                refl_angle=cfg.int_tide_refl_angle,
+                refl_pref=cfg.int_tide_refl_pref,
+                refl_dbl=cfg.int_tide_refl_dbl)
             int_tide_en = itr.En
             tidal_e2d = itr.itidal_loss
             diags = diags._replace(int_tide_en=int_tide_en)

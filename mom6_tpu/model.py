@@ -1316,6 +1316,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     pf.module("MOM_internal_tides")
     int_tides_cfg = None
     it_utide = 0.0
+    it_refl_angle = it_refl_pref = it_refl_dbl = None
     it_h2 = 2500.0
     if pf.get("INTERNAL_TIDES", bool, False):
         from mom6_tpu.param.lateral.internal_tides import \
@@ -1341,6 +1342,39 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         it_utide = pf.get("UTIDE", float, 0.0, units="m s-1")
         it_h2 = pf.get("TIDAL_ROUGHNESS_H2", float, 2500.0,
                        units="m2")
+        # vertical modes + input energy partition
+        n_mode = pf.get("INTERNAL_TIDE_MODES", int, 1)
+        frac_modes = pf.get("ENERGY_FRACTION_PER_MODE", list, [])
+        int_tides_cfg = dataclasses.replace(
+            int_tides_cfg, n_mode=n_mode,
+            mode_fraction=tuple(float(f) for f in frac_modes))
+        # topographic reflection maps (MOM_internal_tides.F90:2804)
+        refl_file = pf.get("REFL_ANGLE_FILE", str, "")
+        if refl_file:
+            from mom6_tpu.framework.io import read_field
+            import os as _os
+            indir = pf.get("INPUTDIR", str, ".")
+
+            def _refl(fname, var):
+                a = np.asarray(read_field(
+                    _os.path.join(indir, fname), var),
+                    dtype=np.float64)
+                return domain.fill_halos(domain.pad(jnp.asarray(a)))
+
+            ang = _refl(refl_file, pf.get("REFL_ANGLE_VAR", str,
+                                          "refl_angle"))
+            # sentinel "nullangle" values (e.g. -999) become NaN
+            it_refl_angle = jnp.where(jnp.abs(ang) > 100.0, jnp.nan,
+                                      ang)
+            pref_file = pf.get("REFL_PREF_FILE", str, "")
+            it_refl_pref = _refl(
+                pref_file, pf.get("REFL_PREF_VAR", str, "refl_pref")) \
+                if pref_file else None
+            dbl_file = pf.get("REFL_DBL_FILE", str, "")
+            it_refl_dbl = (_refl(dbl_file,
+                                 pf.get("REFL_DBL_VAR", str,
+                                        "refl_dbl"))
+                           > 0.5) if dbl_file else None
 
     # ---- stochastic physics (MOM_stochastics SPPT) ----
     pf.module("MOM_stochastics")
@@ -1378,6 +1412,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                          use_neutral=use_neutral, neutral=neutral_cfg,
                          int_tides=int_tides_cfg,
                          int_tide_utide=it_utide, int_tide_h2=it_h2,
+                         int_tide_refl_angle=it_refl_angle,
+                         int_tide_refl_pref=it_refl_pref,
+                         int_tide_refl_dbl=it_refl_dbl,
                          sppt=sppt_cfg, stoch_eos=use_stoch_eos,
                          sppt_seed=pf.get("SPPT_SEED", int, 12345))
     if use_meke:

@@ -15,10 +15,23 @@ TPU framing: the angle dimension is one more dense axis — every
 angular wedge refracts/advects at once with jnp.roll for the circular
 angle topology and the standard halo exchange for x/y; the whole
 update is branch-free and identical on every shard.  Horizontal
-advection is the reference's first-order upwind option (upwind_1st);
-topographic reflection data (refl_angle files) is not implemented, so
-coastal energy is absorbed by the masked fluxes rather than
-reflected.  Energy is in column-integral units [J m-2].
+advection is the reference's first-order upwind option (upwind_1st).
+Energy is in column-integral units [J m-2].
+
+Vertical modes: En carries a leading mode axis (nMode, nAngle, y, x)
+with per-mode phase speeds (cn/m in the uniform-stratification limit
+the reference notes at MOM_internal_tides.F90:353, or caller-supplied
+per-mode speeds) and the ENERGY_FRACTION_PER_MODE input partition.
+
+Topographic reflection (reflect :1130): cells carrying a refl_angle
+redistribute incident wedges across the specular angle with partial
+reflectance refl_pref and the double-sided ridge option refl_dbl; the
+per-cell integer angle arithmetic becomes a static unroll over source
+wedges with one-hot scatters onto the reflected wedge.  (One noted
+deviation: for ridge cells the incidence test is re-evaluated against
+the flipped wall so rays from *either* side reflect — the intent of
+the reference's branch, whose as-written test leaves the flipped wall
+unreachable.)
 """
 
 from __future__ import annotations
@@ -33,7 +46,7 @@ from mom6_tpu.core.grid import Grid
 from mom6_tpu.parallel.stencil import ip1, im1, jp1, jm1
 
 __all__ = ["InternalTidesCfg", "step_internal_tides", "init_en",
-           "f2_at_h"]
+           "f2_at_h", "reflect"]
 
 _CN_SUB = 1e-30
 _EN_SUB = 1e-30
@@ -57,18 +70,65 @@ class InternalTidesCfg:
     rho0: float = 1035.0
     h2_default: float = 2500.0        # roughness variance [m2] when no
                                       # H2_FILE map is provided
+    n_mode: int = 1                   # INTERNAL_TIDE_MODES
+    # ENERGY_FRACTION_PER_MODE; () → all conversion into mode 1
+    mode_fraction: tuple = ()
 
 
 class IntTideResult(NamedTuple):
-    En: jnp.ndarray                # (n_angle, njh, nih) [J m-2]
-    tot_En: jnp.ndarray            # summed over angles [J m-2]
+    En: jnp.ndarray                # (n_mode, n_angle, njh, nih) [J m-2]
+    tot_En: jnp.ndarray            # summed over modes+angles [J m-2]
     itidal_loss: jnp.ndarray       # wave-drag dissipation [W m-2]
     leak_loss: jnp.ndarray         # background loss [W m-2]
     quad_loss: jnp.ndarray         # bottom-drag loss [W m-2]
 
 
 def init_en(cfg: InternalTidesCfg, shape) -> jnp.ndarray:
-    return jnp.zeros((cfg.n_angle,) + tuple(shape))
+    return jnp.zeros((cfg.n_mode, cfg.n_angle) + tuple(shape))
+
+
+def _mode_fractions(cfg: InternalTidesCfg):
+    if cfg.mode_fraction:
+        fr = list(cfg.mode_fraction) + [0.0] * cfg.n_mode
+        return fr[:cfg.n_mode]
+    return [1.0] + [0.0] * (cfg.n_mode - 1)
+
+
+def reflect(cfg: InternalTidesCfg, En, refl_angle, refl_pref,
+            refl_dbl=None):
+    """Specular redistribution of wave energy at tagged cells
+    (reflect, MOM_internal_tides.F90:1130).
+
+    En: (n_angle, njh, nih) for one mode.  refl_angle [rad]: local
+    wall orientation, NaN where no reflection; refl_pref: reflected
+    fraction in [0, 1]; refl_dbl: True where the cell is a ridge that
+    reflects rays incident from either side."""
+    na = cfg.n_angle
+    na2 = na // 2
+    dtheta = 2.0 * math.pi / na
+    has = ~jnp.isnan(refl_angle)
+    ang = jnp.where(has, refl_angle, 0.0)
+    wall = jnp.round(jnp.mod(ang, 2.0 * math.pi) / dtheta
+                     ).astype(jnp.int32) % na
+    pref = jnp.where(has, refl_pref, 0.0)
+    ridge = jnp.zeros_like(has) if refl_dbl is None else refl_dbl
+    bins = jnp.arange(na, dtype=jnp.int32).reshape(
+        (-1,) + (1,) * (refl_angle.ndim))
+    En_out = En
+    En_ref = jnp.zeros_like(En)
+    for a0 in range(na):
+        attw = (a0 - wall) % na
+        flip = ridge & (attw > na2) & (attw < na)
+        wall_e = jnp.where(flip, (wall + na2) % na, wall)
+        attw_e = (a0 - wall_e) % na
+        incident = has & (attw_e > 0) & (attw_e < na2)
+        angle_r = (2 * wall_e - a0) % na
+        frac = jnp.where(incident & (angle_r != a0), pref, 0.0)
+        moved = frac * En[a0]
+        En_out = En_out.at[a0].add(-moved)
+        En_ref = En_ref + jnp.where(bins == angle_r[None],
+                                    moved[None], 0.0)
+    return En_out + En_ref
 
 
 def f2_at_h(grid: Grid):
@@ -162,65 +222,91 @@ def _propagate(cfg: InternalTidesCfg, domain, grid: Grid, En, cn, dt):
 
 def step_internal_tides(cfg: InternalTidesCfg, domain, grid: Grid,
                         En, cn, dt, tke_input, Nb, htot,
-                        u_bt2=0.0, h2_rough=None) -> IntTideResult:
+                        u_bt2=0.0, h2_rough=None, refl_angle=None,
+                        refl_pref=None, refl_dbl=None) -> IntTideResult:
     """One internal-tide energy step (propagate_int_tide :219).
 
-    En: (n_angle, njh, nih) [J m-2]; cn: mode-1 speed [m s-1];
+    En: (n_mode, n_angle, njh, nih) [J m-2]; cn: mode-1 speed [m s-1]
+    (per-mode speeds are cn/m, the uniform-stratification limit noted
+    at :353) or (n_mode, njh, nih) caller-supplied per-mode speeds;
     tke_input: barotropic conversion [W m-2]; Nb: near-bottom
     buoyancy frequency [s-1]; htot: column depth [m]; u_bt2: squared
     barotropic tidal speed [m2 s-2]; h2_rough: topographic roughness
-    variance [m2] (defaults to (kappa_h2_factor/kappa)²)."""
+    variance [m2] (defaults to (kappa_h2_factor/kappa)²);
+    refl_angle/refl_pref/refl_dbl: topographic reflection maps (see
+    :func:`reflect`)."""
     na = cfg.n_angle
+    nm = cfg.n_mode
     freq = cfg.freq
     f2 = f2_at_h(grid)
+    if En.ndim == 3:                     # single-mode legacy layout
+        En = En[None]
     propagating = (freq ** 2 > f2).astype(En.dtype) * grid.mask2dT
 
     # source: the non-local fraction of the conversion, spread evenly
-    # over the angular wedges (:348-356)
-    En = En + dt * ((1.0 - cfg.q_itides) / na) \
-        * (tke_input * propagating)[None]
+    # over the angular wedges and partitioned across the vertical
+    # modes by ENERGY_FRACTION_PER_MODE (:362-378)
+    frac_m = _mode_fractions(cfg)
+    src = dt * ((1.0 - cfg.q_itides) / na) * (tke_input * propagating)
+    En = En + jnp.asarray(frac_m).reshape(-1, 1, 1, 1) \
+        * src[None, None]
 
-    En = domain.fill_halos(En)
-    En = _refract(cfg, grid, En, cn, 0.5 * dt)
-    En = domain.fill_halos(En)
-    En = _propagate(cfg, domain, grid, En, cn, dt)
+    cn_modes = [cn[m] if cn.ndim == 3 else cn / (m + 1.0)
+                for m in range(nm)] if nm > 1 or cn.ndim == 3 \
+        else [cn]
+
+    def transport(En_m, cn_m):
+        En_m = domain.fill_halos(En_m)
+        En_m = _refract(cfg, grid, En_m, cn_m, 0.5 * dt)
+        En_m = domain.fill_halos(En_m)
+        En_m = _propagate(cfg, domain, grid, En_m, cn_m, dt)
+        if refl_angle is not None:
+            En_m = reflect(cfg, En_m, refl_angle,
+                           refl_pref if refl_pref is not None
+                           else jnp.ones_like(refl_angle), refl_dbl)
+        return En_m
+
+    En = jnp.stack([transport(En[m], cn_modes[m]) for m in range(nm)])
 
     leak = jnp.zeros_like(htot)
     if cfg.apply_background_drag and cfg.decay_rate > 0.0:
-        leak = jnp.sum(En, axis=0) * cfg.decay_rate
+        leak = jnp.sum(En, axis=(0, 1)) * cfg.decay_rate
         En = En / (1.0 + dt * cfg.decay_rate)
 
     quad = jnp.zeros_like(htot)
     if cfg.apply_bottom_drag:
-        tot_mode = jnp.sum(En, axis=0)
+        # the near-bottom drag velocity collects every mode's energy
+        tot_all = jnp.sum(En, axis=(0, 1))
         i_d = 1.0 / jnp.maximum(htot, cfg.drag_min_depth)
         drag_scale = cfg.cdrag * jnp.sqrt(jnp.maximum(
-            0.0, u_bt2 + tot_mode * i_d / cfg.rho0)) * i_d
-        quad = tot_mode * drag_scale
-        En = En / (1.0 + dt * drag_scale[None])
+            0.0, u_bt2 + tot_all * i_d / cfg.rho0)) * i_d
+        quad = tot_all * drag_scale
+        En = En / (1.0 + dt * drag_scale[None, None])
 
     itidal = jnp.zeros_like(htot)
     if cfg.apply_wave_drag:
         # Jayne & St. Laurent small-scale wave drag
-        # (itidal_lowmode_loss :932): loss = q κ h² Nb Ub², with the
-        # modal near-bottom velocity estimated by energy
-        # equipartition Ub² ≈ 2 E_tot/(ρ0 D) (the reference projects
+        # (itidal_lowmode_loss :932): loss = q κ h² Nb Ub², with each
+        # mode's near-bottom velocity estimated by energy
+        # equipartition Ub² ≈ 2 E_m/(ρ0 D) (the reference projects
         # the vertical mode structure; this is its flat-bottom limit)
         if h2_rough is None:
             h2_rough = cfg.h2_default
-        tot_mode = jnp.sum(En, axis=0)
-        ub2 = 2.0 * tot_mode / (cfg.rho0
-                                * jnp.maximum(htot, cfg.drag_min_depth))
         loss_fixed = 0.5 * cfg.kappa_h2_factor * cfg.kappa_itides \
             * h2_rough * cfg.rho0
-        loss_tot = cfg.q_itides * loss_fixed * Nb * ub2
-        loss_rate = loss_tot / (tot_mode + _EN_SUB)
-        itidal = loss_tot * (tot_mode > 0.0)
-        En = En / (1.0 + dt * loss_rate[None])
+        tot_mode = jnp.sum(En, axis=1)               # per mode
+        ub2 = 2.0 * tot_mode / (cfg.rho0
+                                * jnp.maximum(htot,
+                                              cfg.drag_min_depth))
+        loss_m = cfg.q_itides * loss_fixed * Nb[None] * ub2
+        loss_rate = loss_m / (tot_mode + _EN_SUB)
+        itidal = jnp.sum(loss_m * (tot_mode > 0.0), axis=0)
+        En = En / (1.0 + dt * loss_rate[:, None])
 
-    En = domain.fill_halos(En)
-    En = _refract(cfg, grid, En, cn, 0.5 * dt)
+    En = jnp.stack([
+        _refract(cfg, grid, domain.fill_halos(En[m]), cn_modes[m],
+                 0.5 * dt) for m in range(nm)])
     En = jnp.maximum(En, 0.0) * grid.mask2dT
-    return IntTideResult(En=En, tot_En=jnp.sum(En, axis=0),
+    return IntTideResult(En=En, tot_En=jnp.sum(En, axis=(0, 1)),
                          itidal_loss=itidal, leak_loss=leak,
                          quad_loss=quad)

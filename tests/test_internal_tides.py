@@ -53,7 +53,7 @@ def test_propagation_moves_energy_outward():
                            apply_wave_drag=False)
     En = init_en(cfg, (d.njh, d.nih))
     jc, ic = H + NJ // 2, H + NI // 2
-    En = En.at[:, jc, ic].set(1.0e3 / cfg.n_angle)
+    En = En.at[:, :, jc, ic].set(1.0e3 / cfg.n_angle)
     cn = jnp.full((d.njh, d.nih), 2.0)
     htot = jnp.full((d.njh, d.nih), 4000.0)
     nb = jnp.zeros((d.njh, d.nih))
@@ -109,13 +109,13 @@ def test_refraction_on_beta_plane_shifts_angles():
     cfg = InternalTidesCfg(n_angle=12, apply_bottom_drag=False,
                            apply_wave_drag=False)
     En = init_en(cfg, (d.njh, d.nih))
-    En = En.at[3].set(100.0)                   # all energy in wedge 3
+    En = En.at[:, 3].set(100.0)                # all energy in wedge 3
     cn = jnp.full((d.njh, d.nih), 2.0)
     htot = jnp.full((d.njh, d.nih), 4000.0)
     r = step_internal_tides(cfg, d, g, En, cn, 43200.0,
                             jnp.zeros_like(htot),
                             jnp.zeros((d.njh, d.nih)), htot)
-    spread = np.asarray(jnp.sum(jnp.abs(r.En), axis=(1, 2)))
+    spread = np.asarray(jnp.sum(jnp.abs(r.En), axis=(0, 2, 3)))
     assert (spread > 1e-6).sum() > 1           # leaked to neighbors
 
 
@@ -158,3 +158,73 @@ KD = 1.0e-5
         s, a, tr = step(s, a, tr, n=k)
     assert np.all(np.isfinite(np.asarray(s.T)))
     assert np.isfinite(float(jnp.sum(s.h)))
+
+
+def test_reflection_conserves_and_reverses():
+    """A full-reflectance meridional wall turns eastward wedges into
+    westward ones without losing energy (reflect :1130)."""
+    from mom6_tpu.param.lateral.internal_tides import reflect
+    d, g = _setup()
+    cfg = InternalTidesCfg(n_angle=8, apply_bottom_drag=False,
+                           apply_wave_drag=False)
+    na = cfg.n_angle
+    En1 = jnp.zeros((na, d.njh, d.nih))
+    jc, ic = H + NJ // 2, H + NI - 1
+    En1 = En1.at[0, jc, ic].set(50.0)     # wedge 0: due east
+    refl_angle = jnp.full((d.njh, d.nih), jnp.nan)
+    # wall along the meridian with ocean to the west: the directed
+    # tangent convention puts the wall angle at -pi/2 (3pi/2)
+    refl_angle = refl_angle.at[:, ic].set(-np.pi / 2.0)
+    pref = jnp.ones((d.njh, d.nih))
+    out = reflect(cfg, En1, refl_angle, pref)
+    before = float(jnp.sum(En1))
+    after = float(jnp.sum(out))
+    np.testing.assert_allclose(after, before, rtol=1e-12)
+    # due-east (wedge 0) reflects to due-west (wedge na/2)
+    assert float(out[0, jc, ic]) == 0.0
+    np.testing.assert_allclose(float(out[na // 2, jc, ic]), 50.0)
+    # partial reflectance splits the energy
+    out2 = reflect(cfg, En1, refl_angle, 0.25 * pref)
+    np.testing.assert_allclose(float(out2[0, jc, ic]), 37.5)
+    np.testing.assert_allclose(float(out2[na // 2, jc, ic]), 12.5)
+    # a ridge cell also reflects rays from the OTHER side
+    En_w = jnp.zeros((na, d.njh, d.nih))
+    En_w = En_w.at[na // 2, jc, ic].set(30.0)  # due west
+    out3 = reflect(cfg, En_w, refl_angle, pref,
+                   refl_dbl=jnp.ones((d.njh, d.nih), bool))
+    np.testing.assert_allclose(float(out3[0, jc, ic]), 30.0)
+    out4 = reflect(cfg, En_w, refl_angle, pref)   # one-sided wall
+    np.testing.assert_allclose(float(out4[na // 2, jc, ic]), 30.0)
+
+
+def test_higher_modes_propagate_slower():
+    """Mode-2 energy advects at half the mode-1 group speed and the
+    input partition follows ENERGY_FRACTION_PER_MODE."""
+    d, g = _setup()
+    cfg = InternalTidesCfg(n_angle=8, n_mode=2,
+                           mode_fraction=(0.75, 0.25),
+                           apply_bottom_drag=False,
+                           apply_wave_drag=False)
+    En = init_en(cfg, (d.njh, d.nih))
+    assert En.shape[0] == 2
+    cn = jnp.full((d.njh, d.nih), 2.0)
+    htot = jnp.full((d.njh, d.nih), 4000.0)
+    nb = jnp.zeros((d.njh, d.nih))
+    tke = jnp.full((d.njh, d.nih), 1e-3)
+    dt = 3600.0
+    r = step_internal_tides(cfg, d, g, En, cn, dt, tke, nb, htot)
+    tot_m = [float(np.asarray(d.interior(r.En[m])).sum())
+             for m in range(2)]
+    np.testing.assert_allclose(tot_m[0] / (tot_m[0] + tot_m[1]), 0.75,
+                               rtol=1e-6)
+    # point release: mode 1 spreads further than mode 2
+    En = init_en(cfg, (d.njh, d.nih))
+    jc, ic = H + NJ // 2, H + NI // 2
+    En = En.at[:, :, jc, ic].set(100.0)
+    r = step_internal_tides(cfg, d, g, En, cn, 30000.0,
+                            jnp.zeros_like(htot), nb, htot)
+    E1 = np.asarray(r.En[0]).sum(axis=0)
+    E2 = np.asarray(r.En[1]).sum(axis=0)
+    # the faster mode moved more energy off the source cell
+    assert E1[jc, ic] < E2[jc, ic]
+    assert E1[jc, ic + 1] > E2[jc, ic + 1]
