@@ -84,6 +84,9 @@ class OceanCfg:
     int_tide_refl_angle: Optional[jnp.ndarray] = None
     int_tide_refl_pref: Optional[jnp.ndarray] = None
     int_tide_refl_dbl: Optional[jnp.ndarray] = None
+    # BGC package implementing the BGCPackage protocol
+    # (tracer/bgc_interface.py; MOM_generic_tracer/MARBL shape)
+    bgc: Optional[object] = None
     # --- SPPT stochastic physics perturbations (MOM_stochastics) ---
     sppt: Optional[object] = None        # StochasticsCfg (None = off)
     sppt_seed: int = 12345
@@ -338,7 +341,11 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     # per-tracer column physics (call_tracer_column_fns,
     # MOM_tracer_flow_control.F90)
     if tracer_registry is not None and tracers:
-        tracers = tracer_registry.apply_column_fns(tracers, state.h, dt)
+        tracers = tracer_registry.apply_column_fns(
+            tracers, state.h, dt, state=state, forces=forces, t=t)
+        if cfg.bgc is not None:
+            tracers = cfg.bgc.column_physics(tracers, state.h,
+                                             state.T, state.S, dt)
 
     # --- ALE regrid/remap ---
     if cfg.ale is not None:

@@ -1437,6 +1437,45 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     if pf.get("USE_DOME_TRACER", bool, False):
         tracers.update(ideal_tracers.register_dome_tracers(registry,
                                                            shape))
+    if pf.get("USE_BOUNDARY_IMPULSE_TRACER", bool, False):
+        tracers["boundary_impulse"] = \
+            ideal_tracers.register_boundary_impulse(
+                registry, shape,
+                source_time=pf.get("IMPULSE_SOURCE_TIME", float,
+                                   31536000.0, units="s"))
+    if pf.get("USE_OIL_TRACER", bool, False):
+        tracers["oil1"] = ideal_tracers.register_oil_tracer(
+            registry, grid, domain, shape,
+            source_lon=pf.get("OIL_SOURCE_LONGITUDE", float, 0.0),
+            source_lat=pf.get("OIL_SOURCE_LATITUDE", float, 0.0),
+            source_k=pf.get("OIL_SOURCE_LAYER", int, 0),
+            source_rate=pf.get("OIL_SOURCE_RATE", float, 1.0,
+                               units="kg s-1"),
+            decay_days=pf.get("OIL_DECAY_DAYS", float, 0.0,
+                              units="days"))
+    if pf.get("USE_ADVECTION_TEST_TRACER", bool, False):
+        tracers.update(ideal_tracers.register_advection_test(
+            registry, grid, shape,
+            x_origin=pf.get("ADVECTION_TEST_X_ORIGIN", float, 0.0),
+            y_origin=pf.get("ADVECTION_TEST_Y_ORIGIN", float, 0.0),
+            x_width=pf.get("ADVECTION_TEST_X_WIDTH", float, 0.0),
+            y_width=pf.get("ADVECTION_TEST_Y_WIDTH", float, 0.0)))
+    if pf.get("USE_OCMIP2_CFC", bool, False):
+        from mom6_tpu.tracer.cfc import register_cfcs
+        tracers.update(register_cfcs(
+            registry, shape,
+            u10=pf.get("CFC_EXCHANGE_WIND", float, 8.0,
+                       units="m s-1"),
+            pcfc11_atm=pf.get("PCFC11_ATM", float, 270.0e-12,
+                              units="atm"),
+            pcfc12_atm=pf.get("PCFC12_ATM", float, 465.0e-12,
+                              units="atm")))
+    bgc_pkg = None
+    if pf.get("USE_NPZD", bool, False):
+        from mom6_tpu.tracer.bgc_interface import NPZDPackage
+        bgc_pkg = NPZDPackage()
+        tracers.update(bgc_pkg.register(registry, shape))
+        ocean_cfg = dataclasses.replace(ocean_cfg, bgc=bgc_pkg)
     if not tracers:
         tracers = None
 

@@ -14,7 +14,8 @@ import dataclasses
 
 import jax.numpy as jnp
 
-__all__ = ["CFCCfg", "cfc_solubility", "cfc_schmidt", "cfc_surface_flux"]
+__all__ = ["CFCCfg", "cfc_solubility", "cfc_schmidt", "cfc_surface_flux",
+           "register_cfcs"]
 
 # Warner & Weiss (1985) solubility coefficients, Table 5 (mol l-1 atm-1,
 # natural-log fit in T/100):  ln F = a1 + a2(100/T) + a3 ln(T/100)
@@ -63,3 +64,33 @@ def cfc_surface_flux(cfg: CFCCfg, c_surf, T, S, u10, pcfc_atm):
     kw = cfg.piston_coeff * u10 * u10 * jnp.sqrt(
         660.0 / jnp.maximum(sc, 1.0)) * (0.01 / 3600.0)
     return kw * (c_sat - c_surf)
+
+
+def register_cfcs(reg, shape, u10: float = 8.0,
+                  pcfc11_atm: float = 270.0e-12,
+                  pcfc12_atm: float = 465.0e-12,
+                  piston_coeff: float = 0.31) -> dict:
+    """Register CFC-11/CFC-12 with their OCMIP2 air-sea exchange as a
+    per-step column function (register_OCMIP2_CFC +
+    OCMIP2_CFC_column_physics, MOM_OCMIP2_CFC.F90): the surface layer
+    receives kw·(C_sat − C_surf)·dt/h each step from the model's own
+    SST/SSS.  ``u10`` is a constant exchange wind [m s-1] and the
+    atmospheric partial pressures are constants (the reference reads
+    both from the coupler/data atmosphere; a data_override can supply
+    the same here)."""
+    from mom6_tpu.tracer.registry import TracerMeta
+    out = {}
+    for name, patm in (("cfc11", pcfc11_atm), ("cfc12", pcfc12_atm)):
+        cfg = CFCCfg(gas="CFC11" if name == "cfc11" else "CFC12",
+                     piston_coeff=piston_coeff)
+
+        def col(tr, h, dt, state=None, patm=patm, cfg=cfg, **ctx):
+            if state is None or state.T is None:
+                return tr
+            F = cfc_surface_flux(cfg, tr[0], state.T[0], state.S[0],
+                                 u10, patm)
+            return tr.at[0].add(dt * F / jnp.maximum(h[0], 1e-3))
+        reg.register(TracerMeta(name=name, longname=f"{name} mole conc",
+                                units="mol m-3", column_fn=col))
+        out[name] = jnp.zeros(shape)
+    return out
