@@ -10,4 +10,5 @@ and /root/reference/src/initialization/MOM_state_initialization.F90
 from mom6_tpu.initialization.horizontal_regrid import (  # noqa: F401
     bilinear_regrid, fill_missing)
 from mom6_tpu.initialization.z_init import (  # noqa: F401
-    z_edges_from_centers, thickness_from_z_edges, temp_salt_from_z)
+    z_edges_from_centers, thickness_from_z_edges, temp_salt_from_z,
+    tracer_from_z)

@@ -21,7 +21,7 @@ from mom6_tpu.initialization.horizontal_regrid import (bilinear_regrid,
                                                        fill_missing)
 
 __all__ = ["z_edges_from_centers", "thickness_from_z_edges",
-           "temp_salt_from_z"]
+           "temp_salt_from_z", "tracer_from_z"]
 
 
 def z_edges_from_centers(z_centers: np.ndarray,
@@ -48,6 +48,28 @@ def thickness_from_z_edges(z_edges: np.ndarray, bathy: np.ndarray,
         (-1,) + (1,) * np.ndim(bathy))
     ecap = np.minimum(e, np.asarray(bathy)[None])
     return np.maximum(ecap[1:] - ecap[:-1], angstrom)
+
+
+def tracer_from_z(tr_z: np.ndarray, src_lon: np.ndarray,
+                  src_lat: np.ndarray, z_centers: np.ndarray,
+                  dst_lon: np.ndarray, dst_lat: np.ndarray,
+                  bathy: np.ndarray, h_target: jnp.ndarray,
+                  angstrom: float,
+                  remap_cfg: RemapCfg = RemapCfg(),
+                  missing_value: float = -1e10) -> jnp.ndarray:
+    """One tracer on model layers from a z-space file profile
+    (MOM_tracer_Z_init.F90 tracer_Z_init): per-level missing fill,
+    bilinear horizontal regrid, then conservative vertical remap onto
+    the model thicknesses."""
+    tr_z = np.asarray(tr_z, np.float64)
+    valid = np.isfinite(tr_z) & (tr_z > missing_value)
+    tr_f = fill_missing(tr_z, valid)
+    tr_m = bilinear_regrid(tr_f, src_lon, src_lat, dst_lon, dst_lat)
+    max_depth = float(np.max(bathy))
+    z_edges = z_edges_from_centers(z_centers, max_depth)
+    h_src = thickness_from_z_edges(z_edges, bathy, angstrom)
+    return remap_column_means(jnp.asarray(h_src), jnp.asarray(tr_m),
+                              jnp.asarray(h_target), remap_cfg)
 
 
 def temp_salt_from_z(T_z: np.ndarray, S_z: np.ndarray,

@@ -1476,6 +1476,34 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         bgc_pkg = NPZDPackage()
         tracers.update(bgc_pkg.register(registry, shape))
         ocean_cfg = dataclasses.replace(ocean_cfg, bgc=bgc_pkg)
+    # Z-space tracer initialization (MOM_tracer_Z_init.F90): any file
+    # variable whose name matches a registered tracer overrides that
+    # tracer's initial condition via horizontal regrid + conservative
+    # vertical remap from the file's z-levels
+    trz_file = pf.get("TRACER_Z_INIT_FILE", str, "")
+    if trz_file and tracers:
+        import os as _os
+        from mom6_tpu.framework.io import read_field, field_names
+        from mom6_tpu.initialization import tracer_from_z
+        zpath = _os.path.join(pf.get("INPUTDIR", str, "."), trz_file)
+        zlon = np.asarray(read_field(zpath, "lon"), np.float64)
+        zlat = np.asarray(read_field(zpath, "lat"), np.float64)
+        zdep = np.asarray(read_field(zpath, "depth"), np.float64)
+        for tname in list(tracers):
+            if tname not in field_names(zpath):
+                continue
+            raw = np.asarray(read_field(zpath, tname), np.float64)
+            if raw.ndim == 4:
+                raw = raw[0]
+            trz = tracer_from_z(
+                raw, zlon, zlat, zdep,
+                np.asarray(grid.geoLonT), np.asarray(grid.geoLatT),
+                np.asarray(grid.bathyT), state.h, vgrid.angstrom)
+            if not domain.shmap:
+                trz = domain.local().fill_halos(trz)
+            tracers[tname] = trz * grid.mask2dT
+
+
     if not tracers:
         tracers = None
 

@@ -122,3 +122,32 @@ def test_npzd_runs_and_stays_positive():
     # the ecosystem evolved away from its initial condition
     p = np.asarray(d.interior(tr["phyto"]))
     assert abs(p[0].max() - 0.1) > 1e-6
+
+
+def test_tracer_z_init(tmp_path):
+    """TRACER_Z_INIT_FILE overrides a registered tracer's IC from
+    z-space climatology (MOM_tracer_Z_init.F90)."""
+    from mom6_tpu.framework.io import write_fields
+    nzf, nyf, nxf = 6, 8, 8
+    lon = np.linspace(-30.0, 150.0, nxf)
+    lat = np.linspace(-30.0, 150.0, nyf)
+    depth = np.array([50.0, 150.0, 300.0, 500.0, 700.0, 900.0])
+    # age increases linearly with depth, uniform horizontally
+    age = np.broadcast_to((depth / 100.0)[:, None, None],
+                          (nzf, nyf, nxf)).copy()
+    path = tmp_path / "tr_z.nc"
+    write_fields(str(path), {"age": age, "lon": lon, "lat": lat,
+                             "depth": depth},
+                 dims={"age": ("depth", "lat", "lon"),
+                       "lon": ("lon",), "lat": ("lat",),
+                       "depth": ("depth",)})
+    m = build_model(ParamFile(text=BASE + (
+        "USE_IDEAL_AGE_TRACER = True\n"
+        f"INPUTDIR = {tmp_path}\n"
+        "TRACER_Z_INIT_FILE = tr_z.nc\n")))
+    d = m.domain
+    a0 = np.asarray(d.interior(m.tracers["age"]))
+    # increases with depth, spanning the file range
+    col = a0[:, 4, 4]
+    assert np.all(np.diff(col) > 0.0)
+    assert col[0] > 0.0 and col[-1] <= 9.0 + 1e-9
