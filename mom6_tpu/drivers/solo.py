@@ -82,6 +82,27 @@ def main(argv=None):
                                        max_depth, nz_diag)
         if not (diags.any_requested() or as_chksum):
             diags = None
+    # ---- Lagrangian particles (MOM.F90:1357 USE_PARTICLES /
+    # config_src/external/drifters) ----
+    pf.module("MOM_particles")
+    particles = None
+    part_traj = []
+    if pf.get("USE_PARTICLES", bool, False):
+        from mom6_tpu.tracer.particles import (init_particles,
+                                               advect_particles)
+        pnx = pf.get("PARTICLES_NX", int, 8)
+        pny = pf.get("PARTICLES_NY", int, 8)
+        pk = pf.get("PARTICLES_LAYER", int, 0)
+        import numpy as _np
+        xs, ys = _np.meshgrid(
+            (_np.arange(pnx) + 0.5) * model.domain.ni / pnx,
+            (_np.arange(pny) + 0.5) * model.domain.nj / pny)
+        particles = init_particles(xs.ravel(), ys.ravel(),
+                                   _np.full(pnx * pny, pk))
+        _advect_particles = jax.jit(
+            lambda p, u, v: advect_particles(
+                model.domain, model.grid, p, u, v, model.dt))
+
     # ---- offline tracer mode (MOM.F90:2267 OFFLINE_TRACER_MODE /
     # MOM_offline_main.F90:1367-1383) ----
     pf.module("MOM")
@@ -183,6 +204,14 @@ def main(argv=None):
         with clock("step_MOM"):
             state, split_state, tracers = step(state, split_state,
                                                tracers, n)
+        if particles is not None:
+            with clock("particles"):
+                particles = _advect_particles(particles, state.u,
+                                              state.v)
+            if n % stats_every == 0:
+                import numpy as _np
+                part_traj.append((_np.asarray(particles.x),
+                                  _np.asarray(particles.y)))
         if debug_mode:
             # checksum flood: one block of prognostic checksums per
             # step (hchksum/uvchksum analog of DEBUG=True)
@@ -215,6 +244,14 @@ def main(argv=None):
     jax.block_until_ready(state.h)
     if write_offline and off_records:
         _write_offline_fields(args.case_dir, model, off_records)
+    if particles is not None and part_traj:
+        import numpy as _np
+        from mom6_tpu.framework.io import write_fields
+        write_fields(os.path.join(args.case_dir, "particles.nc"),
+                     {"part_x": _np.stack([x for x, _ in part_traj]),
+                      "part_y": _np.stack([y for _, y in part_traj])},
+                     dims={"part_x": ("rec", "particle"),
+                           "part_y": ("rec", "particle")})
     if diags is not None:
         with clock("diag mediator"):
             diags.med.flush("diags.nc", time_value=daymax)
