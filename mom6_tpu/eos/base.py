@@ -38,3 +38,29 @@ class EOS:
         """drho_dp [s2 m-2] via autodiff unless overridden."""
         return jax.jvp(lambda q: self.density(T, S, q), (p,),
                        (jnp.ones_like(p),))[1]
+
+    def density_second_derivs(self, T, S, p):
+        """The five second derivatives of density
+        (drho_dS_dS, drho_dS_dT, drho_dT_dT, drho_dS_dP, drho_dT_dP),
+        the calculate_density_second_derivs analog
+        (/root/reference/src/equation_of_state/MOM_EOS.F90): nested
+        forward-mode AD over the subclass's closed-form density, so
+        every EOS gets elementwise-exact second derivatives with no
+        per-form hand differentiation."""
+        def dT(t, s, q):
+            return jax.jvp(lambda tt: self.density(tt, s, q), (t,),
+                           (jnp.ones_like(t),))[1]
+
+        def dS(t, s, q):
+            return jax.jvp(lambda ss: self.density(t, ss, q), (s,),
+                           (jnp.ones_like(s),))[1]
+
+        oT = jnp.ones_like(T)
+        oS = jnp.ones_like(S)
+        oP = jnp.ones_like(p)
+        d2_SS = jax.jvp(lambda s: dS(T, s, p), (S,), (oS,))[1]
+        d2_ST = jax.jvp(lambda t: dS(t, S, p), (T,), (oT,))[1]
+        d2_TT = jax.jvp(lambda t: dT(t, S, p), (T,), (oT,))[1]
+        d2_SP = jax.jvp(lambda q: dS(T, S, q), (p,), (oP,))[1]
+        d2_TP = jax.jvp(lambda q: dT(T, S, q), (p,), (oP,))[1]
+        return d2_SS, d2_ST, d2_TT, d2_SP, d2_TP

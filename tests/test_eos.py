@@ -91,3 +91,43 @@ def test_forms_mutually_consistent():
 def test_unknown_form():
     with pytest.raises(ValueError):
         make_eos("NOT_AN_EOS")
+
+
+def test_second_derivs_match_finite_differences():
+    """density_second_derivs (nested forward AD) vs central finite
+    differences for the full EOS suite
+    (calculate_density_second_derivs, MOM_EOS.F90)."""
+    import numpy as np
+    from mom6_tpu.eos import make_eos
+    T = jnp.asarray([2.0, 10.0, 24.0])
+    S = jnp.asarray([33.0, 35.0, 37.0])
+    p = jnp.asarray([1.0e5, 2.0e7, 5.0e7])
+    for form in ("WRIGHT", "WRIGHT_FULL", "UNESCO", "JACKETT_06",
+                 "ROQUET_RHO", "TEOS10", "LINEAR"):
+        eos = make_eos(form)
+        d2 = eos.density_second_derivs(T, S, p)
+        eps_T, eps_S, eps_p = 0.05, 0.05, 1e5
+
+        def fd2(f, x, eps):
+            return (f(x + eps) - 2.0 * f(x) + f(x - eps)) / eps ** 2
+
+        def fdx(f, x, y, ex, ey):
+            return ((f(x + ex, y + ey) - f(x + ex, y - ey))
+                    - (f(x - ex, y + ey) - f(x - ex, y - ey))) \
+                / (4.0 * ex * ey)
+
+        rho = lambda t=T, s=S, q=p: eos.density(t, s, q)
+        ref = (
+            fd2(lambda s: rho(s=s), S, eps_S),
+            fdx(lambda s, t: rho(t=t, s=s), S, T, eps_S, eps_T),
+            fd2(lambda t: rho(t=t), T, eps_T),
+            fdx(lambda s, q: rho(s=s, q=q), S, p, eps_S, eps_p),
+            fdx(lambda t, q: rho(t=t, q=q), T, p, eps_T, eps_p),
+        )
+        for got, want, nm in zip(d2, ref, ("SS", "ST", "TT", "SP",
+                                           "TP")):
+            scale = np.max(np.abs(np.asarray(want))) + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-3,
+                atol=2e-3 * scale,
+                err_msg=f"{form} d2rho/d{nm}")
