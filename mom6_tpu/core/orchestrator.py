@@ -331,8 +331,14 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     # applies the [ALE] sponge at the end of the column physics);
     # profiles are damped level-by-level (same-nk profile grids)
     if cfg.sponge_data is not None and state.T is not None:
-        from mom6_tpu.param.vertical.sponge import apply_sponge
+        from mom6_tpu.param.vertical.sponge import (apply_sponge,
+                                                    apply_eta_sponge)
         sd = cfg.sponge_data
+        if sd.get("eta") is not None:
+            # layered-mode interface restoring (MOM_sponge.F90)
+            h_sp = apply_eta_sponge(state.h, sd["idamp"], dt,
+                                    sd["eta"])
+            state = state.replace(h=h_sp)
         damped = apply_sponge({"T": state.T, "S": state.S}, state.h,
                               sd["idamp"], dt,
                               {"T": sd["T"], "S": sd["S"]},

@@ -1304,6 +1304,19 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         sponge_data = {"idamp": idamp, "T": t_ref, "S": s_ref}
         if ref_h is not None:
             sponge_data["ref_h"] = ref_h
+        # layered-mode interface (eta) restoring (MOM_sponge.F90):
+        # the state file's ETA variable gives nk+1 target interface
+        # heights (up positive); stored as depth below the surface
+        evar = pf.get("SPONGE_ETA_VAR", str, "ETA")
+        if evar in field_names(spath):
+            e_tgt = np.asarray(read_field(spath, evar), np.float64)
+            if e_tgt.ndim == 4:
+                e_tgt = e_tgt[0]
+            if e_tgt.shape[0] == nk + 1:
+                d_tgt = e_tgt[0:1] - e_tgt          # depth below sfc
+                d_tgt = domain.fill_halos(domain.pad(
+                    jnp.asarray(d_tgt)))
+                sponge_data["eta"] = d_tgt
 
     # transports accumulate over n_dyn_per_therm dynamics steps, so
     # tracer advection needs enough alternating sweeps to exhaust an

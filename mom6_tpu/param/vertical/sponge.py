@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from mom6_tpu.ale.remapping import RemapCfg, remap_column_means
 
-__all__ = ["SpongeCfg", "apply_sponge"]
+__all__ = ["SpongeCfg", "apply_sponge", "apply_eta_sponge"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,3 +49,29 @@ def apply_sponge(state_fields: dict, h, iresttime, dt,
             ref = remap_column_means(ref_h, ref, h, cfg.remap)
         out[name] = a + fac[None] * (ref - a)
     return out
+
+
+def apply_eta_sponge(h, iresttime, dt, d_ref, angstrom: float = 1e-10):
+    """Layered-mode interface-height sponge (the eta restoring of
+    MOM_sponge.F90 apply_sponge): interior interface depths are damped
+    implicitly toward the target profile ``d_ref`` (nk+1, njh, nih;
+    depth below the free surface, positive down), then re-monotonized.
+    The surface and bottom interfaces are pinned, so the column total
+    — and with it the model's mass — is exactly preserved; the sponge
+    redistributes mass between layers, which is the meaningful part of
+    the reference's isopycnal-interface restoring."""
+    nk = h.shape[0]
+    d = jnp.concatenate([jnp.zeros_like(h[:1]),
+                         jnp.cumsum(h, axis=0)], axis=0)
+    htot = d[-1]
+    fac = (dt * iresttime) / (1.0 + dt * iresttime)
+    d_tgt = jnp.clip(d_ref, 0.0, htot[None])
+    d_new = d + fac[None] * (d_tgt - d)
+    K = jnp.arange(nk + 1).reshape((-1,) + (1,) * (h.ndim - 1))
+    d_new = jnp.where(K == 0, 0.0, jnp.where(K == nk, htot[None],
+                                             d_new))
+    import jax
+    d_new = jax.lax.associative_scan(jnp.maximum, d_new, axis=0)
+    d_new = jnp.minimum(d_new, htot[None])
+    d_new = jnp.where(K == nk, htot[None], d_new)
+    return jnp.maximum(d_new[1:] - d_new[:-1], angstrom)
