@@ -41,7 +41,7 @@ from mom6_tpu.core.pressure_force import (PressureForceCfg, pressure_force,
                                           interface_heights)
 from mom6_tpu.core.vert_friction import (VertViscCfg, vertvisc,
                                          vertvisc_coef, vertvisc_remnant,
-                                         set_viscous_bbl,
+                                         set_viscous_bbl, surface_ustar,
                                          vertvisc_limit_vel)
 from mom6_tpu.param.lateral.hor_visc import HorViscCfg, horizontal_viscosity
 from mom6_tpu.parallel.domain import Domain
@@ -187,7 +187,10 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     # BBL piston/thickness once per step from the pre-step state
     # (the reference's set_viscous_BBL cadence)
     bbl = set_viscous_bbl(grid, u, v, h, cfg.vertvisc, vgrid)
-    coefs = vertvisc_coef(grid, u_av, v_av, h, cfg=cfg.vertvisc, bbl=bbl)
+    ustar = surface_ustar(grid, rho0, forces) \
+        if cfg.vertvisc.visc_ml_mode else None
+    coefs = vertvisc_coef(grid, u_av, v_av, h, cfg=cfg.vertvisc, bbl=bbl,
+                          ustar=ustar)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
 
     # eta mass-source correction: the discrepancy between the layered
@@ -222,7 +225,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     up = grid.mask2dCu * (u + dt_pred * (u_bc_accel + bt.accel_layer_u))
     vp = grid.mask2dCv * (v + dt_pred * (v_bc_accel + bt.accel_layer_v))
 
-    coefs = vertvisc_coef(grid, up, vp, h, cfg=cfg.vertvisc, bbl=bbl)
+    coefs = vertvisc_coef(grid, up, vp, h, cfg=cfg.vertvisc, bbl=bbl,
+                          ustar=ustar)
     up, vp = vertvisc(grid, up, vp, h, coefs, dt_pred,
                       forces.taux, forces.tauy, rho0)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
@@ -268,7 +272,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     u_new = grid.mask2dCu * (u + dt * (u_bc_accel + bt.accel_layer_u))
     v_new = grid.mask2dCv * (v + dt * (v_bc_accel + bt.accel_layer_v))
 
-    coefs = vertvisc_coef(grid, u_new, v_new, h, cfg=cfg.vertvisc, bbl=bbl)
+    coefs = vertvisc_coef(grid, u_new, v_new, h, cfg=cfg.vertvisc, bbl=bbl,
+                          ustar=ustar)
     u_new, v_new = vertvisc(grid, u_new, v_new, h, coefs, dt,
                             forces.taux, forces.tauy, rho0)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt)

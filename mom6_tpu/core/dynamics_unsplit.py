@@ -33,6 +33,7 @@ from mom6_tpu.core.continuity_ppm import (ContinuityCfg, continuity_ppm)
 from mom6_tpu.core.coriolis_adv import CoriolisCfg, coriolis_adv
 from mom6_tpu.core.pressure_force import (PressureForceCfg, pressure_force)
 from mom6_tpu.core.vert_friction import (VertViscCfg, vertvisc, vertvisc_coef,
+                                         surface_ustar,
                                          set_viscous_bbl,
                                          vertvisc_limit_vel)
 from mom6_tpu.param.lateral.hor_visc import HorViscCfg, horizontal_viscosity
@@ -122,7 +123,10 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     vp = grid.mask2dCv * (v + dt_pred * CAv)
 
     bbl = set_viscous_bbl(grid, u, v, h, cfg.vertvisc, vgrid)
-    coefs = vertvisc_coef(grid, up, vp, h_av, cfg=cfg.vertvisc, bbl=bbl)
+    ustar = surface_ustar(grid, rho0, forces) \
+        if cfg.vertvisc.visc_ml_mode else None
+    coefs = vertvisc_coef(grid, up, vp, h_av, cfg=cfg.vertvisc, bbl=bbl,
+                          ustar=ustar)
     up, vp = vertvisc(grid, up, vp, h_av, coefs, dt_pred,
                       forces.taux, forces.tauy, rho0)
     up, vp = fill_uv(up, vp)
@@ -137,7 +141,8 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         CAu, CAv = accel(up, vp, h_av, uh, vh)
         upp = grid.mask2dCu * (u + 0.5 * dt * CAu)
         vpp = grid.mask2dCv * (v + 0.5 * dt * CAv)
-        coefs = vertvisc_coef(grid, upp, vpp, hp, cfg=cfg.vertvisc, bbl=bbl)
+        coefs = vertvisc_coef(grid, upp, vpp, hp, cfg=cfg.vertvisc, bbl=bbl,
+                          ustar=ustar)
         upp, vpp = vertvisc(grid, upp, vpp, hp, coefs, 0.5 * dt,
                             forces.taux, forces.tauy, rho0)
         upp, vpp = fill_uv(upp, vpp)
@@ -156,7 +161,8 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     CAu, CAv = accel(upp, vpp, h_av, uh, vh)
     u_new = grid.mask2dCu * (u + dt * CAu)
     v_new = grid.mask2dCv * (v + dt * CAv)
-    coefs = vertvisc_coef(grid, u_new, v_new, h_av, cfg=cfg.vertvisc, bbl=bbl)
+    coefs = vertvisc_coef(grid, u_new, v_new, h_av, cfg=cfg.vertvisc, bbl=bbl,
+                          ustar=ustar)
     u_new, v_new = vertvisc(grid, u_new, v_new, h_av, coefs, dt,
                             forces.taux, forces.tauy, rho0)
     u_new, v_new, truncs = vertvisc_limit_vel(grid, u_new, v_new, dt,

@@ -51,6 +51,19 @@ class VertViscCfg:
     dynamic_bbl: bool = True
     bbl_thick_min: float = 0.1    # BBL_THICK_MIN [m]
     kv_bbl_min: float = 1e-4      # KV_BBL_MIN [m2 s-1]
+    # surface viscous mixed layer (set_viscous_ML,
+    # MOM_set_viscosity.F90:1898 + the vertvisc_coef LOTW floor,
+    # MOM_vert_friction.F90:2190): within the viscous ML the interface
+    # coupling is floored by a log-layer x Ekman-limited profile built
+    # from the surface friction velocity.  'fixed' uses HMIX_FIXED;
+    # 'dynamic' the Ekman depth  min(D, ml_ekman_coeff*ustar/|f|)
+    # (the unstratified limit of the reference's bulk-Ri search; the
+    # stratified refinement lives in the KPP/ePBL BLD used by the
+    # diabatic path).  '' disables.
+    visc_ml_mode: str = ""        # '', 'fixed', 'dynamic'
+    hmix_fixed: float = 20.0      # HMIX_FIXED [m]
+    ml_ekman_coeff: float = 0.5   # decay-scale coefficient [nondim]
+    vonkar: float = 0.41          # VON_KARMAN
 
 
 class ViscCoefs(NamedTuple):
@@ -174,13 +187,30 @@ def set_viscous_bbl(grid: Grid, u, v, h,
     return BBLInfo(piston_u=pu, thick_u=tu, piston_v=pv, thick_v=tv)
 
 
+def surface_ustar(grid: Grid, rho0: float, forces):
+    """Surface friction velocity at h points from the wind stress
+    (the forces%ustar the reference's set_viscous_ML consumes):
+    u* = sqrt(|tau|/rho0)."""
+    from mom6_tpu.parallel.stencil import im1, jm1
+    tx = forces.taux if forces.taux is not None else 0.0
+    ty = forces.tauy if forces.tauy is not None else 0.0
+    tx_h = 0.5 * (tx + im1(tx)) if forces.taux is not None else 0.0
+    ty_h = 0.5 * (ty + jm1(ty)) if forces.tauy is not None else 0.0
+    tau = jnp.sqrt(tx_h * tx_h + ty_h * ty_h + 1e-60)
+    return jnp.sqrt(tau / rho0) * grid.mask2dT
+
+
 def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
                   cfg: VertViscCfg = VertViscCfg(),
-                  vgrid=None, bbl: BBLInfo | None = None) -> ViscCoefs:
+                  vgrid=None, bbl: BBLInfo | None = None,
+                  ustar=None) -> ViscCoefs:
     """Build interface coupling coefficients at u and v columns.
 
     kv_int: optional (nk+1, njh, nih) interface viscosity at h points
     (from set_diffusivity/CVMix); defaults to the constant cfg.kv.
+    ustar: optional (njh, nih) surface friction velocity at h points
+    [m s-1] enabling the viscous-mixed-layer coupling floor
+    (cfg.visc_ml_mode).
 
     The bottom coupling uses the set_viscous_BBL piston velocity and
     BBL thickness (``bbl``, computed once per step; recomputed here
@@ -192,10 +222,41 @@ def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
     if cfg.bottomdraglaw and bbl is None:
         bbl = set_viscous_bbl(grid, u, v, h, cfg, vgrid)
 
-    def face_coefs(h_face, kv_face, piston, bbl_thick):
+    def ml_floor(a_int, h_face, ust_face, absf):
+        """Viscous-ML coupling floor (MOM_vert_friction.F90:2190):
+        visc_ml = z(h_ml - z) * kappa u*^2 / (|f| z(h_ml - z)
+        + h_ml u*), with the log-layer a_floor = (h_ml - z) *
+        ustar2_denom, both taken as maxima against the interior
+        coupling within the ML."""
+        htot = jnp.sum(h_face, axis=0)
+        if cfg.visc_ml_mode == "fixed":
+            h_ml = jnp.minimum(cfg.hmix_fixed, htot)
+        else:                                  # 'dynamic' Ekman depth
+            h_ml = jnp.minimum(
+                htot, cfg.ml_ekman_coeff * ust_face
+                / jnp.maximum(absf, 1e-10))
+        z_t = jnp.cumsum(h_face[:-1], axis=0)   # interfaces K=1..nk-1
+        temp1 = jnp.maximum(z_t * (h_ml[None] - z_t), 0.0)
+        denom = (absf[None] * temp1
+                 + (h_ml + _H_NEGLECT)[None] * ust_face[None])
+        u2d = (cfg.vonkar * ust_face ** 2)[None] \
+            / jnp.maximum(denom, 1e-30)
+        a_ml = temp1 * u2d / (0.25 * (h_face[1:] + h_face[:-1])
+                              + _H_NEGLECT)
+        a_floor = jnp.maximum(h_ml[None] - z_t, 0.0) * u2d
+        in_ml = (z_t < h_ml[None]) & (ust_face[None] > 0.0)
+        return jnp.where(in_ml,
+                         jnp.maximum(a_int,
+                                     jnp.maximum(a_ml, a_floor)),
+                         a_int)
+
+    def face_coefs(h_face, kv_face, piston, bbl_thick, ust_face,
+                   absf):
         # interior interfaces K=1..nk-1: a = Kv / dz between layer centers
         dz = 0.5 * (h_face[:-1] + h_face[1:]) + _H_NEGLECT
         a_int = kv_face[1:-1] / dz
+        if cfg.visc_ml_mode and ust_face is not None:
+            a_int = ml_floor(a_int, h_face, ust_face, absf)
         a_top = jnp.zeros_like(h_face[0])[None]
         if not cfg.bottomdraglaw:
             a_bot = (kv_face[-1] / (0.5 * h_face[-1] + _H_NEGLECT))[None]
@@ -221,8 +282,19 @@ def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
     tu = bbl.thick_u if bbl is not None else None
     pv = bbl.piston_v if bbl is not None else None
     tv = bbl.thick_v if bbl is not None else None
-    a_u = face_coefs(h_u, kv_u, pu, tu) * grid.mask2dCu[None]
-    a_v = face_coefs(h_v, kv_v, pv, tv) * grid.mask2dCv[None]
+    if ustar is not None:
+        from mom6_tpu.parallel.stencil import im1 as _im1, jm1 as _jm1
+        ust_u = 0.5 * (ustar + ip1(ustar))
+        ust_v = 0.5 * (ustar + jp1(ustar))
+        fq = jnp.abs(grid.CoriolisBu)
+        absf_u = 0.5 * (fq + _jm1(fq))
+        absf_v = 0.5 * (fq + _im1(fq))
+    else:
+        ust_u = ust_v = absf_u = absf_v = None
+    a_u = face_coefs(h_u, kv_u, pu, tu, ust_u, absf_u) \
+        * grid.mask2dCu[None]
+    a_v = face_coefs(h_v, kv_v, pv, tv, ust_v, absf_v) \
+        * grid.mask2dCv[None]
 
     ray_u = ray_v = None
     if cfg.channel_drag:

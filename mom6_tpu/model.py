@@ -665,7 +665,16 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         dynamic_bbl=pf.get("DYNAMIC_BBL", bool, True),
         bbl_thick_min=pf.get("BBL_THICK_MIN", float, 0.1, units="m"),
         kv_bbl_min=pf.get("KV_BBL_MIN", float, 1e-4,
-                          units="m2 s-1"))
+                          units="m2 s-1"),
+        # surface viscous ML (set_viscous_ML / the LOTW coupling
+        # floor): DYNAMIC_VISCOUS_ML uses the Ekman depth;
+        # FIXED_DEPTH_LOTW_ML uses HMIX_FIXED
+        visc_ml_mode=("dynamic" if pf.get("DYNAMIC_VISCOUS_ML", bool,
+                                          False)
+                      else "fixed" if pf.get("FIXED_DEPTH_LOTW_ML",
+                                             bool, False) else ""),
+        hmix_fixed=pf.get("HMIX_FIXED", float, 20.0, units="m"),
+        vonkar=pf.get("VON_KARMAN_CONST", float, 0.41))
     pf.module("MOM_hor_visc")
     # reference semantics: SMAGORINSKY_KH/AH are Booleans enabling the
     # scheme, with the constants in SMAG_LAP_CONST / SMAG_BI_CONST

@@ -217,3 +217,51 @@ def test_channel_drag_slows_flow_along_topography():
     rem_on, _ = vertvisc_remnant(g_step, co, dt)
     rem_off, _ = vertvisc_remnant(g_step, co_off, dt)
     assert float(rem_on[3, ja, ia]) < float(rem_off[3, ja, ia])
+
+
+def test_viscous_ml_coupling_floor():
+    """The surface viscous-ML floor (set_viscous_ML + the LOTW
+    coupling of MOM_vert_friction.F90:2190) raises the near-surface
+    interface coupling under wind and transfers momentum deeper."""
+    import jax.numpy as jnp
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    from mom6_tpu.core.vert_friction import (VertViscCfg,
+                                             vertvisc_coef,
+                                             surface_ustar)
+    from mom6_tpu.core.forcing import MechForcing
+    d = Domain(ni=8, nj=8, halo=4, reentrant_x=True, reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=80.0, lenlat_km=80.0, f0=1e-4,
+                       max_depth=1000.0)
+    nk = 10
+    h = d.fill_halos(d.pad(jnp.full((nk, 8, 8), 100.0)))
+    u = jnp.zeros_like(h)
+    v = jnp.zeros_like(h)
+    taux = d.fill_halos(d.pad(jnp.full((8, 8), 0.2))) * g.mask2dCu
+    forces = MechForcing(taux=taux)
+    ustar = surface_ustar(g, 1035.0, forces)
+    assert float(jnp.max(ustar)) > 0.01
+    base = VertViscCfg(kv=1e-5, bottomdraglaw=False)
+    ml = VertViscCfg(kv=1e-5, bottomdraglaw=False,
+                     visc_ml_mode="fixed", hmix_fixed=250.0)
+    c0 = vertvisc_coef(g, u, v, h, cfg=base, ustar=ustar)
+    c1 = vertvisc_coef(g, u, v, h, cfg=ml, ustar=ustar)
+    import numpy as np
+    a0 = np.asarray(d.interior(c0.a_u))
+    a1 = np.asarray(d.interior(c1.a_u))
+    # enhanced within the 250 m ML (interfaces 1..2), unchanged below
+    assert np.all(a1[1:3] > a0[1:3] * 10.0)
+    np.testing.assert_allclose(a1[4:], a0[4:], rtol=1e-12)
+    # dynamic mode scales the depth with ustar/f
+    dyn = VertViscCfg(kv=1e-5, bottomdraglaw=False,
+                      visc_ml_mode="dynamic", ml_ekman_coeff=0.5)
+    c2 = vertvisc_coef(g, u, v, h, cfg=dyn, ustar=ustar)
+    a2 = np.asarray(d.interior(c2.a_u))
+    # ustar ~ 0.014, f = 1e-4 → h_ml ~ 69 m: only interface 1 raised?
+    # z_t(K=1)=100 > h_ml → nothing raised; widen with bigger coeff
+    dyn2 = VertViscCfg(kv=1e-5, bottomdraglaw=False,
+                       visc_ml_mode="dynamic", ml_ekman_coeff=3.0)
+    c3 = vertvisc_coef(g, u, v, h, cfg=dyn2, ustar=ustar)
+    a3 = np.asarray(d.interior(c3.a_u))
+    assert np.all(a3[1:3] >= a2[1:3])
+    assert np.any(a3[1:3] > a0[1:3] * 10.0)
