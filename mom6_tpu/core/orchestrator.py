@@ -269,7 +269,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             from mom6_tpu.param.lateral.internal_tides import (
                 step_internal_tides, init_en)
             from mom6_tpu.diagnostics.wave_speed import (
-                brunt_vaisala2, wave_speed_wkb)
+                brunt_vaisala2, wave_speeds)
             hf = domain.fill_halos(state.h)
             tt = domain.fill_halos(state.T) \
                 if state.T is not None else None
@@ -277,7 +277,10 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 if state.S is not None else None
             n2i = brunt_vaisala2(vgrid, hf, tt, ss, eos)
             nb = jnp.sqrt(jnp.maximum(n2i[-1], 0.0))
-            cn1 = wave_speed_wkb(vgrid, hf, tt, ss, eos)
+            # proper modal eigen speeds (wave_speeds,
+            # MOM_wave_speed.F90) for every propagated mode
+            cn1 = wave_speeds(vgrid, hf, tt, ss, eos,
+                              n_mode=cfg.int_tides.n_mode)
             htot = jnp.sum(hf, axis=0)
             from mom6_tpu.param.vertical.tidal_mixing import \
                 internal_tide_input

@@ -228,3 +228,38 @@ def test_higher_modes_propagate_slower():
     # the faster mode moved more energy off the source cell
     assert E1[jc, ic] < E2[jc, ic]
     assert E1[jc, ic + 1] > E2[jc, ic + 1]
+
+
+def test_modal_wave_speeds_analytic():
+    """wave_speeds (shifted inverse iteration on the interface
+    eigenproblem, MOM_wave_speed.F90) reproduces the exact two-layer
+    speed and the uniform-N discrete eigenvalues."""
+    import math
+    from mom6_tpu.core.vertical_grid import VerticalGrid
+    from mom6_tpu.diagnostics.wave_speed import wave_speeds
+    from mom6_tpu.eos import LinearEOS
+    eos = LinearEOS()
+    rho0, g = 1035.0, 9.8
+    # two-layer exact
+    vg2 = VerticalGrid.uniform(nk=2)
+    h2 = jnp.stack([jnp.full((2, 2), 1000.0), jnp.full((2, 2), 3000.0)])
+    T2 = jnp.stack([jnp.full((2, 2), 12.0), jnp.full((2, 2), 4.0)])
+    S2 = jnp.full((2, 2, 2), 35.0)
+    c2 = float(np.asarray(wave_speeds(vg2, h2, T2, S2, eos))[0, 0, 0])
+    gp = (g / rho0) * 0.2 * 8.0
+    np.testing.assert_allclose(c2, math.sqrt(gp * 1000 * 3000 / 4000),
+                               rtol=1e-12)
+    # uniform N: discrete c_m = N h / sqrt(2(1-cos(m pi/nk)))
+    nk, D, N = 50, 4000.0, 2e-3
+    vg = VerticalGrid.uniform(nk=nk)
+    h = jnp.full((nk, 2, 2), D / nk)
+    dTdz = N ** 2 * rho0 / (g * 0.2)
+    zc = (np.arange(nk) + 0.5) * D / nk
+    T = jnp.asarray(np.broadcast_to(
+        (dTdz * (D - zc))[:, None, None], (nk, 2, 2)).copy())
+    S = jnp.full((nk, 2, 2), 35.0)
+    c = np.asarray(wave_speeds(vg, h, T, S, eos, n_mode=3))
+    for m in range(3):
+        disc = N * (D / nk) / math.sqrt(
+            2 * (1 - math.cos((m + 1) * math.pi / nk)))
+        np.testing.assert_allclose(c[m, 0, 0], disc, rtol=1e-4)
