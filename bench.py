@@ -75,6 +75,16 @@ def _bench(step_fn, state, split, tracers, nsteps, n0=0):
 
 def main():
     import jax
+    # persistent compile cache: the first bench after a source change
+    # pays the big-graph compiles once; subsequent runs (including the
+    # driver's) replay them from disk
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
     from mom6_tpu.framework.config import ParamFile
     from mom6_tpu.model import build_model
 

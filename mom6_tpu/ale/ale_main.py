@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.ale.regridding import RegridCfg, build_grid
@@ -33,13 +34,45 @@ class ALECfg:
     # hybgen unmixing before a HYCOM1 regrid (MOM_ALE.F90:475,
     # MOM_hybgen_unmix.F90); None disables
     hybgen_unmix: Optional["HybgenUnmixCfg"] = None
+    # grid-motion time filter (REGRID_TIME_SCALE +
+    # REGRID_FILTER_SHALLOW/DEEP_DEPTH, MOM_ALE.F90:274,
+    # filtered_grid_motion): blends the target grid with the old one,
+    # full filtering below the deep depth, none above the shallow one,
+    # cubic in between; 0 disables
+    regrid_time_scale: float = 0.0
+    filter_shallow_depth: float = 0.0
+    filter_deep_depth: float = 0.0
+
+
+def _filter_grid_motion(cfg: ALECfg, h_old, h_new, dt: float):
+    """Time-filtered interface motion (filtered_grid_motion,
+    MOM_regridding.F90:1022, simplified to fixed per-depth weights):
+    w(z) = 1 above the shallow filter depth, dt/(tau+dt) below the
+    deep one, a cubic blend between, applied to the interface depths
+    so the final grid relaxes toward the target with timescale
+    REGRID_TIME_SCALE."""
+    tau = cfg.regrid_time_scale
+    w_deep = dt / (tau + dt)
+    z_old = jnp.concatenate([jnp.zeros_like(h_old[:1]),
+                             jnp.cumsum(h_old, axis=0)], axis=0)
+    z_new = jnp.concatenate([jnp.zeros_like(h_new[:1]),
+                             jnp.cumsum(h_new, axis=0)], axis=0)
+    zs, zd = cfg.filter_shallow_depth, cfg.filter_deep_depth
+    frac = jnp.clip((z_old - zs) / max(zd - zs, 1e-30), 0.0, 1.0) \
+        if zd > zs else (z_old > zs).astype(h_old.dtype)
+    s = frac * frac * (3.0 - 2.0 * frac)            # cubic profile
+    w = 1.0 - s * (1.0 - w_deep)
+    z_f = z_old + w * (z_new - z_old)
+    z_f = jax.lax.associative_scan(jnp.maximum, z_f, axis=0)
+    z_f = z_f.at[-1].set(z_new[-1])                 # pin the bottom
+    return jnp.maximum(z_f[1:] - z_f[:-1], 0.0)
 
 
 def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
                      cfg: ALECfg, eos=None,
                      tracers: dict | None = None,
                      aux_u: dict | None = None,
-                     aux_v: dict | None = None):
+                     aux_v: dict | None = None, dt: float = 0.0):
     """One ALE step: (state, tracers) on h → same on the new grid.
 
     aux_u/aux_v: optional extra face-staggered layer fields to remap
@@ -61,6 +94,8 @@ def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
     h_new = build_grid(cfg.regrid, h, grid.bathyT, state.T, state.S, eos,
                        rlay=vgrid.Rlay, rho0=vgrid.Rho0, g=vgrid.g_Earth,
                        mask2dT=grid.mask2dT)
+    if cfg.regrid_time_scale > 0.0 and dt > 0.0:
+        h_new = _filter_grid_motion(cfg, h, h_new, dt)
 
     def remap_t(f):
         return remap_column_means(h, f, h_new, cfg.remap)

@@ -370,7 +370,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             aux_v = {"v_av": domain.fill_halos(split_state.v_av)}
         state, tracers, _, aux_u, aux_v = ale_regrid_remap(
             grid, vgrid, state, cfg.ale, eos=eos, tracers=tracers,
-            aux_u=aux_u, aux_v=aux_v)
+            aux_u=aux_u, aux_v=aux_v, dt=dt)
         state = state.replace(h=domain.fill_halos(state.h))
         if cfg.split and split_state is not None:
             # carry the split auxiliaries onto the new grid: remap the

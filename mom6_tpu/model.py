@@ -1106,7 +1106,13 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             remap=RemapCfg(scheme=scheme),
             vel_remap=RemapCfg(scheme=pf.get("VELOCITY_REMAPPING_SCHEME",
                                              str, scheme)),
-            hybgen_unmix=unmix_cfg)
+            hybgen_unmix=unmix_cfg,
+            regrid_time_scale=pf.get("REGRID_TIME_SCALE", float, 0.0,
+                                     units="s"),
+            filter_shallow_depth=pf.get("REGRID_FILTER_SHALLOW_DEPTH",
+                                        float, 0.0, units="m"),
+            filter_deep_depth=pf.get("REGRID_FILTER_DEEP_DEPTH",
+                                     float, 0.0, units="m"))
     pf.module("MOM_set_diffusivity")
     from mom6_tpu.param.vertical.shear_mixing import ShearMixingCfg
     from mom6_tpu.param.vertical.conv_ddiff import (ConvectionCfg,

@@ -134,3 +134,44 @@ ADAPT_TIME_RATIO = 0.05
         float(jnp.sum(m.domain.interior(s.h * m.grid.areaT))),
         float(jnp.sum(m.domain.interior(m.state.h * m.grid.areaT))),
         rtol=1e-11)
+
+
+def test_regrid_time_filter():
+    """REGRID_TIME_SCALE blends the target grid with the old one
+    (filtered_grid_motion): with a long timescale the grid barely
+    moves; with tau=0 the target is adopted exactly; the shallow/deep
+    depths localize the filtering; column totals are preserved."""
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.ale.ale_main import ALECfg, _filter_grid_motion
+    from mom6_tpu.ale.regridding import RegridCfg
+    h_old = jnp.broadcast_to(
+        jnp.array([50.0, 150.0, 300.0, 500.0]).reshape(-1, 1, 1),
+        (4, 3, 3))
+    h_new = jnp.full((4, 3, 3), 250.0)
+    dt = 1800.0
+    # long timescale below 100 m, none above
+    cfg = ALECfg(regrid_time_scale=1.0e6,
+                 filter_shallow_depth=100.0,
+                 filter_deep_depth=400.0)
+    h_f = _filter_grid_motion(cfg, h_old, h_new, dt)
+    np.testing.assert_allclose(np.asarray(h_f.sum(0)), 1000.0,
+                               rtol=1e-12)
+    hv = np.asarray(h_f[:, 1, 1])
+    # the surface interface region (z<100) adopts the target exactly:
+    # interface 1 moves 50 -> 250... but its OLD depth (50) < 100, so
+    # unfiltered: close to 250
+    assert abs(hv[0] - 250.0) < 1.0
+    # deep interfaces (old z >= 400) barely move:
+    # old interface 3 at 500 -> target 750; w = dt/(tau+dt) ~ 1.8e-3
+    z_f = np.concatenate([[0.0], np.cumsum(hv)])
+    assert abs(z_f[3] - 500.0) < 1.0
+    # tau -> 0 adopts the target
+    cfg0 = ALECfg(regrid_time_scale=0.0)
+    from mom6_tpu.ale.ale_main import ale_regrid_remap  # noqa: F401
+    h_f0 = _filter_grid_motion(
+        ALECfg(regrid_time_scale=1e-12, filter_shallow_depth=0.0,
+               filter_deep_depth=0.0), h_old, h_new, dt)
+    np.testing.assert_allclose(np.asarray(h_f0), np.asarray(h_new),
+                               atol=1e-6)
