@@ -281,8 +281,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                                               cfg.vertvisc)
     if obc is not None:
         # Orlanski radiation of the baroclinic velocities at open faces
-        u_new = obc.radiate_u(u_new, u)
-        v_new = obc.radiate_v(v_new, v)
+        u_new = obc.radiate_u(u_new, u, dt=dt)
+        v_new = obc.radiate_v(v_new, v, dt=dt)
     u_new, v_new = fill_uv(u_new, v_new)
     visc_rem_u, visc_rem_v = fill_face_scalars(visc_rem_u, visc_rem_v)
 

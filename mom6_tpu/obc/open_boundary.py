@@ -43,6 +43,12 @@ class Segment:
     flather: bool = True
     orlanski: bool = True
     gradient: bool = False
+    # NUDGED radiation (OBC_SEGMENT_xxx_VELOCITY_NUDGING_TIMESCALES,
+    # MOM_open_boundary.F90:1429): baroclinic velocities relax toward
+    # the segment data with separate inflow/outflow timescales [s]
+    nudged: bool = False
+    tau_in: float = 0.0
+    tau_out: float = 0.0
     u_ext: object = 0.0       # float, or along-edge profile array
     v_ext: object = 0.0
     ssh_ext: object = 0.0
@@ -123,10 +129,20 @@ def parse_segments(pf, indir: str = ".") -> list[Segment]:
                 name = {"TEMP": "T", "PTEMP": "T",
                         "SALT": "S"}.get(key, key.lower())
                 tracer_ext[name] = v
+        nudged = "NUDGED" in up
+        tau_in = tau_out = 0.0
+        if nudged:
+            tn = pf.get(f"OBC_SEGMENT_{i:03d}"
+                        "_VELOCITY_NUDGING_TIMESCALES", list,
+                        [0.0, 0.0], units="days")
+            tau_in = float(tn[0]) * 86400.0
+            tau_out = float(tn[1]) * 86400.0 if len(tn) > 1 else tau_in
         segs.append(Segment(direction=direction,
                             flather="FLATHER" in up,
                             orlanski="ORLANSKI" in up,
                             gradient="GRADIENT" in up,
+                            nudged=nudged, tau_in=tau_in,
+                            tau_out=tau_out,
                             u_ext=vals["U"], v_ext=vals["V"],
                             ssh_ext=vals["SSH"], lo=lo, hi=hi,
                             tracer_ext=tracer_ext))
@@ -166,6 +182,23 @@ class OpenBoundaries:
     strip_e: jnp.ndarray | None = None
     strip_s: jnp.ndarray | None = None
     strip_n: jnp.ndarray | None = None
+    # per-edge velocity-nudging timescales [s] (0 = not nudged)
+    tau_in_w: float = dataclasses.field(default=0.0,
+                                        metadata=dict(static=True))
+    tau_out_w: float = dataclasses.field(default=0.0,
+                                         metadata=dict(static=True))
+    tau_in_e: float = dataclasses.field(default=0.0,
+                                        metadata=dict(static=True))
+    tau_out_e: float = dataclasses.field(default=0.0,
+                                         metadata=dict(static=True))
+    tau_in_s: float = dataclasses.field(default=0.0,
+                                        metadata=dict(static=True))
+    tau_out_s: float = dataclasses.field(default=0.0,
+                                         metadata=dict(static=True))
+    tau_in_n: float = dataclasses.field(default=0.0,
+                                        metadata=dict(static=True))
+    tau_out_n: float = dataclasses.field(default=0.0,
+                                         metadata=dict(static=True))
     # tracer-reservoir length scales [m]
     # (OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT / _IN)
     res_len_out: float = dataclasses.field(
@@ -286,51 +319,80 @@ class OpenBoundaries:
 
 
     # -- Orlanski radiation for baroclinic velocities ------------------
-    def radiate_u(self, u_new, u_old):
+    @staticmethod
+    def _nudge(val, ext, outflow, tau_in, tau_out, dt):
+        """Relax the radiated boundary value toward the segment data
+        with separate inflow/outflow timescales (the nudged branch of
+        radiation_open_bdry_conds, MOM_open_boundary.F90); implicit in
+        dt/tau so any timescale (including tau << dt) is stable."""
+        if dt <= 0.0 or (tau_in <= 0.0 and tau_out <= 0.0):
+            return val
+        r_in = dt / tau_in if tau_in > 0.0 else 0.0
+        r_out = dt / tau_out if tau_out > 0.0 else 0.0
+        r = jnp.where(outflow, r_out, r_in)
+        fac = r / (1.0 + r)
+        return val + fac * (ext - val)
+
+    def radiate_u(self, u_new, u_old, dt: float = 0.0):
         """Orlanski (1976) radiation at open E/W faces: the phase
         speed is estimated from the interior solution one face in,
         rx = (φ_old−φ_new)/(φ_old−φ_old_in) clipped to [0,1], and
         φ_b^{n+1} = (φ_b^n + rx φ_{b-1}^{n+1})/(1+rx)
-        (radiation_open_bdry_conds, MOM_open_boundary.F90)."""
+        (radiation_open_bdry_conds, MOM_open_boundary.F90), plus the
+        optional NUDGED relaxation toward the segment data."""
         H, ni = self.halo, self.nil
         eps = 1e-30
 
-        def rad(iB, i1, i2):
+        def rad(iB, i1, i2, outward_sign, tau_in, tau_out):
             num = u_old[..., :, i1] - u_new[..., :, i1]
             den = u_old[..., :, i1] - u_old[..., :, i2]
             rx = jnp.clip(num / (den + jnp.where(jnp.abs(den) > eps,
                                                  0.0, eps)), 0.0, 1.0)
-            val = (u_old[..., :, iB] + rx * u_new[..., :, i1])                 / (1.0 + rx)
-            strip = self.strip_e if iB >= H + ni - 1 else self.strip_w
+            val = (u_old[..., :, iB] + rx * u_new[..., :, i1]) \
+                / (1.0 + rx)
+            east = iB >= H + ni - 1
+            ext = self._xval(self.u_e if east else self.u_w, iB)
+            val = self._nudge(val, ext, outward_sign * val > 0.0,
+                              tau_in, tau_out, dt)
+            strip = self.strip_e if east else self.strip_w
             return self._blend_x(u_new, iB, val, strip)
 
         if self.open_e:
             iE = H + ni - 1
-            u_new = rad(iE, iE - 1, iE - 2)
+            u_new = rad(iE, iE - 1, iE - 2, 1.0,
+                        self.tau_in_e, self.tau_out_e)
         if self.open_w:
             iW = H - 1
-            u_new = rad(iW, iW + 1, iW + 2)
+            u_new = rad(iW, iW + 1, iW + 2, -1.0,
+                        self.tau_in_w, self.tau_out_w)
         return u_new
 
-    def radiate_v(self, v_new, v_old):
+    def radiate_v(self, v_new, v_old, dt: float = 0.0):
         H, nj = self.halo, self.njl
         eps = 1e-30
 
-        def rad(jB, j1, j2):
+        def rad(jB, j1, j2, outward_sign, tau_in, tau_out):
             num = v_old[..., j1, :] - v_new[..., j1, :]
             den = v_old[..., j1, :] - v_old[..., j2, :]
             rx = jnp.clip(num / (den + jnp.where(jnp.abs(den) > eps,
                                                  0.0, eps)), 0.0, 1.0)
-            val = (v_old[..., jB, :] + rx * v_new[..., j1, :])                 / (1.0 + rx)
-            strip = self.strip_n if jB >= H + nj - 1 else self.strip_s
+            val = (v_old[..., jB, :] + rx * v_new[..., j1, :]) \
+                / (1.0 + rx)
+            north = jB >= H + nj - 1
+            ext = self._yval(self.v_n if north else self.v_s, jB)
+            val = self._nudge(val, ext, outward_sign * val > 0.0,
+                              tau_in, tau_out, dt)
+            strip = self.strip_n if north else self.strip_s
             return self._blend_y(v_new, jB, val, strip)
 
         if self.open_n:
             jN = H + nj - 1
-            v_new = rad(jN, jN - 1, jN - 2)
+            v_new = rad(jN, jN - 1, jN - 2, 1.0,
+                        self.tau_in_n, self.tau_out_n)
         if self.open_s:
             jS = H - 1
-            v_new = rad(jS, jS + 1, jS + 2)
+            v_new = rad(jS, jS + 1, jS + 2, -1.0,
+                        self.tau_in_s, self.tau_out_s)
         return v_new
 
     # -- tracer reservoirs ---------------------------------------------
@@ -472,6 +534,9 @@ def build_open_boundaries(pf, domain: Domain,
     for s in segs:
         d = s.direction
         kw["open_" + d.lower()] = True
+        if s.nudged:
+            data["tau_in_" + d.lower()] = s.tau_in
+            data["tau_out_" + d.lower()] = s.tau_out
         ext_pairs[d].append(
             (s, s.ssh_ext, s.u_ext if d in ("W", "E") else s.v_ext))
         st = seg_strip(d, s)

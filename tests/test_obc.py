@@ -212,3 +212,46 @@ OBC_SEGMENT_001_DATA = "U=value:0.1,dye=value:0.25,TEMP=value:12.0"
     np.testing.assert_allclose(np.asarray(res["dye"]["E"]), 0.25)
     # tracers without DATA values seed from the interior edge
     np.testing.assert_allclose(np.asarray(res["other"]["E"]), 7.0)
+
+
+def test_nudged_segment_parsing_and_relaxation():
+    """NUDGED segments parse their inflow/outflow timescales (days)
+    and the radiated boundary value relaxes toward the segment data
+    (the nudged branch of radiation_open_bdry_conds)."""
+    pfn = ParamFile(text="""
+NIGLOBAL = 16
+NJGLOBAL = 16
+OBC_NUMBER_OF_SEGMENTS = 1
+OBC_SEGMENT_001 = "I=N,J=0:N,ORLANSKI,NUDGED"
+OBC_SEGMENT_001_VELOCITY_NUDGING_TIMESCALES = 0.3, 360.0
+OBC_SEGMENT_001_DATA = "U=value:0.25"
+""")
+    segs = parse_segments(pfn)
+    assert segs[0].nudged
+    np.testing.assert_allclose(segs[0].tau_in, 0.3 * 86400.0)
+    np.testing.assert_allclose(segs[0].tau_out, 360.0 * 86400.0)
+    d = Domain(ni=16, nj=16, halo=4)
+    obc = build_open_boundaries(pfn, d)
+    assert obc.tau_in_e > 0.0
+    # inflow (u<0 at the E edge) relaxes toward +0.25 with tau_in;
+    # outflow (u>0) with the much longer tau_out barely moves
+    nk = 2
+    u_old = jnp.full((nk, d.njh, d.nih), -0.1)
+    u_new = jnp.full((nk, d.njh, d.nih), -0.1)
+    dt = 3600.0
+    out = obc.radiate_u(u_new, u_old, dt=dt)
+    iE = d.halo + 16 - 1
+    got = float(out[0, d.halo + 8, iE])
+    r = dt / (0.3 * 86400.0)
+    expect = -0.1 + r / (1 + r) * (0.25 - (-0.1))
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+    # outflow case
+    u_out = jnp.full((nk, d.njh, d.nih), 0.1)
+    out2 = obc.radiate_u(u_out, u_out, dt=dt)
+    got2 = float(out2[0, d.halo + 8, iE])
+    r2 = dt / (360.0 * 86400.0)
+    expect2 = 0.1 + r2 / (1 + r2) * (0.25 - 0.1)
+    np.testing.assert_allclose(got2, expect2, rtol=1e-10)
+    # dt=0 (or no nudging) leaves the radiated value untouched
+    out3 = obc.radiate_u(u_new, u_old, dt=0.0)
+    np.testing.assert_allclose(float(out3[0, d.halo + 8, iE]), -0.1)
