@@ -23,7 +23,10 @@ from mom6_tpu.core.grid import Grid
 from mom6_tpu.core.state import State
 from mom6_tpu.core.vertical_grid import VerticalGrid
 from mom6_tpu.core.pressure_force import interface_heights
-from mom6_tpu.framework.efp import efp_sum, efp_to_float
+
+_SCALE32 = -24     # fp32-path pre-scale exponent (see efp_sum32)
+from mom6_tpu.framework.efp import (efp_sum, efp_to_float, efp_sum32,
+                                    efp32_to_float)
 from mom6_tpu.parallel.domain import Domain
 from mom6_tpu.parallel.stencil import im1, jm1
 
@@ -80,10 +83,9 @@ def stat_sums(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     def gsum(x):
         if use_efp:
             return efp_sum(x, axis_names=axes)
-        s = jnp.sum(x)
-        for ax in axes:
-            s = jax.lax.psum(s, ax)
-        return s
+        # fp32 (TPU) path: order-invariant int32 limb sums with a
+        # 2**-24 pre-scale so cell volumes/energies fit the window
+        return efp_sum32(x, axis_names=axes, scale_pow2=_SCALE32)
 
     out = {
         "vol": gsum(vol_w),
@@ -114,6 +116,8 @@ def collect_stats(raw: dict, vgrid: VerticalGrid, step: int, day: float,
     def val(x):
         if use_efp:
             return efp_to_float(x)
+        if hasattr(x, "shape") and getattr(x, "shape", ()) != ():
+            return efp32_to_float(x, scale_pow2=_SCALE32)
         return float(x)
 
     vol = val(raw["vol"])

@@ -10,8 +10,16 @@ any on-device order plus ``jax.lax.psum`` across devices gives the same
 limbs as a serial sum.  The limbs→float reconstruction is done with
 exact Python big-int arithmetic on the host.
 
-Requires ``jax_enable_x64`` for the int64 path; a float64-free build can
-still call :func:`efp_sum` but will get a plain (non-reproducing) sum.
+Requires ``jax_enable_x64`` for the int64 path.  Without x64 (the
+fp32 TPU flagship configuration) :func:`efp_sum32` provides the same
+order-invariance guarantee natively in int32: each fp32 value is
+decomposed EXACTLY into 12-bit signed limbs (power-of-two divisions
+and leading-bit subtractions are exact in fp32), row sums stay below
+int32 overflow for up to 2**19 elements, and a carry renormalization
+between the row stage and the row-sum stage extends the capacity to
+2**38 points — enough for any single-chip tile.  int32 limb sums and
+psums are associative, so the result is bitwise independent of both
+the on-device order and the device layout.
 
 Dynamic range: values with ``|x| < 2**EXP_MAX`` are represented with an
 absolute resolution of ``2**EXP_MIN``; out-of-range magnitudes raise in
@@ -27,7 +35,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "NLIMB", "efp_sum", "efp_to_float", "efp_add", "efp_zero",
-    "reproducing_sum",
+    "reproducing_sum", "efp_sum32", "efp32_to_float", "NLIMB32",
 ]
 
 NLIMB = 6
@@ -95,12 +103,82 @@ def efp_to_float(limbs) -> float:
     return float(total) * (2.0 ** EXP_MIN)
 
 
+# ---- fp32 / int32 path (TPU-native, no x64 required) ----
+
+NLIMB32 = 9
+LIMB_BITS32 = 12
+EXP_MIN32 = -48                    # limb-0 scale; resolution 2**-48
+EXP_MAX32 = EXP_MIN32 + NLIMB32 * LIMB_BITS32    # 60
+
+
+def _carry_renorm32(limbs):
+    """Propagate signed carries so every limb is back in
+    [0, 2**LIMB_BITS32) except the top one (the carry_overflow
+    normalization of MOM_coms.F90:629, in int32)."""
+    out = []
+    carry = jnp.zeros_like(limbs[0])
+    for l in range(NLIMB32):
+        v = limbs[l] + carry
+        carry = v >> LIMB_BITS32          # arithmetic shift: floor
+        out.append(v - (carry << LIMB_BITS32))
+    out[-1] = out[-1] + (carry << LIMB_BITS32)   # clamp into the top
+    return out
+
+
+def efp_sum32(x: jnp.ndarray, mask: jnp.ndarray | None = None,
+              axis_names: tuple[str, ...] = (),
+              scale_pow2: int = 0) -> jnp.ndarray:
+    """Order-invariant sum of an fp32 array → int32[NLIMB32] limbs.
+
+    The per-element limb decomposition is exact (powers of two), so
+    any summation order gives identical limbs.  Two-stage summation
+    (rows, then carry renormalization, then across rows) keeps every
+    int32 accumulation below overflow for up to 2**19 elements per
+    axis.  ``scale_pow2`` pre-multiplies by 2**scale_pow2 (exact in
+    fp32) so large-magnitude integrands (cell volumes, energies) fit
+    the limb window; pass the same value to :func:`efp32_to_float`."""
+    x = jnp.asarray(x, jnp.float32)
+    if mask is not None:
+        x = x * mask.astype(x.dtype)
+    if scale_pow2:
+        x = x * jnp.float32(2.0 ** scale_pow2)
+    lim = jnp.float32(2.0 ** (EXP_MAX32 - 1))
+    x = jnp.clip(x, -lim, lim)
+    sign = jnp.where(x < 0, -1, 1).astype(jnp.int32)
+    r = jnp.abs(x)
+    flat = r.reshape(-1, r.shape[-1]) if r.ndim > 1 else r[None]
+    sgn = sign.reshape(flat.shape)
+    row_limbs = []
+    for l in range(NLIMB32 - 1, -1, -1):
+        scale = jnp.float32(2.0 ** (EXP_MIN32 + LIMB_BITS32 * l))
+        q = jnp.floor(flat / scale)
+        flat = flat - q * scale
+        row_limbs.append(jnp.sum(sgn * q.astype(jnp.int32), axis=-1))
+    row_limbs = row_limbs[::-1]               # limb 0 least significant
+    row_limbs = _carry_renorm32(row_limbs)
+    out = jnp.stack([jnp.sum(l, axis=0) for l in row_limbs])
+    for ax in axis_names:
+        out = jax.lax.psum(out, ax)
+    return out
+
+
+def efp32_to_float(limbs, scale_pow2: int = 0) -> float:
+    """Exact int32 limbs → float on the host."""
+    limbs = np.asarray(limbs)
+    total = 0
+    for l in range(NLIMB32):
+        total += int(limbs[l]) << (LIMB_BITS32 * l)
+    return float(total) * (2.0 ** (EXP_MIN32 - scale_pow2))
+
+
 def reproducing_sum(x, mask=None, axis_names: tuple[str, ...] = ()) -> float:
-    """Host-level convenience: order-invariant global sum of an array."""
+    """Host-level convenience: order-invariant global sum of an array.
+
+    Uses the int64 path under x64 and the TPU-native int32 path
+    otherwise — both bitwise layout-invariant."""
     if _x64_ready():
         return efp_to_float(jax.jit(efp_sum, static_argnames=("axis_names",))(
             x, mask, axis_names=axis_names))
-    xa = jnp.asarray(x)
-    if mask is not None:
-        xa = xa * jnp.asarray(mask, dtype=xa.dtype)
-    return float(jnp.sum(xa.astype(jnp.float32)))
+    return efp32_to_float(jax.jit(
+        efp_sum32, static_argnames=("axis_names",))(
+            x, mask, axis_names=axis_names))
