@@ -658,6 +658,112 @@ def _ppm_limit(u, eL, eR):
     return eL, eR
 
 
+def _pqm_limit_full(h, u, eL, eR, dL, dR):
+    """The full PQM limiter (PQM_limiter, PQM_functions.F90:75),
+    vectorized: limited van-Leer slope consistency, extremum
+    flattening, inflexion-point analysis of the quartic's second
+    derivative, and the collapse of inflexion points onto the edge on
+    the smoother side with the reference's fallback slope/edge
+    adjustments.  Slopes dL/dR are in per-unit-ξ units (physical
+    slope x h), which absorbs every h_c factor of the reference's
+    formulas.  Boundary cells reduce to PCM."""
+    nk = u.shape[0]
+    u_l = _shift_k(u, -1)
+    u_r = _shift_k(u, 1)
+    h_l = _shift_k(h, -1)
+    h_r = _shift_k(h, 1)
+    eps = _H_NEGLECT
+    # limited PLM slope, converted to ξ units (x h_c)
+    sig_l = 2.0 * (u - u_l) * h / (h + eps)          # = 2Δ left
+    sig_c = 2.0 * (u_r - u_l) * h / (h_l + 2.0 * h + h_r + eps)
+    sig_r = 2.0 * (u_r - u) * h / (h + eps)
+    slope = jnp.where(sig_l * sig_r > 0.0,
+                      jnp.sign(sig_c) * jnp.minimum(
+                          jnp.abs(sig_l), jnp.minimum(jnp.abs(sig_c),
+                                                      jnp.abs(sig_r))),
+                      0.0)
+    # inconsistent edge slopes revert to the PLM slope
+    dL = jnp.where(dL * slope <= 0.0, slope, dL)
+    dR = jnp.where(dR * slope <= 0.0, slope, dR)
+    # local extremum → flatten to PCM
+    extremum = (eR - u) * (u - eL) <= 0.0
+
+    def coefs(eL, eR, dL, dR):
+        b = dL
+        c = 30.0 * u - 12.0 * eR - 18.0 * eL + 1.5 * (dR - 3.0 * dL)
+        d = -60.0 * u + (6.0 * dL - 4.0 * dR) + 28.0 * eR + 32.0 * eL
+        e = 30.0 * u + 2.5 * (dR - dL) - 15.0 * (eL + eR)
+        return b, c, d, e
+
+    b, c, d, e = coefs(eL, eR, dL, dR)
+    # inflexion points: roots of u'' = 6e ξ² + 3d ξ + c
+    al1, al2, al3 = 6.0 * e, 3.0 * d, c
+    rho = al2 * al2 - 4.0 * al1 * al3
+    sq = jnp.sqrt(jnp.maximum(rho, 0.0))
+    safe1 = jnp.where(al1 != 0.0, al1, 1.0)
+    x1 = 0.5 * (-al2 - sq) / safe1
+    x2 = 0.5 * (-al2 + sq) / safe1
+
+    def grad(x):
+        return ((4.0 * e * x + 3.0 * d) * x + 2.0 * c) * x + b
+
+    in1 = (x1 >= 0.0) & (x1 <= 1.0)
+    in2 = (x2 >= 0.0) & (x2 <= 1.0)
+    bad1 = grad(x1) * slope < 0.0
+    bad2 = grad(x2) * slope < 0.0
+    quad = (al1 != 0.0) & (rho >= 0.0)
+    bad_q = quad & ((in1 & in2 & (bad1 | bad2))
+                    | (in1 & ~in2 & bad1)
+                    | (~in1 & in2 & bad2))
+    # degenerate (linear u'') case
+    xl = -al3 / jnp.where(al2 != 0.0, al2, 1.0)
+    bad_l = (al1 == 0.0) & (al2 != 0.0) & (xl >= 0.0) & (xl <= 1.0) \
+        & (grad(xl) * slope < 0.0)
+    bad = (bad_q | bad_l) & ~extremum
+    to_left = jnp.abs(sig_l) < jnp.abs(sig_r)
+
+    # collapse both inflexion points onto the left edge
+    dL_L = (10.0 * u - 2.0 * eR - 8.0 * eL) / 3.0
+    dR_L = -10.0 * u + 6.0 * eR + 4.0 * eL
+    badL_l = dL_L * slope < 0.0          # left slope inconsistent
+    badL_r = dR_L * slope < 0.0
+    eR_L = jnp.where(badL_l, 5.0 * u - 4.0 * eL, eR)
+    eL_L = jnp.where(~badL_l & badL_r, 0.5 * (5.0 * u - 3.0 * eR), eL)
+    dL_L2 = jnp.where(badL_l, 0.0,
+                      jnp.where(badL_r, 10.0 * (-u + eR) / 3.0, dL_L))
+    dR_L2 = jnp.where(badL_l, 20.0 * (u - eL),
+                      jnp.where(badL_r, 0.0, dR_L))
+
+    # collapse both inflexion points onto the right edge
+    dR_R = (-10.0 * u + 8.0 * eR + 2.0 * eL) / 3.0
+    dL_R = 10.0 * u - 4.0 * eR - 6.0 * eL
+    badR_l = dL_R * slope < 0.0
+    badR_r = dR_R * slope < 0.0
+    eR_R = jnp.where(badR_l, 0.5 * (5.0 * u - 3.0 * eL), eR)
+    eL_R = jnp.where(~badR_l & badR_r, 5.0 * u - 4.0 * eR, eL)
+    dL_R2 = jnp.where(badR_l, 0.0,
+                      jnp.where(badR_r, 20.0 * (-u + eR), dL_R))
+    dR_R2 = jnp.where(badR_l, 10.0 * (u - eL) / 3.0,
+                      jnp.where(badR_r, 0.0, dR_R))
+
+    pick = lambda lft, rgt, keep: jnp.where(
+        bad, jnp.where(to_left, lft, rgt), keep)
+    eL2 = pick(eL_L, eL_R, eL)
+    eR2 = pick(eR_L, eR_R, eR)
+    dL2 = pick(dL_L2, dL_R2, dL)
+    dR2 = pick(dR_L2, dR_R2, dR)
+
+    # extremum flattening overrides; boundary cells reduce to PCM
+    K = jnp.arange(nk).reshape((-1,) + (1,) * (u.ndim - 1))
+    pcm = extremum | (K == 0) | (K == nk - 1)
+    z = jnp.zeros_like(u)
+    eL2 = jnp.where(pcm, u, eL2)
+    eR2 = jnp.where(pcm, u, eR2)
+    dL2 = jnp.where(pcm, z, dL2)
+    dR2 = jnp.where(pcm, z, dR2)
+    return eL2, eR2, dL2, dR2
+
+
 def reconstruct(h, u, cfg: RemapCfg) -> Reconstruction:
     """Build per-cell polynomials over ξ∈[0,1] (top→bottom of cell)."""
     scheme = cfg.scheme.upper()
@@ -689,11 +795,7 @@ def reconstruct(h, u, cfg: RemapCfg) -> Reconstruction:
         # values + edge slopes pin the quartic.  PQM_IH4IH3 pairs the
         # implicit-h4 edge values with implicit-h3 edge slopes;
         # PQM_IH6IH5 the implicit-h6 values with implicit-h5 slopes
-        # (regrid_interp.F90 INTERPOLATION_PQM_IH4IH3/IH6IH5).  The
-        # limiter is a reduced form (edge bounding + extrema
-        # flattening + overshoot fallback to PPM) of the full
-        # PQM_limiter.
-        import numpy as _np
+        # (regrid_interp.F90 INTERPOLATION_PQM_IH4IH3/IH6IH5).
         if scheme == "PQM_IH6IH5":
             edges = edge_values_ih6(h, u)
             slopes = edge_slopes_ih5(h, u)
@@ -709,40 +811,17 @@ def reconstruct(h, u, cfg: RemapCfg) -> Reconstruction:
         # physical interface slopes -> per-unit-ξ slopes of each cell
         dL = slopes[:-1] * h
         dR = slopes[1:] * h
-        # solve [1,1,1; 2,3,4; 1/3,1/4,1/5] (a2,a3,a4) = rhs
-        Minv = _np.linalg.inv(_np.array([[1.0, 1.0, 1.0],
-                                         [2.0, 3.0, 4.0],
-                                         [1.0 / 3, 1.0 / 4, 1.0 / 5]]))
-        a0, a1 = eL, dL
-        r1 = eR - eL - a1
-        r2 = dR - a1
-        r3 = u - eL - 0.5 * a1
-        a2 = Minv[0, 0] * r1 + Minv[0, 1] * r2 + Minv[0, 2] * r3
-        a3 = Minv[1, 0] * r1 + Minv[1, 1] * r2 + Minv[1, 2] * r3
-        a4 = Minv[2, 0] * r1 + Minv[2, 1] * r2 + Minv[2, 2] * r3
         if cfg.force_monotonic:
-            # reduced PQM limiter: flatten local extrema to PCM and
-            # fall back to limited PPM where the quartic overshoots
-            # the [eL, eR, u] envelope at interior sample points
-            u_up = _shift_k(u, -1)
-            u_dn = _shift_k(u, 1)
-            extremum = (u - u_up) * (u_dn - u) <= 0.0
-            lo = jnp.minimum(jnp.minimum(eL, eR), u)
-            hi = jnp.maximum(jnp.maximum(eL, eR), u)
-            over = jnp.zeros_like(extremum)
-            for xi in (0.25, 0.5, 0.75):
-                val = a0 + xi * (a1 + xi * (a2 + xi * (a3 + xi * a4)))
-                over = over | (val < lo - 1e-14 * (hi - lo + 1.0)) \
-                    | (val > hi + 1e-14 * (hi - lo + 1.0))
-            eLp, eRp = _ppm_limit(u, eL, eR)
-            dUp = eRp - eLp
-            u6p = 6.0 * u - 3.0 * (eLp + eRp)
-            z = jnp.zeros_like(u)
-            a0 = jnp.where(extremum, u, jnp.where(over, eLp, a0))
-            a1 = jnp.where(extremum, z, jnp.where(over, dUp + u6p, a1))
-            a2 = jnp.where(extremum, z, jnp.where(over, -u6p, a2))
-            a3 = jnp.where(extremum | over, z, a3)
-            a4 = jnp.where(extremum | over, z, a4)
+            eL, eR, dL, dR = _pqm_limit_full(h, u, eL, eR, dL, dR)
+        # the unique quartic pinned by (mean, edges, edge slopes):
+        # PQM_reconstruction's closed-form coefficients
+        # (PQM_functions.F90:20, in per-cell ξ with slopes already
+        # scaled by h)
+        a0 = eL
+        a1 = dL
+        a2 = 30.0 * u - 12.0 * eR - 18.0 * eL + 1.5 * (dR - 3.0 * dL)
+        a3 = -60.0 * u + (6.0 * dL - 4.0 * dR) + 28.0 * eR + 32.0 * eL
+        a4 = 30.0 * u + 2.5 * (dR - dL) - 15.0 * (eL + eR)
         return Reconstruction(c0=a0, c1=a1, c2=a2, c3=a3, c4=a4)
     if scheme in ("PPM_H4", "PPM_IH4", "PPM_CW", "PPM_HYBGEN"):
         if scheme == "PPM_CW":
