@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from mom6_tpu.framework.diag import DiagMediator
 from mom6_tpu.framework.diag_remap import (DiagRemapCfg,
-                                           build_z_thickness, remap_to_z)
+                                           build_z_thickness, remap_to_z,
+                                           build_rho_thickness)
 
 __all__ = ["PrognosticDiags"]
 
@@ -49,12 +50,17 @@ class PrognosticDiags:
         ids["KE"] = r(MODULE, "KE", "m2 s-2", "Kinetic energy per mass")
         for nm in ("u_z", "v_z", "temp_z", "salt_z"):
             ids[nm] = r(MODULE, nm, "", nm + " on z levels")
+        # rho-space diagnostic coordinate (MOM_diag_remap.F90 rho):
+        # remapped onto the vgrid's target-density layers
+        for nm in ("temp_rho", "salt_rho", "h_rho"):
+            ids[nm] = r(MODULE, nm, "", nm + " on rho layers")
         return d
 
     def any_requested(self) -> bool:
         return any(fid > 0 for fid in self._ids.values())
 
-    def post_state(self, grid, vgrid, state, weight: float = 1.0):
+    def post_state(self, grid, vgrid, state, weight: float = 1.0,
+                   eos=None):
         """Post the prognostic fields for one diag interval."""
         ids, med = self._ids, self.med
         med.post(ids["u"], state.u, weight)
@@ -84,3 +90,21 @@ class PrognosticDiags:
                 med.post(ids[nm],
                          remap_to_z(f, hsrc, hdst, self.remap_cfg),
                          weight)
+        want_rho = any(ids[nm] > 0 for nm in ("temp_rho", "salt_rho",
+                                              "h_rho"))
+        if want_rho and state.T is not None and eos is not None \
+                and vgrid.Rlay is not None:
+            h_rho = build_rho_thickness(vgrid.Rlay, state.h,
+                                        grid.bathyT, state.T, state.S,
+                                        eos, rho0=vgrid.Rho0,
+                                        g=vgrid.g_Earth)
+            fill = jnp.nan
+            for nm, f in (("temp_rho", state.T), ("salt_rho", state.S)):
+                if ids[nm] > 0:
+                    from mom6_tpu.ale.remapping import remap_column_means
+                    out = remap_column_means(state.h, f, h_rho + 1e-30,
+                                             self.remap_cfg.remap)
+                    med.post(ids[nm], jnp.where(h_rho > 1e-6, out,
+                                                fill), weight)
+            if ids["h_rho"] > 0:
+                med.post(ids["h_rho"], h_rho, weight)

@@ -197,7 +197,8 @@ def main(argv=None):
                 print(line, end="")
             if diags is not None:
                 with clock("diag mediator"):
-                    diags.post_state(g, vg, state)
+                    diags.post_state(g, vg, state,
+                                     eos=model.eos)
         if n == step0 + nsteps:
             break
         truncs_before = step.truncations() if u_trunc_file else 0

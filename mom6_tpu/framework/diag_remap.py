@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from mom6_tpu.ale.remapping import RemapCfg, remap_column_means
 
-__all__ = ["DiagRemapCfg", "build_z_thickness", "remap_to_z"]
+__all__ = ["DiagRemapCfg", "build_z_thickness", "remap_to_z",
+           "build_rho_thickness"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +45,18 @@ def build_z_thickness(cfg: DiagRemapCfg, bathy) -> jnp.ndarray:
         (-1,) + (1,) * jnp.ndim(bathy))
     ecap = jnp.minimum(e, jnp.asarray(bathy)[None])
     return jnp.maximum(ecap[1:] - ecap[:-1], 0.0)
+
+
+def build_rho_thickness(rho_targets, h, bathy, T, S, eos,
+                        rho0: float = 1035.0, g: float = 9.8):
+    """Per-column thicknesses of target potential-density layers for
+    the ``_rho`` diagnostic coordinate (MOM_diag_remap.F90's rho
+    vertical_coordinate): the RHO regrid inversion locates each
+    density target in the column's (monotonized) profile."""
+    from mom6_tpu.ale.regridding import RegridCfg, build_grid
+    rl = jnp.asarray(np.asarray(rho_targets, np.float64))
+    return build_grid(RegridCfg(mode="RHO", min_thickness=0.0),
+                      h, bathy, T, S, eos, rlay=rl, rho0=rho0, g=g)
 
 
 def remap_to_z(field, h, h_z, cfg: DiagRemapCfg,
