@@ -134,6 +134,11 @@ def main(argv=None):
     # the driver writes one checksum block per step to chksum_debug)
     pf.module("MOM_debugging")
     debug_mode = pf.get("DEBUG", bool, False)
+    # DEBUG_NANS: trap the first NaN-producing primitive inside jit
+    # (jax_debug_nans), the runtime self-check analog of the
+    # reference's NaN checksum aborts
+    if pf.get("DEBUG_NANS", bool, False):
+        jax.config.update("jax_debug_nans", True)
     # U_TRUNC_FILE-style truncation dumps (MOM_PointAccel.F90)
     u_trunc_file = pf.get("U_TRUNC_FILE", str, "")
     pf.module("MOM_restart")
