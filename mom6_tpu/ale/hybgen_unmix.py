@@ -69,7 +69,9 @@ def hybgen_unmix(h, T, S, tracers, eos, rlay,
     Rcv = eos.density(T, S, p_ref)
     tgt = jnp.asarray(rlay).reshape((-1,) + (1,) * (h.ndim - 1)) \
         * jnp.ones_like(h)
-    fix0 = cfg.fixlay - 1                    # 0-based deepest fixed
+    # the reference requires 1-based k > fixlay+1 before unmixing
+    # (MOM_hybgen_unmix.F90:361): 0-based kp must exceed fixlay
+    fix0 = cfg.fixlay
 
     # deepest layer k >= 2 (0-based) with significant thickness
     kp = jnp.max(jnp.where((h >= cfg.h_thin) & (K >= 2), K, 1), axis=0)

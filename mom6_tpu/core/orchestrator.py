@@ -91,6 +91,9 @@ class OceanCfg:
     sppt: Optional[object] = None        # StochasticsCfg (None = off)
     sppt_seed: int = 12345
     stoch_eos: bool = False              # STOCH_EOS (pattern -> varT)
+    # dynamics steps per thermo step (DT_THERM/DT): the ALE
+    # grid-motion filter integrates over the thermo interval
+    n_dyn_per_therm: int = 1
 
 
 def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -333,20 +336,22 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     # sponge restoring toward file profiles (MOM_diabatic_driver
     # applies the [ALE] sponge at the end of the column physics);
     # profiles are damped level-by-level (same-nk profile grids)
-    if cfg.sponge_data is not None and state.T is not None:
+    if cfg.sponge_data is not None:
         from mom6_tpu.param.vertical.sponge import (apply_sponge,
                                                     apply_eta_sponge)
         sd = cfg.sponge_data
         if sd.get("eta") is not None:
-            # layered-mode interface restoring (MOM_sponge.F90)
+            # layered-mode interface restoring (MOM_sponge.F90);
+            # applies in adiabatic/isopycnal runs with no T/S too
             h_sp = apply_eta_sponge(state.h, sd["idamp"], dt,
                                     sd["eta"])
             state = state.replace(h=h_sp)
-        damped = apply_sponge({"T": state.T, "S": state.S}, state.h,
-                              sd["idamp"], dt,
-                              {"T": sd["T"], "S": sd["S"]},
-                              ref_h=sd.get("ref_h"))
-        state = state.replace(T=damped["T"], S=damped["S"])
+        if state.T is not None and sd.get("T") is not None:
+            damped = apply_sponge({"T": state.T, "S": state.S},
+                                  state.h, sd["idamp"], dt,
+                                  {"T": sd["T"], "S": sd["S"]},
+                                  ref_h=sd.get("ref_h"))
+            state = state.replace(T=damped["T"], S=damped["S"])
     # per-tracer column physics (call_tracer_column_fns,
     # MOM_tracer_flow_control.F90)
     if tracer_registry is not None and tracers:
@@ -368,9 +373,11 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         if cfg.split and split_state is not None:
             aux_u = {"u_av": domain.fill_halos(split_state.u_av)}
             aux_v = {"v_av": domain.fill_halos(split_state.v_av)}
+        # ALE runs once per thermo step, so the grid-motion filter
+        # integrates over the thermo interval, not the dynamics dt
         state, tracers, _, aux_u, aux_v = ale_regrid_remap(
             grid, vgrid, state, cfg.ale, eos=eos, tracers=tracers,
-            aux_u=aux_u, aux_v=aux_v, dt=dt)
+            aux_u=aux_u, aux_v=aux_v, dt=dt * cfg.n_dyn_per_therm)
         state = state.replace(h=domain.fill_halos(state.h))
         if cfg.split and split_state is not None:
             # carry the split auxiliaries onto the new grid: remap the

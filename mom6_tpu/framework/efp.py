@@ -142,6 +142,12 @@ def efp_sum32(x: jnp.ndarray, mask: jnp.ndarray | None = None,
         x = x * mask.astype(x.dtype)
     if scale_pow2:
         x = x * jnp.float32(2.0 ** scale_pow2)
+    # non-finite inputs must poison the result visibly (the reference
+    # traps NaNs in its checksums); count them into an extra limb and
+    # zero them in the decomposition so the int path stays defined
+    bad = ~jnp.isfinite(x)
+    n_bad = jnp.sum(bad.astype(jnp.int32))
+    x = jnp.where(bad, 0.0, x)
     lim = jnp.float32(2.0 ** (EXP_MAX32 - 1))
     x = jnp.clip(x, -lim, lim)
     sign = jnp.where(x < 0, -1, 1).astype(jnp.int32)
@@ -156,15 +162,19 @@ def efp_sum32(x: jnp.ndarray, mask: jnp.ndarray | None = None,
         row_limbs.append(jnp.sum(sgn * q.astype(jnp.int32), axis=-1))
     row_limbs = row_limbs[::-1]               # limb 0 least significant
     row_limbs = _carry_renorm32(row_limbs)
-    out = jnp.stack([jnp.sum(l, axis=0) for l in row_limbs])
+    out = jnp.stack([jnp.sum(l, axis=0) for l in row_limbs]
+                    + [n_bad])
     for ax in axis_names:
         out = jax.lax.psum(out, ax)
     return out
 
 
 def efp32_to_float(limbs, scale_pow2: int = 0) -> float:
-    """Exact int32 limbs → float on the host."""
+    """Exact int32 limbs → float on the host; NaN when any input was
+    non-finite (the trailing limb carries the non-finite count)."""
     limbs = np.asarray(limbs)
+    if limbs.shape[0] > NLIMB32 and int(limbs[NLIMB32]) != 0:
+        return float("nan")
     total = 0
     for l in range(NLIMB32):
         total += int(limbs[l]) << (LIMB_BITS32 * l)

@@ -1288,12 +1288,16 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         pf.get("SPONGE_DATA_ONGRID", bool, False)
         idamp = domain.fill_halos(domain.pad(
             jnp.asarray(_load(dfile, ivar))))
-        t_ref = _load(sfile, pvar)
-        s_ref = _load(sfile, svar)
         spath = _os.path.join(indir, sfile)
         from mom6_tpu.framework.io import field_names
+        # T/S restoring targets are optional: a layered eta-only
+        # sponge file carries just Idamp + ETA (MOM_sponge.F90)
+        have_ts = pvar in field_names(spath)
+        t_ref = _load(sfile, pvar) if have_ts else None
+        s_ref = _load(sfile, svar) if have_ts else None
         ref_h = None
-        if t_ref.shape[0] != nk and "depth" in field_names(spath):
+        if have_ts and t_ref.shape[0] != nk \
+                and "depth" in field_names(spath):
             # z-space sponge targets on their own vertical grid: keep
             # them there and let apply_sponge remap onto the evolving
             # model h (the ALE sponge path)
@@ -1313,7 +1317,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 if not domain.shmap else jnp.asarray(t_ref)
             s_ref = domain.fill_halos(jnp.asarray(s_ref)) \
                 if not domain.shmap else jnp.asarray(s_ref)
-        else:
+        elif have_ts:
             t_ref = domain.fill_halos(domain.pad(jnp.asarray(t_ref)))
             s_ref = domain.fill_halos(domain.pad(jnp.asarray(s_ref)))
         sponge_data = {"idamp": idamp, "T": t_ref, "S": s_ref}
@@ -1420,6 +1424,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
 
     ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
                          unsplit_cfg=unsplit_cfg,
+                         n_dyn_per_therm=n_dyn_per_therm,
                          tracer_adv=adv_cfg,
                          diabatic=dia_cfg, ale=ale_cfg,
                          thickness_diffuse=td_cfg,

@@ -343,7 +343,7 @@ class OpenBoundaries:
         H, ni = self.halo, self.nil
         eps = 1e-30
 
-        def rad(iB, i1, i2, outward_sign, tau_in, tau_out):
+        def rad(iB, i1, i2, tau_in, tau_out):
             num = u_old[..., :, i1] - u_new[..., :, i1]
             den = u_old[..., :, i1] - u_old[..., :, i2]
             rx = jnp.clip(num / (den + jnp.where(jnp.abs(den) > eps,
@@ -352,18 +352,21 @@ class OpenBoundaries:
                 / (1.0 + rx)
             east = iB >= H + ni - 1
             ext = self._xval(self.u_e if east else self.u_w, iB)
-            val = self._nudge(val, ext, outward_sign * val > 0.0,
+            # outflow = outward radiation (rx > 0), matching the
+            # reference's dhdt*dhdx criterion rather than the sign of
+            # the boundary velocity itself
+            val = self._nudge(val, ext, rx > 0.0,
                               tau_in, tau_out, dt)
             strip = self.strip_e if east else self.strip_w
             return self._blend_x(u_new, iB, val, strip)
 
         if self.open_e:
             iE = H + ni - 1
-            u_new = rad(iE, iE - 1, iE - 2, 1.0,
+            u_new = rad(iE, iE - 1, iE - 2,
                         self.tau_in_e, self.tau_out_e)
         if self.open_w:
             iW = H - 1
-            u_new = rad(iW, iW + 1, iW + 2, -1.0,
+            u_new = rad(iW, iW + 1, iW + 2,
                         self.tau_in_w, self.tau_out_w)
         return u_new
 
@@ -371,7 +374,7 @@ class OpenBoundaries:
         H, nj = self.halo, self.njl
         eps = 1e-30
 
-        def rad(jB, j1, j2, outward_sign, tau_in, tau_out):
+        def rad(jB, j1, j2, tau_in, tau_out):
             num = v_old[..., j1, :] - v_new[..., j1, :]
             den = v_old[..., j1, :] - v_old[..., j2, :]
             rx = jnp.clip(num / (den + jnp.where(jnp.abs(den) > eps,
@@ -380,18 +383,18 @@ class OpenBoundaries:
                 / (1.0 + rx)
             north = jB >= H + nj - 1
             ext = self._yval(self.v_n if north else self.v_s, jB)
-            val = self._nudge(val, ext, outward_sign * val > 0.0,
+            val = self._nudge(val, ext, rx > 0.0,
                               tau_in, tau_out, dt)
             strip = self.strip_n if north else self.strip_s
             return self._blend_y(v_new, jB, val, strip)
 
         if self.open_n:
             jN = H + nj - 1
-            v_new = rad(jN, jN - 1, jN - 2, 1.0,
+            v_new = rad(jN, jN - 1, jN - 2,
                         self.tau_in_n, self.tau_out_n)
         if self.open_s:
             jS = H - 1
-            v_new = rad(jS, jS + 1, jS + 2, -1.0,
+            v_new = rad(jS, jS + 1, jS + 2,
                         self.tau_in_s, self.tau_out_s)
         return v_new
 

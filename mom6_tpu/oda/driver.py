@@ -86,16 +86,14 @@ def run_oda_cycles(model, ens_cfg: EnsembleCfg, n_cycles: int,
         for _ in range(steps_per_cycle):
             states, splits = vstep[n % 2](states, splits)
             n += 1
-        # analysis: EnKF on the temperature field vs the SST obs
+        # analysis: EnKF of the surface layer against the SST obs
+        # (sharp vertical localization; the reference's EnKF/3DVar
+        # hybrid localizes the vertical influence similarly)
         flat_idx = jo * states.T.shape[-1] + io
         ne = states.T.shape[0]
-        T2 = states.T.reshape(ne, states.T.shape[1], -1)
-        # update every layer with the surface-obs covariances, layer 0
-        # carrying the direct constraint (a simple vertical
-        # localization: only the surface layer is updated here, the
-        # reference's 3DVar/EnKF hybrid localizes similarly)
-        T0_new = enkf_analysis(ens_cfg, T2[:, 0], obs_values[cyc],
-                               flat_idx)
+        T0_new = enkf_analysis(ens_cfg,
+                               states.T[:, 0].reshape(ne, -1),
+                               obs_values[cyc], flat_idx)
         T_new = states.T.at[:, 0].set(
             T0_new.reshape(states.T.shape[0], *states.T.shape[2:]))
         states = states.replace(T=T_new)

@@ -51,7 +51,7 @@ def apply_sponge(state_fields: dict, h, iresttime, dt,
     return out
 
 
-def apply_eta_sponge(h, iresttime, dt, d_ref, angstrom: float = 1e-10):
+def apply_eta_sponge(h, iresttime, dt, d_ref, angstrom: float = 0.0):
     """Layered-mode interface-height sponge (the eta restoring of
     MOM_sponge.F90 apply_sponge): interior interface depths are damped
     implicitly toward the target profile ``d_ref`` (nk+1, njh, nih;

@@ -148,5 +148,5 @@ def register_advection_test(reg: TracerRegistry, grid, shape,
         reg.register(TracerMeta(name=nm,
                                 longname=f"advection test {nm}",
                                 units="nondim"))
-        out[nm] = jnp.broadcast_to(f2d[None], shape) * jnp.ones(shape)
+        out[nm] = jnp.broadcast_to(f2d[None], shape) + jnp.zeros(shape)
     return out

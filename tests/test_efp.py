@@ -105,3 +105,15 @@ def test_efp32_matches_exact_sum():
     got = efp32_to_float(efp_sum32(jnp.asarray(vals.reshape(10, 100))))
     exact = math.fsum(float(v) for v in vals)
     assert got == exact
+
+
+def test_efp32_nan_poisons_result():
+    """Non-finite inputs must surface as NaN, not silent int garbage
+    (the stats path is the primary blow-up monitor)."""
+    from mom6_tpu.framework.efp import efp_sum32, efp32_to_float
+    x = jnp.asarray([[1.0, 2.0], [jnp.nan, 3.0]], jnp.float32)
+    got = efp32_to_float(efp_sum32(x))
+    assert np.isnan(got)
+    got_inf = efp32_to_float(efp_sum32(
+        jnp.asarray([[1.0, jnp.inf]], jnp.float32)))
+    assert np.isnan(got_inf)

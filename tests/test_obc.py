@@ -233,25 +233,31 @@ OBC_SEGMENT_001_DATA = "U=value:0.25"
     d = Domain(ni=16, nj=16, halo=4)
     obc = build_open_boundaries(pfn, d)
     assert obc.tau_in_e > 0.0
-    # inflow (u<0 at the E edge) relaxes toward +0.25 with tau_in;
-    # outflow (u>0) with the much longer tau_out barely moves
     nk = 2
-    u_old = jnp.full((nk, d.njh, d.nih), -0.1)
-    u_new = jnp.full((nk, d.njh, d.nih), -0.1)
     dt = 3600.0
-    out = obc.radiate_u(u_new, u_old, dt=dt)
     iE = d.halo + 16 - 1
-    got = float(out[0, d.halo + 8, iE])
+    jmid = d.halo + 8
+    # stationary solution (u_new == u_old): rx = 0 -> treated as
+    # inflow, relaxed toward +0.25 with the short tau_in
+    u_old = jnp.full((nk, d.njh, d.nih), -0.1)
+    out = obc.radiate_u(u_old, u_old, dt=dt)
     r = dt / (0.3 * 86400.0)
     expect = -0.1 + r / (1 + r) * (0.25 - (-0.1))
-    np.testing.assert_allclose(got, expect, rtol=1e-12)
-    # outflow case
-    u_out = jnp.full((nk, d.njh, d.nih), 0.1)
-    out2 = obc.radiate_u(u_out, u_out, dt=dt)
-    got2 = float(out2[0, d.halo + 8, iE])
+    np.testing.assert_allclose(float(out[0, jmid, iE]), expect,
+                               rtol=1e-12)
+    # outward-radiating case (rx > 0): the long tau_out applies
+    u_old2 = jnp.full((nk, d.njh, d.nih), 0.1)
+    u_old2 = u_old2.at[:, :, iE].set(0.3)
+    u_old2 = u_old2.at[:, :, iE - 1].set(0.2)
+    u_new2 = u_old2.at[:, :, iE - 1].set(0.15)   # num=0.05, den=0.1
+    out2 = obc.radiate_u(u_new2, u_old2, dt=dt)
+    rx = 0.5
+    val_rad = (0.3 + rx * 0.15) / (1 + rx)
     r2 = dt / (360.0 * 86400.0)
-    expect2 = 0.1 + r2 / (1 + r2) * (0.25 - 0.1)
-    np.testing.assert_allclose(got2, expect2, rtol=1e-10)
-    # dt=0 (or no nudging) leaves the radiated value untouched
-    out3 = obc.radiate_u(u_new, u_old, dt=0.0)
-    np.testing.assert_allclose(float(out3[0, d.halo + 8, iE]), -0.1)
+    expect2 = val_rad + r2 / (1 + r2) * (0.25 - val_rad)
+    np.testing.assert_allclose(float(out2[0, jmid, iE]), expect2,
+                               rtol=1e-10)
+    # dt=0 leaves the radiated value untouched
+    out3 = obc.radiate_u(u_new2, u_old2, dt=0.0)
+    np.testing.assert_allclose(float(out3[0, jmid, iE]), val_rad,
+                               rtol=1e-12)
