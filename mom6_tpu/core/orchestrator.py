@@ -94,6 +94,9 @@ class OceanCfg:
     # dynamics steps per thermo step (DT_THERM/DT): the ALE
     # grid-motion filter integrates over the thermo interval
     n_dyn_per_therm: int = 1
+    # DIABATIC_FIRST (MOM.F90:1042): run the column physics + ALE on
+    # the pre-dynamics state instead of after tracer advection
+    diabatic_first: bool = False
 
 
 def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -112,6 +115,149 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     consumed on the next thermo step.  Returns
     (state, split_state, tracers, diags); with obc_reservoirs, a
     5th element carries the updated OBC tracer reservoirs."""
+    # --- thermodynamics / column physics + ALE, as one phase so the
+    # DIABATIC_FIRST ordering (MOM.F90:1042: thermo on the
+    # pre-dynamics state) can call it ahead of the dynamics ---
+    def thermo_and_ale(state, split_state, tracers, int_tide_en,
+                       sppt_pattern):
+        extras = {}
+        # --- thermodynamics / column physics ---
+        if cfg.thermo and not cfg.adiabatic:
+            tidal_e2d = None
+            if cfg.int_tides is not None:
+                # propagate the internal-tide energy field and hand its
+                # wave-drag dissipation map to the tidal mixing scheme
+                # (propagate_int_tide -> itidal_lowmode_loss chain)
+                from mom6_tpu.param.lateral.internal_tides import (
+                    step_internal_tides, init_en)
+                from mom6_tpu.diagnostics.wave_speed import (
+                    brunt_vaisala2, wave_speeds)
+                hf = domain.fill_halos(state.h)
+                tt = domain.fill_halos(state.T) \
+                    if state.T is not None else None
+                ss = domain.fill_halos(state.S) \
+                    if state.S is not None else None
+                n2i = brunt_vaisala2(vgrid, hf, tt, ss, eos)
+                nb = jnp.sqrt(jnp.maximum(n2i[-1], 0.0))
+                # proper modal eigen speeds (wave_speeds,
+                # MOM_wave_speed.F90) for every propagated mode
+                cn1 = wave_speeds(vgrid, hf, tt, ss, eos,
+                                  n_mode=cfg.int_tides.n_mode)
+                htot = jnp.sum(hf, axis=0)
+                from mom6_tpu.param.vertical.tidal_mixing import \
+                    internal_tide_input
+                tke_in = internal_tide_input(
+                    cfg.int_tide_utide,
+                    jnp.sqrt(cfg.int_tide_h2), nb,
+                    rho0=vgrid.Rho0,
+                    kappa_itides=cfg.int_tides.kappa_itides)
+                en = int_tide_en if int_tide_en is not None \
+                    else init_en(cfg.int_tides, state.h.shape[1:])
+                itr = step_internal_tides(
+                    cfg.int_tides, domain, grid, en, cn1, dt, tke_in,
+                    nb, htot, u_bt2=cfg.int_tide_utide ** 2,
+                    h2_rough=cfg.int_tide_h2,
+                    refl_angle=cfg.int_tide_refl_angle,
+                    refl_pref=cfg.int_tide_refl_pref,
+                    refl_dbl=cfg.int_tide_refl_dbl)
+                int_tide_en = itr.En
+                tidal_e2d = itr.itidal_loss
+                extras["int_tide_en"] = int_tide_en
+            sppt_on = cfg.sppt is not None and state.T is not None \
+                and (cfg.sppt.do_sppt or cfg.stoch_eos)
+            if sppt_on:
+                # SPPT (MOM_stochastics SPPT): an AR(1) smoothed random
+                # pattern multiplies the column-physics tendencies
+                from mom6_tpu.param.stochastic.stochastics import (
+                    init_pattern, step_pattern, apply_sppt)
+                step_i = jnp.asarray(
+                    jnp.round((0.0 if t is None else t) / dt),
+                    jnp.int32)
+                pat = sppt_pattern if sppt_pattern is not None else \
+                    init_pattern(domain, cfg.sppt, cfg.sppt_seed)
+                pat = step_pattern(domain, cfg.sppt, pat, cfg.sppt_seed,
+                                   step_i)
+                extras["sppt_pattern"] = pat
+                sppt_on = cfg.sppt.do_sppt       # tendencies only if SPPT
+                T_b, S_b = state.T, state.S
+            state, tracers, dia = diabatic(state, fluxes, dt, cfg.diabatic,
+                                           tracers, vgrid=vgrid, eos=eos,
+                                           forces=forces, grid=grid,
+                                           tidal_energy_2d=tidal_e2d)
+            if sppt_on:
+                state = state.replace(
+                    T=T_b + apply_sppt(cfg.sppt, state.T - T_b, pat),
+                    S=S_b + apply_sppt(cfg.sppt, state.S - S_b, pat))
+            if "frazil" in dia:
+                extras["frazil"] = dia["frazil"]
+            if "mld" in dia:
+                extras["mld"] = dia["mld"]
+        # sponge restoring toward file profiles (MOM_diabatic_driver
+        # applies the [ALE] sponge at the end of the column physics);
+        # profiles are damped level-by-level (same-nk profile grids)
+        if cfg.sponge_data is not None:
+            from mom6_tpu.param.vertical.sponge import (apply_sponge,
+                                                        apply_eta_sponge)
+            sd = cfg.sponge_data
+            if sd.get("eta") is not None:
+                # layered-mode interface restoring (MOM_sponge.F90);
+                # applies in adiabatic/isopycnal runs with no T/S too
+                h_sp = apply_eta_sponge(state.h, sd["idamp"], dt,
+                                        sd["eta"])
+                state = state.replace(h=h_sp)
+            if state.T is not None and sd.get("T") is not None:
+                damped = apply_sponge({"T": state.T, "S": state.S},
+                                      state.h, sd["idamp"], dt,
+                                      {"T": sd["T"], "S": sd["S"]},
+                                      ref_h=sd.get("ref_h"))
+                state = state.replace(T=damped["T"], S=damped["S"])
+        # per-tracer column physics (call_tracer_column_fns,
+        # MOM_tracer_flow_control.F90)
+        if tracer_registry is not None and tracers:
+            tracers = tracer_registry.apply_column_fns(
+                tracers, state.h, dt, state=state, forces=forces, t=t)
+            if cfg.bgc is not None:
+                tracers = cfg.bgc.column_physics(tracers, state.h,
+                                                 state.T, state.S, dt)
+
+        # --- ALE regrid/remap ---
+        if cfg.ale is not None:
+            state = state.replace(
+                h=domain.fill_halos(state.h),
+                u=domain.fill_halos(state.u), v=domain.fill_halos(state.v))
+            if state.T is not None:
+                state = state.replace(T=domain.fill_halos(state.T),
+                                      S=domain.fill_halos(state.S))
+            aux_u = aux_v = None
+            if cfg.split and split_state is not None:
+                aux_u = {"u_av": domain.fill_halos(split_state.u_av)}
+                aux_v = {"v_av": domain.fill_halos(split_state.v_av)}
+            # ALE runs once per thermo step, so the grid-motion filter
+            # integrates over the thermo interval, not the dynamics dt
+            state, tracers, _, aux_u, aux_v = ale_regrid_remap(
+                grid, vgrid, state, cfg.ale, eos=eos, tracers=tracers,
+                aux_u=aux_u, aux_v=aux_v, dt=dt * cfg.n_dyn_per_therm)
+            state = state.replace(h=domain.fill_halos(state.h))
+            if cfg.split and split_state is not None:
+                # carry the split auxiliaries onto the new grid: remap the
+                # time-mean velocities with the face-thickness rule and
+                # refresh h_av (remap of dyn aux vars,
+                # MOM_dynamics_split_RK2.F90:1273)
+                split_state = dataclasses.replace(
+                    split_state, h_av=state.h,
+                    u_av=domain.fill_halos(aux_u["u_av"]),
+                    v_av=domain.fill_halos(aux_v["v_av"]))
+
+
+        return state, split_state, tracers, extras
+
+    if cfg.diabatic_first and do_thermo:
+        state, split_state, tracers, _ex = thermo_and_ale(
+            state, split_state, tracers, int_tide_en, sppt_pattern)
+        _pre_extras = _ex
+    else:
+        _pre_extras = None
+
     # --- MEKE → VarMix → KHTH coefficient chain ---
     # the resolution function damps eddy parameterizations where the
     # deformation radius is resolved (calc_resolution_function,
@@ -262,132 +408,13 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             tracers = tracer_hordiff(domain, grid, tracers, hh, dt,
                                      cfg.hordiff)
 
-    # --- thermodynamics / column physics ---
-    if cfg.thermo and not cfg.adiabatic:
-        tidal_e2d = None
-        if cfg.int_tides is not None:
-            # propagate the internal-tide energy field and hand its
-            # wave-drag dissipation map to the tidal mixing scheme
-            # (propagate_int_tide -> itidal_lowmode_loss chain)
-            from mom6_tpu.param.lateral.internal_tides import (
-                step_internal_tides, init_en)
-            from mom6_tpu.diagnostics.wave_speed import (
-                brunt_vaisala2, wave_speeds)
-            hf = domain.fill_halos(state.h)
-            tt = domain.fill_halos(state.T) \
-                if state.T is not None else None
-            ss = domain.fill_halos(state.S) \
-                if state.S is not None else None
-            n2i = brunt_vaisala2(vgrid, hf, tt, ss, eos)
-            nb = jnp.sqrt(jnp.maximum(n2i[-1], 0.0))
-            # proper modal eigen speeds (wave_speeds,
-            # MOM_wave_speed.F90) for every propagated mode
-            cn1 = wave_speeds(vgrid, hf, tt, ss, eos,
-                              n_mode=cfg.int_tides.n_mode)
-            htot = jnp.sum(hf, axis=0)
-            from mom6_tpu.param.vertical.tidal_mixing import \
-                internal_tide_input
-            tke_in = internal_tide_input(
-                cfg.int_tide_utide,
-                jnp.sqrt(cfg.int_tide_h2), nb,
-                rho0=vgrid.Rho0,
-                kappa_itides=cfg.int_tides.kappa_itides)
-            en = int_tide_en if int_tide_en is not None \
-                else init_en(cfg.int_tides, state.h.shape[1:])
-            itr = step_internal_tides(
-                cfg.int_tides, domain, grid, en, cn1, dt, tke_in,
-                nb, htot, u_bt2=cfg.int_tide_utide ** 2,
-                h2_rough=cfg.int_tide_h2,
-                refl_angle=cfg.int_tide_refl_angle,
-                refl_pref=cfg.int_tide_refl_pref,
-                refl_dbl=cfg.int_tide_refl_dbl)
-            int_tide_en = itr.En
-            tidal_e2d = itr.itidal_loss
-            diags = diags._replace(int_tide_en=int_tide_en)
-        sppt_on = cfg.sppt is not None and state.T is not None \
-            and (cfg.sppt.do_sppt or cfg.stoch_eos)
-        if sppt_on:
-            # SPPT (MOM_stochastics SPPT): an AR(1) smoothed random
-            # pattern multiplies the column-physics tendencies
-            from mom6_tpu.param.stochastic.stochastics import (
-                init_pattern, step_pattern, apply_sppt)
-            step_i = jnp.asarray(
-                jnp.round((0.0 if t is None else t) / dt),
-                jnp.int32)
-            pat = sppt_pattern if sppt_pattern is not None else \
-                init_pattern(domain, cfg.sppt, cfg.sppt_seed)
-            pat = step_pattern(domain, cfg.sppt, pat, cfg.sppt_seed,
-                               step_i)
-            diags = diags._replace(sppt_pattern=pat)
-            sppt_on = cfg.sppt.do_sppt       # tendencies only if SPPT
-            T_b, S_b = state.T, state.S
-        state, tracers, dia = diabatic(state, fluxes, dt, cfg.diabatic,
-                                       tracers, vgrid=vgrid, eos=eos,
-                                       forces=forces, grid=grid,
-                                       tidal_energy_2d=tidal_e2d)
-        if sppt_on:
-            state = state.replace(
-                T=T_b + apply_sppt(cfg.sppt, state.T - T_b, pat),
-                S=S_b + apply_sppt(cfg.sppt, state.S - S_b, pat))
-        if "frazil" in dia:
-            diags = diags._replace(frazil=dia["frazil"])
-        if "mld" in dia:
-            diags = diags._replace(mld=dia["mld"])
-    # sponge restoring toward file profiles (MOM_diabatic_driver
-    # applies the [ALE] sponge at the end of the column physics);
-    # profiles are damped level-by-level (same-nk profile grids)
-    if cfg.sponge_data is not None:
-        from mom6_tpu.param.vertical.sponge import (apply_sponge,
-                                                    apply_eta_sponge)
-        sd = cfg.sponge_data
-        if sd.get("eta") is not None:
-            # layered-mode interface restoring (MOM_sponge.F90);
-            # applies in adiabatic/isopycnal runs with no T/S too
-            h_sp = apply_eta_sponge(state.h, sd["idamp"], dt,
-                                    sd["eta"])
-            state = state.replace(h=h_sp)
-        if state.T is not None and sd.get("T") is not None:
-            damped = apply_sponge({"T": state.T, "S": state.S},
-                                  state.h, sd["idamp"], dt,
-                                  {"T": sd["T"], "S": sd["S"]},
-                                  ref_h=sd.get("ref_h"))
-            state = state.replace(T=damped["T"], S=damped["S"])
-    # per-tracer column physics (call_tracer_column_fns,
-    # MOM_tracer_flow_control.F90)
-    if tracer_registry is not None and tracers:
-        tracers = tracer_registry.apply_column_fns(
-            tracers, state.h, dt, state=state, forces=forces, t=t)
-        if cfg.bgc is not None:
-            tracers = cfg.bgc.column_physics(tracers, state.h,
-                                             state.T, state.S, dt)
-
-    # --- ALE regrid/remap ---
-    if cfg.ale is not None:
-        state = state.replace(
-            h=domain.fill_halos(state.h),
-            u=domain.fill_halos(state.u), v=domain.fill_halos(state.v))
-        if state.T is not None:
-            state = state.replace(T=domain.fill_halos(state.T),
-                                  S=domain.fill_halos(state.S))
-        aux_u = aux_v = None
-        if cfg.split and split_state is not None:
-            aux_u = {"u_av": domain.fill_halos(split_state.u_av)}
-            aux_v = {"v_av": domain.fill_halos(split_state.v_av)}
-        # ALE runs once per thermo step, so the grid-motion filter
-        # integrates over the thermo interval, not the dynamics dt
-        state, tracers, _, aux_u, aux_v = ale_regrid_remap(
-            grid, vgrid, state, cfg.ale, eos=eos, tracers=tracers,
-            aux_u=aux_u, aux_v=aux_v, dt=dt * cfg.n_dyn_per_therm)
-        state = state.replace(h=domain.fill_halos(state.h))
-        if cfg.split and split_state is not None:
-            # carry the split auxiliaries onto the new grid: remap the
-            # time-mean velocities with the face-thickness rule and
-            # refresh h_av (remap of dyn aux vars,
-            # MOM_dynamics_split_RK2.F90:1273)
-            split_state = dataclasses.replace(
-                split_state, h_av=state.h,
-                u_av=domain.fill_halos(aux_u["u_av"]),
-                v_av=domain.fill_halos(aux_v["v_av"]))
+    if _pre_extras is not None:
+        extras = _pre_extras
+    else:
+        state, split_state, tracers, extras = thermo_and_ale(
+            state, split_state, tracers, int_tide_en, sppt_pattern)
+    for _k, _v in extras.items():
+        diags = diags._replace(**{_k: _v})
 
     if obc_reservoirs is not None:
         return state, split_state, tracers, diags, obc_reservoirs

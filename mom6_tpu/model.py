@@ -1425,6 +1425,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
                          unsplit_cfg=unsplit_cfg,
                          n_dyn_per_therm=n_dyn_per_therm,
+                         diabatic_first=pf.get("DIABATIC_FIRST", bool,
+                                               False),
                          tracer_adv=adv_cfg,
                          diabatic=dia_cfg, ale=ale_cfg,
                          thickness_diffuse=td_cfg,
