@@ -117,3 +117,33 @@ def test_efp32_nan_poisons_result():
     got_inf = efp32_to_float(efp_sum32(
         jnp.asarray([[1.0, jnp.inf]], jnp.float32)))
     assert np.isnan(got_inf)
+
+
+def test_efp32_layout_invariant_under_shard_map():
+    """The int32 limb psum inside shard_map reproduces the 1-device
+    sum bitwise for any layout (the fp32 analog of the x64 claim)."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mom6_tpu.framework.efp import efp_sum32, efp32_to_float
+    from mom6_tpu.parallel.domain import Domain, make_mesh, pad_field
+    rng = np.random.default_rng(11)
+    nj, ni = 16, 32
+    vals = (rng.standard_normal((nj, ni))
+            * np.exp(rng.uniform(-6, 16, (nj, ni)))).astype(np.float32)
+    ref = efp32_to_float(efp_sum32(jnp.asarray(vals)))
+    layout = (4, 2)
+    d = Domain(ni=ni, nj=nj, halo=4, layout=layout,
+               reentrant_x=True).sharded()
+    mesh = make_mesh(layout)
+    blocked = pad_field(d, jnp.asarray(vals))
+    mask = pad_field(d, jnp.ones((nj, ni), jnp.float32))
+
+    def local_sum(x, m):
+        return efp_sum32(x, mask=m, axis_names=("y", "x"))[:, None]
+
+    limbs = jax.jit(shard_map(
+        local_sum, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
+        out_specs=P(None, "x")))(blocked, mask)
+    got = efp32_to_float(limbs[:, 0])
+    assert got == ref
