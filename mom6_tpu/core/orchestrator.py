@@ -74,6 +74,10 @@ class OceanCfg:
     hordiff: TracerHorDiffCfg = TracerHorDiffCfg()
     use_neutral: bool = False            # USE_NEUTRAL_DIFFUSION
     neutral: NeutralDiffCfg = NeutralDiffCfg()
+    # near-boundary lateral diffusion within the KPP/ePBL BLD
+    # (USE_HORIZONTAL_BOUNDARY_DIFFUSION, MOM_hor_bnd_diffusion.F90)
+    use_hbd: bool = False
+    hbd: "HorBndDiffCfg" = None
     # --- internal tide energy propagation (MOM_internal_tides.F90);
     # None -> the local-dissipation assumption in tidal mixing ---
     int_tides: Optional[object] = None   # InternalTidesCfg
@@ -387,6 +391,16 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             adv, hh = domain.fill_halos((adv, state.h), width=1)
             adv = tracer_hordiff(domain, grid, adv, hh, dt,
                                  cfg.hordiff)
+        if cfg.use_hbd and mld_prev is not None:
+            # near-boundary diffusion inside the boundary layer
+            # (hor_bnd_diffusion, applied after tracer_hordiff as in
+            # tracer_hor_diff's HBD call)
+            from mom6_tpu.tracer.hor_bnd_diffusion import \
+                hor_bnd_diffusion
+            adv, hh, bldh = domain.fill_halos(
+                (adv, state.h, mld_prev), width=1)
+            adv = hor_bnd_diffusion(domain, grid, adv, hh, bldh, dt,
+                                    cfg.hbd)
         state = state.replace(T=adv.pop("T"), S=adv.pop("S"))
         tracers = adv if adv else tracers
     elif tracers:

@@ -1422,7 +1422,18 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             smooth_passes=pf.get("SPPT_SMOOTH_PASSES", int, 4))
 
 
+    pf.module("MOM_hor_bnd_diffusion")
+    use_hbd = pf.get("USE_HORIZONTAL_BOUNDARY_DIFFUSION", bool, False)
+    hbd_cfg = None
+    if use_hbd:
+        from mom6_tpu.tracer.hor_bnd_diffusion import HorBndDiffCfg
+        hbd_cfg = HorBndDiffCfg(
+            khtr_bnd=pf.get("HBD_KHTR", float,
+                            pf.get("KHTR", float, 0.0,
+                                   units="m2 s-1"),
+                            units="m2 s-1"))
     ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
+                         use_hbd=use_hbd, hbd=hbd_cfg,
                          unsplit_cfg=unsplit_cfg,
                          n_dyn_per_therm=n_dyn_per_therm,
                          diabatic_first=pf.get("DIABATIC_FIRST", bool,
@@ -1468,7 +1479,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             registry, S)
     if pf.get("USE_REGIONAL_DYES", bool, False):
         tracers["dye1"] = ideal_tracers.register_regional_dye(
-            registry, grid, shape)
+            registry, grid, shape,
+            lon_range=(pf.get("DYE_SOURCE_MINLON", float, -1.0e30),
+                       pf.get("DYE_SOURCE_MAXLON", float, 1.0e30)),
+            lat_range=(pf.get("DYE_SOURCE_MINLAT", float, -1.0e30),
+                       pf.get("DYE_SOURCE_MAXLAT", float, 1.0e30)))
     if pf.get("USE_DOME_TRACER", bool, False):
         tracers.update(ideal_tracers.register_dome_tracers(registry,
                                                            shape))

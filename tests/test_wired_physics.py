@@ -309,3 +309,37 @@ def test_diabatic_first_ordering():
                               np.asarray(d.interior(s2.T)))
     assert not np.array_equal(np.asarray(d.interior(s1.u)),
                               np.asarray(d.interior(s2.u)))
+
+
+def test_horizontal_boundary_diffusion():
+    """USE_HORIZONTAL_BOUNDARY_DIFFUSION diffuses tracers laterally
+    only within the KPP boundary layer (MOM_hor_bnd_diffusion.F90):
+    a surface dye gradient smooths while the deep layers are
+    untouched by the HBD pass."""
+    extra = ("USE_KPP = True\nKD = 1.0e-5\n"
+             "BUOY_CONFIG = const_heat\nSENSIBLE_HEAT_FLUX = -200.0\n"
+             "USE_REGIONAL_DYES = True\n"
+             "DYE_SOURCE_MAXLON = 80.0\n"
+             "USE_HORIZONTAL_BOUNDARY_DIFFUSION = True\n"
+             "HBD_KHTR = 2000.0\n")
+    m = _model(extra)
+    assert m.ocean_cfg.use_hbd and m.ocean_cfg.hbd.khtr_bnd == 2000.0
+    m0 = _model(extra.replace(
+        "USE_HORIZONTAL_BOUNDARY_DIFFUSION = True",
+        "USE_HORIZONTAL_BOUNDARY_DIFFUSION = False"))
+    n = 6
+    s1, _, tr1 = _run(m, n)
+    s0, _, tr0 = _run(m0, n)
+    d = m.domain
+    # conservation of the dye through the HBD pass
+    a = d.interior(m.grid.areaT)
+    inv1 = float(jnp.sum(d.interior(tr1["dye1"] * s1.h).sum(0) * a))
+    inv0 = float(jnp.sum(d.interior(tr0["dye1"] * s0.h).sum(0) * a))
+    np.testing.assert_allclose(inv1, inv0, rtol=1e-10)
+    # the surface dye front is smoother with HBD on: smaller max
+    # lateral gradient along the front
+    g1 = np.abs(np.diff(np.asarray(d.interior(tr1["dye1"][0])),
+                        axis=-1)).max()
+    g0 = np.abs(np.diff(np.asarray(d.interior(tr0["dye1"][0])),
+                        axis=-1)).max()
+    assert g1 < g0
