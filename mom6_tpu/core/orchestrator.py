@@ -31,7 +31,8 @@ from mom6_tpu.param.lateral.interface_filter import (
     InterfaceFilterCfg, interface_filter)
 from mom6_tpu.param.lateral.meke import MEKECfg, step_meke, meke_khth
 from mom6_tpu.param.lateral.varmix import (VarMixCfg,
-                                           calc_resolution_function)
+                                           calc_resolution_function,
+                                           calc_eady_rate, visbeck_kh)
 from mom6_tpu.param.lateral.mixed_layer_restrat import (
     MLRestratCfg, mixed_layer_restrat)
 from mom6_tpu.tracer.hor_diff import TracerHorDiffCfg, tracer_hordiff
@@ -39,6 +40,7 @@ from mom6_tpu.tracer.neutral_diffusion import (NeutralDiffCfg,
                                                neutral_diffusion)
 from mom6_tpu.ale.ale_main import ALECfg, ale_regrid_remap
 from mom6_tpu.parallel.domain import Domain
+from mom6_tpu.parallel.stencil import ip1 as _ip1_, jp1 as _jp1_
 
 __all__ = ["OceanCfg", "step_ocean"]
 
@@ -269,14 +271,34 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     # diffusivity K_MEKE into KHTH (MOM_thickness_diffuse.F90:204)
     khth_2d = None
     res_fn = None
+    rd_dx = None
+    sn = None
     use_meke = cfg.use_meke and state.meke is not None
     if cfg.use_varmix:
         vm = calc_resolution_function(cfg.varmix, grid, vgrid,
                                       state.h, state.T, state.S, eos)
         res_fn = vm.res_fn
+        rd_dx = vm.rd_dx
+    need_sn = (cfg.use_varmix and cfg.varmix.khth_slope_cff > 0.0) \
+        or (use_meke and (cfg.meke.geometric or cfg.meke.a_eady > 0.0))
+    if need_sn:
+        # Eady growth rate (calc_slope_functions) feeding the Visbeck
+        # diffusivity and the MEKE length scales / GEOMETRIC closure
+        hh = domain.fill_halos(state.h, width=1)
+        tt = domain.fill_halos(state.T, width=1) \
+            if state.T is not None else None
+        ss = domain.fill_halos(state.S, width=1) \
+            if state.S is not None else None
+        sn = calc_eady_rate(cfg.varmix, grid, vgrid, hh, tt, ss, eos)
+    if cfg.use_varmix and cfg.varmix.khth_slope_cff > 0.0:
+        kh_vis = visbeck_kh(cfg.varmix, grid, sn)
+        if kh_vis is not None:
+            khth_2d = cfg.thickness_diffuse.khth + kh_vis
     if use_meke and cfg.meke_khth_fac > 0.0:
-        khth_2d = cfg.thickness_diffuse.khth \
-            + cfg.meke_khth_fac * meke_khth(cfg.meke, state.meke)
+        base = khth_2d if khth_2d is not None \
+            else cfg.thickness_diffuse.khth
+        khth_2d = base + cfg.meke_khth_fac * meke_khth(
+            cfg.meke, state.meke, sn=sn)
     if res_fn is not None and cfg.resoln_scaled_khth:
         base = khth_2d if khth_2d is not None \
             else cfg.thickness_diffuse.khth
@@ -311,12 +333,19 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             # advance the prognostic eddy energy with the GM release
             # as its source (MOM_MEKE.F90 step_forward_MEKE)
             meke_e = domain.fill_halos(state.meke, width=1)
+            hsum = jnp.sum(h, axis=0) + 1e-30
+            u_bt = jnp.sum(0.5 * (h + _ip1_(h)) * state.u, axis=0) \
+                / hsum
+            v_bt = jnp.sum(0.5 * (h + _jp1_(h)) * state.v, axis=0) \
+                / hsum
             meke_new = step_meke(cfg.meke, grid, meke_e, dt,
-                                 gm_work=td.gm_work)
+                                 gm_work=td.gm_work, rd_dx=rd_dx,
+                                 sn=sn, u_bt=u_bt, v_bt=v_bt)
             state = state.replace(meke=domain.fill_halos(meke_new))
     elif use_meke:
         meke_e = domain.fill_halos(state.meke, width=1)
-        meke_new = step_meke(cfg.meke, grid, meke_e, dt)
+        meke_new = step_meke(cfg.meke, grid, meke_e, dt, rd_dx=rd_dx,
+                             sn=sn)
         state = state.replace(meke=domain.fill_halos(meke_new))
     if cfg.interface_filter.time_scale > 0.0:
         h = domain.fill_halos(state.h, width=2)

@@ -1235,16 +1235,33 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     meke_cfg = MEKECfg(
         frcoeff=pf.get("MEKE_FRCOEFF", float, 0.1),
         gmcoeff=pf.get("MEKE_GMCOEFF", float, 0.1),
+        damping=pf.get("MEKE_DAMPING", float, 0.0, units="s-1"),
         cdrag=pf.get("MEKE_CDRAG", float, 0.003),
         cb=pf.get("MEKE_CB", float, 25.0),
+        ct=pf.get("MEKE_CT", float, 50.0),
+        cd_scale=pf.get("MEKE_CD_SCALE", float, 0.0),
         ks_coeff=pf.get("MEKE_KHCOEFF", float, 1.0),
-        lmix=pf.get("MEKE_LSCALE", float, 1e4, units="m"))
+        advection_factor=pf.get("MEKE_ADVECTION_FACTOR", float, 0.0),
+        a_deform=pf.get("MEKE_ALPHA_DEFORM", float, 0.0),
+        a_frict=pf.get("MEKE_ALPHA_FRICT", float, 0.0),
+        a_rhines=pf.get("MEKE_ALPHA_RHINES", float, 0.0),
+        a_eady=pf.get("MEKE_ALPHA_EADY", float, 0.0),
+        a_grid=pf.get("MEKE_ALPHA_GRID", float, 0.0),
+        l_fixed=pf.get("MEKE_FIXED_MIXING_LENGTH", float,
+                       pf.get("MEKE_LSCALE", float, 1e4, units="m"),
+                       units="m"),
+        use_min_lscale=pf.get("MEKE_USE_MIN_LSCALE", bool, False),
+        geometric=pf.get("MEKE_GEOMETRIC", bool, False),
+        geometric_alpha=pf.get("MEKE_GEOMETRIC_ALPHA", float, 0.05))
     pf.module("MOM_lateral_mixing_coeffs")
     use_varmix = pf.get("USE_VARIABLE_MIXING", bool, False)
     varmix_cfg = VarMixCfg(
         use_variable_mixing=use_varmix,
         res_fn_power=pf.get("KH_RES_FN_POWER", int, 2),
-        res_coef=pf.get("KH_RES_SCALE_COEF", float, 1.0))
+        res_coef=pf.get("KH_RES_SCALE_COEF", float, 1.0),
+        khth_slope_cff=pf.get("KHTH_SLOPE_CFF", float, 0.0),
+        visbeck_l_scale=pf.get("VISBECK_L_SCALE", float, 0.0,
+                               units="m"))
     pf.module("MOM_mixed_layer_restrat")
     use_mle = pf.get("MIXEDLAYER_RESTRAT", bool, False)
     mle_cfg = MLRestratCfg(

@@ -19,7 +19,8 @@ from mom6_tpu.core.grid import Grid
 from mom6_tpu.core.vertical_grid import VerticalGrid
 from mom6_tpu.diagnostics.wave_speed import wave_speed_wkb
 
-__all__ = ["VarMixCfg", "calc_resolution_function", "VarMixResult"]
+__all__ = ["VarMixCfg", "calc_resolution_function", "VarMixResult",
+           "calc_eady_rate", "visbeck_kh"]
 
 _EPS = 1e-14
 
@@ -30,6 +31,13 @@ class VarMixCfg:
     res_scale_meke: bool = False
     res_fn_power: int = 2               # KH_RES_FN_POWER
     res_coef: float = 1.0               # KH_RES_SCALE_COEF
+    # Visbeck et al. (1997) thickness diffusivity KH = cff * SN * L^2
+    # (calc_Visbeck_coeffs / KHTH_SLOPE_CFF,
+    # MOM_lateral_mixing_coeffs.F90:470)
+    khth_slope_cff: float = 0.0         # KHTH_SLOPE_CFF
+    visbeck_l_scale: float = 0.0        # VISBECK_L_SCALE [m]; <=0 → dx
+    # slope cap in the Eady-rate integrand (SLOPE_MAX analog)
+    slope_max: float = 1e-2
 
 
 class VarMixResult(NamedTuple):
@@ -54,3 +62,53 @@ def calc_resolution_function(cfg: VarMixCfg, grid: Grid,
     rd_dx = rd / jnp.maximum(dx, _EPS)
     res = 1.0 / (1.0 + (cfg.res_coef * rd_dx) ** cfg.res_fn_power)
     return VarMixResult(res_fn=res, rd_dx=rd_dx)
+
+
+def calc_eady_rate(cfg: VarMixCfg, grid: Grid, vgrid: VerticalGrid,
+                   h, T=None, S=None, eos=None):
+    """Column Eady growth rate SN [s-1] at h points
+    (calc_slope_functions, MOM_lateral_mixing_coeffs.F90:700):
+    SN² = (1/D) ∫ S² N² dz with the isopycnal slopes capped at
+    SLOPE_MAX; for layered (no-EOS) columns the slope is the
+    interface-height gradient and N² the Rlay jumps."""
+    from mom6_tpu.parallel.stencil import im1, jm1
+
+    if T is None or eos is None:
+        # layered fallback: slopes from interface-height gradients,
+        # N² from the Rlay jumps
+        zs = jnp.cumsum(h, axis=0)[:-1]
+        e = -zs
+        sx = (e - im1(e)) * grid.IdxT
+        sy = (e - jm1(e)) * grid.IdyT
+        s2 = jnp.minimum(sx * sx + sy * sy, cfg.slope_max ** 2)
+        rl = vgrid.Rlay.reshape((-1,) + (1,) * (h.ndim - 1))
+        dz = 0.5 * (h[:-1] + h[1:]) + _EPS
+        n2 = (vgrid.g_Earth / vgrid.Rho0) \
+            * jnp.maximum(rl[1:] - rl[:-1], 0.0) / dz
+    else:
+        from mom6_tpu.core.isopycnal_slopes import (SlopeCfg,
+                                                    isoneutral_slopes)
+        sl = isoneutral_slopes(
+            SlopeCfg(slope_max=cfg.slope_max), grid, vgrid, h, T, S,
+            eos)
+        sx_h = 0.5 * (sl.slope_x + im1(sl.slope_x))
+        sy_h = 0.5 * (sl.slope_y + jm1(sl.slope_y))
+        s2 = jnp.minimum(sx_h * sx_h + sy_h * sy_h,
+                         cfg.slope_max ** 2)
+        n2 = sl.n2
+        dz = 0.5 * (h[:-1] + h[1:])
+    depth = jnp.sum(h, axis=0) + _EPS
+    sn2 = jnp.sum(s2 * jnp.maximum(n2, 0.0) * dz, axis=0) / depth
+    return jnp.sqrt(jnp.maximum(sn2, 0.0)) * grid.mask2dT
+
+
+def visbeck_kh(cfg: VarMixCfg, grid: Grid, sn):
+    """Visbeck et al. (1997) thickness diffusivity
+    KH = KHTH_SLOPE_CFF · SN · L² (MOM_lateral_mixing_coeffs.F90
+    calc_Visbeck_coeffs essence, L the grid scale or
+    VISBECK_L_SCALE)."""
+    if cfg.khth_slope_cff <= 0.0:
+        return None
+    L = cfg.visbeck_l_scale if cfg.visbeck_l_scale > 0.0 \
+        else jnp.sqrt(grid.areaT)
+    return cfg.khth_slope_cff * sn * L * L * grid.mask2dT

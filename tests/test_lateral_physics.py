@@ -89,3 +89,102 @@ def test_ml_restrat_flattens_front_and_conserves():
     assert np.max(np.abs(colsum)) < 1e-6 * np.max(np.abs(
         np.asarray(res.uhml)))
     assert float(jnp.max(jnp.abs(res.uhml))) > 0.0
+
+
+def test_meke_length_scales_and_structure():
+    """MEKE_lengthScales_0d analog: inverse-sum blending, min-blend,
+    and the bottom/barotropic structure factors behave per the
+    reference's shapes."""
+    import jax.numpy as jnp
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    from mom6_tpu.param.lateral.meke import (MEKECfg,
+                                             meke_length_scales)
+    d = Domain(ni=8, nj=8, halo=4, reentrant_x=True, reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=80.0, lenlat_km=80.0, f0=1e-4,
+                       max_depth=4000.0)
+    e = jnp.full((d.njh, d.nih), 0.01)
+    depth = jnp.full((d.njh, d.nih), 4000.0)
+    rd_dx = jnp.full((d.njh, d.nih), 0.5)
+    sn = jnp.full((d.njh, d.nih), 1e-6)
+    beta = jnp.full((d.njh, d.nih), 2e-11)
+    # min blend picks the smallest enabled scale
+    cfg = MEKECfg(a_deform=1.0, a_grid=1.0, use_min_lscale=True,
+                  l_fixed=1e9)
+    lmix, b2, t2 = meke_length_scales(cfg, g, e, depth, rd_dx, sn,
+                                      beta)
+    l_grid = float(jnp.sqrt(g.areaT)[6, 6])
+    np.testing.assert_allclose(float(lmix[6, 6]), 0.5 * l_grid,
+                               rtol=1e-12)     # deform = 0.5*grid
+    assert 0.0 < float(b2[6, 6]) <= 1.01
+    assert 0.0 < float(t2[6, 6]) <= 1.0
+    # inverse-sum blend lies below the smallest component
+    cfg2 = MEKECfg(a_deform=1.0, a_grid=1.0, use_min_lscale=False,
+                   l_fixed=0.0)
+    lmix2, _, _ = meke_length_scales(cfg2, g, e, depth, rd_dx, sn,
+                                     beta)
+    assert float(lmix2[6, 6]) < 0.5 * l_grid
+    # deeper water -> weaker bottom coupling (smaller gamma_b)
+    _, b2_deep, _ = meke_length_scales(
+        cfg, g, e, 10.0 * depth, 10.0 * rd_dx, sn, beta)
+    assert float(b2_deep[6, 6]) < float(b2[6, 6]) + 1e-12
+
+
+def test_meke_geometric_khth_and_equilibrium():
+    """MEKE_GEOMETRIC: KHTH = alpha E/(S N) and the equilibrium
+    energy (alpha SN H / cdrag)^2."""
+    import jax.numpy as jnp
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    from mom6_tpu.param.lateral.meke import (MEKECfg, meke_khth,
+                                             meke_equilibrium)
+    d = Domain(ni=8, nj=8, halo=4, reentrant_x=True, reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=80.0, lenlat_km=80.0, f0=1e-4,
+                       max_depth=4000.0)
+    cfg = MEKECfg(geometric=True, geometric_alpha=0.05)
+    e = jnp.full((d.njh, d.nih), 0.02)
+    sn = jnp.full((d.njh, d.nih), 2e-6)
+    kh = meke_khth(cfg, e, sn=sn)
+    np.testing.assert_allclose(float(kh[6, 6]), 0.05 * 0.02 / 2e-6,
+                               rtol=1e-12)
+    depth = jnp.full((d.njh, d.nih), 4000.0)
+    e0 = meke_equilibrium(cfg, g, depth, sn)
+    np.testing.assert_allclose(float(e0[6, 6]),
+                               (0.05 * 2e-6 * 4000.0) ** 2 / 0.003 ** 2,
+                               rtol=1e-12)
+
+
+def test_visbeck_kh_from_eady_rate():
+    """KHTH_SLOPE_CFF: the Visbeck diffusivity scales with the Eady
+    rate from the actual stratification/slopes."""
+    import jax.numpy as jnp
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    from mom6_tpu.core.vertical_grid import VerticalGrid
+    from mom6_tpu.param.lateral.varmix import (VarMixCfg,
+                                               calc_eady_rate,
+                                               visbeck_kh)
+    from mom6_tpu.eos import LinearEOS
+    d = Domain(ni=12, nj=12, halo=4, reentrant_x=True,
+               reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=120.0, lenlat_km=120.0, f0=1e-4,
+                       max_depth=2000.0)
+    vg = VerticalGrid.uniform(nk=4)
+    nk = 4
+    h = d.fill_halos(d.pad(jnp.full((nk, 12, 12), 500.0)))
+    # a zonal temperature front -> sloped isopycnals -> SN > 0
+    x = jnp.linspace(0.0, 4.0, 12)
+    T = d.fill_halos(d.pad(
+        (10.0 - 2.0 * jnp.arange(nk).reshape(-1, 1, 1))
+        + x[None, None, :] * jnp.ones((nk, 12, 12))))
+    S = d.fill_halos(d.pad(jnp.full((nk, 12, 12), 35.0)))
+    cfg = VarMixCfg(khth_slope_cff=0.1)
+    sn = calc_eady_rate(cfg, g, vg, h, T, S, LinearEOS())
+    assert float(jnp.max(d.interior(sn))) > 0.0
+    kh = visbeck_kh(cfg, g, sn)
+    assert float(jnp.max(d.interior(kh))) > 0.0
+    # no front (uniform T) -> SN = 0 -> KH = 0
+    T0 = d.fill_halos(d.pad(jnp.full((nk, 12, 12), 10.0)))
+    sn0 = calc_eady_rate(cfg, g, vg, h, T0, S, LinearEOS())
+    np.testing.assert_allclose(np.asarray(d.interior(sn0)), 0.0,
+                               atol=1e-10)

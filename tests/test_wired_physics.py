@@ -343,3 +343,24 @@ def test_horizontal_boundary_diffusion():
     g0 = np.abs(np.diff(np.asarray(d.interior(tr0["dye1"][0])),
                         axis=-1)).max()
     assert g1 < g0
+
+
+def test_meke_geometric_and_visbeck_from_config():
+    """MEKE_GEOMETRIC + KHTH_SLOPE_CFF wire from MOM_input through
+    the step_ocean coefficient chain."""
+    m = _model("KHTH = 100.0\nUSE_MEKE = True\n"
+               "MEKE_GEOMETRIC = True\nMEKE_GEOMETRIC_ALPHA = 0.07\n"
+               "MEKE_KHTH_FAC = 1.0\nMEKE_GMCOEFF = 1.0\n"
+               "MEKE_ALPHA_EADY = 1.0\nMEKE_ALPHA_GRID = 1.0\n"
+               "MEKE_ADVECTION_FACTOR = 1.0\n"
+               "USE_VARIABLE_MIXING = True\nKHTH_SLOPE_CFF = 0.05\n"
+               "MEKE_INIT = 1.0e-6\nADIABATIC = True\n"
+               "#override TOPO_CONFIG = bowl\n"
+               "MINIMUM_DEPTH = 100.0\n")
+    assert m.ocean_cfg.meke.geometric
+    assert m.ocean_cfg.varmix.khth_slope_cff == 0.05
+    s, a, tr = _run(m, 4)
+    d = m.domain
+    e = np.asarray(d.interior(s.meke))
+    assert np.all(np.isfinite(e)) and np.all(e >= 0.0)
+    assert np.all(np.isfinite(np.asarray(d.interior(s.h))))
