@@ -1165,7 +1165,13 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             kappa_shear=KappaShearCfg(
                 rino_crit=pf.get("RINO_CRIT", float, 0.25),
                 shearmix_rate=pf.get("SHEARMIX_RATE", float, 0.089),
-                max_rino_it=pf.get("MAX_RINO_IT", int, 10)),
+                fri_curvature=pf.get("FRI_CURVATURE", float, -0.97),
+                c_n=pf.get("TKE_N_DECAY_CONST", float, 0.24),
+                c_s=pf.get("TKE_SHEAR_DECAY_CONST", float, 0.14),
+                lam=pf.get("KAPPA_SHEAR_LAMBDA", float, 0.82),
+                kd_max=pf.get("KAPPA_SHEAR_MAX", float, 1.0,
+                              units="m2 s-1"),
+                max_rino_it=pf.get("MAX_RINO_IT", int, 8)),
             use_conv=pf.get("USE_CVMIX_CONVECTION", bool, False),
             conv=ConvectionCfg(kd_conv=pf.get("KD_CONV", float, 1.0,
                                               units="m2 s-1")),

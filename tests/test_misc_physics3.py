@@ -145,3 +145,39 @@ def test_ssa_ice_tongue_extends():
     assert np.max(u) > 0.01          # an ice-stream-like speed exists
     # viscosity is positive and finite
     assert float(jnp.min(res.visc)) > 0.0
+
+
+def test_kappa_shear_jhl_structure():
+    """The JHL steady system (find_kappa_tke): kappa is zero above the
+    critical Richardson number, grows with shear below it, decays
+    toward the boundaries through the L_bdry length scale, and the
+    TKE/kappa alternation converges (insensitive to extra sweeps)."""
+    import dataclasses as _dc
+    from mom6_tpu.param.vertical.kappa_shear import (KappaShearCfg,
+                                                     kappa_shear_coeffs)
+    nk, nj, ni = 16, 2, 2
+    h = jnp.full((nk, nj, ni), 25.0)
+    z = (jnp.arange(nk) + 0.5) * 25.0
+    # linear shear du/dz = 4e-3 -> S2 = 1.6e-5
+    u = jnp.broadcast_to((4.0e-3 * z).reshape(-1, 1, 1),
+                         (nk, nj, ni)) + jnp.zeros((nk, nj, ni))
+    v = jnp.zeros((nk, nj, ni))
+    cfg = KappaShearCfg()
+    s2 = 1.6e-5
+    # subcritical Ri = 0.1 -> active mixing
+    n2_sub = jnp.full((nk - 1, nj, ni), 0.1 * s2)
+    k_sub = kappa_shear_coeffs(cfg, u, v, h, n2_sub)
+    # supercritical Ri = 0.5 -> no mixing at all
+    n2_sup = jnp.full((nk - 1, nj, ni), 0.5 * s2)
+    k_sup = kappa_shear_coeffs(cfg, u, v, h, n2_sup)
+    assert float(jnp.max(k_sub)) > 1e-5
+    np.testing.assert_allclose(np.asarray(k_sup), 0.0, atol=1e-12)
+    # boundary decay: interior maximum, smaller near top/bottom
+    prof = np.asarray(k_sub[:, 0, 0])
+    assert prof[nk // 2 - 1] > prof[0]
+    assert prof[nk // 2 - 1] > prof[-1]
+    # converged: 8 vs 16 sweeps agree closely
+    k_16 = kappa_shear_coeffs(_dc.replace(cfg, max_rino_it=16),
+                              u, v, h, n2_sub)
+    np.testing.assert_allclose(np.asarray(k_16), np.asarray(k_sub),
+                               rtol=3e-2, atol=1e-6)
