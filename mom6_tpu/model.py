@@ -1180,7 +1180,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             tidal=TidalMixingCfg(
                 gamma_itides=pf.get("GAMMA_ITIDES", float, 0.2),
                 int_tide_decay_scale=pf.get("INT_TIDE_DECAY_SCALE",
-                                            float, 500.0, units="m")),
+                                            float, 500.0, units="m"),
+                profile=pf.get("INT_TIDE_PROFILE", str,
+                               "STLAURENT_02"),
+                polzin_decay_scale=pf.get(
+                    "POLZIN_DECAY_SCALE_FACTOR", float, 300.0,
+                    units="m")),
             tidal_energy_flux=pf.get("TIDAL_ENERGY_FLUX", float,
                                      1e-3 if int_tide else 0.0,
                                      units="W m-2")),

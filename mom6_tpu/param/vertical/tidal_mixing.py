@@ -30,6 +30,11 @@ class TidalMixingCfg:
     int_tide_decay_scale: float = 500.0   # INT_TIDE_DECAY_SCALE ζ [m]
     kd_max: float = 5e-3             # cap [m2 s-1]
     min_n2: float = 1e-8             # N0² floor [s-2]
+    # INT_TIDE_PROFILE: STLAURENT_02 (exponential) or POLZIN_09
+    # (algebraic 1/(z_p+hab)² decay, MOM_tidal_mixing.F90
+    # add_int_tide_diffusivity Polzin branch)
+    profile: str = "STLAURENT_02"
+    polzin_decay_scale: float = 300.0     # z_p [m]
 
 
 def internal_tide_input(u_tide_amp, h_rough, n_bot, rho0=1035.0,
@@ -48,9 +53,16 @@ def tidal_mixing_coeffs(cfg: TidalMixingCfg, h, n2, e_flux,
     htot = jnp.sum(h, axis=0)
     z_int = jnp.cumsum(h, axis=0)[:-1]          # interior interfaces
     hab = htot[None] - z_int                    # height above bottom
-    zeta = cfg.int_tide_decay_scale
-    norm = zeta * (1.0 - jnp.exp(-htot / zeta)) + _EPS
-    Fz = jnp.exp(-hab / zeta) / norm[None]
+    if cfg.profile.upper().startswith("POLZIN"):
+        # Polzin (2009): F(hab) = z_p/(z_p+hab)² with unit integral
+        # over the column
+        zp = cfg.polzin_decay_scale
+        norm = htot / (zp + htot) + _EPS
+        Fz = (zp / (zp + hab) ** 2) / norm[None]
+    else:
+        zeta = cfg.int_tide_decay_scale
+        norm = zeta * (1.0 - jnp.exp(-htot / zeta)) + _EPS
+        Fz = jnp.exp(-hab / zeta) / norm[None]
     kd = (cfg.q_itides * cfg.gamma_itides * e_flux[None] * Fz
           / (rho0 * jnp.maximum(n2, cfg.min_n2)))
     return jnp.minimum(kd, cfg.kd_max)

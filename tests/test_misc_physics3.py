@@ -181,3 +181,33 @@ def test_kappa_shear_jhl_structure():
                               u, v, h, n2_sub)
     np.testing.assert_allclose(np.asarray(k_16), np.asarray(k_sub),
                                rtol=3e-2, atol=1e-6)
+
+
+def test_tidal_mixing_polzin_profile():
+    """INT_TIDE_PROFILE=POLZIN_09: the algebraic bottom-intensified
+    deposition integrates to the same total energy as STLAURENT_02
+    but decays more slowly away from the bottom."""
+    import dataclasses as _dc
+    from mom6_tpu.param.vertical.tidal_mixing import (TidalMixingCfg,
+                                                      tidal_mixing_coeffs)
+    nk = 20
+    h = jnp.full((nk, 2, 2), 200.0)
+    n2 = jnp.full((nk - 1, 2, 2), 1e-5)
+    e = jnp.full((2, 2), 1e-2)
+    cfg_s = TidalMixingCfg(kd_max=1e9)
+    cfg_p = _dc.replace(cfg_s, profile="POLZIN_09")
+    kd_s = np.asarray(tidal_mixing_coeffs(cfg_s, h, n2, e))
+    kd_p = np.asarray(tidal_mixing_coeffs(cfg_p, h, n2, e))
+    # same column-integrated buoyancy-flux budget (same q*Gamma*E):
+    # sum(kd * N2 * dz) equal for both normalized profiles
+    dz = 200.0
+    tot_s = (kd_s[:, 0, 0] * 1e-5 * dz).sum()
+    tot_p = (kd_p[:, 0, 0] * 1e-5 * dz).sum()
+    # interior-interface sampling misses the near-bottom peak of
+    # each normalized profile differently; agreement is to the
+    # discretization, not roundoff
+    np.testing.assert_allclose(tot_p, tot_s, rtol=0.2)
+    # Polzin carries more mixing into the upper column
+    assert kd_p[2, 0, 0] > kd_s[2, 0, 0]
+    # St Laurent is stronger right at the bottom
+    assert kd_s[-1, 0, 0] > kd_p[-1, 0, 0]
