@@ -114,7 +114,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                        state: State, split: SplitDynState,
                        forces: MechForcing, dt: float, cfg: SplitCfg,
                        eos=None, x_first: bool = True, obc=None,
-                       t=None, stoch_pattern=None,
+                       t=None, stoch_pattern=None, kh_scale=None,
                        ) -> tuple[State, SplitDynState, SplitDiags]:
     if obc is not None:
         if domain.tripolar_n:
@@ -178,7 +178,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                         varT_mult=varT_mult)
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
-                              **gme_kw)
+                              kh_scale=kh_scale, **gme_kw)
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
     u_bc_accel = (ca.CAu + pf.PFu) + dv.diffu
     v_bc_accel = (ca.CAv + pf.PFv) + dv.diffv
@@ -252,7 +252,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                         e_tidal=e_tidal, varT_mult=varT_mult)
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
-                              **gme_kw)
+                              kh_scale=kh_scale, **gme_kw)
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
     u_bc_accel = (ca.CAu + pf.PFu) + dv.diffu
     v_bc_accel = (ca.CAv + pf.PFv) + dv.diffv

@@ -68,6 +68,7 @@ class OceanCfg:
     use_varmix: bool = False             # USE_VARIABLE_MIXING
     varmix: VarMixCfg = VarMixCfg()
     resoln_scaled_khth: bool = False     # RESOLN_SCALED_KHTH
+    resoln_scaled_kh: bool = False       # RESOLN_SCALED_KH (hor_visc)
     # --- mixed-layer restratification (MOM_mixed_layer_restrat.F90) ---
     use_mle: bool = False                # MIXEDLAYER_RESTRAT
     mlrestrat: MLRestratCfg = MLRestratCfg()
@@ -355,11 +356,14 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         uh_param = dt * uhF if uh_param is None else uh_param + dt * uhF
         vh_param = dt * vhF if vh_param is None else vh_param + dt * vhF
 
+    kh_scale = None
+    if cfg.resoln_scaled_kh and res_fn is not None:
+        kh_scale = domain.fill_halos(res_fn, width=2)
     if cfg.split:
         state, split_state, diags = step_dyn_split_rk2(
             domain, grid, vgrid, state, split_state, forces, dt,
             cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,
-            stoch_pattern=sppt_pattern)
+            stoch_pattern=sppt_pattern, kh_scale=kh_scale)
     else:
         state, diags = step_dyn_unsplit(
             domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,

@@ -1479,6 +1479,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                          meke_khth_fac=pf.get("MEKE_KHTH_FAC", float,
                                               0.0),
                          use_varmix=use_varmix, varmix=varmix_cfg,
+                         resoln_scaled_kh=pf.get("RESOLN_SCALED_KH",
+                                                 bool, False),
                          resoln_scaled_khth=pf.get(
                              "RESOLN_SCALED_KHTH", bool, False),
                          use_mle=use_mle, mlrestrat=mle_cfg,

@@ -111,12 +111,15 @@ def _smooth9(f):
 def horizontal_viscosity(grid: Grid, u, v, h,
                          cfg: HorViscCfg = HorViscCfg(),
                          u_bt=None, v_bt=None,
-                         htot=None) -> HorViscResult:
+                         htot=None, kh_scale=None) -> HorViscResult:
     """(diffu, diffv) [m s-2] from Laplacian+biharmonic friction.
 
     Needs u, v valid to ≥2 halo rings, h to ≥1.  With USE_GME the
     caller supplies the (2D) barotropic velocities and column depth;
-    the GME stress backscatters energy at the barotropic strain."""
+    the GME stress backscatters energy at the barotropic strain.
+    ``kh_scale``: optional (njh, nih) multiplier on the Laplacian
+    viscosity (the VarMix resolution function, RESOLN_SCALED_KH,
+    MOM_hor_visc.F90 Kh *= VarMix%Res_fn_h)."""
     zb_u = zb_v = None
     if cfg.use_zb2020:
         from mom6_tpu.param.lateral.zanna_bolton import (ZB2020Cfg,
@@ -218,6 +221,14 @@ def horizontal_viscosity(grid: Grid, u, v, h,
             # isotropic part of the anisotropic tensor (:1157, :1545)
             Kh_h = Kh_h + cfg.kh_aniso * (1.0 - n1n2 ** 2)
             Kh_q = Kh_q + cfg.kh_aniso * n1n2 ** 2
+        if kh_scale is not None:
+            from mom6_tpu.parallel.stencil import ip1 as _ip1j, \
+                jp1 as _jp1j
+            Kh_h = Kh_h * kh_scale
+            # corner-point scale: 4-point mean of the h-point field
+            ks_q = 0.25 * ((kh_scale + _ip1j(_jp1j(kh_scale)))
+                           + (_ip1j(kh_scale) + _jp1j(kh_scale)))
+            Kh_q = Kh_q * ks_q
         if cfg.bound_coef:
             Kh_h = jnp.minimum(Kh_h, 0.2 * grid_sp_h2 / cfg.dt)
             Kh_q = jnp.minimum(Kh_q, 0.2 * grid_sp_q2 / cfg.dt)

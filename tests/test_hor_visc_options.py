@@ -141,3 +141,44 @@ def test_aniso_grid_aligned_tension_only():
     d1 = _interior(d, r_kh35.diffu)
     assert np.max(np.abs(da - d0)) > 0.0
     assert np.max(np.abs(da - d0)) <= np.max(np.abs(d1 - d0)) + 1e-12
+
+
+def test_resoln_scaled_kh():
+    """RESOLN_SCALED_KH: the VarMix resolution function scales the
+    Laplacian viscosity inside the dynamics (MOM_hor_visc.F90
+    Kh *= Res_fn)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
+    base = """
+NIGLOBAL = 16
+NJGLOBAL = 16
+NK = 2
+DT = 600.0
+DAYMAX = 0.01
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 160.0
+LENLAT = 160.0
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 1000.0
+F_0 = 1.0e-4
+REENTRANT_X = True
+ADIABATIC = True
+WIND_CONFIG = gyres
+LAPLACIAN = True
+KH = 1.0e4
+USE_VARIABLE_MIXING = True
+"""
+    runs = {}
+    for tag, extra in (("off", ""), ("on", "RESOLN_SCALED_KH = True\n")):
+        m = build_model(ParamFile(text=base + extra))
+        step = m.step_fn()
+        s, a, tr = m.state, m.split_state, m.tracers
+        for k in range(4):
+            s, a, tr = step(s, a, tr, n=k)
+        runs[tag] = np.asarray(m.domain.interior(s.u))
+        assert np.all(np.isfinite(runs[tag]))
+    # scaling engaged: trajectories differ
+    assert not np.array_equal(runs["on"], runs["off"])
