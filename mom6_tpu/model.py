@@ -1394,6 +1394,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 "INT_TIDE_BACKGROUND_DRAG", bool, False),
             apply_bottom_drag=pf.get("INT_TIDE_QUAD_DRAG", bool, True),
             apply_wave_drag=pf.get("INT_TIDE_WAVE_DRAG", bool, True),
+            apply_froude_drag=pf.get("INT_TIDE_FROUDE_DRAG", bool,
+                                     False),
             cdrag=pf.get("CDRAG", float, 0.003),
             kappa_itides=2.0 * _math.pi
             / pf.get("ITIDE_WAVELENGTH", float, 125e3, units="m"),

@@ -81,6 +81,7 @@ class IntTideResult(NamedTuple):
     itidal_loss: jnp.ndarray       # wave-drag dissipation [W m-2]
     leak_loss: jnp.ndarray         # background loss [W m-2]
     quad_loss: jnp.ndarray         # bottom-drag loss [W m-2]
+    froude_loss: jnp.ndarray = 0.0  # wave-breaking loss [W m-2]
 
 
 def init_en(cfg: InternalTidesCfg, shape) -> jnp.ndarray:
@@ -303,10 +304,26 @@ def step_internal_tides(cfg: InternalTidesCfg, domain, grid: Grid,
         itidal = jnp.sum(loss_m * (tot_mode > 0.0), axis=0)
         En = En / (1.0 + dt * loss_rate[:, None])
 
+    froude = jnp.zeros_like(htot)
+    if cfg.apply_froude_drag:
+        # wave breaking where the modal velocity exceeds the phase
+        # speed: En /= Fr² when Fr > 1 (propagate_int_tide Froude
+        # branch, MOM_internal_tides.F90; the modal near-bottom
+        # velocity from energy equipartition as in the wave drag)
+        tot_mode = jnp.sum(En, axis=1)
+        ub2 = 2.0 * tot_mode / (cfg.rho0
+                                * jnp.maximum(htot,
+                                              cfg.drag_min_depth))
+        c2 = jnp.stack([cn_modes[m] ** 2 for m in range(nm)])
+        fr2 = ub2 / jnp.maximum(c2, _CN_SUB)
+        scale = jnp.where(fr2 > 1.0, 1.0 / fr2, 1.0)
+        froude = jnp.sum(tot_mode * (1.0 - scale), axis=0) / dt
+        En = En * scale[:, None]
+
     En = jnp.stack([
         _refract(cfg, grid, domain.fill_halos(En[m]), cn_modes[m],
                  0.5 * dt) for m in range(nm)])
     En = jnp.maximum(En, 0.0) * grid.mask2dT
     return IntTideResult(En=En, tot_En=jnp.sum(En, axis=(0, 1)),
                          itidal_loss=itidal, leak_loss=leak,
-                         quad_loss=quad)
+                         quad_loss=quad, froude_loss=froude)

@@ -263,3 +263,31 @@ def test_modal_wave_speeds_analytic():
         disc = N * (D / nk) / math.sqrt(
             2 * (1 - math.cos((m + 1) * math.pi / nk)))
         np.testing.assert_allclose(c[m, 0, 0], disc, rtol=1e-4)
+
+
+def test_froude_drag_caps_supercritical_energy():
+    """INT_TIDE_FROUDE_DRAG: where the modal velocity exceeds the
+    phase speed (Fr > 1), the energy is rescaled by 1/Fr² and the
+    loss reported."""
+    d, g = _setup()
+    cfg = InternalTidesCfg(n_angle=8, apply_bottom_drag=False,
+                           apply_wave_drag=False,
+                           apply_froude_drag=True)
+    En = init_en(cfg, (d.njh, d.nih))
+    # huge energy → Fr >> 1 with slow waves
+    En = En.at[:, :].set(1.0e7 / cfg.n_angle)
+    cn = jnp.full((d.njh, d.nih), 0.5)
+    htot = jnp.full((d.njh, d.nih), 4000.0)
+    nb = jnp.zeros((d.njh, d.nih))
+    r = step_internal_tides(cfg, d, g, En, cn, 3600.0,
+                            jnp.zeros_like(htot), nb, htot)
+    # post-breaking: Fr <= 1, i.e. 2E/(rho0 D) <= c²
+    ub2 = 2.0 * np.asarray(d.interior(r.tot_En)) / (1035.0 * 4000.0)
+    assert np.all(ub2 <= 0.25 * 1.001)
+    assert float(jnp.max(r.froude_loss)) > 0.0
+    # subcritical energy untouched
+    En2 = init_en(cfg, (d.njh, d.nih)).at[:, :].set(1.0 / cfg.n_angle)
+    r2 = step_internal_tides(cfg, d, g, En2, cn, 3600.0,
+                             jnp.zeros_like(htot), nb, htot)
+    np.testing.assert_allclose(float(jnp.max(r2.froude_loss)), 0.0,
+                               atol=1e-12)
