@@ -35,6 +35,11 @@ _EPS = 1e-14
 @dataclasses.dataclass(frozen=True)
 class KappaShearCfg:
     rino_crit: float = 0.25       # RINO_CRIT
+    # thickness floor standing in for the reference's massless-layer
+    # elimination (kappa_shear_column merges layers thinner than
+    # dz_massless before solving); keeps S², Idz and the Thomas
+    # pivots finite when ALE layers vanish
+    dz_min: float = 0.01          # [m]
     shearmix_rate: float = 0.089  # SHEARMIX_RATE (Lambda)
     fri_curvature: float = -0.97  # FRI_CURVATURE
     c_n: float = 0.24             # TKE_N_DECAY_CONST
@@ -74,7 +79,8 @@ def kappa_shear_coeffs(cfg: KappaShearCfg, u, v, h, n2, f2=None):
     from mom6_tpu.parallel.stencil import im1, jm1
     u_h = 0.5 * (u + im1(u))
     v_h = 0.5 * (v + jm1(v))
-    dzi = 0.5 * (h[:-1] + h[1:]) + _EPS       # around interfaces
+    hf = jnp.maximum(h, cfg.dz_min)
+    dzi = 0.5 * (hf[:-1] + hf[1:])            # around interfaces
     du = (u_h[1:] - u_h[:-1]) / dzi
     dv = (v_h[1:] - v_h[:-1]) / dzi
     s2 = du * du + dv * dv
@@ -94,15 +100,15 @@ def kappa_shear_coeffs(cfg: KappaShearCfg, u, v, h, n2, f2=None):
         + _EPS
 
     # boundary length scale: 1/L² = (zt+zb)²/(zt zb)²  (:797)
-    z_t = jnp.cumsum(h, axis=0)[:-1] + _EPS   # depth of interfaces
-    htot = jnp.sum(h, axis=0)[None]
+    z_t = jnp.cumsum(hf, axis=0)[:-1] + _EPS  # depth of interfaces
+    htot = jnp.sum(hf, axis=0)[None]
     z_b = jnp.maximum(htot - z_t, _EPS)
     i_l2_bdry = ((z_t + z_b) ** 2) / ((z_t * z_b) ** 2)
 
     # layer couplings between adjacent interior interfaces (layers
     # 2..nk-1; the half-layers beyond the end interfaces carry the
     # no-flux condition)
-    h_mid = h[1:-1] + _EPS                    # (nk-2, ...)
+    h_mid = hf[1:-1]                          # (nk-2, ...)
     idz = 1.0 / h_mid
     ilam2 = 1.0 / cfg.lam ** 2
     q0 = cfg.tke_bg
