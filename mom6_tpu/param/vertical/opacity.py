@@ -12,6 +12,7 @@ applyBoundaryFluxesInOut.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax.numpy as jnp
 
@@ -46,6 +47,19 @@ def _bands(cfg: OpacityCfg):
         k_bg = 0.0232 + 0.074 * chl ** 0.674      # blue-green [m-1]
         k_r = 0.225 + 0.037 * chl ** 0.629        # red
         return ((0.58, 1.0 / k_r), (0.42, 1.0 / k_bg))
+    if cfg.scheme.upper() == "MOREL_88":
+        # Morel & Antoine (1994) fits (opacity_morel /
+        # SW_pen_frac_morel, MOM_opacity.F90): a single penetrating
+        # band whose extinction length and fraction are chl-a
+        # polynomials in log10(Chl); the non-penetrating remainder is
+        # absorbed in the top band with a short e-folding depth
+        chl = math.log10(min(max(cfg.chl, 0.02), 60.0))
+        chl2 = chl * chl
+        z2 = (7.925 - 6.644 * chl) + chl2 * (
+            (3.662 - 1.815 * chl) + chl2 * (-0.218 + 0.502 * chl))
+        pen = 1.0 - ((0.321 + 0.008 * chl) + chl2 * (
+            (0.132 + 0.038 * chl) + chl2 * (-0.017 - 0.007 * chl)))
+        return ((1.0 - pen, 0.35), (pen, z2))
     raise ValueError(f"Unknown opacity scheme '{cfg.scheme}'")
 
 

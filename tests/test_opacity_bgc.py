@@ -50,3 +50,21 @@ def test_npzd_package():
     p = np.asarray(tr["phyto"]).ravel()
     assert p[0] > p[-1]
     assert np.all(np.asarray(list(tr.values())) >= 0.0)
+
+
+def test_morel_88_opacity_scheme():
+    """OPACITY_SCHEME=MOREL_88: chlorophyll controls both the
+    penetrating fraction and the extinction depth (Morel & Antoine
+    1994 fits)."""
+    import dataclasses as _dc
+    from mom6_tpu.param.vertical.opacity import (OpacityCfg, _bands)
+    lo = _bands(OpacityCfg(scheme="MOREL_88", chl=0.02))
+    hi = _bands(OpacityCfg(scheme="MOREL_88", chl=10.0))
+    # two bands summing to 1
+    for bands in (lo, hi):
+        assert abs(sum(f for f, _ in bands) - 1.0) < 1e-12
+    # more chlorophyll -> shallower penetration of the deep band
+    assert hi[1][1] < lo[1][1]
+    # clear water lets a large fraction penetrate deeply
+    assert lo[1][0] > 0.4
+    assert lo[1][1] > 15.0
