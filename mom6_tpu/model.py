@@ -1177,6 +1177,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                               units="m2 s-1")),
             use_ddiff=pf.get("DOUBLE_DIFFUSION", bool, False),
             use_tidal=int_tide,
+            use_lotw_bbl=pf.get("USE_LOTW_BBL_DIFFUSIVITY", bool,
+                                False),
+            bbl_effic=pf.get("BBL_EFFIC", float, 0.2),
             tidal=TidalMixingCfg(
                 gamma_itides=pf.get("GAMMA_ITIDES", float, 0.2),
                 int_tide_decay_scale=pf.get("INT_TIDE_DECAY_SCALE",

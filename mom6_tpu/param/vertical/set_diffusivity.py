@@ -52,6 +52,14 @@ class DiffusivityCfg:
     kappa_shear: KappaShearCfg = KappaShearCfg()
     use_tidal: bool = False       # INT_TIDE_DISSIPATION
     tidal: TidalMixingCfg = TidalMixingCfg()
+    # bottom-drag TKE mixing by the law of the wall
+    # (USE_LOTW_BBL_DIFFUSIVITY, MOM_set_diffusivity.F90
+    # add_LOTW_BBL_diffusivity :1399)
+    use_lotw_bbl: bool = False
+    bbl_effic: float = 0.2        # BBL_EFFIC
+    lotw_cdrag: float = 0.003     # CDRAG
+    lotw_max_decay: float = 200.0  # 1/IMax_decay [m]
+    vonkar: float = 0.41
     # internal-tide energy flux E(x,y) [W m-2]: a constant here; a 2D
     # field from MOM_int_tide_input can be passed to set_diffusivity
     tidal_energy_flux: float = 0.0
@@ -93,6 +101,11 @@ def set_diffusivity(h, cfg: DiffusivityCfg, vgrid=None, u=None, v=None,
             kc = convection_coeffs(cfg.conv, n2)
             kd = kd.at[1:-1].add(kc)
             kv = kv.at[1:-1].add(0.1 * kc)
+        if cfg.use_lotw_bbl and u is not None:
+            kb = lotw_bbl_diffusivity(cfg, h, n2, u, v,
+                                      absf=absf_2d(h, lat))
+            kd = kd.at[1:-1].add(kb)
+            kv = kv.at[1:-1].add(kb)
         if cfg.use_tidal:
             e_flux = tidal_energy_2d if tidal_energy_2d is not None \
                 else jnp.full_like(h[0], cfg.tidal_energy_flux)
@@ -118,3 +131,58 @@ def set_diffusivity(h, cfg: DiffusivityCfg, vgrid=None, u=None, v=None,
     kd = kd.at[0].set(0.0).at[-1].set(0.0)
     return DiffusivityResult(kd_int=kd, kv_int=kv,
                              kd_extra_S=kd_extra_S)
+
+
+def absf_2d(h, lat, omega: float = 7.2921e-5):
+    """|f| at h points from latitude (or a small equatorial floor)."""
+    import math
+    if lat is None:
+        return jnp.full_like(h[0], 1e-5)
+    f = jnp.abs(2.0 * omega * jnp.sin(lat * math.pi / 180.0)) + 1e-7
+    # cartesian (km-unit) grids carry pseudo-latitudes beyond 90:
+    # fall back to a nominal mid-latitude magnitude there
+    return jnp.where(jnp.abs(lat) <= 90.0, f, 1e-5)
+
+
+def lotw_bbl_diffusivity(cfg: DiffusivityCfg, h, n2, u, v, absf):
+    """Bottom-drag-TKE diffusivity by the law of the wall
+    (add_LOTW_BBL_diffusivity, MOM_set_diffusivity.F90:1399): the
+    bottom-friction TKE column cdrag^{3/2}|u_b|^3 * BBL_EFFIC is spent
+    upward against Kd_wall = vonKar u*^2 z (D-z) / (u* D + f z (D-z)),
+    decaying by exp(-z/decay) with decay = min(u*/f, 200 m); the
+    sequential spend is a reverse lax.scan from the bottom."""
+    import jax as _jax
+    from mom6_tpu.parallel.stencil import im1, jm1
+    u_b = 0.5 * (u[-1] + im1(u[-1]))
+    v_b = 0.5 * (v[-1] + jm1(v[-1]))
+    umag = jnp.sqrt(u_b * u_b + v_b * v_b)
+    cdrag = cfg.lotw_cdrag
+    ustar = jnp.sqrt(cdrag) * umag
+    ustar2 = ustar * ustar
+    tke_col = cfg.bbl_effic * (cdrag ** 1.5) * umag ** 3
+    idecay = jnp.maximum(1.0 / cfg.lotw_max_decay,
+                         absf / jnp.maximum(ustar, 1e-10))
+    D = jnp.sum(h, axis=0) + 1e-30
+    ustar_D = ustar * D
+    n2min = 1e-10
+
+    def step(carry, xs):
+        tke_rem, z_bot = carry
+        h_k, h_km1, n2_k = xs
+        tke_rem = jnp.exp(-idecay * h_k) * tke_rem
+        z_b = z_bot + h_k
+        dmz = jnp.maximum(D - z_b, 0.0)
+        kd_wall = (cfg.vonkar * ustar2 * z_b * dmz) \
+            / (ustar_D + absf * (z_b * dmz) + 1e-30)
+        dz_int = 0.5 * (h_k + h_km1)
+        tke_need = kd_wall * dz_int * jnp.maximum(n2_k, n2min)
+        consumed = jnp.minimum(tke_need, tke_rem)
+        kd = jnp.where(tke_need > 0.0,
+                       kd_wall * consumed / (tke_need + 1e-300), 0.0)
+        return (tke_rem - consumed, z_b), kd
+
+    # interfaces K = nk-1 .. 1 (0-based interior), scanning upward
+    xs = (h[::-1][:-1], h[::-1][1:], n2[::-1])
+    (_, _), kd_rev = _jax.lax.scan(
+        step, (tke_col, jnp.zeros_like(D)), xs)
+    return kd_rev[::-1]

@@ -116,3 +116,37 @@ def test_set_diffusivity_assembly():
     assert kd[0] == 0.0 and kd[-1] == 0.0
     assert kd[1:-1].max() > 1e-3          # shear contribution
     assert kd[1:-1].min() >= 1e-5 - 1e-15  # background floor
+
+
+def test_lotw_bbl_diffusivity():
+    """USE_LOTW_BBL_DIFFUSIVITY (add_LOTW_BBL_diffusivity): bottom
+    flow drives near-bottom mixing that decays upward, and the TKE
+    spent never exceeds the bottom-drag input."""
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.param.vertical.set_diffusivity import (
+        DiffusivityCfg, lotw_bbl_diffusivity)
+    nk, nj, ni = 12, 2, 2
+    h = jnp.full((nk, nj, ni), 100.0)
+    n2 = jnp.full((nk - 1, nj, ni), 1e-6)
+    u = jnp.zeros((nk, nj, ni)).at[-1].set(0.3)   # bottom current
+    v = jnp.zeros((nk, nj, ni))
+    cfg = DiffusivityCfg(use_lotw_bbl=True)
+    absf = jnp.full((nj, ni), 1e-4)
+    kd = np.asarray(lotw_bbl_diffusivity(cfg, h, n2, u, v, absf))
+    assert kd.shape[0] == nk - 1
+    # bottom-intensified: the deepest interface mixes hardest
+    col = kd[:, 0, 0]
+    assert col[-1] > 0.0
+    assert col[-1] >= col[0]
+    assert np.all(col >= 0.0)
+    # energy audit: sum(kd*N2*dz_int) <= BBL_EFFIC*cdrag^{3/2}|u|^3
+    dz_int = 100.0
+    spent = float((col * 1e-6 * dz_int).sum())
+    budget = 0.2 * 0.003 ** 1.5 * 0.3 ** 3
+    assert spent <= budget * (1.0 + 1e-9)
+    # no bottom flow -> no mixing
+    kd0 = np.asarray(lotw_bbl_diffusivity(
+        cfg, h, n2, jnp.zeros_like(u), v, absf))
+    np.testing.assert_allclose(kd0, 0.0, atol=1e-15)
