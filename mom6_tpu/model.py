@@ -1180,6 +1180,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             use_lotw_bbl=pf.get("USE_LOTW_BBL_DIFFUSIVITY", bool,
                                 False),
             bbl_effic=pf.get("BBL_EFFIC", float, 0.2),
+            ml_radiation=pf.get("ML_RADIATION", bool, False),
+            ml_rad_coeff=pf.get("ML_RAD_COEFF", float, 0.2),
+            ml_rad_efold=pf.get("ML_RAD_EFOLD_COEFF", float, 2.0),
+            ml_rad_kd_max=pf.get("ML_RAD_KD_MAX", float, 1e-3,
+                                 units="m2 s-1"),
             tidal=TidalMixingCfg(
                 gamma_itides=pf.get("GAMMA_ITIDES", float, 0.2),
                 int_tide_decay_scale=pf.get("INT_TIDE_DECAY_SCALE",

@@ -113,7 +113,7 @@ def _surface_buoyancy_flux(fluxes, T, S, eos, rho0, g):
 def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
              cfg: DiabaticCfg, tracers: dict | None = None,
              vgrid=None, eos=None, forces: MechForcing | None = None,
-             grid=None, tidal_energy_2d=None):
+             grid=None, tidal_energy_2d=None, mld_prev=None):
     """Apply surface fluxes + implicit vertical mixing to T/S/tracers.
 
     Returns (new_state, new_tracers, dia) where ``dia`` is a dict of
@@ -125,10 +125,16 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
     h = state.h
     T, S = state.T, state.S
     g = vgrid.g_Earth if vgrid is not None else 9.8
+    ustar_sfc = None
+    if cfg.diffusivity.ml_radiation and forces is not None \
+            and grid is not None and vgrid is not None:
+        from mom6_tpu.core.vert_friction import surface_ustar
+        ustar_sfc = surface_ustar(grid, vgrid.Rho0, forces)
     dres = set_diffusivity(h, cfg.diffusivity, vgrid=vgrid,
                            u=state.u, v=state.v, T=T, S=S, eos=eos,
                            lat=grid.geoLatT if grid is not None else None,
-                           tidal_energy_2d=tidal_energy_2d)
+                           tidal_energy_2d=tidal_energy_2d,
+                           ustar=ustar_sfc, mld=mld_prev)
     kd_int = dres.kd_int
 
     ustar = jnp.zeros_like(h[0])

@@ -60,6 +60,14 @@ class DiffusivityCfg:
     lotw_cdrag: float = 0.003     # CDRAG
     lotw_max_decay: float = 200.0  # 1/IMax_decay [m]
     vonkar: float = 0.41
+    # ML_RADIATION (add_MLrad_diffusivity, MOM_set_diffusivity.F90
+    # :1600): mixed-layer TKE radiating below the ML base
+    ml_radiation: bool = False
+    ml_rad_coeff: float = 0.2     # ML_RAD_COEFF
+    ml_rad_efold: float = 2.0     # ML_RAD_EFOLD_COEFF
+    ml_rad_kd_max: float = 1e-3   # ML_RAD_KD_MAX [m2 s-1]
+    mstar_mlrad: float = 1.2      # MSTAR
+    tke_decay_mlrad: float = 2.5  # TKE_DECAY
     # internal-tide energy flux E(x,y) [W m-2]: a constant here; a 2D
     # field from MOM_int_tide_input can be passed to set_diffusivity
     tidal_energy_flux: float = 0.0
@@ -73,7 +81,7 @@ class DiffusivityResult(NamedTuple):
 
 def set_diffusivity(h, cfg: DiffusivityCfg, vgrid=None, u=None, v=None,
                     T=None, S=None, eos=None, lat=None,
-                    tidal_energy_2d=None):
+                    tidal_energy_2d=None, ustar=None, mld=None):
     """Returns DiffusivityResult with (nk+1, ...) interface coeffs.
 
     tidal_energy_2d: optional internal-tide energy flux E(x,y)
@@ -86,7 +94,8 @@ def set_diffusivity(h, cfg: DiffusivityCfg, vgrid=None, u=None, v=None,
     kd_extra_S = None
 
     needs_n2 = (cfg.use_shear or cfg.use_conv or cfg.use_kappa_shear
-                or cfg.use_tidal)
+                or cfg.use_tidal or cfg.use_lotw_bbl
+                or cfg.ml_radiation)
     if needs_n2 and vgrid is not None:
         n2 = brunt_vaisala2(vgrid, h, T, S, eos)
         if cfg.use_shear and u is not None:
@@ -106,6 +115,12 @@ def set_diffusivity(h, cfg: DiffusivityCfg, vgrid=None, u=None, v=None,
                                       absf=absf_2d(h, lat))
             kd = kd.at[1:-1].add(kb)
             kv = kv.at[1:-1].add(kb)
+        if cfg.ml_radiation and ustar is not None \
+                and mld is not None:
+            km = mlrad_diffusivity(cfg, h, n2, ustar, mld,
+                                   absf_2d(h, lat))
+            kd = kd.at[1:-1].add(km)
+            kv = kv.at[1:-1].add(km)
         if cfg.use_tidal:
             e_flux = tidal_energy_2d if tidal_energy_2d is not None \
                 else jnp.full_like(h[0], cfg.tidal_energy_flux)
@@ -186,3 +201,26 @@ def lotw_bbl_diffusivity(cfg: DiffusivityCfg, h, n2, u, v, absf):
     (_, _), kd_rev = _jax.lax.scan(
         step, (tke_col, jnp.zeros_like(D)), xs)
     return kd_rev[::-1]
+
+
+def mlrad_diffusivity(cfg: DiffusivityCfg, h, n2, ustar, mld, absf):
+    """Mixed-layer-radiated TKE mixing below the ML base
+    (add_MLrad_diffusivity): the flux MSTAR*ML_RAD_COEFF*u*^3 decays
+    below the MLD with I_decay² = TKE_DECAY² f²/u*² + 1/(efold·h_ml)²,
+    and each interface converts the flux absorbed across its span to
+    Kd = ΔTKE/(dz N²), capped at ML_RAD_KD_MAX.  Closed-form in the
+    interface depth (per-column constant decay), no scan needed."""
+    us = jnp.maximum(ustar, 1e-8)
+    flux0 = cfg.mstar_mlrad * cfg.ml_rad_coeff * us ** 3
+    h_ml = jnp.maximum(mld, 1.0)
+    hml_sq = (cfg.ml_rad_efold * h_ml) ** 2
+    i_dec2 = cfg.tke_decay_mlrad ** 2 * (absf / us) ** 2
+    i_decay = jnp.sqrt((i_dec2 * hml_sq + 1.0) / hml_sq)
+    z_int = jnp.cumsum(h, axis=0)[:-1]
+    dz_int = 0.5 * (h[:-1] + h[1:]) + 1e-30
+    below = jnp.maximum(z_int - h_ml[None], 0.0)
+    flux = flux0[None] * jnp.exp(-i_decay[None] * below)
+    absorbed = flux * (1.0 - jnp.exp(-i_decay[None] * dz_int))
+    kd = absorbed / (dz_int * jnp.maximum(n2, 1e-10))
+    kd = jnp.where(z_int > h_ml[None], kd, 0.0)
+    return jnp.minimum(kd, cfg.ml_rad_kd_max)

@@ -150,3 +150,71 @@ def test_lotw_bbl_diffusivity():
     kd0 = np.asarray(lotw_bbl_diffusivity(
         cfg, h, n2, jnp.zeros_like(u), v, absf))
     np.testing.assert_allclose(kd0, 0.0, atol=1e-15)
+
+
+def test_ml_radiation_diffusivity():
+    """ML_RADIATION (add_MLrad_diffusivity): mixed-layer TKE radiates
+    below the MLD, decaying with depth; nothing above the base."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.param.vertical.set_diffusivity import (
+        DiffusivityCfg, mlrad_diffusivity)
+    nk, nj, ni = 12, 2, 2
+    h = jnp.full((nk, nj, ni), 50.0)
+    n2 = jnp.full((nk - 1, nj, ni), 1e-5)
+    ustar = jnp.full((nj, ni), 0.02)
+    mld = jnp.full((nj, ni), 150.0)
+    absf = jnp.full((nj, ni), 1e-4)
+    cfg = DiffusivityCfg(ml_radiation=True)
+    kd = np.asarray(mlrad_diffusivity(cfg, h, n2, ustar, mld, absf))
+    col = kd[:, 0, 0]
+    # zero at/above the ML base (interfaces at 50, 100, 150 m)
+    np.testing.assert_allclose(col[:2], 0.0, atol=1e-15)
+    # first below-base interface mixes, decaying downward
+    assert col[3] > 0.0
+    assert col[3] > col[6] > col[9]
+    assert col.max() <= cfg.ml_rad_kd_max + 1e-15
+    # stronger winds radiate more energy
+    kd2 = np.asarray(mlrad_diffusivity(cfg, h, n2, 2.0 * ustar, mld,
+                                       absf))
+    assert kd2[4, 0, 0] > col[4]
+
+
+def test_ml_radiation_in_model():
+    """ML_RADIATION wires from MOM_input through diabatic using the
+    previous step's KPP MLD and the wind ustar."""
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
+    import numpy as np
+    import jax.numpy as jnp
+    text = """
+NIGLOBAL = 12
+NJGLOBAL = 12
+NK = 6
+DT = 900.0
+DAYMAX = 0.05
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 120.0
+LENLAT = 120.0
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 1200.0
+F_0 = 1.0e-4
+REENTRANT_X = True
+TS_CONFIG = linear
+T_RANGE = 8.0
+EQN_OF_STATE = LINEAR
+BULKMIXEDLAYER = False
+WIND_CONFIG = gyres
+TAUX_MAGNITUDE = 0.2
+USE_KPP = True
+KD = 1.0e-5
+ML_RADIATION = True
+"""
+    m = build_model(ParamFile(text=text))
+    assert m.ocean_cfg.diabatic.diffusivity.ml_radiation
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    for k in range(4):
+        s, a, tr = step(s, a, tr, n=k)
+    assert np.all(np.isfinite(np.asarray(m.domain.interior(s.T))))
