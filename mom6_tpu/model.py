@@ -962,6 +962,53 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             u0 = jnp.asarray(fields["u"])
         if "v" in fields:
             v0 = jnp.asarray(fields["v"])
+    # generic initial velocities (MOM_initialize_velocity,
+    # MOM_state_initialization.F90:492); user thickness configs that
+    # set u/v above take precedence unless VELOCITY_CONFIG is given
+    vel_cfg = pf.get("VELOCITY_CONFIG", str, "zero")
+    if vel_cfg == "uniform":
+        u0 = jnp.full(shape, pf.get("INITIAL_U_CONST", float, 0.0,
+                                    units="m s-1"))
+        v0 = jnp.full(shape, pf.get("INITIAL_V_CONST", float, 0.0,
+                                    units="m s-1"))
+    elif vel_cfg == "circular":
+        # azimuthal flow from the cosine-bell streamfunction
+        # (initialize_velocity_circular): psi(r) = A(1-cos(pi r))/2
+        # with r the normalized distance from the domain center
+        cmax = pf.get("CIRCULAR_MAX_U", float, 0.0, units="m s-1")
+        lon0 = float(jnp.min(grid.geoLonBu))
+        lat0 = float(jnp.min(grid.geoLatBu))
+        len_lon = float(jnp.max(grid.geoLonBu)) - lon0
+        len_lat = float(jnp.max(grid.geoLatBu)) - lat0
+        xq = 2.0 * (grid.geoLonBu - lon0) / max(len_lon, 1e-30) - 1.0
+        yq = 2.0 * (grid.geoLatBu - lat0) / max(len_lat, 1e-30) - 1.0
+        r = jnp.minimum(jnp.sqrt(xq * xq + yq * yq), 1.0)
+        # len_lon is in axis units (km or deg·~100km); scale to m as
+        # the reference does for km axes
+        unit_m = 1.0e3 if axis_units.startswith("k") else 111.0e3
+        psi = 0.5 * (1.0 - jnp.cos(math.pi * r)) \
+            * (cmax * len_lon * unit_m / math.pi)
+        from mom6_tpu.parallel.stencil import jm1 as _jm1v, \
+            im1 as _im1v
+        u2d = (psi - _jm1v(psi)) / jnp.maximum(grid.dyCu, 1e-30)
+        v2d = (_im1v(psi) - psi) / jnp.maximum(grid.dxCv, 1e-30)
+        u0 = jnp.broadcast_to(u2d[None] * grid.mask2dCu, shape) + 0.0
+        v0 = jnp.broadcast_to(v2d[None] * grid.mask2dCv, shape) + 0.0
+    elif vel_cfg == "file":
+        from mom6_tpu.framework.io import read_field
+        import os as _os
+        vfile = _os.path.join(
+            pf.get("INPUTDIR", str, "."),
+            pf.get("VELOCITY_FILE", str, "velocity.nc"))
+        uraw = np.asarray(read_field(
+            vfile, pf.get("U_IC_VAR", str, "u")), np.float64)
+        vraw = np.asarray(read_field(
+            vfile, pf.get("V_IC_VAR", str, "v")), np.float64)
+        if uraw.ndim == 4:
+            uraw, vraw = uraw[0], vraw[0]
+        pad3 = lambda a: domain.pad(jnp.asarray(a))
+        u0 = pad3(uraw) * grid.mask2dCu
+        v0 = pad3(vraw) * grid.mask2dCv
     state = State(u=u0, v=v0, h=h, T=T, S=S)
     if ice_shelf is not None:
         # depress the initial free surface into isostatic balance with

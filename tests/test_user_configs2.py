@@ -112,3 +112,58 @@ def test_dense_water_salinity_anomaly():
                 "TS_CONFIG = dense_water\nDELTA_S = 2.0\n")
     S = np.asarray(m.domain.interior(m.state.S[0]))
     assert S[0].mean() - S[-1].mean() > 1.0       # salty southern shelf
+
+
+def test_velocity_config_options():
+    """VELOCITY_CONFIG (MOM_state_initialization.F90:492): uniform,
+    circular and file initial velocities."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
+    base = """
+NIGLOBAL = 12
+NJGLOBAL = 12
+NK = 2
+DT = 600.0
+DAYMAX = 0.01
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 120.0
+LENLAT = 120.0
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 500.0
+F_0 = 1.0e-4
+REENTRANT_X = True
+ADIABATIC = True
+"""
+    m = build_model(ParamFile(text=base + (
+        "VELOCITY_CONFIG = uniform\nINITIAL_U_CONST = 0.3\n"
+        "INITIAL_V_CONST = -0.1\n")))
+    d = m.domain
+    u = np.asarray(d.interior(m.state.u))
+    np.testing.assert_allclose(u, 0.3)
+    np.testing.assert_allclose(np.asarray(d.interior(m.state.v)),
+                               -0.1)
+    # circular: nonzero azimuthal flow, zero at the center and edges
+    m2 = build_model(ParamFile(text=base + (
+        "VELOCITY_CONFIG = circular\nCIRCULAR_MAX_U = 0.5\n")))
+    u2 = np.asarray(m2.domain.interior(m2.state.u))
+    assert np.abs(u2).max() > 0.05
+    # a rotating flow: u antisymmetric about the mid-latitude row
+    assert u2[0, 2, 6] * u2[0, 9, 6] < 0.0
+    # file: round-trip
+    import tempfile, os
+    from mom6_tpu.framework.io import write_fields
+    with tempfile.TemporaryDirectory() as td:
+        rng = np.random.default_rng(2)
+        uic = rng.standard_normal((2, 12, 12)) * 0.1
+        vic = rng.standard_normal((2, 12, 12)) * 0.1
+        write_fields(os.path.join(td, "velocity.nc"),
+                     {"u": uic, "v": vic},
+                     dims={"u": ("nk", "nj", "ni"),
+                           "v": ("nk", "nj", "ni")})
+        m3 = build_model(ParamFile(text=base + (
+            f"INPUTDIR = {td}\nVELOCITY_CONFIG = file\n")))
+        got = np.asarray(m3.domain.interior(m3.state.u))
+        np.testing.assert_allclose(got, uic, rtol=1e-12)
