@@ -482,6 +482,52 @@ def init_dense_water(ctx):
     return dict(h=jnp.asarray(h), T=jnp.asarray(T), S=jnp.asarray(S))
 
 
+
+
+def init_soliton(ctx):
+    """Equatorial Rossby soliton (soliton_initialization.F90): the
+    Boyd (1980) analytic sech²-envelope height and velocity fields on
+    an equatorial beta plane, nondimensionalized by the equatorial
+    deformation radius L_eq = sqrt(c_g/beta)."""
+    grid, vgrid = ctx["grid"], ctx["vgrid"]
+    nk = vgrid.nk
+    H0 = ctx["max_depth"]
+    beta = ctx.get("beta", 2.0e-11)
+    g = vgrid.g_Earth
+    cg_max = math.sqrt(g * H0)
+    L_eq = math.sqrt(cg_max / abs(beta))
+    # axis units are km in this idealized setup
+    unit_m = 1.0e3
+    scale_pos = unit_m / L_eq
+    lenlon = ctx["lenlon"]
+    x0 = 2.0 * lenlon / 3.0
+    y0 = ctx["south"] + 0.5 * ctx["lenlat"]
+
+    def fields(lon, lat, amp):
+        x = (np.asarray(lon) - x0) * scale_pos
+        y = (np.asarray(lat) - y0) * scale_pos
+        v3 = np.exp(-0.395 * x)
+        v4 = amp * (2.0 * v3 / (1.0 + v3 * v3)) ** 2
+        return x, y, v4
+
+    val2_h = H0 * 0.771 * 0.395 ** 2
+    _, yT, v4h = fields(grid.geoLonT, grid.geoLatT, val2_h)
+    eta = 0.25 * v4h * (6.0 * yT * yT + 3.0) * np.exp(-0.5 * yT * yT)
+    h = np.broadcast_to(((eta + H0) / nk)[None], 
+                        (nk,) + eta.shape).copy()
+
+    val2_u = cg_max * 0.771 * 0.395 ** 2
+    _, yU, v4u = fields(grid.geoLonCu, grid.geoLatCu, val2_u)
+    u1 = 0.25 * v4u * (6.0 * yU * yU - 9.0) * np.exp(-0.5 * yU * yU)
+    xV, yV, v4v = fields(grid.geoLonCv, grid.geoLatCv, val2_u)
+    v1 = 2.0 * v4v * yV * (-2.0 * 0.395 * np.tanh(0.395 * xV)) \
+        * np.exp(-0.5 * yV * yV)
+    u = np.broadcast_to(u1[None], (nk,) + u1.shape).copy()
+    v = np.broadcast_to(v1[None], (nk,) + v1.shape).copy()
+    return dict(h=jnp.asarray(h),
+                u=jnp.asarray(u) * np.asarray(grid.mask2dCu),
+                v=jnp.asarray(v) * np.asarray(grid.mask2dCv))
+
 thickness_registry = {
     "phillips": init_phillips,
     "sloshing": init_sloshing,
@@ -493,4 +539,5 @@ thickness_registry = {
     "external_gwave": init_external_gwave,
     "dome": init_dome,
     "dense_water": init_dense_water,
+    "soliton": init_soliton,
 }

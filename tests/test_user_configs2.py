@@ -167,3 +167,48 @@ ADIABATIC = True
             f"INPUTDIR = {td}\nVELOCITY_CONFIG = file\n")))
         got = np.asarray(m3.domain.interior(m3.state.u))
         np.testing.assert_allclose(got, uic, rtol=1e-12)
+
+
+def test_soliton_config():
+    """Equatorial Rossby soliton (soliton_initialization.F90): the
+    Boyd analytic IC propagates westward without falling apart on an
+    equatorial beta plane."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
+    text = """
+NIGLOBAL = 48
+NJGLOBAL = 16
+NK = 1
+DT = 600.0
+DAYMAX = 0.05
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 4800.0
+LENLAT = 1600.0
+SOUTHLAT = -800.0
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 1.0
+F_0 = 0.0
+BETA = 2.0e-11
+REENTRANT_X = True
+ADIABATIC = True
+THICKNESS_CONFIG = soliton
+SPLIT = False
+"""
+    m = build_model(ParamFile(text=text))
+    d = m.domain
+    eta0 = np.asarray(d.interior(m.state.h).sum(0)) - 1.0
+    assert eta0.max() > 0.01                     # the soliton bump
+    i_peak0 = np.unravel_index(np.argmax(eta0), eta0.shape)[1]
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    for k in range(6):
+        s, a, tr = step(s, a, tr, n=k)
+    eta1 = np.asarray(d.interior(s.h).sum(0)) - 1.0
+    assert np.all(np.isfinite(eta1))
+    # amplitude is preserved to leading order (solitary wave)
+    assert eta1.max() > 0.5 * eta0.max()
+    # mass conserved
+    np.testing.assert_allclose(eta1.sum(), eta0.sum(), atol=1e-8)
