@@ -383,7 +383,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     from mom6_tpu.user.configs import topo_registry, thickness_registry
     user_ctx = dict(max_depth=max_depth, min_depth=min_depth,
                     lenlon=lenlon, lenlat=lenlat, west=west, south=south,
-                    f0=f0)
+                    f0=f0, beta=beta)
     if topo_config in ("halfpipe", "benchmark"):
         user_ctx["edge_depth"] = pf.get("EDGE_DEPTH", float, 100.0,
                                         units="m")

@@ -492,7 +492,7 @@ def init_soliton(ctx):
     grid, vgrid = ctx["grid"], ctx["vgrid"]
     nk = vgrid.nk
     H0 = ctx["max_depth"]
-    beta = ctx.get("beta", 2.0e-11)
+    beta = ctx.get("beta", 0.0) or 2.0e-11
     g = vgrid.g_Earth
     cg_max = math.sqrt(g * H0)
     L_eq = math.sqrt(cg_max / abs(beta))
