@@ -58,6 +58,11 @@ class ContinuityResult(NamedTuple):
     vh: jnp.ndarray
     u_cor: Optional[jnp.ndarray] = None
     v_cor: Optional[jnp.ndarray] = None
+    # the 2D barotropic Newton corrections u_cor = u + visc_rem*du
+    # (continuity's du_cor/dv_cor outputs, used by split RK2b to carry
+    # the filtered-vs-instantaneous velocity increment across steps)
+    du_cor: Optional[jnp.ndarray] = None
+    dv_cor: Optional[jnp.ndarray] = None
 
 
 # ---------------------------------------------------------------------
@@ -224,7 +229,8 @@ def zonal_mass_flux(grid: Grid, u, h, h_W, h_E, dt, cfg: ContinuityCfg,
                     uhbt=None, visc_rem_u=None):
     """uh at east faces; optionally Newton-corrected to match uhbt.
 
-    Returns (uh, duhdu, u_cor)."""
+    Returns (uh, duhdu, u_cor, du) where du is the 2D barotropic
+    Newton correction (zonal_flux_adjust's du; None unless uhbt)."""
     vr = visc_rem_u if visc_rem_u is not None else jnp.ones_like(u)
     mask = grid.mask2dCu
     por = _porous_factor(grid, h, "U")
@@ -234,11 +240,11 @@ def zonal_mass_flux(grid: Grid, u, h, h_W, h_E, dt, cfg: ContinuityCfg,
             grid.IareaT, ip1(grid.IareaT), ip1,
             cfg.vol_cfl, mask)
     uh, duhdu = _flux_1dir(u, h, h_W, h_E, dt, *args, visc_rem=vr)
-    u_cor = None
+    u_cor = du = None
     if uhbt is not None:
-        uh, u_cor, _ = _flux_adjust(u, h, h_W, h_E, dt, args, uhbt, vr,
-                                    cfg, dx_face=grid.dxCu)
-    return uh, duhdu, u_cor
+        uh, u_cor, du = _flux_adjust(u, h, h_W, h_E, dt, args, uhbt, vr,
+                                     cfg, dx_face=grid.dxCu)
+    return uh, duhdu, u_cor, du
 
 
 def meridional_mass_flux(grid: Grid, v, h, h_S, h_N, dt, cfg: ContinuityCfg,
@@ -253,11 +259,11 @@ def meridional_mass_flux(grid: Grid, v, h, h_S, h_N, dt, cfg: ContinuityCfg,
             grid.IareaT, jp1(grid.IareaT), jp1,
             cfg.vol_cfl, mask)
     vh, dvhdv = _flux_1dir(v, h, h_S, h_N, dt, *args, visc_rem=vr)
-    v_cor = None
+    v_cor = dv = None
     if vhbt is not None:
-        vh, v_cor, _ = _flux_adjust(v, h, h_S, h_N, dt, args, vhbt, vr,
-                                    cfg, dx_face=grid.dyCv)
-    return vh, dvhdv, v_cor
+        vh, v_cor, dv = _flux_adjust(v, h, h_S, h_N, dt, args, vhbt, vr,
+                                     cfg, dx_face=grid.dyCv)
+    return vh, dvhdv, v_cor, dv
 
 
 # ---------------------------------------------------------------------
@@ -408,24 +414,27 @@ def continuity_ppm(grid: Grid, vgrid: VerticalGrid, u, v, h, dt,
 
     def x_sweep(hx):
         h_W, h_E = ppm_edges_x(grid, hx, cfg, hmin2)
-        uh, _, u_cor = zonal_mass_flux(grid, u, hx, h_W, h_E, dt, cfg,
-                                       uhbt=uhbt, visc_rem_u=visc_rem_u)
+        uh, _, u_cor, du = zonal_mass_flux(grid, u, hx, h_W, h_E, dt, cfg,
+                                           uhbt=uhbt,
+                                           visc_rem_u=visc_rem_u)
         h_new = jnp.maximum(
             hx - dt * grid.IareaT * (uh - im1(uh)), h_min)
-        return h_new, uh, u_cor
+        return h_new, uh, u_cor, du
 
     def y_sweep(hy):
         h_S, h_N = ppm_edges_y(grid, hy, cfg, hmin2)
-        vh, _, v_cor = meridional_mass_flux(grid, v, hy, h_S, h_N, dt, cfg,
-                                            vhbt=vhbt, visc_rem_v=visc_rem_v)
+        vh, _, v_cor, dv = meridional_mass_flux(grid, v, hy, h_S, h_N,
+                                                dt, cfg, vhbt=vhbt,
+                                                visc_rem_v=visc_rem_v)
         h_new = jnp.maximum(
             hy - dt * grid.IareaT * (vh - jm1(vh)), h_min)
-        return h_new, vh, v_cor
+        return h_new, vh, v_cor, dv
 
     if x_first:
-        h1, uh, u_cor = x_sweep(h)
-        h2, vh, v_cor = y_sweep(h1)
+        h1, uh, u_cor, du = x_sweep(h)
+        h2, vh, v_cor, dv = y_sweep(h1)
     else:
-        h1, vh, v_cor = y_sweep(h)
-        h2, uh, u_cor = x_sweep(h1)
-    return ContinuityResult(h=h2, uh=uh, vh=vh, u_cor=u_cor, v_cor=v_cor)
+        h1, vh, v_cor, dv = y_sweep(h)
+        h2, uh, u_cor, du = x_sweep(h1)
+    return ContinuityResult(h=h2, uh=uh, vh=vh, u_cor=u_cor, v_cor=v_cor,
+                            du_cor=du, dv_cor=dv)

@@ -48,6 +48,9 @@ __all__ = ["OceanCfg", "step_ocean"]
 @dataclasses.dataclass(frozen=True)
 class OceanCfg:
     split: bool = True
+    # SPLIT_RK2B (MOM.F90:2198): prognose the filtered velocities and
+    # reconstruct the instantaneous ones from a 2D increment
+    split_rk2b: bool = False
     split_cfg: Optional[SplitCfg] = None
     unsplit_cfg: Optional[UnsplitCfg] = None
     tracer_adv: TracerAdvectCfg = TracerAdvectCfg()
@@ -236,7 +239,9 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 state = state.replace(T=domain.fill_halos(state.T),
                                       S=domain.fill_halos(state.S))
             aux_u = aux_v = None
-            if cfg.split and split_state is not None:
+            has_av = (cfg.split and split_state is not None
+                      and hasattr(split_state, "u_av"))
+            if has_av:
                 aux_u = {"u_av": domain.fill_halos(split_state.u_av)}
                 aux_v = {"v_av": domain.fill_halos(split_state.v_av)}
             # ALE runs once per thermo step, so the grid-motion filter
@@ -245,7 +250,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 grid, vgrid, state, cfg.ale, eos=eos, tracers=tracers,
                 aux_u=aux_u, aux_v=aux_v, dt=dt * cfg.n_dyn_per_therm)
             state = state.replace(h=domain.fill_halos(state.h))
-            if cfg.split and split_state is not None:
+            if has_av:
                 # carry the split auxiliaries onto the new grid: remap the
                 # time-mean velocities with the face-thickness rule and
                 # refresh h_av (remap of dyn aux vars,
@@ -359,7 +364,13 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     kh_scale = None
     if cfg.resoln_scaled_kh and res_fn is not None:
         kh_scale = domain.fill_halos(res_fn, width=2)
-    if cfg.split:
+    if cfg.split and cfg.split_rk2b:
+        from mom6_tpu.core.dynamics_split_rk2b import step_dyn_split_rk2b
+        state, split_state, diags = step_dyn_split_rk2b(
+            domain, grid, vgrid, state, split_state, forces, dt,
+            cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,
+            stoch_pattern=sppt_pattern, kh_scale=kh_scale)
+    elif cfg.split:
         state, split_state, diags = step_dyn_split_rk2(
             domain, grid, vgrid, state, split_state, forces, dt,
             cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,

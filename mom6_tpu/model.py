@@ -544,12 +544,10 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     pf.module("MOM")
     split = pf.get("SPLIT", bool, True)
     # SPLIT_RK2B (MOM.F90:2198): the alternate split scheme that
-    # recomputes the predictor accelerations from the time-filtered
-    # velocities each step instead of inheriting stored tendencies —
-    # which is already this core's structure (step_dyn_split_rk2
-    # rebuilds CAu/PFu from the carried u_av/h_av), so the flag is an
-    # accepted alias
-    pf.get("SPLIT_RK2B", bool, False)
+    # prognoses the time-filtered velocities and reconstructs the
+    # instantaneous ones from a persistent 2D barotropic increment
+    # (dynamics_split_rk2b.py)
+    split_rk2b = pf.get("SPLIT_RK2B", bool, False)
     dt = pf.get("DT", float, units="s")
     dt_forcing = pf.get("DT_FORCING", float, dt, units="s")
     dt_therm = pf.get("DT_THERM", float, dt, units="s")
@@ -1112,7 +1110,10 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         os.path.join(pf.case_dir, "data_table"), grid, indir=indir)
 
     split_state = None
-    if split:
+    if split and split_rk2b:
+        from mom6_tpu.core.dynamics_split_rk2b import init_split_b_state
+        split_state = init_split_b_state(domain, grid, vgrid, state)
+    elif split:
         split_state = init_split_state(domain, grid, vgrid, state)
 
     # ---- ALE / thermo orchestration ----
@@ -1517,7 +1518,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                             pf.get("KHTR", float, 0.0,
                                    units="m2 s-1"),
                             units="m2 s-1"))
-    ocean_cfg = OceanCfg(split=split, split_cfg=split_cfg,
+    ocean_cfg = OceanCfg(split=split, split_rk2b=split_rk2b,
+                         split_cfg=split_cfg,
                          use_hbd=use_hbd, hbd=hbd_cfg,
                          unsplit_cfg=unsplit_cfg,
                          n_dyn_per_therm=n_dyn_per_therm,

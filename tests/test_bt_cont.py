@@ -60,13 +60,13 @@ def test_curve_matches_layered_flux():
     from mom6_tpu.core.barotropic import btcalc
     frhatu, _ = btcalc(g, h)
     ubt0 = jnp.sum(frhatu * u, axis=0)
-    uh_now, _, _ = zonal_mass_flux(g, u, h, h_W, h_E, dt, cfg)
+    uh_now, _, _, _ = zonal_mass_flux(g, u, h, h_W, h_E, dt, cfg)
     uhbt0 = jnp.sum(uh_now, axis=0) - find_uhbt(ubt0, *args)
 
     H = d.halo
     sl = (slice(H + 2, H + 22), slice(H + 2, H + 22))
     for du in (-0.05, -0.01, 0.01, 0.05):
-        uh, _, _ = zonal_mass_flux(g, u + du, h, h_W, h_E, dt, cfg)
+        uh, _, _, _ = zonal_mass_flux(g, u + du, h, h_W, h_E, dt, cfg)
         layered = np.asarray(jnp.sum(uh, axis=0))[sl]
         curve = np.asarray(find_uhbt(ubt0 + du, *args) + uhbt0)[sl]
         scale = np.abs(layered).max() + 1e-30

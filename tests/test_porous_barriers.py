@@ -44,7 +44,7 @@ def test_porous_ridge_blocks_transport(davg, expect_lo, expect_hi):
     u = d.fill_halos(jnp.full(shp, 0.2))
     cfg = ContinuityCfg()
     hW, hE = ppm_edges_x(g, h, cfg, 1e-3)
-    uh_open, _, _ = zonal_mass_flux(g, u, h, hW, hE, 600.0, cfg)
+    uh_open, _, _, _ = zonal_mass_flux(g, u, h, hW, hE, 600.0, cfg)
 
     # ridge across the face at padded x-index ic: crest at 100 m depth,
     # deepest gap 500 m
@@ -67,7 +67,7 @@ def test_porous_ridge_blocks_transport(davg, expect_lo, expect_hi):
     # bottom layer (750-1000 m: below the deepest gap) closed
     assert p[0] > expect_hi
     assert p[3] < expect_lo
-    uh_por, _, _ = zonal_mass_flux(gp, u, h, hW, hE, 600.0, cfg)
+    uh_por, _, _, _ = zonal_mass_flux(gp, u, h, hW, hE, 600.0, cfg)
     r = np.asarray(jnp.sum(uh_por[:, d.halo + 2, ic])
                    / jnp.sum(uh_open[:, d.halo + 2, ic]))
     assert 0.05 < r < 0.7                      # partially blocked
