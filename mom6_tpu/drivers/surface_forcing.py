@@ -98,6 +98,174 @@ def buoyancy_restoring(cfg: SurfaceForcingCfg, grid: Grid, sst, south,
     return Fluxes(sensible=heat * grid.mask2dT, salt_flux=salt)
 
 
+def scm_wind(grid: Grid, tau_x: float, tau_y: float) -> MechForcing:
+    """WIND_CONFIG='SCM_CVMix_tests': spatially uniform stress
+    (SCM_CVMix_tests_wind_forcing,
+    /root/reference/src/user/SCM_CVMix_tests.F90:195)."""
+    return MechForcing(taux=tau_x * grid.mask2dCu,
+                       tauy=tau_y * grid.mask2dCv)
+
+
+def scm_buoyancy_fn(grid: Grid, heat_flux: float = 0.0,
+                    evaporation: float = 0.0, max_sw: float = 0.0,
+                    rho_restore: float = 1035.0, cp: float = _CP):
+    """BUOY_CONFIG='SCM_CVMix_tests' fluxes
+    (SCM_CVMix_tests_buoyancy_forcing, SCM_CVMix_tests.F90:232).
+
+    CVMix test inputs give the heat flux in kinematic units
+    [m degC s-1] and evaporation in [m s-1]; both are converted with
+    rho_restore (RESTORE_FLUX_RHO) and cp.  The diurnal shortwave
+    peaks at local noon: sw = max_sw·max(0, cos(2π(t/86400 − 0.5)))·
+    rho·cp, a function of the traced model time."""
+    def fluxes_fn(state, t):
+        sens = sw = evap = None
+        if heat_flux != 0.0:
+            sens = heat_flux * rho_restore * cp * grid.mask2dT
+        if evaporation != 0.0:
+            evap = evaporation * rho_restore * grid.mask2dT
+        if max_sw != 0.0:
+            amp = jnp.maximum(
+                0.0, jnp.cos(2.0 * jnp.pi * (t / 86400.0 - 0.5)))
+            sw = max_sw * amp * rho_restore * cp * grid.mask2dT
+        return Fluxes(sensible=sens, sw=sw, evap=evap)
+    fluxes_fn.time_varying = max_sw != 0.0
+    return fluxes_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class HurricaneCfg:
+    """Idealized translating hurricane (Holland 1980 parametric wind
+    + Zhang & Uhlhorn 2012 inflow angle), re-designed from
+    /root/reference/src/user/Idealized_Hurricane.F90:96-471."""
+    rho_air: float = 1.2              # IDL_HURR_RHO_AIR [kg m-3]
+    p_ambient: float = 101200.0       # IDL_HURR_AMBIENT_PRESSURE [Pa]
+    p_central: float = 96800.0        # IDL_HURR_CENTRAL_PRESSURE [Pa]
+    rad_max_wind: float = 50.0e3      # IDL_HURR_RAD_MAX_WIND [m]
+    max_windspeed: float = 65.0       # IDL_HURR_MAX_WIND [m s-1]
+    translation_spd: float = 5.0      # IDL_HURR_TRAN_SPEED [m s-1]
+    translation_dir: float = 180.0    # IDL_HURR_TRAN_DIR [deg]
+    x0: float = 0.0                   # IDL_HURR_X0 [m]
+    y0: float = 0.0                   # IDL_HURR_Y0 [m]
+    scm_mode: bool = False            # IDL_HURR_SCM
+    br_bench: bool = False            # IDL_HURR_SCM_BR_BENCH
+    dy_from_center: float = 0.0       # IDL_HURR_SCM_LOCY [m]
+
+    @property
+    def holland_b(self) -> float:
+        dp = self.p_ambient - self.p_central
+        return self.max_windspeed ** 2 * self.rho_air * np.e / dp
+
+    @property
+    def holland_a(self) -> float:
+        return self.rad_max_wind ** self.holland_b
+
+
+def _hurricane_stress(cfg: HurricaneCfg, xx, yy, absf):
+    """Holland-profile 10 m wind → (taux, tauy) at one stagger
+    (idealized_hurricane_wind_profile, Idealized_Hurricane.F90:329),
+    using the post-2019 algebraically stable U10 form and zero ocean
+    currents (IDL_HURR_TAU_CURR_REL default)."""
+    deg2rad = np.pi / 180.0
+    dp = cfg.p_ambient - cfg.p_central
+    B = cfg.holland_b
+    A = cfg.holland_a
+    AxBxDP = A * B * dp
+    rmw = cfg.rad_max_wind
+
+    radius = jnp.sqrt(xx ** 2 + yy ** 2)
+    # the benchmark variant keeps the (erroneous) km-based Coriolis
+    # term of the original experiment (BR_Bench comment, :380)
+    km = 1.0e-3 if cfg.br_bench else 1.0
+    radiusB = jnp.maximum(radius, 1e-3 * rmw) ** B
+    tmp = (0.5 * radius * km * absf) * (cfg.rho_air * radiusB)
+    core = AxBxDP * jnp.exp(-A / radiusB)
+    u10_in = core / (tmp + jnp.sqrt(core * (cfg.rho_air * radiusB)
+                                    + tmp ** 2))
+    # outer ring 10–15 rmw: linearly ramp the 10-rmw wind to zero
+    radiusB10 = (10.0 * rmw) ** B
+    tmp10 = (0.5 * 10.0 * rmw * km * absf) * (cfg.rho_air * radiusB10)
+    core10 = AxBxDP * jnp.exp(-A / radiusB10)
+    u10_edge = (3.0 - radius / (5.0 * rmw)) * core10 \
+        / (tmp10 + jnp.sqrt(core10 * (cfg.rho_air * radiusB10)
+                            + tmp10 ** 2))
+    u10 = jnp.where(radius <= 1e-3 * rmw, 0.0,
+                    jnp.where(radius < 10.0 * rmw, u10_in,
+                              jnp.where(radius < 15.0 * rmw,
+                                        jnp.maximum(u10_edge, 0.0),
+                                        0.0)))
+
+    adir = jnp.arctan2(yy, xx)
+    trans_dir = cfg.translation_dir * deg2rad
+    # inflow angle (Zhang & Uhlhorn 2012), ramped off past 10 rmw
+    rstr = jnp.minimum(10.0, radius / rmw)
+    a0 = -0.9 * rstr - 0.09 * cfg.max_windspeed - 14.33
+    a1 = -a0 * (0.04 * rstr + 0.05 * cfg.translation_spd + 0.14)
+    p1 = (6.88 * rstr - 9.60 * cfg.translation_spd + 85.31) * deg2rad
+    alph = a0 - a1 * jnp.cos(trans_dir - adir - p1)
+    alph = jnp.where(radius > 15.0 * rmw, 0.0,
+                     jnp.where(radius > 10.0 * rmw,
+                               alph * (15.0 - radius / rmw) / 5.0,
+                               alph)) * deg2rad
+
+    u_ts = cfg.translation_spd * 0.5 * jnp.cos(trans_dir)
+    v_ts = cfg.translation_spd * 0.5 * jnp.sin(trans_dir)
+    du = u10 * jnp.sin(adir - jnp.pi - alph) + u_ts
+    dv = u10 * jnp.cos(adir - alph) + v_ts
+    du10 = jnp.sqrt(du ** 2 + dv ** 2)
+    # Sullivan et al. (2010) piecewise drag coefficient
+    cd = jnp.where(du10 < 11.0, 1.2e-3,
+                   jnp.where(du10 < 20.0,
+                             (0.49 + 0.065 * du10) * 1.0e-3, 1.8e-3))
+    return (cfg.rho_air * cd * du10 * du,
+            cfg.rho_air * cd * du10 * dv)
+
+
+def idealized_hurricane_fn(cfg: HurricaneCfg, grid: Grid):
+    """WIND_CONFIG='ideal_hurr'|'SCM_ideal_hurr': t[s] → MechForcing
+    with the storm center translating at the configured speed/heading
+    (idealized_hurricane_wind_forcing, Idealized_Hurricane.F90:208).
+    geoLon/geoLat are in km on cartesian grids, matching the
+    reference's *1000 conversion."""
+    deg2rad = np.pi / 180.0
+    trans_dir = cfg.translation_dir * deg2rad
+    if cfg.br_bench:
+        fbench = 5.5659e-5
+
+        def absf_at(fq_avg):
+            return jnp.full_like(fq_avg, fbench)
+    else:
+        def absf_at(fq_avg):
+            return jnp.abs(fq_avg)
+
+    fq = grid.CoriolisBu
+    # |f| averaged to the u/v points (:66, :90)
+    from mom6_tpu.parallel.stencil import jm1, im1
+    absf_u = absf_at(0.5 * (fq + jm1(fq)))
+    absf_v = absf_at(0.5 * (fq + im1(fq)))
+
+    def forces_fn(t):
+        xc = cfg.x0 + t * cfg.translation_spd * jnp.cos(trans_dir)
+        yc = cfg.y0 + t * cfg.translation_spd * jnp.sin(trans_dir)
+        if cfg.scm_mode:
+            # the column sits on the storm track: its position
+            # relative to the center is (XC, YC + dy) (:69-71)
+            ones = jnp.ones_like(grid.geoLonCu)
+            xx_u = xc * ones
+            yy_u = (yc + cfg.dy_from_center) * ones
+            xx_v, yy_v = xx_u, yy_u
+        else:
+            xx_u = grid.geoLonCu * 1000.0 - xc
+            yy_u = grid.geoLatCu * 1000.0 - yc
+            xx_v = grid.geoLonCv * 1000.0 - xc
+            yy_v = grid.geoLatCv * 1000.0 - yc
+        tx, _ = _hurricane_stress(cfg, xx_u, yy_u, absf_u)
+        _, ty = _hurricane_stress(cfg, xx_v, yy_v, absf_v)
+        return MechForcing(taux=tx * grid.mask2dCu,
+                           tauy=ty * grid.mask2dCv)
+    forces_fn.time_varying = True
+    return forces_fn
+
+
 def wind_forcing_from_file(grid, wind_file: str, x_var: str, y_var: str,
                            stagger: str = "C", scale: float = 1.0):
     """WIND_CONFIG='file': build a function t[s] -> MechForcing with

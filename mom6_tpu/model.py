@@ -944,6 +944,28 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             # lock_exchange / dense_water families)
             T = jnp.asarray(fields["T"])
             S = jnp.asarray(fields["S"])
+        elif ts_cfg == "SCM_CVMix_tests":
+            from mom6_tpu.user.configs import scm_cvmix_ts
+            pf.module("SCM_CVMix_tests")
+            # L1 temp/salt are read for parity but the reference's
+            # profile only uses the L2 values (+MLD offsets)
+            pf.get("SCM_L1_TEMP", float, 20.0, units="degC")
+            pf.get("SCM_L1_SALT", float, 35.0, units="ppt")
+            T, S = scm_cvmix_ts(
+                h,
+                t_mld=pf.get("SCM_TEMP_MLD", float, 0.0, units="m"),
+                s_mld=pf.get("SCM_SALT_MLD", float, 0.0, units="m"),
+                l2_temp=pf.get("SCM_L2_TEMP", float, 20.0,
+                               units="degC"),
+                l2_salt=pf.get("SCM_L2_SALT", float, 35.0,
+                               units="ppt"),
+                dtdz=pf.get("SCM_L2_DTDZ", float, 0.0,
+                            units="degC m-1"),
+                dsdz=pf.get("SCM_L2_DSDZ", float, 0.0,
+                            units="ppt m-1"),
+                min_temp=pf.get("SCM_L2_MINTEMP", float, 4.0,
+                                units="degC"))
+            pf.module("MOM_state_initialization")
         elif ts_cfg == "benchmark":
             from mom6_tpu.user.configs import init_benchmark_ts
             ctx_ts = dict(user_ctx, grid=grid, vgrid=vgrid, eos=eos,
@@ -1066,6 +1088,46 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         forces = forces_fn(jnp.zeros(()))
         if not forces_fn.time_varying:
             forces_fn = None            # static file wind: bake it in
+    elif sf_cfg.wind_config == "SCM_CVMix_tests":
+        # uniform stress for the single-column CVMix tests
+        from mom6_tpu.drivers.surface_forcing import scm_wind
+        pf.module("SCM_CVMix_tests")
+        pf.get("SCM_USE_WIND_STRESS", bool, True)
+        forces = scm_wind(grid,
+                          pf.get("SCM_TAU_X", float, 0.0, units="Pa"),
+                          pf.get("SCM_TAU_Y", float, 0.0, units="Pa"))
+        pf.module("MOM_surface_forcing")
+    elif sf_cfg.wind_config in ("ideal_hurr", "SCM_ideal_hurr"):
+        # translating Holland-profile hurricane
+        # (Idealized_Hurricane.F90)
+        from mom6_tpu.drivers.surface_forcing import (
+            HurricaneCfg, idealized_hurricane_fn)
+        pf.module("idealized_hurricane")
+        hcfg = HurricaneCfg(
+            rho_air=pf.get("IDL_HURR_RHO_AIR", float, 1.2,
+                           units="kg m-3"),
+            p_ambient=pf.get("IDL_HURR_AMBIENT_PRESSURE", float,
+                             101200.0, units="Pa"),
+            p_central=pf.get("IDL_HURR_CENTRAL_PRESSURE", float,
+                             96800.0, units="Pa"),
+            rad_max_wind=pf.get("IDL_HURR_RAD_MAX_WIND", float,
+                                50.0e3, units="m"),
+            max_windspeed=pf.get("IDL_HURR_MAX_WIND", float, 65.0,
+                                 units="m s-1"),
+            translation_spd=pf.get("IDL_HURR_TRAN_SPEED", float, 5.0,
+                                   units="m s-1"),
+            translation_dir=pf.get("IDL_HURR_TRAN_DIR", float, 180.0,
+                                   units="deg"),
+            x0=pf.get("IDL_HURR_X0", float, 0.0, units="m"),
+            y0=pf.get("IDL_HURR_Y0", float, 0.0, units="m"),
+            scm_mode=(sf_cfg.wind_config == "SCM_ideal_hurr")
+            or pf.get("IDL_HURR_SCM", bool, False),
+            br_bench=pf.get("IDL_HURR_SCM_BR_BENCH", bool, False),
+            dy_from_center=pf.get("IDL_HURR_SCM_LOCY", float, 50.0e3,
+                                  units="m"))
+        pf.module("MOM_surface_forcing")
+        forces_fn = idealized_hurricane_fn(hcfg, grid)
+        forces = forces_fn(jnp.zeros(()))
     else:
         forces = build_wind(sf_cfg, grid, south, lenlat)
 
@@ -1086,6 +1148,24 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 return Fluxes(sensible=jnp.full_like(state.h[0],
                                                      _cfg.sensible_heat)
                               * _g.mask2dT)
+        elif sf_cfg.buoy_config == "SCM_CVMix_tests":
+            from mom6_tpu.drivers.surface_forcing import scm_buoyancy_fn
+            pf.module("SCM_CVMix_tests")
+            use_hf = pf.get("SCM_USE_HEAT_FLUX", bool, False)
+            use_ev = pf.get("SCM_USE_EVAPORATION", bool, False)
+            use_sw = pf.get("SCM_USE_DIURNAL_SW", bool, False)
+            fluxes_fn = scm_buoyancy_fn(
+                grid,
+                heat_flux=pf.get("SCM_HEAT_FLUX", float, 0.0,
+                                 units="m degC s-1") if use_hf else 0.0,
+                evaporation=pf.get("SCM_EVAPORATION", float, 0.0,
+                                   units="m s-1") if use_ev else 0.0,
+                max_sw=pf.get("SCM_DIURNAL_SW_MAX", float, 0.0,
+                              units="m degC s-1") if use_sw else 0.0,
+                rho_restore=pf.get("RESTORE_FLUX_RHO", float, rho0,
+                                   units="kg m-3"),
+                cp=sf_cfg.cp)
+            pf.module("MOM_surface_forcing")
         elif sf_cfg.buoy_config.lower() == "file":
             # buoyancy_forcing_from_files (MOM_surface_forcing.F90:860)
             files = {}

@@ -541,3 +541,20 @@ thickness_registry = {
     "dense_water": init_dense_water,
     "soliton": init_soliton,
 }
+
+
+def scm_cvmix_ts(h, t_mld=0.0, s_mld=0.0, l2_temp=20.0, l2_salt=35.0,
+                 dtdz=0.0, dsdz=0.0, min_temp=4.0):
+    """Single-column CVMix-test T/S profile: uniform mixed layer over
+    a linearly stratified interior (SCM_CVMix_tests_TS_init,
+    /root/reference/src/user/SCM_CVMix_tests.F90:57-123).
+
+    T = max(min_temp, L2_TEMP + dT/dz · min(0, z_center + MLD_T)) and
+    likewise for S (without the floor)."""
+    zbot = -jnp.cumsum(h, axis=0)
+    ztop = jnp.concatenate([jnp.zeros_like(h[:1]), zbot[:-1]], axis=0)
+    zc = 0.5 * (ztop + zbot)
+    T = jnp.maximum(min_temp,
+                    l2_temp + dtdz * jnp.minimum(0.0, zc + t_mld))
+    S = l2_salt + dsdz * jnp.minimum(0.0, zc + s_mld)
+    return T, S
