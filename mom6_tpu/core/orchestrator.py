@@ -418,6 +418,9 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             adv = obc.apply_tracer_reservoirs(adv, obc_reservoirs)
         he, uhtr, vhtr = domain.fill_halos(
             (state.h, diags.uhtr, diags.vhtr), width=2)
+        if obc is not None:
+            he, uhtr, vhtr = obc.keep_boundary(
+                (state.h, diags.uhtr, diags.vhtr), (he, uhtr, vhtr))
         adv, _ = advect_tracers(domain, grid, adv, he, uhtr, vhtr,
                                 cfg.tracer_adv, x_first=x_first)
         if obc is not None and obc_reservoirs is not None:
@@ -454,6 +457,9 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                                                   obc_reservoirs)
         he, uhtr, vhtr = domain.fill_halos(
             (state.h, diags.uhtr, diags.vhtr), width=2)
+        if obc is not None:
+            he, uhtr, vhtr = obc.keep_boundary(
+                (state.h, diags.uhtr, diags.vhtr), (he, uhtr, vhtr))
         tracers, _ = advect_tracers(domain, grid, tracers, he, uhtr,
                                     vhtr, cfg.tracer_adv,
                                     x_first=x_first)

@@ -266,6 +266,79 @@ def idealized_hurricane_fn(cfg: HurricaneCfg, grid: Grid):
     return forces_fn
 
 
+def bfb_buoyancy_fn(grid: Grid, sst_s: float = 20.0,
+                    sst_n: float = 10.0, lfr_slat: float = 20.0,
+                    lfr_nlat: float = 40.0, flux_const: float = 0.0,
+                    rho_restore: float = 1035.0, cp: float = _CP):
+    """BUOY_CONFIG='BFB': restore the surface toward a linear
+    meridional SST ramp between LFR_SLAT and LFR_NLAT
+    (BFB_buoyancy_forcing,
+    /root/reference/src/user/BFB_surface_forcing.F90:52-173).  The
+    reference's buoyancy-only flux is expressed here as the
+    equivalent restoring heat flux rho·cp·piston·(T_rest − SST)."""
+    lat = grid.geoLatT
+    ramp = (sst_s - sst_n) / (lfr_slat - lfr_nlat) \
+        * (lat - lfr_slat) + sst_s
+    t_rest = jnp.where(lat <= lfr_slat, sst_s,
+                       jnp.where(lat >= lfr_nlat, sst_n, ramp))
+    piston = flux_const / 86400.0
+
+    def fluxes_fn(state, t):
+        heat = piston * rho_restore * cp * (t_rest - state.T[0])
+        return Fluxes(sensible=heat * grid.mask2dT)
+    fluxes_fn.time_varying = False
+    return fluxes_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class DumbbellForcingCfg:
+    """dumbbell_surface_forcing.F90: oscillating sea-level pressure
+    over the two reservoirs plus salinity restoring there."""
+    slp_amplitude: float = 10000.0   # DUMBBELL_SLP_AMP [Pa]
+    slp_period: float = 1.0          # DUMBBELL_SLP_PERIOD [days]
+    s_surf: float = 34.0             # INITIAL_SSS
+    s_range: float = 2.0             # INITIAL_S_RANGE
+    flux_const: float = 0.0          # FLUXCONST [m day-1]
+    rho_restore: float = 1035.0      # RESTORE_FLUX_RHO
+    rotate: bool = False             # DUMBBELL_ROTATION
+
+
+def dumbbell_forcing(cfg: DumbbellForcingCfg, grid: Grid, west, lenlon,
+                     south, lenlat):
+    """Returns (forces_fn, fluxes_fn) for the dumbbell test: the SLP
+    seesaw p_surf = mask·A·sin(deg2rad·days/period) in the reservoirs
+    (dumbbell_dynamic_forcing, dumbbell_surface_forcing.F90:157 —
+    including the reference's degree-based argument), and the
+    reservoir salinity restoring as a virtual-precip mass flux
+    (dumbbell_buoyancy_forcing :115)."""
+    if cfg.rotate:
+        x = (grid.geoLatT - south) / max(lenlat, 1e-30) - 0.5
+    else:
+        x = (grid.geoLonT - west) / max(lenlon, 1e-30) - 0.5
+    fmask = jnp.where(jnp.abs(x) > 0.25, 1.0, 0.0) * grid.mask2dT
+    s_rest = jnp.where(x > 0.25, cfg.s_surf + cfg.s_range,
+                       jnp.where(x < -0.25, cfg.s_surf - cfg.s_range,
+                                 cfg.s_surf))
+    deg_rad = np.pi / 180.0
+    # restoring rate in mass-flux units [kg m-2 s-1]
+    fc = cfg.rho_restore * cfg.flux_const / 86400.0
+
+    def forces_fn(t):
+        rdays = t / 86400.0
+        p = fmask * cfg.slp_amplitude \
+            * jnp.sin(deg_rad * rdays / cfg.slp_period)
+        return MechForcing(p_surf=p)
+    forces_fn.time_varying = True
+
+    def fluxes_fn(state, t):
+        sss = state.S[0]
+        vprec = -(fmask * fc) * (s_rest - sss) \
+            / jnp.maximum(0.5 * (s_rest + sss), 1e-12)
+        return Fluxes(lprec=vprec)
+    fluxes_fn.time_varying = False
+    return forces_fn, (fluxes_fn if cfg.flux_const > 0.0 else None)
+
+
 def wind_forcing_from_file(grid, wind_file: str, x_var: str, y_var: str,
                            stagger: str = "C", scale: float = 1.0):
     """WIND_CONFIG='file': build a function t[s] -> MechForcing with

@@ -323,6 +323,23 @@ class Model:
         return step
 
 
+def _build_user_kd(pf, p_ref):
+    """USER_CHANGE_DIFFUSIVITY parameters (user_change_diff_init,
+    /root/reference/src/user/user_change_diffusivity.F90:192)."""
+    from mom6_tpu.param.vertical.user_change_diff import UserKdCfg
+    big = 1.0e9
+    lat = pf.get("USER_KD_ADD_LAT_RANGE", list,
+                 [-big, -big, big, big], units="degrees")
+    rho = pf.get("USER_KD_ADD_RHO_RANGE", list,
+                 [-big, -big, big, big], units="kg m-3")
+    return UserKdCfg(
+        kd_add=pf.get("USER_KD_ADD", float, 0.0, units="m2 s-1"),
+        lat_range=tuple(float(v) for v in lat),
+        rho_range=tuple(float(v) for v in rho),
+        use_abs_lat=pf.get("USER_KD_ADD_ABS_LAT", bool, False),
+        p_ref=p_ref).validate()
+
+
 def _build_waves_cfg(pf):
     """WavesCfg from MOM_input (MOM_wave_interface.F90 params)."""
     if not pf.get("USE_WAVES", bool, False):
@@ -390,8 +407,26 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     if pf.has("SHELF_DEPTH"):
         user_ctx["shelf_depth"] = pf.get("SHELF_DEPTH", float,
                                          units="m")
-    if topo_config in topo_registry:
-        _user_topo = topo_registry[topo_config]
+    # user-config shape parameters read once, shared by the topography
+    # and thickness/TS initializers through user_ctx
+    for key, dflt, un in (
+            ("DOME2D_SHELF_WIDTH", 0.1, "nondim"),
+            ("DOME2D_BASIN_WIDTH", 0.3, "nondim"),
+            ("DOME2D_SHELF_DEPTH", 0.2, "nondim"),
+            ("DUMBBELL_LEN", 600.0, "km"),
+            ("DUMBBELL_FRACTION", 0.5, "nondim"),
+            ("NL_CONTINENT_AMP", 1.0, "nondim"),
+            ("NL_ROUGHNESS_AMP", 0.05, "nondim"),
+            ("NL_THICKNESS_PERT_AMP", 0.0, "nondim"),
+            ("SHELFWAVE_Y_LENGTH_SCALE", 50.0, "km")):
+        if pf.has(key):
+            user_ctx[key.lower()] = pf.get(key, float, dflt, units=un)
+    if pf.has("DUMBBELL_ROTATION"):
+        user_ctx["dumbbell_rotation"] = pf.get("DUMBBELL_ROTATION",
+                                               bool, False)
+    topo_lut = {k.lower(): v for k, v in topo_registry.items()}
+    if topo_config.lower() in topo_lut:
+        _user_topo = topo_lut[topo_config.lower()]
 
         def depth_fn(lon, lat, _fn=_user_topo):
             return _fn(lon, lat, user_ctx)
@@ -518,8 +553,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         grid = dataclasses.replace(grid, **por)
 
     pf.module("MOM_open_boundary")
+    num_dye = pf.get("NUM_DYE_TRACERS", int, 0,
+                     desc="dyed_obc tracers, one per segment")
     obc = build_open_boundaries(pf, domain,
-                                indir=pf.get("INPUTDIR", str, "."))
+                                indir=pf.get("INPUTDIR", str, "."),
+                                dye_tracers=num_dye)
     obc_update_fn = None
     if obc is not None:
         grid = open_grid_masks(grid, obc)
@@ -625,6 +663,23 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         # extrapolate the varying-density (mixed/buffer) layers
         for k in range(k_light - 1, -1, -1):
             rlay[k] = 2.0 * rlay[k + 1] - rlay[k + 2]
+        vgrid = VerticalGrid.from_rlay(rlay, g_Earth=g_earth,
+                                       Rho0=rho0,
+                                       boussinesq=boussinesq)
+    elif coord_cfg == "BFB":
+        # linear Rlay between densities implied by a surface/bottom
+        # temperature pair through a linear EOS (BFB_set_coord,
+        # /root/reference/src/user/BFB_initialization.F90:33)
+        drho_dt = pf.get("DRHO_DT", float, -0.2, units="kg m-3 K-1")
+        drho_ds = pf.get("DRHO_DS", float, 0.8, units="kg m-3 ppt-1")
+        rho_t0_s0 = pf.get("RHO_T0_S0", float, 1000.0, units="kg m-3")
+        sst_s = pf.get("SST_S", float, 20.0, units="degC")
+        t_bot = pf.get("T_BOT", float, 5.0, units="degC")
+        s_ref0 = pf.get("S_REF", float, 35.0, units="ppt")
+        rho_top = (rho_t0_s0 + drho_ds * s_ref0) + drho_dt * sst_s
+        rho_bot = (rho_t0_s0 + drho_ds * s_ref0) + drho_dt * t_bot
+        rlay = rho_top + (rho_bot - rho_top) \
+            * np.arange(nk) / max(nk - 1, 1)
         vgrid = VerticalGrid.from_rlay(rlay, g_Earth=g_earth,
                                        Rho0=rho0,
                                        boussinesq=boussinesq)
@@ -872,10 +927,16 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         h = jnp.asarray(hz)
         T = domain.local().fill_halos(T) if not domain.shmap else T
         S = domain.local().fill_halos(S) if not domain.shmap else S
-    elif thick_cfg in thickness_registry:
+    elif thick_cfg.lower() in {k.lower() for k in thickness_registry}:
         user_ctx2 = dict(user_ctx, grid=grid, vgrid=vgrid,
                          domain=domain, eos=eos, thermo=thermo,
                          nk_rho_varies=nk_rho_varies, p_ref=p_ref,
+                         coord_mode=pf.get("REGRIDDING_COORDINATE_MODE",
+                                           str, "LAYER")
+                         if pf.get("USE_REGRIDDING", bool, False)
+                         else "LAYER",
+                         min_thickness=pf.get("MIN_THICKNESS", float,
+                                              1.0e-3, units="m"),
                          t_ref=pf.get("T_REF", float, 10.0,
                                       units="degC"),
                          s_ref=pf.get("S_REF", float, 35.0,
@@ -885,10 +946,21 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                   "DISK_IC_AMPLITUDE", "BENCHMARK_ML_DEPTH_IC",
                   "BENCHMARK_THERMOCLINE_SCALE", "BENCHMARK_T_LIGHT",
                   "FRONT_WIDTH", "DELTA_T", "DELTA_S", "ML_DEPTH",
-                  "SSH_ANOMALY_HEIGHT", "SHELF_DEPTH"):
+                  "SSH_ANOMALY_HEIGHT", "SHELF_DEPTH",
+                  "INITIAL_SSS", "INITIAL_S_RANGE", "S_RANGE",
+                  "TS_RANGE_S_LIGHT", "TS_RANGE_S_DENSE",
+                  "INTERFACE_IC_QUANTA", "DOME2D_T_BAY",
+                  "DUMBBELL_T_SURF", "DUMBBELL_SREF",
+                  "DUMBBELL_S_RANGE"):
             if pf.has(k):
                 user_ctx2[k.lower()] = pf.get(k, float)
-        fields = thickness_registry[thick_cfg](user_ctx2)
+        if thick_cfg.lower() == "neverworld" \
+                and pf.has("INIT_THICKNESS_PROFILE"):
+            user_ctx2["init_thickness_profile"] = pf.get(
+                "INIT_THICKNESS_PROFILE", list, units="m")
+        thick_lut = {k.lower(): v for k, v in
+                     thickness_registry.items()}
+        fields = thick_lut[thick_cfg.lower()](user_ctx2)
         h = jnp.maximum(jnp.asarray(fields["h"]), vgrid.angstrom)
     elif thick_cfg == "uniform":
         # uniform nominal dz in depth, clipped by the local bathymetry
@@ -937,7 +1009,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 * jnp.ones(shape)
             S = (S0 + S_range * (k_frac - 0.5)).reshape(-1, 1, 1) \
                 * jnp.ones(shape)
-        elif ts_cfg == thick_cfg and thick_cfg in thickness_registry \
+        elif ts_cfg.lower() == thick_cfg.lower() \
+                and thick_cfg.lower() in {k.lower() for k
+                                          in thickness_registry} \
                 and "T" in fields:
             # T/S built together with the thicknesses by the user
             # config (benchmark / adjustment / rossby_front /
@@ -972,12 +1046,39 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                           nk_rho_varies=nk_rho_varies, p_ref=p_ref,
                           s_ref=S0)
             T, S = init_benchmark_ts(ctx_ts, shape)
+        elif ts_cfg.upper() == "ISOMIP":
+            from mom6_tpu.user.configs import isomip_ts
+            pf.module("ISOMIP_initialization")
+            ctx_ts = dict(user_ctx, grid=grid)
+            for k in ("ISOMIP_T_SUR", "ISOMIP_S_SUR",
+                      "ISOMIP_T_BOT", "ISOMIP_S_BOT"):
+                if pf.has(k):
+                    ctx_ts[k.lower()] = pf.get(k, float)
+            pf.module("MOM_state_initialization")
+            T, S = isomip_ts(ctx_ts, h)
+        elif ts_cfg == "baroclinic_zone":
+            from mom6_tpu.user.configs import baroclinic_zone_ts
+            # BCZIC parameter block (bcz_params,
+            # baroclinic_zone_initialization.F90:30)
+            pf.module("baroclinic_zone_initialization")
+            ctx_ts = dict(user_ctx, grid=grid, t_ref=T0, s_ref=S0)
+            for key, name in (("bcz_dtdz", "BCZIC%DTDZ"),
+                              ("bcz_delta_t", "BCZIC%DELTA_T"),
+                              ("bcz_dtdx", "BCZIC%DTDX"),
+                              ("bcz_dsdz", "BCZIC%DSDZ"),
+                              ("bcz_delta_s", "BCZIC%DELTA_S"),
+                              ("bcz_dsdx", "BCZIC%DSDX")):
+                ctx_ts[key] = pf.get(name, float, 0.0)
+            ctx_ts["bcz_l_zone"] = pf.get("BCZIC%L_ZONE", float,
+                                          0.5 * lenlat)
+            pf.module("MOM_state_initialization")
+            T, S = baroclinic_zone_ts(ctx_ts, h)
         else:
             raise ValueError(f"TS_CONFIG '{ts_cfg}' not implemented")
 
     u0 = jnp.zeros(shape)
     v0 = jnp.zeros(shape)
-    if thick_cfg in thickness_registry:
+    if thick_cfg.lower() in {k.lower() for k in thickness_registry}:
         if "u" in fields:
             u0 = jnp.asarray(fields["u"])
         if "v" in fields:
@@ -1128,6 +1229,28 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         pf.module("MOM_surface_forcing")
         forces_fn = idealized_hurricane_fn(hcfg, grid)
         forces = forces_fn(jnp.zeros(()))
+    elif sf_cfg.wind_config == "dumbbell":
+        # oscillating reservoir SLP (dumbbell_dynamic_forcing)
+        from mom6_tpu.drivers.surface_forcing import (
+            DumbbellForcingCfg, dumbbell_forcing)
+        pf.module("dumbbell_surface_forcing")
+        db_cfg = DumbbellForcingCfg(
+            slp_amplitude=pf.get("DUMBBELL_SLP_AMP", float, 10000.0,
+                                 units="Pa"),
+            slp_period=pf.get("DUMBBELL_SLP_PERIOD", float, 1.0,
+                              units="days"),
+            s_surf=pf.get("INITIAL_SSS", float, 34.0, units="ppt"),
+            s_range=pf.get("INITIAL_S_RANGE", float, 2.0,
+                           units="ppt"),
+            flux_const=sf_cfg.fluxconst if sf_cfg.restore_sst
+            else 0.0,
+            rho_restore=pf.get("RESTORE_FLUX_RHO", float, rho0,
+                               units="kg m-3"),
+            rotate=pf.get("DUMBBELL_ROTATION", bool, False))
+        pf.module("MOM_surface_forcing")
+        forces_fn, _db_fluxes_fn = dumbbell_forcing(
+            db_cfg, grid, west, lenlon, south, lenlat)
+        forces = forces_fn(jnp.zeros(()))
     else:
         forces = build_wind(sf_cfg, grid, south, lenlat)
 
@@ -1166,6 +1289,30 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                    units="kg m-3"),
                 cp=sf_cfg.cp)
             pf.module("MOM_surface_forcing")
+        elif sf_cfg.buoy_config == "BFB":
+            from mom6_tpu.drivers.surface_forcing import bfb_buoyancy_fn
+            pf.module("BFB_surface_forcing")
+            fluxes_fn = bfb_buoyancy_fn(
+                grid,
+                sst_s=pf.get("SST_S", float, 20.0, units="degC"),
+                sst_n=pf.get("SST_N", float, 10.0, units="degC"),
+                lfr_slat=pf.get("LFR_SLAT", float, 20.0,
+                                units="degrees"),
+                lfr_nlat=pf.get("LFR_NLAT", float, 40.0,
+                                units="degrees"),
+                flux_const=sf_cfg.fluxconst
+                if sf_cfg.restore_sst else 0.0,
+                rho_restore=pf.get("RESTORE_FLUX_RHO", float, rho0,
+                                   units="kg m-3"),
+                cp=sf_cfg.cp)
+            pf.module("MOM_surface_forcing")
+        elif sf_cfg.buoy_config == "dumbbell":
+            # reservoir salinity restoring built together with the SLP
+            # forcing above (dumbbell_buoyancy_forcing)
+            if sf_cfg.wind_config != "dumbbell":
+                raise ValueError("BUOY_CONFIG='dumbbell' requires "
+                                 "WIND_CONFIG='dumbbell'")
+            fluxes_fn = _db_fluxes_fn
         elif sf_cfg.buoy_config.lower() == "file":
             # buoyancy_forcing_from_files (MOM_surface_forcing.F90:860)
             files = {}
@@ -1307,6 +1454,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             use_tidal=int_tide,
             use_lotw_bbl=pf.get("USE_LOTW_BBL_DIFFUSIVITY", bool,
                                 False),
+            use_user_kd=pf.get("USER_CHANGE_DIFFUSIVITY", bool,
+                               False),
+            user_kd=_build_user_kd(pf, p_ref)
+            if pf.get("USER_CHANGE_DIFFUSIVITY", bool, False)
+            else None,
             bbl_effic=pf.get("BBL_EFFIC", float, 0.2),
             ml_radiation=pf.get("ML_RADIATION", bool, False),
             ml_rad_coeff=pf.get("ML_RAD_COEFF", float, 0.2),
@@ -1427,7 +1579,27 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     # ---- file-driven sponge (MOM_sponge / MOM_ALE_sponge init) ----
     pf.module("MOM_sponge")
     sponge_data = None
-    if pf.get("SPONGE", bool, False):
+    if pf.get("SPONGE", bool, False) \
+            and pf.get("SPONGE_CONFIG", str, "file") == "BFB":
+        # analytic south-only sponge: max damping 1/day within 2
+        # degrees of the southern edge, linear rolloff over the next 2
+        # degrees, restoring toward uniform-z interfaces
+        # (BFB_initialize_sponges_southonly,
+        # /root/reference/src/user/BFB_initialization.F90:88-180)
+        latT = np.asarray(grid.geoLatT)
+        max_damp = 1.0 / 86400.0
+        idamp_np = np.where(
+            latT < south + 2.0, max_damp,
+            np.where(latT < south + 4.0,
+                     max_damp * (south + 4.0 - latT) / 2.0, 0.0))
+        idamp = jnp.asarray(idamp_np) * grid.mask2dT
+        d0 = np.concatenate([max_depth * np.arange(nk) / nk,
+                             [max_depth]])
+        d_tgt = jnp.asarray(np.broadcast_to(
+            d0[:, None, None], (nk + 1,) + latT.shape))
+        sponge_data = {"idamp": idamp, "T": None, "S": None,
+                       "eta": d_tgt}
+    elif pf.get("SPONGE", bool, False):
         import os as _os
         from mom6_tpu.framework.io import read_field
         indir = pf.get("INPUTDIR", str, ".")
@@ -1656,6 +1828,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     if pf.get("USE_DOME_TRACER", bool, False):
         tracers.update(ideal_tracers.register_dome_tracers(registry,
                                                            shape))
+    if num_dye > 0:
+        tracers.update(ideal_tracers.register_dyed_obc_tracers(
+            registry, shape, num_dye))
     if pf.get("USE_BOUNDARY_IMPULSE_TRACER", bool, False):
         tracers["boundary_impulse"] = \
             ideal_tracers.register_boundary_impulse(

@@ -22,7 +22,8 @@ import math
 import jax.numpy as jnp
 
 __all__ = ["register_obc_update", "build_obc_update",
-           "kelvin_update", "tidal_bay_update"]
+           "kelvin_update", "tidal_bay_update", "shelfwave_update",
+           "supercritical_update", "dyed_channel_update"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,6 +142,90 @@ def tidal_bay_update(cfg: TidalBayCfg):
     return update
 
 
+@dataclasses.dataclass(frozen=True)
+class ShelfwaveCfg:
+    f0: float = 1e-4        # F_0 [s-1]
+    amp: float = 1.0        # SHELFWAVE_AMPLITUDE [m s-1]
+    Lx: float = 100.0       # SHELFWAVE_X_WAVELENGTH [axis units]
+    Ly: float = 50.0        # SHELFWAVE_Y_LENGTH_SCALE [axis units]
+    jj: float = 1.0         # SHELFWAVE_Y_MODE
+    lenlat: float = 100.0
+    west: float = 0.0
+    south: float = 0.0
+
+
+def shelfwave_update(cfg: ShelfwaveCfg):
+    """Continental-shelf wave entering the western boundary
+    (shelfwave_set_OBC_data,
+    /root/reference/src/user/shelfwave_initialization.F90:137):
+    u_bt = A·e^{−αy}·cos(lx−ωt)·(α·sin(ky) + k·cos(ky)) with the
+    shelf-wave dispersion ω = 2αf l/(k²+α²+l²)."""
+    alpha = 1.0 / cfg.Ly
+    ll = 2.0 * math.pi / cfg.Lx
+    kk = cfg.jj * math.pi / cfg.lenlat
+    omega = 2.0 * alpha * cfg.f0 * ll / (kk * kk + alpha * alpha
+                                         + ll * ll)
+
+    def update(obc, grid, h, t):
+        if not obc.open_w:
+            return obc
+        x = grid.geoLonCu - cfg.west
+        y = grid.geoLatCu - cfg.south
+        cos_wt = jnp.cos(ll * x - omega * t)
+        u = cfg.amp * jnp.exp(-alpha * y) * cos_wt \
+            * (alpha * jnp.sin(kk * y) + kk * jnp.cos(kk * y))
+        return dataclasses.replace(obc, u_w=u)
+    return update
+
+
+def supercritical_update(zonal_flow: float = 8.57):
+    """Constant zonal inflow at the E/W open boundaries
+    (supercritical_set_OBC_data,
+    /root/reference/src/user/supercritical_initialization.F90:24);
+    N/S boundaries get zero barotropic normal flow."""
+    def update(obc, grid, h, t):
+        repl = {}
+        if obc.open_w:
+            repl["u_w"] = jnp.full_like(grid.geoLonCu, zonal_flow)
+        if obc.open_e:
+            repl["u_e"] = jnp.full_like(grid.geoLonCu, zonal_flow)
+        if obc.open_s:
+            repl["v_s"] = jnp.zeros_like(grid.geoLonCv)
+        if obc.open_n:
+            repl["v_n"] = jnp.zeros_like(grid.geoLonCv)
+        return dataclasses.replace(obc, **repl) if repl else obc
+    return update
+
+
+@dataclasses.dataclass(frozen=True)
+class DyedChannelCfg:
+    zonal_flow: float = 8.57   # CHANNEL_MEAN_FLOW [m s-1]
+    tidal_amp: float = 0.0     # CHANNEL_TIDAL_AMP [m s-1]
+    frequency: float = 0.0     # CHANNEL_FLOW_FREQUENCY [s-1]
+
+
+def dyed_channel_update(cfg: DyedChannelCfg):
+    """Long-channel mean + tidal flow through the E/W boundaries
+    (dyed_channel_update_flow,
+    /root/reference/src/user/dyed_channel_initialization.F90:134)."""
+    def update(obc, grid, h, t):
+        flow = cfg.zonal_flow
+        if cfg.frequency != 0.0:
+            flow = flow + cfg.tidal_amp * jnp.cos(
+                2.0 * math.pi * cfg.frequency * t)
+        repl = {}
+        if obc.open_w:
+            repl["u_w"] = flow * jnp.ones_like(grid.geoLonCu)
+        if obc.open_e:
+            repl["u_e"] = flow * jnp.ones_like(grid.geoLonCu)
+        if obc.open_s:
+            repl["v_s"] = jnp.zeros_like(grid.geoLonCv)
+        if obc.open_n:
+            repl["v_n"] = jnp.zeros_like(grid.geoLonCv)
+        return dataclasses.replace(obc, **repl) if repl else obc
+    return update
+
+
 _REGISTRY = {}
 
 
@@ -179,6 +264,31 @@ def build_obc_update(pf, south: float = 0.0, axis_units: str = "k"):
             tide_ssh_amp=pf.get("TIDAL_BAY_SSH_AMP", float, 0.0,
                                 units="m"))
         return tidal_bay_update(cfg)
+    if name == "shelfwave":
+        cfg = ShelfwaveCfg(
+            f0=pf.get("F_0", float, 1e-4, units="s-1"),
+            amp=pf.get("SHELFWAVE_AMPLITUDE", float, 1.0,
+                       units="m s-1"),
+            Lx=pf.get("SHELFWAVE_X_WAVELENGTH", float, 100.0),
+            Ly=pf.get("SHELFWAVE_Y_LENGTH_SCALE", float, 50.0),
+            jj=pf.get("SHELFWAVE_Y_MODE", float, 1.0),
+            lenlat=pf.get("LENLAT", float, 100.0),
+            west=pf.get("WESTLON", float, 0.0),
+            south=south)
+        return shelfwave_update(cfg)
+    if name == "supercritical":
+        return supercritical_update(
+            pf.get("SUPERCRITICAL_ZONAL_FLOW", float, 8.57,
+                   units="m s-1"))
+    if name == "dyed_channel":
+        cfg = DyedChannelCfg(
+            zonal_flow=pf.get("CHANNEL_MEAN_FLOW", float, 8.57,
+                              units="m s-1"),
+            tidal_amp=pf.get("CHANNEL_TIDAL_AMP", float, 0.0,
+                             units="m s-1"),
+            frequency=pf.get("CHANNEL_FLOW_FREQUENCY", float, 0.0,
+                             units="s-1"))
+        return dyed_channel_update(cfg)
     if name in _REGISTRY:
         return _REGISTRY[name](pf)
     raise ValueError(f"Unknown OBC_USER_CONFIG '{name}'")

@@ -472,6 +472,22 @@ class OpenBoundaries:
             new[name] = nr
         return new
 
+    def keep_boundary(self, orig, filled):
+        """Restore the pre-fill values inside the OBC halo bands after
+        a domain halo fill: on non-periodic edges the fill writes
+        zeros there, which would erase the open-boundary face
+        transports and halo thicknesses that the boundary scheme
+        maintains (killing tracer import on inflow)."""
+        m = None
+        for s in (self.strip_w, self.strip_e, self.strip_s,
+                  self.strip_n):
+            if s is not None:
+                m = s if m is None else jnp.maximum(m, s)
+        if m is None:
+            return filled
+        return jax.tree.map(lambda o, f: jnp.where(m > 0, o, f),
+                            orig, filled)
+
     def apply_tracer_reservoirs(self, tracers: dict,
                                 reservoirs: dict) -> dict:
         """Fill the halo cells beyond each open edge with the
@@ -497,11 +513,21 @@ class OpenBoundaries:
         return out
 
 
-def build_open_boundaries(pf, domain: Domain,
-                          indir: str = ".") -> Optional[OpenBoundaries]:
+def build_open_boundaries(pf, domain: Domain, indir: str = ".",
+                          dye_tracers: int = 0
+                          ) -> Optional[OpenBoundaries]:
     segs = parse_segments(pf, indir)
     if not segs:
         return None
+    if dye_tracers:
+        # dyed_channel / dyed_obcs convention: segment m is the unit
+        # source of dye_m, zero for every other dye
+        # (dyed_channel_set_OBC_tracer_data,
+        # /root/reference/src/user/dyed_channel_initialization.F90:84)
+        for m, s in enumerate(segs, 1):
+            for n in range(1, dye_tracers + 1):
+                s.tracer_ext.setdefault(f"dye_{n:02d}",
+                                        1.0 if n == m else 0.0)
     H = domain.halo
     ni, nj = domain.ni, domain.nj
     kw = dict(open_w=False, open_e=False, open_s=False, open_n=False,

@@ -52,6 +52,10 @@ class DiffusivityCfg:
     kappa_shear: KappaShearCfg = KappaShearCfg()
     use_tidal: bool = False       # INT_TIDE_DISSIPATION
     tidal: TidalMixingCfg = TidalMixingCfg()
+    # user-prescribed lat/density band diffusivity
+    # (USER_CHANGE_DIFFUSIVITY, user_change_diffusivity.F90)
+    use_user_kd: bool = False
+    user_kd: Optional["UserKdCfg"] = None
     # bottom-drag TKE mixing by the law of the wall
     # (USE_LOTW_BBL_DIFFUSIVITY, MOM_set_diffusivity.F90
     # add_LOTW_BBL_diffusivity :1399)
@@ -139,6 +143,13 @@ def set_diffusivity(h, cfg: DiffusivityCfg, vgrid=None, u=None, v=None,
         kd = kd.at[1:-1].add(kd_t)
         kd_extra_S = jnp.zeros(shape, h.dtype).at[1:-1].set(
             jnp.maximum(kd_s - kd_t, 0.0))
+
+    if cfg.use_user_kd and cfg.user_kd is not None and T is not None \
+            and eos is not None and lat is not None:
+        from mom6_tpu.param.vertical.user_change_diff import \
+            user_change_diff
+        ku = user_change_diff(cfg.user_kd, h, T, S, eos, lat)
+        kd = kd.at[1:-1].add(ku)
 
     kd = jnp.maximum(kd, cfg.kd_min)
     if cfg.kd_max > 0:

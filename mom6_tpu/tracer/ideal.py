@@ -59,6 +59,21 @@ def register_regional_dye(reg: TracerRegistry, grid, shape,
     return dye * grid.mask2dT
 
 
+def register_dyed_obc_tracers(reg: TracerRegistry, shape,
+                              n_dye: int) -> dict:
+    """dye_01..dye_NN, initially zero; each open-boundary segment
+    supplies a unit concentration of its own dye
+    (dyed_obc_tracer.F90 / dyed_channel_initialization.F90)."""
+    out = {}
+    for m in range(1, n_dye + 1):
+        name = f"dye_{m:02d}"
+        reg.register(TracerMeta(name=name,
+                                longname=f"dyed_obc tracer {m:02d}",
+                                units="nondim"))
+        out[name] = jnp.zeros(shape)
+    return out
+
+
 def register_dome_tracers(reg: TracerRegistry, shape, n_dye: int = 2
                           ) -> dict:
     """DOME-class depth-banded dyes (DOME_tracer.F90 / dome_tracer):

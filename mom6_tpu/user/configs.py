@@ -45,23 +45,38 @@ def topo_seamount(lon, lat, ctx):
 
 
 def topo_dome2d(lon, lat, ctx):
-    """Shelf-ramp-basin overflow profile in y (DOME2d)."""
-    d0, dmin = ctx["max_depth"], max(ctx["min_depth"], 0.05 * ctx["max_depth"])
-    yn = (lat - ctx["south"]) / max(ctx["lenlat"], 1e-30)
-    # shelf (top 1/3 shallow), ramp, deep basin
-    frac_shelf, frac_ramp = 0.3, 0.4
-    ramp = np.clip((yn - (1.0 - frac_shelf - frac_ramp)) / frac_ramp,
-                   0.0, 1.0)
-    return d0 + (dmin - d0) * ramp
+    """2D DOME overflow: shallow bay in the west, linear slope, deep
+    basin in the east (DOME2d_initialize_topography,
+    /root/reference/src/user/DOME2d_initialization.F90:40)."""
+    d0 = ctx["max_depth"]
+    l1 = ctx.get("dome2d_shelf_width", 0.1)
+    l2 = 1.0 - ctx.get("dome2d_basin_width", 0.3)
+    bay = ctx.get("dome2d_shelf_depth", 0.2)
+    x = (lon - ctx["west"]) / max(ctx["lenlon"], 1e-30)
+    ramp = bay * d0 + (1.0 - bay) * d0 * (x - l1) / max(l2 - l1, 1e-30)
+    return np.where(x <= l1, bay * d0,
+                    np.where(x < l2, ramp, d0))
 
 
 def topo_dumbbell(lon, lat, ctx):
-    """Two wide basins connected by a narrow strait in x."""
+    """Two wide reservoirs connected by a narrow strait
+    (dumbbell_initialize_topography, dumbbell_initialization.F90:30):
+    land where |x/dblen| <= 1/4 and |y/lenlat| >= dbfrac/2, with
+    coordinates centered on the domain."""
     d0 = ctx["max_depth"]
-    xn = 2.0 * (lon - ctx["west"]) / max(ctx["lenlon"], 1e-30) - 1.0
-    yn = 2.0 * (lat - ctx["south"]) / max(ctx["lenlat"], 1e-30) - 1.0
-    in_strait = (np.abs(xn) < 0.25) & (np.abs(yn) > 0.25)
-    return np.where(in_strait, 0.0, d0)
+    dblen = ctx.get("dumbbell_len", 600.0)
+    dbfrac = ctx.get("dumbbell_fraction", 0.5)
+    rotate = ctx.get("dumbbell_rotation", False)
+    xc = ctx["west"] + 0.5 * ctx["lenlon"]
+    yc = ctx["south"] + 0.5 * ctx["lenlat"]
+    if rotate:
+        x = (lat - yc) / max(dblen, 1e-30)
+        y = (lon - xc) / max(ctx["lenlon"], 1e-30)
+    else:
+        x = (lon - xc) / max(dblen, 1e-30)
+        y = (lat - yc) / max(ctx["lenlat"], 1e-30)
+    land = (np.abs(x) <= 0.25) & (np.abs(y) >= 0.5 * dbfrac)
+    return np.where(land, 0.0, d0)
 
 
 def topo_benchmark(lon, lat, ctx):
@@ -127,25 +142,62 @@ def topo_dense_water(lon, lat, ctx):
     return shelf + (H - shelf) * np.clip((yn - 0.3) / 0.4, 0.0, 1.0)
 
 
+def _spike(x, L):
+    """sin-spike: 1 at x=0 falling to 0 at |x|=L
+    (Neverworld_initialization.F90:96)."""
+    xn = np.minimum(np.abs(x) / L, 1.0)
+    return (1.0 - np.sin(0.5 * np.pi * xn))
+
+
+def _cosbell(x, L):
+    """Cosine bell of unit height and half-width L
+    (Neverworld_initialization.F90:86)."""
+    xn = np.minimum(np.abs(x) / L, 1.0)
+    return 0.5 * (1.0 + np.cos(np.pi * xn))
+
+
 def topo_neverworld(lon, lat, ctx):
-    """Neverworld-style basin: flat abyss with coastal shelves along
-    west/east walls and a mid-basin meridional ridge
-    (Neverworld_initialization.F90 / basin_builder.F90 essence)."""
+    """Neverworld2 topography: northern wall + Antarctica spikes,
+    idealized South America / Africa / Antarctic Peninsula continents,
+    Drake Passage ridge, Scotia Arc bells, and wavy roughness
+    (Neverworld_initialize_topography,
+    /root/reference/src/user/Neverworld_initialization.F90:34-84)."""
     H = ctx["max_depth"]
-    west, lenlon = ctx["west"], ctx["lenlon"]
-    south, lenlat = ctx["south"], ctx["lenlat"]
-    xn = np.clip((lon - west) / max(lenlon, 1e-30), 0.0, 1.0)
-    yn = np.clip((lat - south) / max(lenlat, 1e-30), 0.0, 1.0)
-    d = np.full_like(lon, H, dtype=np.float64)
-    # coastal shelves (cosine ramps over 10% of the basin width)
-    shelf = 0.125 * H
-    for edge in (xn, 1.0 - xn, yn, 1.0 - yn):
-        ramp = np.clip(edge / 0.1, 0.0, 1.0)
-        d = np.minimum(d, shelf + (H - shelf)
-                       * 0.5 * (1.0 - np.cos(np.pi * ramp)))
-    # mid-basin Gaussian ridge up to 0.5H
-    ridge = 0.5 * H * np.exp(-((xn - 0.5) / 0.05) ** 2)
-    return np.maximum(d - ridge, ctx.get("min_depth", 10.0))
+    amp = ctx.get("nl_continent_amp", 1.0)
+    rough = ctx.get("nl_roughness_amp", 0.05)
+    x = (lon - ctx["west"]) / max(ctx["lenlon"], 1e-30)
+    y = (lat - ctx["south"]) / max(ctx["lenlat"], 1e-30)
+    d = (1.0 - 1.1 * _spike(y - 1.0, 0.12) - 1.1 * _spike(y, 0.12)
+         - amp * (
+             (1.2 * _spike(x, 0.2) + 1.2 * _spike(x - 1.0, 0.2))
+             * _spike(np.minimum(0.0, y - 0.3), 0.2)       # S. America
+             + 1.2 * _spike(x - 0.5, 0.2)
+             * _spike(np.minimum(0.0, y - 0.55), 0.2)      # Africa
+             + 1.2 * (_spike(x, 0.12) + _spike(x - 1.0, 0.12))
+             * _spike(np.maximum(0.0, y - 0.06), 0.12)     # Peninsula
+             + 0.1 * (_cosbell(x, 0.1) + _cosbell(x - 1.0, 0.1))
+             + 0.5 * _cosbell(x - 0.16, 0.05)
+             * _cosbell(y - 0.18, 0.13) ** 0.4
+             + 0.4 * _cosbell(x - 0.09, 0.08) ** 0.4
+             * _cosbell(y - 0.26, 0.05)
+             + 0.4 * _cosbell(x - 0.08, 0.08) ** 0.4
+             * _cosbell(y - 0.1, 0.05))
+         - rough * np.cos(14 * np.pi * x) * np.sin(14 * np.pi * y)
+         - rough * np.cos(20 * np.pi * x) * np.cos(20 * np.pi * y))
+    # limit_topography clips to MAXIMUM_DEPTH after the user config
+    # (MOM_shared_initialization.F90)
+    return np.minimum(np.maximum(d, 0.0), 1.0) * H
+
+
+def topo_shelfwave(lon, lat, ctx):
+    """Exponential cross-shore shelf: D = H0·exp(2y/Ly)
+    (shelfwave_initialize_topography,
+    /root/reference/src/user/shelfwave_initialization.F90:105)."""
+    H0 = max(ctx["min_depth"], 10.0)
+    Ly = ctx.get("shelfwave_y_length_scale", 50.0)
+    y = lat - ctx["south"]
+    return np.minimum(H0 * np.exp(2.0 * y / max(Ly, 1e-30)),
+                      ctx["max_depth"])
 
 
 topo_registry = {
@@ -158,6 +210,7 @@ topo_registry = {
     "isomip": topo_isomip,
     "dense_water": topo_dense_water,
     "neverworld": topo_neverworld,
+    "shelfwave": topo_shelfwave,
 }
 
 
@@ -528,6 +581,232 @@ def init_soliton(ctx):
                 u=jnp.asarray(u) * np.asarray(grid.mask2dCu),
                 v=jnp.asarray(v) * np.asarray(grid.mask2dCv))
 
+def _stack_interfaces(e0, depth, floor):
+    """Clip nominal interface heights e0 (nk, up-positive) by the
+    local bathymetry with a minimum layer thickness ``floor`` —
+    vectorized version of the reference's ubiquitous
+    ``eta1D(k) < eta1D(k+1) + Angstrom`` stacking loop."""
+    nk = e0.shape[0]
+    eta = np.empty((nk + 1,) + depth.shape)
+    eta[nk] = -depth
+    h = np.empty((nk,) + depth.shape)
+    for k in range(nk - 1, -1, -1):
+        ek = np.maximum(e0[k] * np.ones_like(depth),
+                        eta[k + 1] + floor)
+        h[k] = ek - eta[k + 1]
+        eta[k] = ek
+    return h
+
+
+def init_dome2d(ctx):
+    """DOME2d thickness + T/S (DOME2d_initialize_thickness /
+    _temperature_salinity, DOME2d_initialization.F90:96-360):
+    uniform-z interfaces (vanished over the bay in layer/rho mode),
+    linear salinity stratification, with the western bay filled with
+    salty cold water whose extent depends on the coordinate mode."""
+    grid, vgrid = ctx["grid"], ctx["vgrid"]
+    nk = vgrid.nk
+    H0 = ctx["max_depth"]
+    mode = ctx.get("coord_mode", "LAYER").upper()
+    min_th = ctx.get("min_thickness", 1.0e-3)
+    wbay = ctx.get("dome2d_shelf_width", 0.1)
+    dbay = ctx.get("dome2d_depth_bay", ctx.get("dome2d_shelf_depth",
+                                               0.2))
+    depth = np.asarray(grid.bathyT)
+    lonT = np.asarray(grid.geoLonT)
+    x = (lonT - ctx["west"]) / max(ctx["lenlon"], 1e-30)
+    e0 = -H0 * np.arange(nk) / nk
+    ang = vgrid.angstrom
+
+    if mode in ("LAYER", "RHO"):
+        h = _stack_interfaces(e0, depth, ang)
+        in_bay = (x <= wbay)
+        h[:-1] = np.where(in_bay[None], ang, h[:-1])
+        h[-1] = np.where(in_bay, dbay * H0 - (nk - 1) * ang, h[-1])
+    elif mode == "SIGMA":
+        h = np.broadcast_to(depth / nk, (nk,) + depth.shape).copy()
+    else:                                   # ZSTAR
+        h = _stack_interfaces(e0, depth, min_th)
+
+    out = dict(h=jnp.asarray(h))
+    if ctx.get("thermo", False):
+        s_surf = ctx.get("initial_sss", 34.0)
+        s_range = ctx.get("s_range", 2.0)
+        s_ref = ctx.get("s_ref", 35.0)
+        t_bay = ctx.get("dome2d_t_bay", 1.0)
+        # fractional depth at layer centers from the actual h
+        xi1 = np.cumsum(h, axis=0) / H0
+        xi0 = xi1 - h / H0
+        T = np.zeros_like(h)
+        if mode in ("ZSTAR", "SIGMA"):
+            S = s_surf + 0.5 * s_range * (xi0 + xi1)
+            if mode == "ZSTAR":
+                kbay = int(round(dbay * nk))
+                in_bay3 = (x <= wbay)[None] \
+                    & (np.arange(nk) < kbay)[:, None, None]
+            else:
+                in_bay3 = np.broadcast_to((x <= wbay)[None], h.shape)
+            S = np.where(in_bay3, s_ref + s_range, S)
+            T = np.where(in_bay3, t_bay, T)
+        else:                               # RHO / LAYER
+            if mode == "RHO":
+                S = s_surf + 0.5 * s_range * (xi0 + xi1)
+            else:
+                S = (s_ref + s_range * np.arange(nk) / max(nk - 1, 1)
+                     )[:, None, None] * np.ones_like(h)
+            S[-1] = np.where(x <= wbay, s_surf + s_range, S[-1])
+            T[-1] = np.where(x <= wbay, t_bay, T[-1])
+        out["T"] = jnp.asarray(T)
+        out["S"] = jnp.asarray(S)
+    return out
+
+
+def init_dumbbell(ctx):
+    """Dumbbell thickness + T/S (dumbbell_initialize_thickness /
+    _temperature_salinity, dumbbell_initialization.F90:94-330):
+    salinity S_surf ± S_range/2 on the two sides of the strait, with
+    mode-dependent initial interfaces."""
+    grid, vgrid = ctx["grid"], ctx["vgrid"]
+    nk = vgrid.nk
+    H0 = ctx["max_depth"]
+    mode = ctx.get("coord_mode", "LAYER").upper()
+    min_th = ctx.get("min_thickness", 1.0e-3)
+    dblen = ctx.get("dumbbell_len", 600.0)
+    rotate = ctx.get("dumbbell_rotation", False)
+    depth = np.asarray(grid.bathyT)
+    coord = np.asarray(grid.geoLatT if rotate else grid.geoLonT)
+    center = (ctx["south"] + 0.5 * ctx["lenlat"]) if rotate \
+        else (ctx["west"] + 0.5 * ctx["lenlon"])
+    x = (coord - center) / max(dblen, 1e-30)
+    ang = vgrid.angstrom
+
+    if mode == "LAYER":
+        # left side: layers piled at the bottom; right side: at the top
+        h = np.empty((nk,) + depth.shape)
+        rest = np.maximum(depth - (nk - 1) * min_th, min_th)
+        for k in range(nk):
+            left = rest if k == 0 else min_th
+            right = rest if k == nk - 1 else min_th
+            h[k] = np.where(x < 0.0, left, right)
+    elif mode in ("RHO", "HYCOM1"):
+        s_surf = ctx.get("initial_sss", 34.0)
+        s_range = ctx.get("s_range", 2.0)
+        s_light = ctx.get("ts_range_s_light", ctx.get("s_ref", 35.0))
+        s_dense = ctx.get("ts_range_s_dense", ctx.get("s_ref", 35.0))
+        quanta = ctx.get("interface_ic_quanta", 2048.0)
+        Kk = np.arange(nk + 1, dtype=np.float64)
+        e0 = -H0 * ((s_light - s_surf) + (s_dense - s_light)
+                    * ((Kk + 1.0 - 1.5) / max(nk - 1, 1))) \
+            / max(s_range, 1e-30)
+        if quanta > 0.0:
+            e0 = np.rint(quanta * e0) / quanta
+        e0 = np.minimum(-Kk * ang, e0)
+        e0 = np.maximum(-H0, e0)
+        h = _stack_interfaces(e0[:nk], depth, ang)
+    elif mode == "SIGMA":
+        h = np.broadcast_to(depth / nk, (nk,) + depth.shape).copy()
+    else:                                   # ZSTAR
+        e0 = -H0 * np.arange(nk) / nk
+        h = _stack_interfaces(e0, depth, min_th)
+
+    out = dict(h=jnp.asarray(h))
+    if ctx.get("thermo", False):
+        t_surf = ctx.get("dumbbell_t_surf", 20.0)
+        s_surf = ctx.get("dumbbell_sref", 34.0)
+        s_range = ctx.get("dumbbell_s_range", 2.0)
+        T = np.full_like(h, t_surf)
+        S = np.where((x >= 0.0)[None], s_surf + 0.5 * s_range,
+                     s_surf - 0.5 * s_range) * np.ones_like(h)
+        out["T"] = jnp.asarray(T)
+        out["S"] = jnp.asarray(S)
+    return out
+
+
+def init_neverworld(ctx):
+    """Neverworld thicknesses (Neverworld_initialize_thickness,
+    Neverworld_initialization.F90:242): prescribed resting profile
+    stacked up from the bottom, with optional sech-spike interface
+    perturbations."""
+    grid, vgrid = ctx["grid"], ctx["vgrid"]
+    nk = vgrid.nk
+    profile = ctx.get("init_thickness_profile")
+    if profile is None:
+        profile = [ctx["max_depth"] / nk] * nk
+    profile = np.asarray(profile, np.float64)
+    if profile.size != nk:
+        raise ValueError("INIT_THICKNESS_PROFILE must have NK entries")
+    pert = ctx.get("nl_thickness_pert_amp", 0.0)
+    depth = np.asarray(grid.bathyT)
+    x = (np.asarray(grid.geoLonT) - ctx["west"]) \
+        / max(ctx["lenlon"], 1e-30)
+    y = (np.asarray(grid.geoLatT) - ctx["south"]) \
+        / max(ctx["lenlat"], 1e-30)
+    r1 = np.sqrt((x - 0.7) ** 2 + (y - 0.2) ** 2)
+    r2 = np.sqrt((x - 0.3) ** 2 + (y - 0.25) ** 2)
+    dspike = _spike(r1, 0.15) - _spike(r2, 0.15)
+    e0 = np.concatenate([[0.0], -np.cumsum(profile)])
+    ang = vgrid.angstrom
+    h = np.empty((nk,) + depth.shape)
+    e_int = -depth
+    for k in range(nk - 1, 0, -1):
+        hk = e0[k] - e_int
+        hk = hk + pert * (e0[k] - e0[nk]) * dspike
+        hk = np.maximum(ang, hk)
+        h[k] = hk
+        e_int = e_int + hk
+    h[0] = np.maximum(ang, e0[0] - e_int)
+    return dict(h=jnp.asarray(h))
+
+
+def isomip_ts(ctx, h):
+    """ISOMIP linear T/S profiles between surface and bottom values
+    (ISOMIP_initialize_temperature_salinity,
+    /root/reference/src/user/ISOMIP_initialization.F90:264, the
+    ZSTAR/SIGMA/RHO branch: values at layer-center depths measured
+    from the local bottom)."""
+    H0 = ctx["max_depth"]
+    t_sur = ctx.get("isomip_t_sur", -1.9)
+    s_sur = ctx.get("isomip_s_sur", 33.8)
+    t_bot = ctx.get("isomip_t_bot", -1.9)
+    s_bot = ctx.get("isomip_s_bot", 34.55)
+    hn = np.asarray(h)
+    depth_tot = hn.sum(axis=0)
+    # xi0 = height of layer center above the bottom minus depth_tot
+    zc_from_bot = np.cumsum(hn[::-1], axis=0)[::-1] - 0.5 * hn
+    xi0 = -depth_tot + zc_from_bot
+    dS_dz = (s_sur - s_bot) / H0
+    dT_dz = (t_sur - t_bot) / H0
+    return (jnp.asarray(t_sur + dT_dz * xi0),
+            jnp.asarray(s_sur + dS_dz * xi0))
+
+
+def baroclinic_zone_ts(ctx, h):
+    """Idealized baroclinic zone T/S
+    (baroclinic_zone_init_temperature_salinity,
+    /root/reference/src/user/baroclinic_zone_initialization.F90:82):
+    linear vertical/zonal gradients plus a smooth sin front of width
+    L_zone across the channel in x."""
+    grid = ctx["grid"]
+    t_ref, dtdz = ctx.get("t_ref", 10.0), ctx.get("bcz_dtdz", 0.0)
+    delta_t, dtdx = ctx.get("bcz_delta_t", 0.0), ctx.get("bcz_dtdx",
+                                                         0.0)
+    s_ref, dsdz = ctx.get("s_ref", 35.0), ctx.get("bcz_dsdz", 0.0)
+    delta_s, dsdx = ctx.get("bcz_delta_s", 0.0), ctx.get("bcz_dsdx",
+                                                         0.0)
+    L_zone = ctx.get("bcz_l_zone", 0.5 * ctx["lenlat"])
+    hn = np.asarray(h)
+    depth_tot = hn.sum(axis=0)
+    zc = -depth_tot + np.cumsum(hn[::-1], axis=0)[::-1] - 0.5 * hn
+    xx = np.asarray(grid.geoLonT) - (ctx["west"] + 0.5 * ctx["lenlon"])
+    if L_zone != 0.0:
+        fn = np.sin(0.5 * np.pi * np.clip(xx / L_zone, -1.0, 1.0))
+    else:
+        fn = np.sign(xx)
+    T = t_ref + dtdz * zc + (dtdx * xx + delta_t * fn)[None]
+    S = s_ref + dsdz * zc + (dsdx * xx + delta_s * fn)[None]
+    return jnp.asarray(T), jnp.asarray(S)
+
+
 thickness_registry = {
     "phillips": init_phillips,
     "sloshing": init_sloshing,
@@ -540,6 +819,9 @@ thickness_registry = {
     "dome": init_dome,
     "dense_water": init_dense_water,
     "soliton": init_soliton,
+    "DOME2D": init_dome2d,
+    "dumbbell": init_dumbbell,
+    "Neverworld": init_neverworld,
 }
 
 

@@ -40,26 +40,34 @@ def test_seamount_topography():
 
 
 def test_dome2d_ramp():
-    ctx = dict(max_depth=1000.0, min_depth=100.0, lenlon=100.0,
+    """Shallow bay in the west, ramp, deep basin in the east
+    (DOME2d_initialize_topography)."""
+    ctx = dict(max_depth=1000.0, min_depth=0.0, lenlon=100.0,
                lenlat=100.0, west=0.0, south=0.0)
-    lat = np.linspace(0, 100, 11)[None, :].T * np.ones((11, 3))
-    lon = np.zeros_like(lat)
+    lon = np.linspace(0, 100, 101)[None, :] * np.ones((3, 101))
+    lat = np.zeros_like(lon)
     dep = topo_dome2d(lon, lat, ctx)
-    assert dep[0, 0] == 1000.0          # deep basin at south
-    assert dep[-1, 0] == pytest.approx(100.0)   # shelf at north
-    assert np.all(np.diff(dep[:, 0]) <= 1e-9)
+    assert dep[0, 0] == pytest.approx(200.0)    # 0.2*H bay shelf
+    assert dep[0, -1] == 1000.0                 # deep basin at east
+    assert np.all(np.diff(dep[0]) >= -1e-9)     # monotone ramp
+    # ramp midpoint: x=0.4 → 200 + 800*(0.4-0.1)/0.6 = 600
+    assert dep[0, 40] == pytest.approx(600.0)
 
 
 def test_dumbbell_strait():
+    """Land blocks beside the strait, reservoirs open
+    (dumbbell_initialize_topography with DUMBBELL_LEN = domain)."""
     ctx = dict(max_depth=1000.0, min_depth=0.0, lenlon=100.0,
-               lenlat=100.0, west=0.0, south=0.0)
+               lenlat=100.0, west=0.0, south=0.0, dumbbell_len=100.0)
     lon, lat = np.meshgrid(np.linspace(0, 100, 21),
                            np.linspace(0, 100, 21))
     dep = topo_dumbbell(lon, lat, ctx)
-    # center strait open, off-strait blocked at mid-x
+    # center strait open; mid-x off-axis blocked; reservoirs open
     assert dep[10, 10] == 1000.0
     assert dep[0, 10] == 0.0
+    assert dep[20, 10] == 0.0
     assert dep[10, 0] == 1000.0
+    assert dep[0, 0] == 1000.0
 
 
 def test_phillips_balanced_state():
