@@ -221,6 +221,15 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                                       {"T": sd["T"], "S": sd["S"]},
                                       ref_h=sd.get("ref_h"))
                 state = state.replace(T=damped["T"], S=damped["S"])
+            if sd.get("uv"):
+                # SPONGE_UV: damp the velocities toward rest with the
+                # same rates (set_up_ALE_sponge_vel_field of
+                # RGC_initialize_sponges; targets are zero)
+                idu = 0.5 * (sd["idamp"] + _ip1_(sd["idamp"]))
+                idv = 0.5 * (sd["idamp"] + _jp1_(sd["idamp"]))
+                state = state.replace(
+                    u=state.u / (1.0 + dt * idu)[None],
+                    v=state.v / (1.0 + dt * idv)[None])
         # per-tracer column physics (call_tracer_column_fns,
         # MOM_tracer_flow_control.F90)
         if tracer_registry is not None and tracers:

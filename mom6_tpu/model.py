@@ -425,7 +425,14 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         user_ctx["dumbbell_rotation"] = pf.get("DUMBBELL_ROTATION",
                                                bool, False)
     topo_lut = {k.lower(): v for k, v in topo_registry.items()}
-    if topo_config.lower() in topo_lut:
+    if topo_config == "basin_builder":
+        from mom6_tpu.user.basin_builder import basin_builder_topography
+        pf.module("basin_builder")
+
+        def depth_fn(lon, lat, _pf=pf, _H=max_depth):
+            return basin_builder_topography(lon, lat, _pf, _H)
+        pf.module("MOM_grid_init")
+    elif topo_config.lower() in topo_lut:
         _user_topo = topo_lut[topo_config.lower()]
 
         def depth_fn(lon, lat, _fn=_user_topo):
@@ -1599,6 +1606,43 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             d0[:, None, None], (nk + 1,) + latT.shape))
         sponge_data = {"idamp": idamp, "T": None, "S": None,
                        "eta": d_tgt}
+    elif pf.get("SPONGE", bool, False) \
+            and pf.get("SPONGE_CONFIG", str, "file") == "RGC":
+        # rotating-gravity-current sponge (RGC_initialize_sponges,
+        # /root/reference/src/user/RGC_initialization.F90:40): analytic
+        # Idamp ramp over the eastern LENSPONGE strip, T/S targets on
+        # the file's own thickness grid, optional u/v damping to rest
+        import os as _os
+        from mom6_tpu.framework.io import read_field
+        tnudg = pf.get("RGC_TNUDG", float, 0.0, units="days") * 86400.0
+        lensponge = pf.get("LENSPONGE", float, 10.0)
+        sponge_uv = pf.get("SPONGE_UV", bool, False)
+        sfile = _os.path.join(pf.get("INPUTDIR", str, "."),
+                              pf.get("RGC_SPONGE_FILE", str))
+        tvar = pf.get("SPONGE_PTEMP_VAR", str, "Temp")
+        svar = pf.get("SPONGE_SALT_VAR", str, "Salt")
+        hvar = pf.get("SPONGE_H_VAR", str, "h")
+
+        def _load3(var):
+            a = np.asarray(read_field(sfile, var), np.float64)
+            if a.ndim == 4:
+                a = a[0]
+            H_ = domain.halo
+            return np.pad(a, ((0, 0), (H_, H_), (H_, H_)),
+                          mode="edge")
+
+        lonT = np.asarray(grid.geoLonT)
+        ramp = np.clip((lonT - (lenlon - lensponge))
+                       / max(lensponge, 1e-30), 0.0, 1.0)
+        rate = 1.0 / max(tnudg, 1e-30)
+        idamp = jnp.asarray(np.where(lonT >= lenlon - lensponge,
+                                     rate * ramp, 0.0)) * grid.mask2dT
+        sponge_data = {"idamp": idamp,
+                       "T": jnp.asarray(_load3(tvar)),
+                       "S": jnp.asarray(_load3(svar)),
+                       "ref_h": jnp.asarray(_load3(hvar))}
+        if sponge_uv:
+            sponge_data["uv"] = True
     elif pf.get("SPONGE", bool, False):
         import os as _os
         from mom6_tpu.framework.io import read_field
