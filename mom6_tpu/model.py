@@ -568,11 +568,20 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     obc_update_fn = None
     if obc is not None:
         grid = open_grid_masks(grid, obc)
+        # time-interpolated file segment data (update_OBC_segment_data)
+        from mom6_tpu.obc.open_boundary import build_obc_data_interp
+        data_fn = build_obc_data_interp(
+            pf, domain, obc, indir=pf.get("INPUTDIR", str, "."))
         # time-dependent user boundary updates (MOM_boundary_update)
         pf.module("MOM_boundary_update")
         from mom6_tpu.obc.boundary_update import build_obc_update
-        obc_update_fn = build_obc_update(pf, south=south,
-                                         axis_units=axis_units)
+        user_fn = build_obc_update(pf, south=south,
+                                   axis_units=axis_units)
+        if data_fn is not None and user_fn is not None:
+            def obc_update_fn(ob, g, h, t, _d=data_fn, _u=user_fn):
+                return _u(_d(ob, g, h, t), g, h, t)
+        else:
+            obc_update_fn = data_fn or user_fn
 
     pf.module("MOM_verticalGrid")
     nk = pf.get("NK", int, 1, units="nondim", desc="number of layers")

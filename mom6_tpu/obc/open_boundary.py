@@ -15,7 +15,8 @@ through halo extension along open edges.
 The current build supports whole-edge and partial (sub-edge strip)
 segments on any of the four domain edges with FLATHER / ORLANSKI /
 GRADIENT schemes, constant (``U=value:…``) or file-profile
-(``U=file:name.nc(var)``, static first record) external data, tracer
+(``U=file:name.nc(var)``, time-interpolated inside the jitted step
+when the file has multiple records) external data, tracer
 reservoirs with both in/out relaxation length scales, and decomposed
 layouts: the per-edge 2D ownership masks make every edge operator an
 identity on shards that do not own the boundary, so the same program
@@ -30,11 +31,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mom6_tpu.parallel.domain import Domain
 
 __all__ = ["Segment", "OpenBoundaries", "parse_segments",
-           "build_open_boundaries", "open_grid_masks", "blockify_obc"]
+           "build_open_boundaries", "build_obc_data_interp",
+           "open_grid_masks", "blockify_obc"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +58,9 @@ class Segment:
     lo: int | None = None     # perpendicular global range [lo, hi);
     hi: int | None = None     # None = the whole edge
     tracer_ext: dict | None = None   # external tracer values by name
+    # time-varying file data: key ('U'|'V'|'SSH') →
+    # (series (nt[,len]), times_s, period_s); None when all static
+    data_series: dict | None = None
 
 
 def _load_segment_var(indir: str, fname: str, var: str):
@@ -75,12 +81,42 @@ def _load_segment_var(indir: str, fname: str, var: str):
     return float(arr) if arr.ndim == 0 else arr
 
 
+def _load_segment_series(indir: str, fname: str, var: str):
+    """Read a segment-data variable keeping its time axis: returns
+    (series, times_s, period_s) with series shaped (nt,) for scalars
+    or (nt, edge_len) for profiles, depth-averaged like the static
+    loader (per-segment external data via time_interp,
+    MOM_open_boundary.F90:119-146)."""
+    import os
+    import numpy as np
+    from scipy.io import netcdf_file
+    from mom6_tpu.framework.interp_external import _find_time
+    with netcdf_file(os.path.join(indir, fname), "r",
+                     mmap=False) as nc:
+        v = nc.variables[var]
+        taxis, times, period = _find_time(nc, v)
+        arr = np.array(v[:], dtype=np.float64)
+    if taxis is None:
+        arr, times = arr[None], np.zeros(1)
+    elif taxis != 0:
+        arr = np.moveaxis(arr, taxis, 0)
+    # drop singleton cross-segment axes, then depth-average whatever
+    # vertical axis remains (the static loader's arr.mean(axis=0))
+    arr = arr.reshape((arr.shape[0],)
+                      + tuple(n for n in arr.shape[1:] if n != 1))
+    while arr.ndim > 2:
+        arr = arr.mean(axis=1)
+    return arr, times, period
+
+
 def parse_segments(pf, indir: str = ".") -> list[Segment]:
     """Read OBC_NUMBER_OF_SEGMENTS + OBC_SEGMENT_%03d (+_DATA).
 
     _DATA entries support ``KEY=value:const`` and
-    ``KEY=file:name.nc(var)`` (static first-record profiles along the
-    segment)."""
+    ``KEY=file:name.nc(var)``: the first record becomes the static
+    edge value; files with multiple records also fill
+    ``Segment.data_series`` for time interpolation inside the step
+    (see build_obc_data_interp)."""
     n = pf.get("OBC_NUMBER_OF_SEGMENTS", int, 0)
     segs = []
     for i in range(1, n + 1):
@@ -111,6 +147,7 @@ def parse_segments(pf, indir: str = ".") -> list[Segment]:
         data = pf.get(f"OBC_SEGMENT_{i:03d}_DATA", str, "")
         vals = {"U": 0.0, "V": 0.0, "SSH": 0.0}
         tracer_ext = {}
+        data_series = {}
         for part in data.split(","):
             dm = re.match(r'\s*(\w+)=value:([-0-9.eE+]+)', part)
             fm = re.match(r'\s*(\w+)=file:([^(]+)\((\w+)\)', part)
@@ -118,7 +155,12 @@ def parse_segments(pf, indir: str = ".") -> list[Segment]:
                 key, v = dm.group(1), float(dm.group(2))
             elif fm:
                 key = fm.group(1)
-                v = _load_segment_var(indir, fm.group(2), fm.group(3))
+                series, times, period = _load_segment_series(
+                    indir, fm.group(2), fm.group(3))
+                v0 = series[0]
+                v = float(v0) if np.ndim(v0) == 0 else v0
+                if series.shape[0] > 1 and key in vals:
+                    data_series[key] = (series, times, period)
             else:
                 continue
             if key in vals:
@@ -145,8 +187,84 @@ def parse_segments(pf, indir: str = ".") -> list[Segment]:
                             tau_out=tau_out,
                             u_ext=vals["U"], v_ext=vals["V"],
                             ssh_ext=vals["SSH"], lo=lo, hi=hi,
-                            tracer_ext=tracer_ext))
+                            tracer_ext=tracer_ext,
+                            data_series=data_series or None))
     return segs
+
+
+def build_obc_data_interp(pf, domain: Domain, obc: "OpenBoundaries",
+                          indir: str = "."):
+    """Time-interpolated OBC segment data (the reference's
+    per-segment external data via time_interp,
+    MOM_open_boundary.F90:119-146 / update_OBC_segment_data): when any
+    ``KEY=file:...`` segment datum has multiple time records, returns
+    ``fn(obc, grid, h, t) -> obc`` that replaces the affected
+    ssh_*/u_*/v_* edge fields with values linearly interpolated to the
+    traced model time.  Returns None when all segment data are static.
+
+    TPU framing: every time level is painted onto the edge's 2D field
+    at build time; inside jit the interpolation is a searchsorted +
+    two gathers on the stacked (nt, njh, nih) array (the
+    interp_external pattern), so time-varying boundaries never
+    retrace."""
+    segs = parse_segments(pf, indir)
+    if not any(s.data_series for s in segs):
+        return None
+    from mom6_tpu.framework.interp_external import ExternalField
+    H = domain.halo
+    ni, nj = domain.ni, domain.nj
+    extent = {"W": nj, "E": nj, "S": ni, "N": ni}
+    field_of = {("W", "U"): "u_w", ("E", "U"): "u_e",
+                ("S", "V"): "v_s", ("N", "V"): "v_n",
+                ("W", "SSH"): "ssh_w", ("E", "SSH"): "ssh_e",
+                ("S", "SSH"): "ssh_s", ("N", "SSH"): "ssh_n"}
+    stacks = {}   # field -> (np stack (nt,njh,nih), times, period)
+    for s in segs:
+        for key, (series, times, period) in (s.data_series
+                                             or {}).items():
+            fname = field_of.get((s.direction, key))
+            if fname is None:
+                continue
+            base = getattr(obc, fname)
+            base2d = np.asarray(base) * np.ones((nj + 2 * H,
+                                                 ni + 2 * H))
+            n = extent[s.direction]
+            lo = 0 if s.lo is None else max(0, s.lo)
+            hi = n if s.hi is None else min(n, s.hi)
+            whole = s.lo is None and s.hi is None
+            plo, phi = (0, n + 2 * H) if whole else (H + lo, H + hi)
+            nt = series.shape[0]
+            if fname in stacks:
+                stack, t_prev, p_prev = stacks[fname]
+                if stack.shape[0] != nt \
+                        or not np.array_equal(t_prev, times):
+                    raise ValueError(
+                        f"OBC segment data for {fname}: segments on "
+                        "the same edge must share one time axis")
+            else:
+                stack = np.repeat(base2d[None], nt, axis=0)
+            vals = series if series.ndim == 2 \
+                else np.repeat(series[:, None], phi - plo, axis=1)
+            if vals.shape[1] == n:           # full-edge profile
+                vals = vals[:, lo:hi] if not whole \
+                    else np.pad(vals, ((0, 0), (H, H)), mode="edge")
+            elif vals.shape[1] != phi - plo:
+                raise ValueError(
+                    f"{fname}: segment data profile length "
+                    f"{vals.shape[1]} matches neither the segment "
+                    f"extent {phi - plo} nor the edge length {n}")
+            if s.direction in ("W", "E"):
+                stack[:, plo:phi, :] = vals[:, :, None]
+            else:
+                stack[:, :, plo:phi] = vals[:, None, :]
+            stacks[fname] = (stack, times, period)
+    efs = {f: ExternalField(jnp.asarray(st), times=t, period=p)
+           for f, (st, t, p) in stacks.items()}
+
+    def update(obc, grid, h, t):
+        return dataclasses.replace(
+            obc, **{f: ef.at(t) for f, ef in efs.items()})
+    return update
 
 
 @jax.tree_util.register_dataclass
