@@ -141,6 +141,14 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
     # U_TRUNC_FILE-style truncation dumps (MOM_PointAccel.F90)
     u_trunc_file = pf.get("U_TRUNC_FILE", str, "")
+    # CPU-time budgeting (MOM_write_cputime.F90:44-108): record the
+    # cumulative CPU time per stats interval to CPU_TIME_FILE and end
+    # the run early if the projected next interval would exceed MAXCPU
+    pf.module("MOM_write_cputime")
+    maxcpu = pf.get("MAXCPU", float, -1.0, units="wall-clock seconds",
+                    desc="stop before exceeding this cpu budget; "
+                    "<0 disables")
+    cpu_file = pf.get("CPU_TIME_FILE", str, "CPU_stats")
     pf.module("MOM_restart")
     restint = pf.get("RESTINT", float, 0.0, units="days")
     unused = pf.close(fatal_unused=False)
@@ -188,7 +196,28 @@ def main(argv=None):
     mass0 = None
     off_records, off_last = [], None
     wall0 = time.perf_counter()
+    cpu_path = os.path.join(args.case_dir, cpu_file)
+    with open(cpu_path, "w") as f:
+        f.write("# step, day, cpu_total[s], cpu_per_interval[s]\n")
+    cpu_prev = 0.0
+    stopped_on_cpu = False
     for n in range(step0, step0 + nsteps + 1):
+        if n % stats_every == 0 and n > step0:
+            # write_cputime: log the interval's cpu cost and project
+            # whether another interval fits in the MAXCPU budget
+            cpu_now = time.process_time()
+            with open(cpu_path, "a") as f:
+                f.write(f"{n}, {n * dt / 86400.0:.6f}, {cpu_now:.3f},"
+                        f" {cpu_now - cpu_prev:.3f}\n")
+            if maxcpu > 0.0 and cpu_now + 1.05 * (cpu_now - cpu_prev) \
+                    > maxcpu:
+                MOM_error(NOTE,
+                          f"MAXCPU: stopping at step {n} — "
+                          f"{cpu_now:.1f}s used, next interval "
+                          f"(~{cpu_now - cpu_prev:.1f}s) would exceed "
+                          f"the {maxcpu:.1f}s budget")
+                stopped_on_cpu = True
+            cpu_prev = cpu_now
         if n % stats_every == 0:
             with clock("ocean.stats"):
                 s = collect_stats(stats_jit(d, g, vg, state, dt), vg, n,
@@ -204,7 +233,7 @@ def main(argv=None):
                 with clock("diag mediator"):
                     diags.post_state(g, vg, state,
                                      eos=model.eos)
-        if n == step0 + nsteps:
+        if n == step0 + nsteps or stopped_on_cpu:
             break
         truncs_before = step.truncations() if u_trunc_file else 0
         with clock("step_MOM"):
@@ -262,8 +291,10 @@ def main(argv=None):
         with clock("diag mediator"):
             diags.med.flush("diags.nc", time_value=daymax)
     wall = time.perf_counter() - wall0
-    pts = model.domain.ni * model.domain.nj * model.vgrid.nk * nsteps
-    print(f"run complete: {nsteps} steps, {wall:.2f}s wall, "
+    nran = n - step0
+    pts = model.domain.ni * model.domain.nj * model.vgrid.nk \
+        * max(nran, 1)
+    print(f"run complete: {nran} of {nsteps} steps, {wall:.2f}s wall, "
           f"{pts / max(wall, 1e-9):.3g} points/s")
 
     if restint > 0 or True:
