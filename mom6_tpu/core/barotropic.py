@@ -104,11 +104,20 @@ def btcalc(grid: Grid, h):
 
 
 def set_dtbt(domain: Domain, grid, vgrid, cfg: BarotropicCfg, dt: float,
-             max_depth: float | None = None) -> int:
+             max_depth: float | None = None, h=None) -> int:
     """Host-side: number of substeps from the barotropic gravity-wave
-    CFL (set_dtbt, MOM_barotropic.F90:2801).  Returns static nstep."""
+    CFL (set_dtbt, MOM_barotropic.F90:2801).  Returns static nstep.
+
+    With ``h`` (current layer thicknesses), the wave speed uses the
+    instantaneous total column thickness instead of the resting depth
+    — the DTBT_RESET_PERIOD re-estimate of the reference (which calls
+    set_dtbt with the evolving eta, MOM_barotropic.F90:2835)."""
     import numpy as np
-    D = float(jnp.max(grid.bathyT)) if max_depth is None else max_depth
+    if h is not None:
+        D = float(jnp.max(jnp.sum(h, axis=0) * grid.mask2dT))
+    else:
+        D = float(jnp.max(grid.bathyT)) if max_depth is None \
+            else max_depth
     c = math.sqrt(vgrid.g_Earth * max(D, 1.0))
     dx = float(jnp.min(jnp.where(grid.dxT > 0, grid.dxT, jnp.inf)))
     dy = float(jnp.min(jnp.where(grid.dyT > 0, grid.dyT, jnp.inf)))

@@ -141,6 +141,16 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
     # U_TRUNC_FILE-style truncation dumps (MOM_PointAccel.F90)
     u_trunc_file = pf.get("U_TRUNC_FILE", str, "")
+    # DTBT_RESET_PERIOD (MOM_barotropic.F90:2801): periodically
+    # re-estimate the barotropic substep count from the evolving
+    # free-surface height.  0 → every thermo step (reference default);
+    # <0 disables.  nstep is a static trip count under XLA, so the
+    # driver swaps in a re-jitted step closure only when the estimate
+    # changes (each distinct nstep compiles once, then caches).
+    pf.module("MOM_barotropic")
+    dtbt_reset = pf.get("DTBT_RESET_PERIOD", float, -1.0, units="s",
+                        desc="period between dtbt re-estimates; "
+                        "0 = every step, <0 disables")
     # CPU-time budgeting (MOM_write_cputime.F90:44-108): record the
     # cumulative CPU time per stats interval to CPU_TIME_FILE and end
     # the run early if the projected next interval would exceed MAXCPU
@@ -235,6 +245,19 @@ def main(argv=None):
                                      eos=model.eos)
         if n == step0 + nsteps or stopped_on_cpu:
             break
+        if dtbt_reset >= 0.0 and model.split and n > step0 \
+                and (n - step0) % max(1, int(round(dtbt_reset / dt))) \
+                == 0:
+            # re-estimate the barotropic substep count from the
+            # current free surface; swap in a re-jitted closure only
+            # if it changed (compiles once per distinct nstep)
+            new_nstep = model.reset_dtbt(state)
+            if new_nstep != step.nstep_bt:
+                MOM_error(NOTE,
+                          f"DTBT_RESET_PERIOD: nstep "
+                          f"{step.nstep_bt} -> {new_nstep} at step {n}")
+                step = model.step_fn(nstep_bt=new_nstep,
+                                     carry=step.carry())
         truncs_before = step.truncations() if u_trunc_file else 0
         with clock("step_MOM"):
             state, split_state, tracers = step(state, split_state,

@@ -69,7 +69,6 @@ __all__ = ["Model", "build_model"]
 _PARITY_INERT = [
     ("DO_UNIT_TESTS", bool, False), ("IO_LAYOUT", str, "1, 1"),
     ("NJHALO", int, 4), ("THICKNESSDIFFUSE_FIRST", bool, False),
-    ("DTBT_RESET_PERIOD", float, 0.0),
     ("SAVE_INITIAL_CONDS", bool, False),
     ("IC_OUTPUT_FILE", str, ""), ("ISOTROPIC", bool, False),
     ("USE_VISBECK", bool, False), ("RESOLN_SCALED_KH", bool, False),
@@ -192,11 +191,37 @@ class Model:
     ice_shelf: Any = None
     shelf_cfg: Any = None
 
-    def step_fn(self):
+    def reset_dtbt(self, state) -> int:
+        """DTBT_RESET_PERIOD support: re-estimate the barotropic
+        substep count from the *current* total column thickness (the
+        reference re-calls set_dtbt with the evolving eta,
+        MOM_barotropic.F90:2801/2835).  Host-side by design: nstep is
+        a static trip count under XLA, so the driver rebuilds the
+        jitted step only when the estimate actually changes (each
+        distinct nstep compiles once and is cached)."""
+        if self.split_cfg is None:
+            return 0
+        from mom6_tpu.core.barotropic import set_dtbt as _set_dtbt
+        return _set_dtbt(self.domain, self.grid, self.vgrid,
+                         self.split_cfg.barotropic, self.dt,
+                         h=state.h)
+
+    def step_fn(self, nstep_bt=None, carry=None):
         """Jitted full ocean step; x_first alternates per call site
-        (two compiled variants, chosen by step parity in the loop)."""
+        (two compiled variants, chosen by step parity in the loop).
+
+        ``nstep_bt`` overrides the barotropic substep count (the
+        DTBT_RESET_PERIOD re-jit path); ``carry`` re-threads the
+        accumulator dict of a previous step closure (``step.carry()``)
+        so transports/reservoirs/truncation counts survive the swap."""
         d, g, vg = self.domain, self.grid, self.vgrid
         forces, eos, cfg = self.forces, self.eos, self.ocean_cfg
+        if nstep_bt and self.split_cfg is not None \
+                and nstep_bt != self.split_cfg.barotropic.nstep:
+            bt = dataclasses.replace(self.split_cfg.barotropic,
+                                     nstep=int(nstep_bt))
+            sp = dataclasses.replace(self.split_cfg, barotropic=bt)
+            cfg = dataclasses.replace(cfg, split_cfg=sp)
 
         n_per = max(1, int(round(self.dt_therm / self.dt)))
 
@@ -271,10 +296,14 @@ class Model:
             return jax.jit(step)
         fns = {(xf, th): mk(xf, th) for xf in (True, False)
                for th in (True, False)}
-        acc = {"u": None, "v": None, "truncs": 0, "res": None,
-               "mld": None, "iten": None, "sppt": None}
-        if use_res:
-            acc["res"] = self.obc.init_tracer_reservoirs(self.tracers)
+        if carry is not None:
+            acc = carry
+        else:
+            acc = {"u": None, "v": None, "truncs": 0, "res": None,
+                   "mld": None, "iten": None, "sppt": None}
+            if use_res:
+                acc["res"] = self.obc.init_tracer_reservoirs(
+                    self.tracers)
 
         def step(state, split_state, tracers=None, n=0):
             do_thermo = ((n + 1) % n_per == 0)
@@ -320,6 +349,11 @@ class Model:
         # the per-interval offline forcing fields (None before the
         # first thermo step)
         step.offline_fields = lambda: acc.get("off")
+        # accumulator dict, re-threaded through step_fn(carry=...)
+        # when DTBT_RESET_PERIOD rebuilds the closure with a new nstep
+        step.carry = lambda: acc
+        step.nstep_bt = (cfg.split_cfg.barotropic.nstep
+                         if cfg.split_cfg is not None else 0)
         return step
 
 

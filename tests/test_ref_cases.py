@@ -59,8 +59,10 @@ def _run(case, nsteps):
     # matching MOM_file_parser.F90:260.  ENERGYSAVEDAYS/TIMEUNIT/
     # RESTINT/INPUTDIR belong to the solo driver, not build_model.
     unused = set(pf.close(fatal_unused=False))
+    # DTBT_RESET_PERIOD is driver-owned too: the solo loop swaps in a
+    # re-jitted step when the dtbt estimate changes
     assert unused <= {"ENERGYSAVEDAYS", "TIMEUNIT", "RESTINT",
-                      "INPUTDIR"}, unused
+                      "INPUTDIR", "DTBT_RESET_PERIOD"}, unused
     step = m.step_fn()
     s, a, tr = m.state, m.split_state, m.tracers
     for k in range(nsteps):
