@@ -4,11 +4,14 @@ Re-design of /root/reference/src/core/MOM_isopycnal_slopes.F90
 calc_isoneutral_slopes: the x/y slopes of neutral surfaces at
 u/v-point interfaces,
 
-  S_x = −(∂ρ/∂x)|_z / (∂ρ/∂z),
+  S_x = −(∂ρ/∂x)|_z / (∂ρ/∂z),    z positive UP,
 
-from EOS derivatives evaluated at interface pressure, with the N²
-floor and slope magnitude clipping the downstream parameterizations
-(GM, Redi) rely on.
+i.e. the physical slope ∂e/∂x of the neutral surface height, from EOS
+derivatives evaluated at interface pressure, with the N² floor and
+slope magnitude clipping the downstream parameterizations (GM, Redi)
+rely on.  Sign check: for a tracer c that tracks density, the
+along-neutral gradient  ∂c/∂x + S_x·∂c/∂z (∂c/∂z also z-up)
+vanishes (tests/test_neutral_diffusion.py).
 """
 
 from __future__ import annotations
@@ -62,7 +65,9 @@ def isoneutral_slopes(cfg: SlopeCfg, grid: Grid, vgrid: VerticalGrid,
         dRdS_f = 0.5 * (dRdS + shift(dRdS))
         drho_dx = dRdT_f * dT + dRdS_f * dS
         dz_f = 0.5 * (drho_dz + shift(drho_dz))
-        s = -drho_dx / jnp.maximum(dz_f, _EPS)
+        # drho_dz above is +∂ρ/∂depth = −∂ρ/∂z(up), so the z-up
+        # physical slope −(∂ρ/∂x)/(∂ρ/∂z_up) is +drho_dx/drho_dz
+        s = drho_dx / jnp.maximum(dz_f, _EPS)
         return jnp.clip(s, -cfg.slope_max, cfg.slope_max)
 
     slope_x = horiz(ip1, grid.IdxCu) * grid.mask2dCu

@@ -41,10 +41,12 @@ def test_isoneutral_slopes_flat_and_tilted():
                             EOS)
     sx = np.asarray(d.interior(sl2.slope_x))
     # away from the reentrant seam (where the linear T wraps
-    # discontinuously) the slope matches the analytic value
-    # -drho_dx/drho_dz = 2e-6/6.67e-3 ≈ 3.0e-4, positive
+    # discontinuously) the slope matches the analytic z-up value
+    # −(∂ρ/∂x)/(∂ρ/∂z_up) = −(−2e-6)/(−6.67e-3) ≈ −3.0e-4: warmer
+    # (lighter) water toward +x over stable stratification means the
+    # neutral surfaces deepen toward +x
     interior = sx[:, :, 3:12]
-    np.testing.assert_allclose(interior, 3.0e-4, rtol=0.01)
+    np.testing.assert_allclose(interior, -3.0e-4, rtol=0.01)
 
 
 def test_neutral_diffusion_conserves():
