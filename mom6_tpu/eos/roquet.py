@@ -81,13 +81,67 @@ class RoquetRhoEOS(EOS):
         return rho + rho00p
 
 
+# SpV polynomial (MOM_EOS_Roquet_SpV.F90:30-81, Roquet et al. 2015
+# polyTEOS10-55t specific-volume fit), keyed (zs_power, T_power,
+# p_power); note the SpV fit uses rdeltaS = 24 where rho uses 32
+_SPV_RDELTAS = 24.0
+_SPV = {
+    (0, 0, 0): 1.0772899069e-03, (1, 0, 0): -3.1263658781e-04,
+    (2, 0, 0): 6.7615860683e-04, (3, 0, 0): -8.6127884515e-04,
+    (4, 0, 0): 5.9010812596e-04, (5, 0, 0): -2.1503943538e-04,
+    (6, 0, 0): 3.2678954455e-05,
+    (0, 1, 0): -1.4949652640e-05, (1, 1, 0): 3.1866349188e-05,
+    (2, 1, 0): -3.8070687610e-05, (3, 1, 0): 2.9818473563e-05,
+    (4, 1, 0): -1.0011321965e-05, (5, 1, 0): 1.0751931163e-06,
+    (0, 2, 0): 2.7546851539e-05, (1, 2, 0): -3.6597334199e-05,
+    (2, 2, 0): 3.4489154625e-05, (3, 2, 0): -1.7663254122e-05,
+    (4, 2, 0): 3.5965131935e-06,
+    (0, 3, 0): -1.6506828994e-05, (1, 3, 0): 2.4412359055e-05,
+    (2, 3, 0): -1.4606740723e-05, (3, 3, 0): 2.3293406656e-06,
+    (0, 4, 0): 6.7896174634e-06, (1, 4, 0): -8.7951832993e-06,
+    (2, 4, 0): 4.4249040774e-06,
+    (0, 5, 0): -7.2535743349e-07, (1, 5, 0): -3.4680559205e-07,
+    (0, 6, 0): 1.9041365570e-07,
+    (0, 0, 1): -1.6889436589e-05, (1, 0, 1): 2.1106556158e-05,
+    (2, 0, 1): -2.1322804368e-05, (3, 0, 1): 1.7347655458e-05,
+    (4, 0, 1): -4.3209400767e-06,
+    (0, 1, 1): 1.5355844621e-05, (1, 1, 1): 2.0914122241e-06,
+    (2, 1, 1): -5.7751479725e-06, (3, 1, 1): 1.0767234341e-06,
+    (0, 2, 1): -9.6659393016e-06, (1, 2, 1): -7.0686982208e-07,
+    (2, 2, 1): 1.4488066593e-06,
+    (0, 3, 1): 3.1134283336e-06, (1, 3, 1): 7.9562529879e-08,
+    (0, 4, 1): -5.6590253863e-07,
+    (0, 0, 2): 1.0500241168e-06, (1, 0, 2): 1.9600661704e-06,
+    (2, 0, 2): -2.1666693382e-06,
+    (0, 1, 2): -3.8541359685e-06, (1, 1, 2): 1.0157632247e-06,
+    (0, 2, 2): 1.7178343158e-06,
+    (0, 0, 3): -4.1503454190e-07, (1, 0, 3): 3.5627020989e-07,
+    (0, 1, 3): -1.1293871415e-07,
+}
+# T&S-independent pressure polynomial SpV00p = Σ V0n zp^(n+1)
+_V0 = [-4.4015007269e-05, 6.9232335784e-06, -7.5004675975e-07,
+       1.7009109288e-08, -1.6884162004e-08, 1.9613503930e-09]
+
+
 @dataclasses.dataclass(frozen=True)
 class RoquetSpVEOS(RoquetRhoEOS):
-    """Specific-volume-oriented variant.  Until the SpV polynomial is
-    tabulated, densities come from the rho polynomial and specific
-    volume by reciprocal (adequate for Boussinesq use; the
-    non-Boussinesq SpV-native path is a planned refinement)."""
+    """Specific-volume-native variant: the Roquet et al. (2015)
+    55-term SpV polynomial (MOM_EOS_Roquet_SpV.F90), exact for
+    non-Boussinesq pressure integrals; density is its reciprocal and
+    all derivatives flow through the base class's forward-mode AD."""
     name = "ROQUET_SPV"
 
     def spec_vol(self, T, S, p, spv_ref: float = 0.0):
-        return 1.0 / self.density(T, S, p) - spv_ref
+        zt = T
+        zs = jnp.sqrt(jnp.abs(S + _SPV_RDELTAS) * _R1_S0)
+        zp = p
+        spv = -spv_ref + 0.0 * zt
+        for (i, j, k), raw in _SPV.items():
+            c = raw * (_I_TS ** j) * (_PA2KB ** k)
+            spv = spv + c * (zs ** i) * (zt ** j) * (zp ** k)
+        for n, raw in enumerate(_V0):
+            spv = spv + raw * (_PA2KB ** (n + 1)) * zp ** (n + 1)
+        return spv
+
+    def density(self, T, S, p, rho_ref: float = 0.0):
+        return 1.0 / self.spec_vol(T, S, p) - rho_ref

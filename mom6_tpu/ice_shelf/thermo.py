@@ -11,8 +11,9 @@ formulation):
 Eliminating T_b gives a quadratic in S_b solved in closed form per
 column (branch-free over the shelf mask); outputs the melt rate m
 [kg m-2 s-1] and the heat/freshwater fluxes to the ocean.  The SSA
-ice-sheet dynamics (MOM_ice_shelf_dynamics.F90) is a planned follow-on;
-the shelf geometry (thickness → pressure draft) is carried here.
+ice-sheet dynamics (MOM_ice_shelf_dynamics.F90) lives in
+mom6_tpu/ice_shelf/dynamics.py; the shelf geometry (thickness →
+pressure draft) is carried here.
 """
 
 from __future__ import annotations

@@ -9,7 +9,8 @@ semidiurnal and diurnal constituents,
 
 with Love-number factor L ≈ 1+k₂−h₂ ≈ 0.693, plus the scalar SAL
 approximation η_sal = β·η (SAL_SCALAR_VALUE; the spherical-harmonic
-SAL of MOM_self_attr_load.F90 is a planned refinement).  The sum is an
+SAL of MOM_self_attr_load.F90 lives in
+mom6_tpu/param/lateral/self_attr_load.py).  The sum is an
 addition to the geopotential in the pressure force / barotropic PG
 (eta_tide, MOM_PressureForce_FV.F90 e_tide terms).
 """

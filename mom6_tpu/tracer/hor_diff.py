@@ -5,8 +5,8 @@ along-layer Laplacian diffusion of tracers with thickness-weighted
 fluxes and sub-stepped iteration when the diffusive CFL exceeds one
 (the reference iterates num_itts times; here the applied coefficient is
 CFL-bounded per pass and the pass count is fixed).  The epineutral
-(neutral-surface) variant of MOM_neutral_diffusion.F90 is a planned
-follow-on sharing this interface.
+(neutral-surface) variant of MOM_neutral_diffusion.F90 lives in
+mom6_tpu/tracer/neutral_diffusion.py (USE_NEUTRAL_DIFFUSION).
 """
 
 from __future__ import annotations

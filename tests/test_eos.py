@@ -131,3 +131,32 @@ def test_second_derivs_match_finite_differences():
                 np.asarray(got), np.asarray(want), rtol=2e-3,
                 atol=2e-3 * scale,
                 err_msg=f"{form} d2rho/d{nm}")
+
+
+def test_roquet_spv_native_polynomial():
+    """The SpV-native polynomial (MOM_EOS_Roquet_SpV.F90) agrees with
+    the reciprocal of the rho polynomial to the fits' mutual accuracy
+    (~5e-9 m3/kg ≈ 5e-3 kg/m3) over the ocean range, and is NOT the
+    reciprocal (they are independent fits)."""
+    spv_eos = make_eos("ROQUET_SPV")
+    rho_eos = make_eos("ROQUET_RHO")
+    T = jnp.asarray([-1.0, 4.0, 10.0, 20.0, 2.0])
+    S = jnp.asarray([30.0, 34.0, 35.16504, 36.5, 34.8])
+    p = jnp.asarray([0.0, 1.0e6, 1.0e7, 4.0e7, 9.0e7])
+    spv = spv_eos.spec_vol(T, S, p)
+    spv_recip = 1.0 / rho_eos.density(T, S, p)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(spv), np.asarray(spv_recip),
+                               rtol=2e-7)
+    d = np.abs(np.asarray(spv) - np.asarray(spv_recip))
+    assert d.max() > 0.0    # genuinely distinct fits
+    # density via the SpV-native path stays consistent too
+    rho_spv = spv_eos.density(T, S, p)
+    np.testing.assert_allclose(np.asarray(rho_spv),
+                               np.asarray(rho_eos.density(T, S, p)),
+                               rtol=2e-7)
+    # derivatives (AD through the reciprocal) have the right signs
+    dT, dS = spv_eos.density_derivs(jnp.asarray(10.0),
+                                    jnp.asarray(35.0),
+                                    jnp.asarray(2.0e7))
+    assert float(dT) < 0.0 and float(dS) > 0.0
