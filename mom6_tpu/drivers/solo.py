@@ -141,16 +141,23 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
     # U_TRUNC_FILE-style truncation dumps (MOM_PointAccel.F90)
     u_trunc_file = pf.get("U_TRUNC_FILE", str, "")
-    # DTBT_RESET_PERIOD (MOM_barotropic.F90:2801): periodically
-    # re-estimate the barotropic substep count from the evolving
-    # free-surface height.  0 → every thermo step (reference default);
-    # <0 disables.  nstep is a static trip count under XLA, so the
-    # driver swaps in a re-jitted step closure only when the estimate
-    # changes (each distinct nstep compiles once, then caches).
+    # DTBT_RESET_PERIOD (MOM_barotropic.F90:2801, MOM.F90:2380-2390):
+    # periodically re-estimate the barotropic substep count from the
+    # evolving free-surface height.  0 → every dynamics step; <0
+    # disables.  The reference defaults the period to DT_THERM when
+    # DTBT<=0 and ignores it entirely (do_not_read) when a fixed
+    # DTBT>0 was set — an explicit DTBT is never overridden here
+    # either.  nstep is a static trip count under XLA, so the driver
+    # swaps step closures when the estimate changes; closures are
+    # memoized per nstep so each distinct value compiles exactly once.
     pf.module("MOM_barotropic")
-    dtbt_reset = pf.get("DTBT_RESET_PERIOD", float, -1.0, units="s",
-                        desc="period between dtbt re-estimates; "
-                        "0 = every step, <0 disables")
+    if pf.get("DTBT", float, -0.95, units="s or nondim") > 0.0:
+        dtbt_reset = -1.0          # fixed DTBT: no re-estimation
+    else:
+        dtbt_reset = pf.get("DTBT_RESET_PERIOD", float, model.dt_therm,
+                            units="s",
+                            desc="period between dtbt re-estimates; "
+                            "0 = every dynamics step, <0 disables")
     # CPU-time budgeting (MOM_write_cputime.F90:44-108): record the
     # cumulative CPU time per stats interval to CPU_TIME_FILE and end
     # the run early if the projected next interval would exceed MAXCPU
@@ -183,6 +190,11 @@ def main(argv=None):
         return
 
     step = model.step_fn()
+    # DTBT reset swaps between these memoized closures; keying by
+    # nstep keeps each closure's jax.jit caches warm, so a revisited
+    # substep count (e.g. a CFL estimate oscillating 8<->9) never
+    # recompiles
+    step_cache = {step.nstep_bt: step}
     tracers = model.tracers
     stats_jit = jax.jit(stat_sums)
     d, g, vg, dt = model.domain, model.grid, model.vgrid, model.dt
@@ -249,15 +261,24 @@ def main(argv=None):
                 and (n - step0) % max(1, int(round(dtbt_reset / dt))) \
                 == 0:
             # re-estimate the barotropic substep count from the
-            # current free surface; swap in a re-jitted closure only
-            # if it changed (compiles once per distinct nstep)
+            # current free surface.  Asymmetric hysteresis: an
+            # increase (dtbt must shrink — stability) applies at once;
+            # a decrease only if it saves ≥2 substeps, so a CFL
+            # estimate oscillating across a ceil boundary never churns
             new_nstep = model.reset_dtbt(state)
-            if new_nstep != step.nstep_bt:
+            if new_nstep > step.nstep_bt \
+                    or new_nstep <= step.nstep_bt - 2:
                 MOM_error(NOTE,
                           f"DTBT_RESET_PERIOD: nstep "
                           f"{step.nstep_bt} -> {new_nstep} at step {n}")
-                step = model.step_fn(nstep_bt=new_nstep,
-                                     carry=step.carry())
+                carry = step.carry()
+                if new_nstep in step_cache:
+                    step = step_cache[new_nstep]
+                    step.set_carry(carry)
+                else:
+                    step = model.step_fn(nstep_bt=new_nstep,
+                                         carry=carry)
+                    step_cache[new_nstep] = step
         truncs_before = step.truncations() if u_trunc_file else 0
         with clock("step_MOM"):
             state, split_state, tracers = step(state, split_state,

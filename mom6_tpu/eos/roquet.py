@@ -144,4 +144,12 @@ class RoquetSpVEOS(RoquetRhoEOS):
         return spv
 
     def density(self, T, S, p, rho_ref: float = 0.0):
-        return 1.0 / self.spec_vol(T, S, p) - rho_ref
+        if rho_ref == 0.0:
+            return 1.0 / self.spec_vol(T, S, p)
+        # anomaly form without catastrophic cancellation: with
+        # sv = 1/rho_ref + dsv,  1/sv - rho_ref =
+        # -rho_ref^2 dsv / (rho_ref dsv + 1)
+        # (calculate_density_array_Roquet_SpV,
+        # /root/reference/src/equation_of_state/MOM_EOS_Roquet_SpV.F90:346)
+        spv_anom = self.spec_vol(T, S, p, spv_ref=1.0 / rho_ref)
+        return -(rho_ref ** 2) * spv_anom / (rho_ref * spv_anom + 1.0)

@@ -35,8 +35,12 @@ class Chksum:
 
 def _bits(x: jnp.ndarray) -> jnp.ndarray:
     if x.dtype == jnp.float64:
-        i = jax.lax.bitcast_convert_type(x, jnp.int64)
-        return jax.lax.population_count(i).astype(jnp.int64)
+        # two u32 views, not one s64 bitcast: the TPU X64-rewrite pass
+        # cannot lower s64 bitcast-convert, and popcount distributes
+        # over the halves anyway
+        i2 = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        pc = jax.lax.population_count(i2)
+        return jnp.sum(pc.astype(jnp.int64), axis=-1)
     if x.dtype == jnp.float32:
         i = jax.lax.bitcast_convert_type(x, jnp.int32)
         pc = jax.lax.population_count(i)

@@ -352,6 +352,10 @@ class Model:
         # accumulator dict, re-threaded through step_fn(carry=...)
         # when DTBT_RESET_PERIOD rebuilds the closure with a new nstep
         step.carry = lambda: acc
+        # re-thread another closure's carry into this one (the driver
+        # memoizes closures per nstep so jit caches stay warm; on
+        # revisit the cached closure adopts the live accumulators)
+        step.set_carry = lambda c: (acc.clear(), acc.update(c))
         step.nstep_bt = (cfg.split_cfg.barotropic.nstep
                          if cfg.split_cfg is not None else 0)
         return step
