@@ -68,6 +68,7 @@ def _filter_grid_motion(cfg: ALECfg, h_old, h_new, dt: float):
     return jnp.maximum(z_f[1:] - z_f[:-1], 0.0)
 
 
+@jax.named_scope("ale")
 def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
                      cfg: ALECfg, eos=None,
                      tracers: dict | None = None,

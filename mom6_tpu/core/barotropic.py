@@ -266,6 +266,7 @@ def _fill_bt(domain: Domain, eta, ubt, vbt, width=None):
         return eta, ubt, vbt
     return domain.fill_halos((eta, ubt, vbt), width)
 
+@jax.named_scope("btstep")
 def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
            u_in, v_in, eta_in, h,
            bc_accel_u, bc_accel_v, pbce, u_cor, v_cor,

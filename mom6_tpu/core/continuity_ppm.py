@@ -361,6 +361,7 @@ def _bt_cont_1dir(u, h, h_minus, h_plus, dt, args, vr, cfg, dx_face):
     return fa_r, fa_e0, fa_w0, fa_l, u_ee, u_ww
 
 
+@jax.named_scope("set_up_bt_cont")
 def set_up_bt_cont(grid: Grid, vgrid: VerticalGrid, u, v, h, dt,
                    cfg: ContinuityCfg = ContinuityCfg(),
                    visc_rem_u=None, visc_rem_v=None) -> BTContFaces:
@@ -397,6 +398,7 @@ def set_up_bt_cont(grid: Grid, vgrid: VerticalGrid, u, v, h, dt,
 # Full directionally-split update
 # ---------------------------------------------------------------------
 
+@jax.named_scope("continuity")
 def continuity_ppm(grid: Grid, vgrid: VerticalGrid, u, v, h, dt,
                    cfg: ContinuityCfg = ContinuityCfg(),
                    uhbt=None, vhbt=None,

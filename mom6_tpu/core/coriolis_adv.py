@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.core.grid import Grid
@@ -65,6 +66,7 @@ def relative_vorticity(grid: Grid, u, v, no_slip: bool = False):
     return fac * (dvdx - dudy) * grid.IareaBu
 
 
+@jax.named_scope("coriolis_adv")
 def coriolis_adv(grid: Grid, u, v, h, uh, vh,
                  cfg: CoriolisCfg = CoriolisCfg()) -> CoriolisResult:
     """CorAdCalc: (CAu, CAv) accelerations [m s-2].

@@ -205,11 +205,14 @@ def cartesian_grid(domain: Domain, lenlon_km: float, lenlat_km: float,
                    f0: float = 0.0, beta: float = 0.0,
                    depth_fn=None, max_depth: float = 4000.0,
                    min_depth: float = 0.0,
-                   south_lat: float = 0.0, west_lon: float = 0.0) -> Grid:
+                   south_lat: float = 0.0, west_lon: float = 0.0,
+                   beta_lat_ref: float = 0.0) -> Grid:
     """Uniform Cartesian grid (AXIS_UNITS='k' of MOM_grid_initialize).
 
     Coordinates are in km; metrics in meters.  Coriolis is an f/beta
-    plane about the southern edge.
+    plane about BETA_LAT_REF (default 0, i.e. absolute latitude —
+    set_rotation_beta_plane,
+    /root/reference/src/initialization/MOM_shared_initialization.F90:522-528).
     """
     j, i = _padded_index(domain)
     dxi = lenlon_km / domain.ni
@@ -226,7 +229,7 @@ def cartesian_grid(domain: Domain, lenlon_km: float, lenlat_km: float,
         return np.full_like(lat, dlat * 1e3)
 
     def f_fn(lon, lat):
-        return f0 + beta * (lat - south_lat) * 1e3
+        return f0 + beta * (lat - beta_lat_ref) * 1e3
 
     if depth_fn is None:
         def depth_fn(lon, lat):

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.core.grid import Grid
@@ -95,6 +96,7 @@ def _layer_densities(vgrid: VerticalGrid, h, e, T, S, eos, rho0, g,
     return eos.density(T, S, p_mid)
 
 
+@jax.named_scope("pressure_force")
 def pressure_force(grid: Grid, vgrid: VerticalGrid, h, T=None, S=None,
                    eos=None, p_atm=None,
                    cfg: PressureForceCfg = PressureForceCfg(),

@@ -41,8 +41,11 @@ class VertViscCfg:
     drag_bg_vel: float = 0.0      # DRAG_BG_VEL [m s-1]
     bottomdraglaw: bool = True    # BOTTOMDRAGLAW (quadratic via BBL)
     linear_drag: bool = False     # LINEAR_DRAG
-    maxvel: float = 6.0           # MAXVEL truncation [m s-1]
-    cfl_trunc: float = 0.9        # CFL_TRUNCATE
+    # MAXVEL default matches the reference's effectively-off 3.0e8
+    # (MOM_vert_friction.F90:2719); a small cap silently clips fast
+    # flows (gravity currents, solitons, hurricanes)
+    maxvel: float = 3.0e8         # MAXVEL truncation [m s-1]
+    cfl_trunc: float = 0.5        # CFL_TRUNCATE (ref default 0.5)
     channel_drag: bool = False    # CHANNEL_DRAG (side-wall Rayleigh drag)
     # stratified/rotational BBL thickness (set_viscous_BBL,
     # MOM_set_viscosity.F90:800-860): the drag acts over
@@ -91,6 +94,7 @@ def _hab_interfaces(h_face):
          jnp.zeros_like(h_face[:1])], axis=0)
 
 
+@jax.named_scope("set_viscous_bbl")
 def set_viscous_bbl(grid: Grid, u, v, h,
                     cfg: VertViscCfg = VertViscCfg(),
                     vgrid=None) -> BBLInfo:
@@ -200,6 +204,7 @@ def surface_ustar(grid: Grid, rho0: float, forces):
     return jnp.sqrt(tau / rho0) * grid.mask2dT
 
 
+@jax.named_scope("vertvisc_coef")
 def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
                   cfg: VertViscCfg = VertViscCfg(),
                   vgrid=None, bbl: BBLInfo | None = None,
@@ -369,6 +374,7 @@ def implicit_visc_solve(u, h_col, a, dt, rhs_extra=None, ray=None):
     return jnp.concatenate([u_rev[::-1], u_fwd[-1:]], axis=0)
 
 
+@jax.named_scope("vertvisc")
 def vertvisc(grid: Grid, u, v, h, coefs: ViscCoefs, dt,
              taux=None, tauy=None, rho0: float = 1035.0,
              ray_u=None, ray_v=None):
@@ -386,6 +392,7 @@ def vertvisc(grid: Grid, u, v, h, coefs: ViscCoefs, dt,
     return u_new * grid.mask2dCu, v_new * grid.mask2dCv
 
 
+@jax.named_scope("vertvisc_remnant")
 def vertvisc_remnant(grid: Grid, coefs: ViscCoefs, dt):
     """visc_rem_u/v: fraction of barotropic acceleration each layer
     retains through the implicit solve (vertvisc_remnant,
@@ -401,6 +408,7 @@ def vertvisc_remnant(grid: Grid, coefs: ViscCoefs, dt):
     return rem_u * grid.mask2dCu, rem_v * grid.mask2dCv
 
 
+@jax.named_scope("vertvisc_limit_vel")
 def vertvisc_limit_vel(grid: Grid, u, v, dt, cfg: VertViscCfg):
     """CFL + absolute velocity truncation (vertvisc_limit_vel).
 

@@ -501,7 +501,10 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                   lenlat_km=lenlat, f0=f0, beta=beta,
                                   depth_fn=depth_fn, max_depth=max_depth,
                                   min_depth=min_depth, south_lat=south,
-                                  west_lon=west)
+                                  west_lon=west,
+                                  beta_lat_ref=pf.get(
+                                      "BETA_LAT_REF", float, 0.0,
+                                      units="km"))
         else:
             # degrees interpreted on a sphere-like local metric
             grid = spherical_grid(domain, west_lon=west, lenlon=lenlon,
@@ -532,9 +535,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         raise ValueError(f"Unknown GRID_CONFIG '{grid_config}'")
     if rotation in ("beta", "betaplane") \
             and grid_config in ("spherical", "mercator", "mosaic"):
-        # override the geographic 2Ω sinφ with an f/beta plane
+        # override the geographic 2Ω sinφ with an f/beta plane about
+        # BETA_LAT_REF (set_rotation_beta_plane; default: the equator)
         import dataclasses as _dc
-        y_m = (grid.geoLatT - south) * 111194.9266
+        y_m = (grid.geoLatT - pf.get("BETA_LAT_REF", float, 0.0,
+                                     units="degrees")) * 111194.9266
         fq = f0 + beta * 0.25 * (y_m + jnp.roll(y_m, -1, -2)
                                  + jnp.roll(y_m, -1, -1)
                                  + jnp.roll(jnp.roll(y_m, -1, -2),
@@ -767,7 +772,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         bottomdraglaw=pf.get("BOTTOMDRAGLAW", bool, True),
         linear_drag=pf.get("LINEAR_DRAG", bool, False),
         drag_bg_vel=pf.get("DRAG_BG_VEL", float, 0.0, units="m s-1"),
-        maxvel=pf.get("MAXVEL", float, 6.0, units="m s-1"),
+        maxvel=pf.get("MAXVEL", float, 3.0e8, units="m s-1"),
+        cfl_trunc=pf.get("CFL_TRUNCATE", float, 0.5),
         channel_drag=pf.get("CHANNEL_DRAG", bool, False),
         dynamic_bbl=pf.get("DYNAMIC_BBL", bool, True),
         bbl_thick_min=pf.get("BBL_THICK_MIN", float, 0.1, units="m"),

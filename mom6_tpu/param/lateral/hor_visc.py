@@ -23,6 +23,7 @@ import dataclasses
 import math
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.core.grid import Grid
@@ -108,6 +109,7 @@ def _smooth9(f):
     return c + e + x
 
 
+@jax.named_scope("hor_visc")
 def horizontal_viscosity(grid: Grid, u, v, h,
                          cfg: HorViscCfg = HorViscCfg(),
                          u_bt=None, v_bt=None,

@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.core.grid import Grid
@@ -40,6 +41,7 @@ class MLRestratResult(NamedTuple):
     vhml: jnp.ndarray
 
 
+@jax.named_scope("mle_restrat")
 def mixed_layer_restrat(cfg: MLRestratCfg, grid: Grid,
                         vgrid: VerticalGrid, h, dt, T=None, S=None,
                         eos=None, hml=None):

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.core.grid import Grid
@@ -52,6 +53,7 @@ class ThicknessDiffuseResult(NamedTuple):
     gm_work: Optional[jnp.ndarray] = None
 
 
+@jax.named_scope("thickness_diffuse")
 def thickness_diffuse(grid: Grid, vgrid: VerticalGrid, h, dt,
                       cfg: ThicknessDiffuseCfg, khth_2d=None,
                       gprime_int=None):

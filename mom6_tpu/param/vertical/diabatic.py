@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.core.state import State
@@ -110,6 +111,7 @@ def _surface_buoyancy_flux(fluxes, T, S, eos, rho0, g):
     return (g / rho0) * (drdt * f_t + drds * f_s)
 
 
+@jax.named_scope("diabatic")
 def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
              cfg: DiabaticCfg, tracers: dict | None = None,
              vgrid=None, eos=None, forces: MechForcing | None = None,

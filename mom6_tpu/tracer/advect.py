@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.core.grid import Grid
@@ -115,6 +116,7 @@ def _sweep_y(grid: Grid, tracers, hvol, vhtr_rem, dt_frac_cfg):
     return new_tracers, hvol_new, vhtr_rem - move * grid.mask2dCv
 
 
+@jax.named_scope("tracer_advect")
 def advect_tracers(domain, grid: Grid, tracers: dict, h_end, uhtr, vhtr,
                    cfg: TracerAdvectCfg = TracerAdvectCfg(),
                    x_first: bool = True):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.core.grid import Grid
@@ -32,6 +33,7 @@ class TracerHorDiffCfg:
     passes: int = 2
 
 
+@jax.named_scope("tracer_hordiff")
 def tracer_hordiff(domain, grid: Grid, tracers: dict, h, dt,
                    cfg: TracerHorDiffCfg, khtr_2d=None):
     """Diffuse each tracer along layers; exactly conservative.

@@ -1,0 +1,376 @@
+"""External correctness anchors.
+
+Every other golden in this suite is the model's own output; these
+tests assert numbers the model did NOT produce — classic analytic /
+published results:
+
+1. external gravity wave:   c = sqrt(g H)                (linear theory)
+2. baroclinic mode speeds:  c_n = N H / (n pi)           (uniform N)
+3. lock exchange front:     u_f = 0.5 sqrt(g' H)         (Benjamin 1968)
+4. equatorial Rossby soliton: westward at >= the linear mode-1 long-wave
+   speed c_g/3, coherent sech^2 envelope     (Boyd 1980 JPO; reference
+   /root/reference/src/user/soliton_initialization.F90)
+5. Rossby geostrophic adjustment: the adjusted front decays over the
+   deformation radius sqrt(gH)/f and is geostrophically balanced
+   (Rossby 1938 / Gill 1982 ch. 7)
+6. split RK2 and unsplit RK3 converge to each other as dt -> 0
+   (cross-core consistency; no shared time-stepping code)
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mom6_tpu.framework.config import ParamFile
+from mom6_tpu.model import build_model
+
+
+def _eta(m, state):
+    """Free-surface height (m) on the interior grid."""
+    tot = jnp.sum(state.h, axis=0) - m.grid.bathyT
+    return np.asarray(m.domain.interior(tot))
+
+
+def _run(m, nsteps):
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    out = [s]
+    for n in range(nsteps):
+        s, a, tr = step(s, a, tr, n=n)
+        out.append(s)
+    return out
+
+
+# ---------------------------------------------------------------- 1 —
+def test_external_gravity_wave_speed():
+    """A standing external gravity wave eta = A sin(kx) cos(w t)
+    oscillates with w = k sqrt(gH); measure the period at a point.
+    Unsplit RK3 (no barotropic filter to bias the phase)."""
+    H0, Lkm = 1000.0, 1000.0
+    cfg = f"""
+SPLIT = False
+ENABLE_THERMODYNAMICS = False
+ADIABATIC = True
+DT = 50.0
+NIGLOBAL = 64
+NJGLOBAL = 4
+NK = 1
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = {Lkm}
+LENLAT = 62.5
+REENTRANT_X = True
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = {H0}
+WIND_CONFIG = zero
+KV = 0.0
+HMIX_FIXED = 0.0
+"""
+    m = build_model(ParamFile(text=cfg))
+    g_e = m.vgrid.g_Earth
+    # one full sine wave across the reentrant domain
+    x = np.asarray(m.grid.geoLonT)          # km
+    amp = 0.01 * H0 / m.vgrid.nk
+    bump = amp * np.sin(2 * np.pi * x / Lkm)
+    m = m  # keep name
+    h = np.asarray(m.state.h) + bump[None]
+    state0 = m.state.replace(h=m.domain.fill_halos(jnp.asarray(h)))
+    object.__setattr__(m, "state", state0)
+
+    c = math.sqrt(g_e * H0)
+    period = Lkm * 1e3 / c                  # ~10101 s
+    nsteps = int(round(1.25 * period / m.dt))
+    states = _run(m, nsteps)
+    probe_ij = (2, 16)                      # x = L/4: antinode
+    ts = np.array([_eta(m, s)[probe_ij] for s in states])
+    ts = ts - ts.mean()
+    # first return to the initial sign pattern: locate the first
+    # minimum (half period) by parabolic fit around argmin
+    k0 = int(np.argmin(ts))
+    assert 2 <= k0 <= nsteps - 2
+    y0, y1, y2 = ts[k0 - 1], ts[k0], ts[k0 + 1]
+    frac = 0.5 * (y0 - y2) / (y0 - 2 * y1 + y2)
+    t_half = (k0 + frac) * m.dt
+    c_meas = Lkm * 1e3 / (2.0 * t_half)
+    assert abs(c_meas - c) / c < 0.03, (c_meas, c)
+
+
+# ---------------------------------------------------------------- 2 —
+def test_baroclinic_mode_speeds_uniform_N():
+    """Uniform stratification: c_n = N H / (n pi)."""
+    from mom6_tpu.core.vertical_grid import VerticalGrid
+    from mom6_tpu.diagnostics.wave_speed import wave_speeds
+    from mom6_tpu.eos.linear import LinearEOS
+
+    nk, H = 50, 2000.0
+    alpha = 0.2                     # -dRho/dT (kg m-3 K-1)
+    rho0 = 1035.0
+    vg = VerticalGrid.uniform(nk=nk, Rho0=rho0)
+    g_e = vg.g_Earth
+    dTdz = 8.0 / H                  # K per m, linear in depth
+    zc = -(np.arange(nk) + 0.5) * (H / nk)
+    T = (20.0 + dTdz * zc)[:, None, None] * np.ones((nk, 2, 2))
+    S = np.full_like(T, 35.0)
+    h = np.full_like(T, H / nk)
+    eos = LinearEOS(rho_t0_s0=rho0 - alpha * 0.0 - 0.8 * 35.0,
+                    drho_dt=-alpha, drho_ds=0.8)
+    N2 = g_e * alpha * dTdz / rho0
+    c = wave_speeds(vg, jnp.asarray(h), jnp.asarray(T),
+                    jnp.asarray(S), eos, n_mode=3)
+    c = np.asarray(c)[:, 0, 0]
+    N = math.sqrt(N2)
+    for n in (1, 2, 3):
+        c_exact = N * H / (n * math.pi)
+        tol = 0.02 + 0.01 * n       # discretization grows with mode
+        assert abs(c[n - 1] - c_exact) / c_exact < tol, \
+            (n, c[n - 1], c_exact)
+
+
+# ---------------------------------------------------------------- 3 —
+def test_lock_exchange_benjamin_front_speed():
+    """Two-layer dam break (full-depth lock exchange): the dense
+    front propagates at Benjamin's (1968) energy-conserving speed
+    0.5 sqrt(g' H).  Layered isopycnal mode keeps the interface sharp
+    by construction, so the measurement tests the nonlinear
+    continuity/PGF dynamics, not spurious mixing.  Measured ~0.94x."""
+    H0, Lkm = 20.0, 64.0
+    gp = 0.0098                                   # GINT [m s-2]
+    cfg = f"""
+SPLIT = True
+ENABLE_THERMODYNAMICS = False
+ADIABATIC = True
+DT = 30.0
+NIGLOBAL = 128
+NJGLOBAL = 4
+NK = 2
+GINT = {gp}
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = {Lkm}
+LENLAT = 2.0
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = {H0}
+WIND_CONFIG = zero
+KV = 1.0e-5
+BOTTOMDRAGLAW = False
+CDRAG = 0.0
+"""
+    m = build_model(ParamFile(text=cfg))
+    x = np.asarray(m.grid.geoLonT)
+    west = x < 0.5 * Lkm
+    eps = 0.02
+    h = np.stack([np.where(west, eps, H0 - eps),
+                  np.where(west, H0 - eps, eps)])
+    object.__setattr__(
+        m, "state",
+        m.state.replace(h=m.domain.fill_halos(jnp.asarray(h))))
+    u_benj = 0.5 * math.sqrt(gp * H0)             # Benjamin (1968)
+
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    xT = np.asarray(m.domain.interior(
+        jnp.asarray(np.asarray(x))))[2] * 1e3
+    rec = []
+    for n in range(1080):                         # 9 h
+        s, a, tr = step(s, a, tr, n=n)
+        if (n + 1) % 120 == 0:
+            hb = np.asarray(m.domain.interior(s.h))[1, 2]
+            idx = np.where(hb > 2.0)[0]           # dense nose > 2 m
+            rec.append(((n + 1) * m.dt,
+                        xT[idx.max()] if idx.size else 0.0))
+    t_rec, x_rec = np.array(rec).T
+    u_f = np.polyfit(t_rec[2:], x_rec[2:], 1)[0]
+    assert 0.8 * u_benj <= u_f <= 1.1 * u_benj, (u_f, u_benj)
+
+
+# ---------------------------------------------------------------- 4 —
+def test_soliton_westward_speed_and_coherence():
+    """Boyd (1980) equatorial Rossby soliton: moves westward faster
+    than the linear mode-1 long-wave speed c_g/3 (the nonlinear
+    correction ADDS westward speed; Boyd's asymptotic value is
+    ~0.4 c_g) and keeps its sech^2 envelope (a linear packet would
+    disperse).  Frictionless, as published.  This anchor caught a real
+    bug: a MAXVEL=6 m/s default silently clipped the 25 m/s soliton
+    velocities."""
+    H0 = 1000.0
+    beta = 2.0e-11
+    g_e = 9.8
+    cg = math.sqrt(g_e * H0)
+    L_eq = math.sqrt(cg / beta)                  # ~2225 km
+    Lkm = 48.0 * L_eq / 1e3
+    Wkm = 16.0 * L_eq / 1e3
+    cfg = f"""
+SPLIT = False
+ENABLE_THERMODYNAMICS = False
+ADIABATIC = True
+DT = 900.0
+NIGLOBAL = 192
+NJGLOBAL = 64
+NK = 1
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = {Lkm}
+LENLAT = {Wkm}
+SOUTHLAT = {-0.5 * Wkm}
+REENTRANT_X = True
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = {H0}
+THICKNESS_CONFIG = soliton
+F_0 = 0.0
+BETA = {beta}
+WIND_CONFIG = zero
+KV = 0.0
+BOTTOMDRAGLAW = False
+CDRAG = 0.0
+"""
+    m = build_model(ParamFile(text=cfg))
+    xkm = np.asarray(m.domain.interior(
+        jnp.asarray(np.asarray(m.grid.geoLonT))))[0]
+
+    def peak(state):
+        e = _eta(m, state)
+        j, i = np.unravel_index(np.argmax(e), e.shape)
+        if 0 < i < e.shape[1] - 1:
+            y0, y1, y2 = e[j, i - 1], e[j, i], e[j, i + 1]
+            i = i + 0.5 * (y0 - y2) / (y0 - 2 * y1 + y2)
+        return np.interp(i, np.arange(len(xkm)), xkm), e.max()
+
+    days = 2.0
+    nsteps = int(days * 86400 / m.dt)
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    x0, amp0 = peak(s)
+    for n in range(nsteps):
+        s, a, tr = step(s, a, tr, n=n)
+    x1, amp1 = peak(s)
+    c_meas = (x1 - x0) * 1e3 / (nsteps * m.dt)   # m/s, expect < 0
+    c_lin = -cg / 3.0
+    assert c_meas < 0.0, c_meas
+    # measured -34.3 m/s at dx = 0.25 L_eq; Boyd's asymptote -39.6
+    assert 0.98 * abs(c_lin) <= abs(c_meas) <= 1.3 * abs(c_lin), \
+        (c_meas, c_lin)
+    # coherence: the envelope must not disperse (measured: 96% kept)
+    assert amp1 >= 0.88 * amp0, (amp0, amp1)
+
+
+# ---------------------------------------------------------------- 5 —
+def test_rossby_adjustment_deformation_radius():
+    """Step SSH on an f-plane adjusts to a geostrophic front with
+    e-folding = deformation radius Rd = sqrt(gH)/f (Rossby 1938)."""
+    H0 = 400.0
+    f0 = 1.0e-4
+    g_e = 9.8
+    Rd = math.sqrt(g_e * H0) / f0                # ~626 km
+    Lkm = 16000.0
+    cfg = f"""
+SPLIT = False
+ENABLE_THERMODYNAMICS = False
+ADIABATIC = True
+DT = 300.0
+NIGLOBAL = 128
+NJGLOBAL = 4
+NK = 1
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = {Lkm}
+LENLAT = 500.0
+REENTRANT_Y = True
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = {H0}
+F_0 = {f0}
+BETA = 0.0
+WIND_CONFIG = zero
+KV = 0.0
+"""
+    m = build_model(ParamFile(text=cfg))
+    x = np.asarray(m.grid.geoLonT) * 1e3          # m, padded
+    xc = 0.5 * Lkm * 1e3
+    eta0 = 0.5 * np.sign(x - xc) * 0.5            # +-0.25 m step
+    h = np.asarray(m.state.h) + eta0[None]
+    object.__setattr__(
+        m, "state",
+        m.state.replace(h=m.domain.fill_halos(jnp.asarray(h))))
+
+    Ti = 2 * math.pi / f0
+    nsteps = int(round(8 * Ti / m.dt))
+    navg = int(round(Ti / m.dt))
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    acc = None
+    vacc = None
+    for n in range(nsteps):
+        s, a, tr = step(s, a, tr, n=n)
+        if n >= nsteps - navg:
+            e = _eta(m, s)[2]
+            v = np.asarray(m.domain.interior(s.v))[0, 2]
+            acc = e if acc is None else acc + e
+            vacc = v if vacc is None else vacc + v
+    eta_m = acc / navg
+    v_m = vacc / navg
+    xi = np.asarray(m.domain.interior(
+        jnp.asarray(x)))[2]
+    # fit ln(eta_inf - eta) ~ -x'/Rd on the east side, 0.5Rd..2.5Rd
+    # from the front
+    eta_inf = eta_m[-8:].mean()
+    sel = (xi > xc + 0.5 * Rd) & (xi < xc + 2.5 * Rd)
+    yln = np.log(np.maximum(eta_inf - eta_m[sel], 1e-12))
+    slope = np.polyfit(xi[sel], yln, 1)[0]
+    Rd_meas = -1.0 / slope
+    assert abs(Rd_meas - Rd) / Rd < 0.15, (Rd_meas, Rd)
+    # geostrophic balance of the time-mean jet: f v = g d(eta)/dx
+    detadx = np.gradient(eta_m, xi)
+    v_geo = g_e * detadx / f0
+    sel2 = (xi > xc - 2 * Rd) & (xi < xc + 2 * Rd)
+    err = (np.abs(v_m - v_geo)[sel2].max()
+           / max(np.abs(v_geo[sel2]).max(), 1e-12))
+    assert err < 0.15, err
+
+
+# ---------------------------------------------------------------- 6 —
+def test_split_unsplit_convergence():
+    """Split RK2 and unsplit RK3 share no stepping code; their
+    solutions must converge to each other as dt shrinks."""
+    base = """
+ENABLE_THERMODYNAMICS = False
+ADIABATIC = True
+NIGLOBAL = 24
+NJGLOBAL = 24
+NK = 2
+GINT = 0.02
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 960.0
+LENLAT = 960.0
+REENTRANT_X = True
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 1000.0
+F_0 = 5.0e-5
+THICKNESS_CONFIG = sloshing
+WIND_CONFIG = zero
+KV = 1.0e-4
+"""
+    T_end = 7200.0
+
+    def final(split, dt):
+        cfg = base + f"SPLIT = {split}\nDT = {dt}\n"
+        m = build_model(ParamFile(text=cfg))
+        step = m.step_fn()
+        s, a, tr = m.state, m.split_state, m.tracers
+        for n in range(int(T_end / dt)):
+            s, a, tr = step(s, a, tr, n=n)
+        return (np.asarray(m.domain.interior(s.h)),
+                np.asarray(m.domain.interior(s.u)))
+
+    diffs = []
+    # dt=300 keeps the unsplit external-wave CFL at ~0.75 (c=99 m/s,
+    # dx=40 km); larger dt would blow up the unsplit core, not test it
+    for dt in (300.0, 150.0):
+        hs, us = final(True, dt)
+        hu, uu = final(False, dt)
+        scale = np.abs(hs - hs.mean()).max() + 1e-30
+        diffs.append(np.abs(hs - hu).max() / scale)
+    # close at both resolutions and converging
+    assert diffs[0] < 0.05, diffs
+    assert diffs[1] < 0.7 * diffs[0], diffs
