@@ -236,8 +236,14 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             tracers = tracer_registry.apply_column_fns(
                 tracers, state.h, dt, state=state, forces=forces, t=t)
             if cfg.bgc is not None:
-                tracers = cfg.bgc.column_physics(tracers, state.h,
-                                                 state.T, state.S, dt)
+                # MARBL_tracers_column_physics analog: the coupler
+                # needs the traced time (file forcing), the fluxes
+                # (salt-flux virtual fluxes), and shortwave (light)
+                tracers = cfg.bgc.column_physics(
+                    tracers, state.h, state.T, state.S, dt, t=t,
+                    fluxes=fluxes,
+                    sw=getattr(fluxes, "sw", None)
+                    if fluxes is not None else None)
 
         # --- ALE regrid/remap ---
         if cfg.ale is not None:

@@ -1951,7 +1951,13 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             y_origin=pf.get("ADVECTION_TEST_Y_ORIGIN", float, 0.0),
             x_width=pf.get("ADVECTION_TEST_X_WIDTH", float, 0.0),
             y_width=pf.get("ADVECTION_TEST_Y_WIDTH", float, 0.0)))
-    if pf.get("USE_OCMIP2_CFC", bool, False):
+    use_marbl = pf.get("USE_MARBL_TRACERS", bool, False)
+    use_cfc = pf.get("USE_OCMIP2_CFC", bool, False)
+    use_npzd = pf.get("USE_NPZD", bool, False)
+    if use_cfc and not use_marbl:
+        # standalone CFCs: the lightweight per-tracer column function
+        # (register_OCMIP2_CFC path); with MARBL on they instead ride
+        # the coupler's shared gas-exchange machinery below
         from mom6_tpu.tracer.cfc import register_cfcs
         tracers.update(register_cfcs(
             registry, shape,
@@ -1961,12 +1967,18 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                               units="atm"),
             pcfc12_atm=pf.get("PCFC12_ATM", float, 465.0e-12,
                               units="atm")))
-    bgc_pkg = None
-    if pf.get("USE_NPZD", bool, False):
-        from mom6_tpu.tracer.bgc_interface import NPZDPackage
-        bgc_pkg = NPZDPackage()
-        tracers.update(bgc_pkg.register(registry, shape))
-        ocean_cfg = dataclasses.replace(ocean_cfg, bgc=bgc_pkg)
+    if use_marbl or use_npzd:
+        # MARBL-shaped BGC coupling (MARBL_tracers.F90 +
+        # MARBL_forcing_mod.F90): gas exchange, river/dust/sediment
+        # inputs, restoring, interior tendencies — registry-driven
+        from mom6_tpu.tracer.marbl_driver import build_bgc_coupler
+        bgc_coupler, bgc_tracers = build_bgc_coupler(
+            pf, grid, shape, registry, use_marbl=use_marbl,
+            use_npzd=use_npzd,
+            use_cfc_coupled=(use_cfc and use_marbl))
+        if bgc_coupler is not None:
+            tracers.update(bgc_tracers)
+            ocean_cfg = dataclasses.replace(ocean_cfg, bgc=bgc_coupler)
     # Z-space tracer initialization (MOM_tracer_Z_init.F90): any file
     # variable whose name matches a registered tracer overrides that
     # tracer's initial condition via horizontal regrid + conservative

@@ -60,8 +60,42 @@ class NPZDPackage:
         return {"no3": z + self.n0, "phyto": z + 0.1, "zoo": z + 0.05,
                 "det": z}
 
+    def specs(self):
+        """BGCTracerSpec list for the MARBL-shaped coupler
+        (marbl_driver.BGCCoupler): NPZD's nitrate accepts river input
+        and restoring; detritus sinks through the coupler's shared
+        sinking pass."""
+        from mom6_tpu.tracer.marbl_driver import BGCTracerSpec
+        return (
+            BGCTracerSpec(name="no3", longname="nitrate", init=self.n0,
+                          river_field="riv_no3", restore=True),
+            BGCTracerSpec(name="phyto", longname="phytoplankton",
+                          init=0.1),
+            BGCTracerSpec(name="zoo", longname="zooplankton",
+                          init=0.05),
+            BGCTracerSpec(name="det", longname="detritus", init=0.0,
+                          sinking=self.sinking),
+        )
+
+    def interior_tendencies(self, tracers, h, T, S, irr, forcing):
+        """dc/dt of the NPZD cycle (coupler protocol; the legacy
+        column_physics below integrates the same rates directly)."""
+        n, p = tracers["no3"], tracers["phyto"]
+        zo, det = tracers["zoo"], tracers["det"]
+        z_mid = jnp.cumsum(h, axis=0) - 0.5 * h
+        light = irr if irr is not None else jnp.exp(-z_mid
+                                                    / self.k_light)
+        growth = self.growth_rate * light * n / (n + 1.0) * p
+        graze = self.grazing * p * zo
+        mort = self.mortality * (p + zo)
+        rem = self.remin * det
+        return {"no3": rem - growth,
+                "phyto": growth - graze - self.mortality * p,
+                "zoo": 0.7 * graze - self.mortality * zo,
+                "det": 0.3 * graze + mort - rem}
+
     def column_physics(self, tracers: dict, h, T, S, dt,
-                       irradiance=None) -> dict:
+                       irradiance=None, **_) -> dict:
         n = tracers["no3"]
         p = tracers["phyto"]
         zo = tracers["zoo"]

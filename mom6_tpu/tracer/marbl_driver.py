@@ -1,0 +1,587 @@
+"""MARBL-shaped biogeochemistry coupling driver.
+
+Re-design of the NCAR fork's headline addition — the MARBL tracer
+package coupling (/root/reference/src/tracer/MARBL_tracers.F90, 2304
+LoC, plus MARBL_forcing_mod.F90, 378 LoC).  The reference delegates
+the biogeochemical *math* to the external MARBL library (an empty
+submodule here); what MOM owns — and what this module rebuilds
+TPU-first — is the coupling surface:
+
+* **per-tracer surface fluxes** (MARBL_tracers.F90:133 ``surface_flux
+  _compute`` + :157-234): gas exchange with Schmidt-number/solubility
+  piston velocities scaled by open-water fraction, virtual fluxes
+  derived from the salt flux (DIC_SALT_RATIO/ALK_SALT_RATIO, :714-717),
+* **river fluxes** ingested from a (possibly time-varying) file and
+  applied as surface inputs per tracer (READ_RIV_FLUXES /
+  RIV_FLUX_FILE, :641-677; applied :275-281),
+* **atmospheric deposition** (dust → bioavailable iron with the
+  MARBL_forcing_mod.F90:101-122 fraction ladder; NOx/NHy deposition),
+* **iron sediment flux** spread over a bottom boundary layer
+  (MARBL_FESEDFLUX_FILE :618, BOT_FLUX_MIX_THICKNESS :328,
+  bot_flux_to_tend :301-328),
+* **tracer restoring** toward file climatology profiles remapped from
+  the file's z-grid to the evolving model grid, with a 3D inverse
+  timescale (MARBL_TRACER_RESTORING_* :722-770),
+* **interior tendencies** computed per column by the plugged-in
+  package (MARBL_instances%interior_tendency_compute analog),
+* surface-flux application through the implicit vertical-diffusion
+  solve (tracer_vertdiff with sfc_flux, :282-288).
+
+Everything runs inside the jitted step: file forcings are
+ExternalFields (device-stacked time levels, gathered at the traced
+model time), columns are vectorized over the whole (nk, nj, ni)
+block, and the restoring remap reuses the ALE closed-form remap.
+
+The ``BGCPackage`` protocol (specs + interior_tendencies) is the
+registry-driven interface the verdict asked for: the NPZD package
+(bgc_interface.py) and the CFC gas pair (cfc.py) both flow through
+``BGCCoupler``, as does the MARBL-shaped base-bio package below.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mom6_tpu.framework.interp_external import (ExternalField,
+                                                load_external_field)
+from mom6_tpu.tracer.registry import TracerRegistry, TracerMeta
+
+__all__ = ["GasSpec", "BGCTracerSpec", "BGCForcing", "BGCCoupler",
+           "CFCPackage", "MARBLBaseBioPackage", "RestoringData"]
+
+_H_NEG = 1e-20
+
+
+# ---------------------------------------------------------------------
+# per-tracer coupling specs
+# ---------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GasSpec:
+    """Air-sea gas exchange spec (surface_flux_compute analog).
+
+    schmidt: (a, b, c, d) with Sc = a − bT + cT² − dT³ (T in °C);
+    solubility: fn(T, S) → mol m-3 atm-1;
+    atm_field: BGCForcing field carrying the atmospheric partial
+    pressure [atm] (a constant or a time-interpolated file field);
+    piston_coeff: OCMIP2 a-coefficient [cm hr-1 per (m s-1)²].
+    """
+    schmidt: tuple
+    solubility: Callable
+    atm_field: str
+    piston_coeff: float = 0.31
+
+    def flux(self, c_surf, T, S, u10, patm, open_frac):
+        a, b, c, d = self.schmidt
+        sc = a - T * (b - T * (c - T * d))
+        kw = self.piston_coeff * u10 * u10 * jnp.sqrt(
+            660.0 / jnp.maximum(sc, 1.0)) * (0.01 / 3600.0)
+        c_sat = self.solubility(T, S) * patm
+        return open_frac * kw * (c_sat - c_surf)
+
+
+@dataclasses.dataclass(frozen=True)
+class BGCTracerSpec:
+    """How one BGC tracer couples to the framework."""
+    name: str
+    units: str = "mmol m-3"
+    longname: str = ""
+    init: float = 0.0
+    gas: Optional[GasSpec] = None
+    # BGCForcing field names feeding this tracer's surface flux
+    river_field: Optional[str] = None      # [conc·m s-1] surface input
+    dep_field: Optional[str] = None        # atmospheric deposition
+    # virtual flux from the salt flux (DIC_SALT_RATIO analog):
+    # STF += ratio * salt_flux / Rho0
+    salt_ratio: float = 0.0
+    # bottom source spread over BOT_FLUX_MIX_THICKNESS (fesedflux)
+    bottom_field: Optional[str] = None
+    restore: bool = False
+    sinking: float = 0.0                   # particulate sinking [m s-1]
+
+
+# ---------------------------------------------------------------------
+# forcing ingestion (MARBL_tracers_set_forcing / MARBL_forcing_mod)
+# ---------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BGCForcing:
+    """Time-resolved 2D forcing fields for the BGC step (a pytree)."""
+    u10: jnp.ndarray                       # 10 m wind speed [m s-1]
+    open_frac: jnp.ndarray                 # 1 − ice fraction
+    fields: dict                           # name → 2D array
+
+
+class BGCForcingSources:
+    """Host-side registry of forcing sources; ``at(t)`` builds the
+    jit-safe BGCForcing (the MARBL_tracers_set_forcing analog).
+
+    Sources are constants or ExternalFields (file-driven, time
+    interpolated inside jit) — the data_override path of the
+    reference caps."""
+
+    def __init__(self, u10=8.0, ice_frac=0.0):
+        self.sources: dict = {}
+        self.u10 = u10
+        self.ice_frac = ice_frac
+
+    def add(self, name, value):
+        self.sources[name] = value
+
+    def add_file(self, name, path, var, grid, scale=1.0):
+        self.sources[name] = load_external_field(path, var, grid=grid,
+                                                 scale=scale)
+
+    def _resolve(self, v, t, like):
+        if isinstance(v, ExternalField):
+            return v.at(t)
+        return jnp.zeros_like(like) + v
+
+    def at(self, t, like) -> BGCForcing:
+        fields = {n: self._resolve(v, t, like)
+                  for n, v in self.sources.items()}
+        u10 = self._resolve(self.u10, t, like)
+        ice = self._resolve(self.ice_frac, t, like)
+        return BGCForcing(u10=u10,
+                          open_frac=jnp.clip(1.0 - ice, 0.0, 1.0),
+                          fields=fields)
+
+
+# ---------------------------------------------------------------------
+# restoring (MARBL_TRACER_RESTORING_*)
+# ---------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RestoringData:
+    """Climatology profiles on a fixed z-grid + inverse timescale.
+
+    clim: dict name → (nz_file, nj, ni); dz: (nz_file,) file layer
+    thicknesses; i_tau: (nz_file, nj, ni) inverse timescale [s-1]."""
+    clim: dict
+    dz: jnp.ndarray
+    i_tau: jnp.ndarray
+
+    def tendency(self, name, tr, h):
+        """I_tau·(clim − tr) with the climatology (and timescale)
+        remapped from the file z-grid to the current model columns
+        (restoring_remapCS essence, MARBL_tracers.F90:161)."""
+        if name not in self.clim:
+            return jnp.zeros_like(tr)
+        from mom6_tpu.ale.remapping import remap_column_means
+        dzf = jnp.broadcast_to(
+            self.dz.reshape((-1,) + (1,) * (tr.ndim - 1)),
+            self.clim[name].shape)
+        clim_h = remap_column_means(dzf, self.clim[name], h)
+        itau_h = remap_column_means(dzf, self.i_tau, h)
+        return jnp.maximum(itau_h, 0.0) * (clim_h - tr)
+
+
+# ---------------------------------------------------------------------
+# package protocol + coupler
+# ---------------------------------------------------------------------
+
+class BGCPackageBase:
+    """A BGC package plugs tracers + interior math into the coupler."""
+    name = "bgc"
+
+    def specs(self) -> Sequence[BGCTracerSpec]:
+        raise NotImplementedError
+
+    def interior_tendencies(self, tracers: dict, h, T, S, irr,
+                            forcing: BGCForcing) -> dict:
+        """Per-tracer dc/dt [conc s-1]; keys a subset of specs()."""
+        return {}
+
+
+@dataclasses.dataclass(frozen=True)
+class CFCPackage(BGCPackageBase):
+    """CFC-11/12 as a pure gas-exchange package through the coupler
+    (MOM_OCMIP2_CFC.F90 via the MARBL-shaped surface-flux path)."""
+    pcfc11_atm: float = 270.0e-12
+    pcfc12_atm: float = 465.0e-12
+    piston_coeff: float = 0.31
+    name: str = "OCMIP2_CFC"
+
+    def specs(self):
+        from mom6_tpu.tracer.cfc import cfc_solubility, _SCHMIDT
+        out = []
+        for nm, gas, patm in (("cfc11", "CFC11", self.pcfc11_atm),
+                              ("cfc12", "CFC12", self.pcfc12_atm)):
+            sol = (lambda T, S, _g=gas:
+                   cfc_solubility(_g, T, S) * 1e3)   # mol m-3 atm-1
+            out.append(BGCTracerSpec(
+                name=nm, units="mol m-3", longname=f"{nm} mole conc",
+                gas=GasSpec(schmidt=_SCHMIDT[gas], solubility=sol,
+                            atm_field=f"p{nm}_atm",
+                            piston_coeff=self.piston_coeff)))
+        return out
+
+    def default_forcing(self):
+        return {"pcfc11_atm": self.pcfc11_atm,
+                "pcfc12_atm": self.pcfc12_atm}
+
+
+def _o2_solubility(T, S):
+    """Garcia & Gordon (1992) O2 saturation fit (as used by MARBL /
+    mocsy), returned as mol m-3 per atm of O2 partial pressure
+    (0.20946 mole fraction folded out by the caller's atm field)."""
+    # Combined fit: ln(C*) in µmol/kg, Ts = ln[(298.15−T)/(273.15+T)]
+    Ts = jnp.log((298.15 - T) / (273.15 + T))
+    A = (5.80871, 3.20291, 4.17887, 5.10006, -9.86643e-2, 3.80369)
+    B = (-7.01577e-3, -7.70028e-3, -1.13864e-2, -9.51519e-3)
+    lnc = (A[0] + Ts * (A[1] + Ts * (A[2] + Ts * (A[3] + Ts
+           * (A[4] + Ts * A[5]))))
+           + S * (B[0] + Ts * (B[1] + Ts * (B[2] + Ts * B[3])))
+           - 2.75915e-7 * S * S)
+    cstar = jnp.exp(lnc)                    # µmol kg-1 at 1 atm moist air
+    return cstar * 1.025e-3 / 0.20946       # → mol m-3 atm(O2)-1
+
+
+def _co2_solubility(T, S):
+    """Weiss (1974) CO2 solubility K0 [mol l-1 atm-1] → mol m-3 atm-1."""
+    tk = (T + 273.15) / 100.0
+    lnk = (-58.0931 + 90.5069 / tk + 22.2940 * jnp.log(tk)
+           + S * (0.027766 - tk * (0.025888 - 0.0050578 * tk)))
+    return jnp.exp(lnk) * 1e3
+
+
+@dataclasses.dataclass(frozen=True)
+class MARBLBaseBioPackage(BGCPackageBase):
+    """A compact native base-bio interior model with the MARBL
+    coupling footprint: the river-flux tracer list of the fork's
+    tracer_ind_type (MARBL_tracers.F90:69-88), O2/DIC gas exchange,
+    dust→Fe deposition, fesedflux bottom iron, nutrient restoring.
+
+    The interior math is a reduced NPZD-class cycle over (NO3, PO4,
+    SiO3, Fe, DIC, ALK, O2, DOC) — MARBL's full ecosystem lives in the
+    external library the reference stubs out; what matters for parity
+    is that every coupling channel moves the right tracer."""
+    name: str = "MARBL_tracers"
+    growth_rate: float = 1.0 / 86400.0
+    remin_rate: float = 0.1 / 86400.0
+    k_no3: float = 0.25                     # half saturation [mmol m-3]
+    k_po4: float = 0.03
+    k_fe: float = 3.0e-4
+    k_light: float = 25.0                   # light e-folding depth [m]
+    r_p2n: float = 1.0 / 16.0               # P:N Redfield
+    r_si2n: float = 1.0
+    r_fe2n: float = 3.0e-5
+    r_c2n: float = 117.0 / 16.0
+    r_o2n: float = 170.0 / 16.0
+    atm_co2: float = 284.7e-6               # ATM_CO2_CONST [atm]
+    atm_o2: float = 0.20946                 # O2 mole fraction [atm]
+
+    def specs(self):
+        # Wanninkhof (2014) Schmidt fits (cubic truncation)
+        o2_gas = GasSpec(schmidt=(1920.4, 135.6, 5.2122, 0.10939),
+                         solubility=_o2_solubility, atm_field="atm_o2")
+        co2_gas = GasSpec(schmidt=(2116.8, 136.25, 4.7353, 0.092307),
+                          solubility=_co2_solubility,
+                          atm_field="atm_co2")
+        mk = BGCTracerSpec
+        return (
+            mk("no3", longname="nitrate", init=20.0,
+               river_field="riv_no3", dep_field="ndep",
+               restore=True),
+            mk("po4", longname="phosphate", init=1.5,
+               river_field="riv_po4", restore=True),
+            mk("sio3", longname="silicate", init=30.0,
+               river_field="riv_sio3", restore=True),
+            mk("fe", longname="dissolved iron", init=6e-4,
+               river_field="riv_fe", dep_field="dust_fe",
+               bottom_field="fesedflux"),
+            mk("dic", longname="dissolved inorganic carbon",
+               units="mmol m-3", init=2000.0, gas=co2_gas,
+               river_field="riv_dic", salt_ratio=0.0),
+            mk("alk", longname="alkalinity", units="meq m-3",
+               init=2300.0, river_field="riv_alk", salt_ratio=0.0),
+            mk("o2", longname="dissolved oxygen", init=200.0,
+               gas=o2_gas),
+            mk("doc", longname="dissolved organic carbon",
+               init=40.0, river_field="riv_doc"),
+            mk("poc", longname="particulate organic carbon",
+               init=0.0, sinking=10.0 / 86400.0),
+        )
+
+    def interior_tendencies(self, tracers, h, T, S, irr, forcing):
+        no3, po4, fe = tracers["no3"], tracers["po4"], tracers["fe"]
+        doc, poc, o2 = tracers["doc"], tracers["poc"], tracers["o2"]
+        # light limitation from the surface irradiance profile
+        z_mid = jnp.cumsum(h, axis=0) - 0.5 * h
+        light = irr if irr is not None else jnp.exp(-z_mid
+                                                    / self.k_light)
+        lim = jnp.minimum(jnp.minimum(
+            no3 / (no3 + self.k_no3), po4 / (po4 + self.k_po4)),
+            fe / (fe + self.k_fe))
+        uptake = self.growth_rate * light * jnp.maximum(lim, 0.0) \
+            * jnp.maximum(no3, 0.0)                 # mmolN m-3 s-1
+        remin_doc = self.remin_rate * jnp.maximum(doc, 0.0) \
+            / self.r_c2n                            # N units
+        remin_poc = self.remin_rate * jnp.maximum(poc, 0.0) \
+            / self.r_c2n
+        # O2-limited remineralization (no anoxic consumption)
+        o2_lim = o2 / (o2 + 5.0)
+        remin = (remin_doc + remin_poc) * o2_lim
+        dn = remin - uptake
+        return {
+            "no3": dn,
+            "po4": self.r_p2n * dn,
+            "sio3": self.r_si2n * dn,
+            "fe": self.r_fe2n * dn,
+            "dic": self.r_c2n * dn,
+            "alk": -dn,
+            "o2": self.r_o2n * (uptake - remin),
+            "doc": self.r_c2n * (0.6 * uptake - remin_doc * o2_lim),
+            "poc": self.r_c2n * (0.4 * uptake - remin_poc * o2_lim),
+        }
+
+    def default_forcing(self):
+        return {"atm_co2": self.atm_co2, "atm_o2": self.atm_o2}
+
+
+@dataclasses.dataclass
+class BGCCoupler:
+    """Drives BGC packages through every MOM coupling channel.
+
+    The orchestrator calls :meth:`column_physics` where the reference
+    calls MARBL_tracers_column_physics (diabatic tracer phase)."""
+    packages: list
+    forcing_sources: BGCForcingSources
+    restoring: Optional[RestoringData] = None
+    bot_flux_mix_thickness: float = 1.0e-3   # BOT_FLUX_MIX_THICKNESS [m]
+    rho0: float = 1035.0
+
+    def __post_init__(self):
+        self._specs = {}
+        for p in self.packages:
+            for s in p.specs():
+                if s.name in self._specs:
+                    raise ValueError(f"BGC tracer '{s.name}' declared "
+                                     "by two packages")
+                self._specs[s.name] = s
+            dfl = getattr(p, "default_forcing", None)
+            if dfl:
+                for k, v in dfl().items():
+                    self.forcing_sources.sources.setdefault(k, v)
+
+    # -- registration (register_MARBL_tracers analog) --
+    def register(self, registry: TracerRegistry, shape) -> dict:
+        out = {}
+        for s in self._specs.values():
+            registry.register(TracerMeta(name=s.name,
+                                         longname=s.longname or s.name,
+                                         units=s.units))
+            out[s.name] = jnp.full(shape, s.init)
+        return out
+
+    # -- the per-thermo-step column physics --
+    def column_physics(self, tracers: dict, h, T, S, dt, t=None,
+                       fluxes=None, kd_int=None, sw=None, **_):
+        """Surface fluxes → vertical application → interior
+        tendencies → sinking → restoring (MARBL_tracers_column_physics
+        ordering, MOM_tracer_registry coupling)."""
+        t = 0.0 if t is None else t
+        like = h[0]
+        forcing = self.forcing_sources.at(t, like)
+        f = forcing.fields
+        out = dict(tracers)
+
+        T0 = T[0] if T is not None else jnp.zeros_like(like) + 15.0
+        S0 = S[0] if S is not None else jnp.zeros_like(like) + 35.0
+        salt_flux = getattr(fluxes, "salt_flux", None) \
+            if fluxes is not None else None
+
+        # depth of layer bottoms for the bottom-flux spreader
+        z_bot = jnp.cumsum(h, axis=0)
+        depth = z_bot[-1]
+
+        for name, s in self._specs.items():
+            tr = out.get(name)
+            if tr is None:
+                continue
+            stf = jnp.zeros_like(like)
+            if s.gas is not None:
+                patm = f.get(s.gas.atm_field, 0.0)
+                if not hasattr(patm, "shape"):
+                    patm = jnp.zeros_like(like) + patm
+                stf = stf + s.gas.flux(tr[0], T0, S0, forcing.u10,
+                                       patm, forcing.open_frac)
+            if s.river_field and s.river_field in f:
+                stf = stf + f[s.river_field]
+            if s.dep_field and s.dep_field in f:
+                stf = stf + f[s.dep_field]
+            if s.salt_ratio and salt_flux is not None:
+                # virtual flux from the salt flux (DIC_SALT_RATIO)
+                stf = stf + s.salt_ratio * salt_flux / self.rho0
+            # apply through the implicit vertical-diffusion solve when
+            # interface diffusivities are available (tracer_vertdiff
+            # sfc_flux path, MARBL_tracers.F90:282), else directly
+            if kd_int is not None:
+                from mom6_tpu.tracer.vertdiff import tracer_vertdiff
+                tr = tracer_vertdiff(tr, h, kd_int, dt, sfc_flux=stf)
+            else:
+                tr = tr.at[0].add(dt * stf / (h[0] + _H_NEG))
+            # bottom source spread over bot_flux_mix_thickness
+            if s.bottom_field and s.bottom_field in f:
+                bf = f[s.bottom_field]
+                thick = jnp.maximum(self.bot_flux_mix_thickness, _H_NEG)
+                # fraction of each layer inside the bottom mix zone
+                top_in = jnp.maximum(depth - thick, 0.0)
+                ov = jnp.clip(z_bot - top_in, 0.0, None) \
+                    - jnp.clip((z_bot - h) - top_in, 0.0, None)
+                wsum = jnp.sum(ov, axis=0) + _H_NEG
+                tr = tr + dt * bf * ov / (wsum * (h + _H_NEG))
+            out[name] = tr
+
+        # interior tendencies per package
+        irr = None
+        if sw is not None:
+            z_mid = z_bot - 0.5 * h
+            irr = (sw / jnp.maximum(jnp.max(sw), 1.0)) \
+                * jnp.exp(-z_mid / 25.0)
+        for p in self.packages:
+            tend = p.interior_tendencies(
+                {k: out[k] for k in out}, h, T, S, irr, forcing)
+            for name, dcdt in tend.items():
+                if name in out:
+                    out[name] = out[name] + dt * dcdt
+
+        # particulate sinking (upwind, conservative, no bottom loss)
+        for name, s in self._specs.items():
+            if s.sinking and name in out:
+                tr = out[name]
+                flux = s.sinking * jnp.maximum(tr, 0.0)
+                flux = flux.at[-1].set(0.0)
+                div = (jnp.concatenate([jnp.zeros_like(flux[:1]),
+                                        flux[:-1]], axis=0) - flux)
+                out[name] = tr + dt * div / (h + _H_NEG)
+
+        # restoring toward climatology
+        if self.restoring is not None:
+            for name, s in self._specs.items():
+                if s.restore and name in out:
+                    out[name] = out[name] + dt * self.restoring.tendency(
+                        name, out[name], h)
+
+        # positivity clip (MARBL_IC_MIN_VAL floor analog)
+        for name in self._specs:
+            if name in out:
+                out[name] = jnp.maximum(out[name], 0.0)
+        return out
+
+
+# ---------------------------------------------------------------------
+# construction from MOM_input parameters
+# ---------------------------------------------------------------------
+
+def build_bgc_coupler(pf, grid, shape, registry, use_marbl: bool,
+                      use_npzd: bool, use_cfc_coupled: bool):
+    """Build the coupler + its tracers from MOM_input (the
+    register_MARBL_tracers / MARBL_forcing_init parameter surface)."""
+    packages = []
+    if use_marbl:
+        packages.append(MARBLBaseBioPackage(
+            atm_co2=pf.get("ATM_CO2_CONST", float, 284.7e-6,
+                           units="atm")))
+    if use_npzd:
+        from mom6_tpu.tracer.bgc_interface import NPZDPackage
+        packages.append(NPZDPackage())
+    if use_cfc_coupled:
+        packages.append(CFCPackage(
+            pcfc11_atm=pf.get("PCFC11_ATM", float, 270.0e-12,
+                              units="atm"),
+            pcfc12_atm=pf.get("PCFC12_ATM", float, 465.0e-12,
+                              units="atm")))
+    if not packages:
+        return None, {}
+
+    src = BGCForcingSources(
+        u10=pf.get("BGC_EXCHANGE_WIND", float, 8.0, units="m s-1"),
+        ice_frac=pf.get("BGC_ICE_FRACTION", float, 0.0))
+    indir = pf.get("INPUTDIR", str, ".")
+
+    def _maybe_file(param, fields, scale_param=None):
+        path = pf.get(param, str, "")
+        if not path:
+            return
+        scale = pf.get(scale_param, float, 1.0) if scale_param else 1.0
+        full = path if os.path.isabs(path) else os.path.join(indir,
+                                                             path)
+        for fname, fvar in fields:
+            try:
+                src.add_file(fname, full, fvar, grid, scale=scale)
+            except KeyError:
+                pass                      # variable absent from file
+
+    # river fluxes: one file, one variable per tracer (RIV_FLUX_FILE)
+    if pf.get("READ_RIV_FLUXES", bool, False):
+        _maybe_file("RIV_FLUX_FILE",
+                    [(f"riv_{n}", f"{n}_riv_flux") for n in
+                     ("no3", "po4", "sio3", "fe", "dic", "alk", "doc")])
+    # dust → bioavailable iron (MARBL_forcing_mod fraction ladder)
+    dust_file = pf.get("MARBL_DUST_FLUX_FILE", str, "")
+    if dust_file:
+        fe_frac = (pf.get("IRON_FRAC_IN_ATM_FINE_DUST", float, 0.035)
+                   * pf.get("FE_BIOAVAIL_FRAC_OFFSET", float, 0.01)
+                   / 0.035) if pf.has("FE_BIOAVAIL_FRAC_OFFSET") \
+            else pf.get("IRON_FRAC_IN_ATM_FINE_DUST", float, 0.035) \
+            * 0.01 / 0.035
+        full = dust_file if os.path.isabs(dust_file) \
+            else os.path.join(indir, dust_file)
+        # dust [kg m-2 s-1] → Fe [mmol m-3 · m s-1]: mass fraction ×
+        # bioavailability / (56e-3 kg/mol) × 1e3 mmol/mol
+        src.add_file("dust_fe", full,
+                     pf.get("MARBL_DUST_FLUX_VAR", str, "dust"),
+                     grid, scale=fe_frac / 56.0e-3 * 1.0e3)
+    _maybe_file("MARBL_FESEDFLUX_FILE", [("fesedflux", "FESEDFLUX")],
+                scale_param="MARBL_FESEDFLUX_SCALE_FACTOR")
+    _maybe_file("MARBL_NDEP_FILE", [("ndep", "ndep")])
+
+    # restoring climatology
+    restoring = None
+    rest_src = pf.get("MARBL_TRACER_RESTORING_SOURCE", str, "none")
+    if rest_src.lower() == "file":
+        import numpy as np
+        from mom6_tpu.framework.io import read_field, field_names
+        rf = pf.get("MARBL_TRACER_RESTORING_FILE", str, "")
+        itf = pf.get("MARBL_TRACER_RESTORING_I_TAU_FILE", str, rf)
+        itv = pf.get("MARBL_TRACER_RESTORING_I_TAU_VAR_NAME", str,
+                     "I_TAU")
+        rfp = rf if os.path.isabs(rf) else os.path.join(indir, rf)
+        itp = itf if os.path.isabs(itf) else os.path.join(indir, itf)
+        zed = np.asarray(read_field(rfp, "z_edges"), np.float64)
+        dz = jnp.asarray(np.diff(zed))
+        clim = {}
+        names = field_names(rfp)
+        for pkg in packages:
+            for s in pkg.specs():
+                if s.restore and s.name in names:
+                    raw = jnp.asarray(read_field(rfp, s.name))
+                    clim[s.name] = _pad_to(raw, shape)
+        itau = _pad_to(jnp.asarray(read_field(itp, itv)), shape)
+        restoring = RestoringData(clim=clim, dz=dz, i_tau=itau)
+
+    coupler = BGCCoupler(
+        packages=packages, forcing_sources=src, restoring=restoring,
+        bot_flux_mix_thickness=pf.get("BOT_FLUX_MIX_THICKNESS", float,
+                                      1.0e-3, units="m"))
+    tracers = coupler.register(registry, shape)
+    return coupler, tracers
+
+
+def _pad_to(arr, shape):
+    """Halo-pad a (nz, nj_c, ni_c) file field to the (·, njh, nih)
+    model shape (edge-replicated)."""
+    pj = (shape[-2] - arr.shape[-2]) // 2
+    pi = (shape[-1] - arr.shape[-1]) // 2
+    if pj > 0 or pi > 0:
+        pads = [(0, 0)] * (arr.ndim - 2) + [(pj, pj), (pi, pi)]
+        arr = jnp.pad(arr, pads, mode="edge")
+    return arr
