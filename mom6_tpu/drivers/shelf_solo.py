@@ -58,14 +58,32 @@ def main(argv=None):
         ssa=SSACfg(
             glen_a=pf.get("A_GLEN_ISOTHERM", float, 2.4e-24,
                           units="Pa-3 s-1"),
-            basal_beta=pf.get("BASAL_FRICTION_COEFF", float, 0.0)),
-        dynamic=True)
-    shelf = ShelfState(h_shelf=init_shelf_thickness(
+            basal_beta=pf.get("BASAL_FRICTION_COEFF", float, 0.0),
+            # grounded-ice friction law (MOM_ice_shelf_dynamics.F90
+            # :489-508): Weertman power law, Coulomb-limited option
+            c_basal=pf.get("C_BASAL_FRICTION", float, 0.0,
+                           units="Pa (m s-1)^-n"),
+            n_basal=pf.get("BASAL_FRICTION_EXP", float, 1.0),
+            coulomb=pf.get("USE_COULOMB_FRICTION", bool, False),
+            cf_min_n=pf.get("CF_MinN", float, 1.0, units="Pa"),
+            cf_post_peak=pf.get("CF_PostPeak", float, 1.0),
+            cf_max=pf.get("CF_Max", float, 0.5)),
+        dynamic=True,
+        advance_front=pf.get("SHELF_ADVANCE_FRONT", bool, True))
+    h0 = init_shelf_thickness(
         pf.get("ICE_PROFILE_CONFIG", str, "channel"), grid,
         max_thick=pf.get("SHELF_MAX_THICKNESS", float, 500.0,
                          units="m"),
         lon_extent=pf.get("SHELF_LENGTH_LON", float, 0.5 * lenlon),
-        west=west, halo=d.halo))
+        west=west, halo=d.halo)
+    # bed elevation (depth below sea level) from the ocean bathymetry
+    # drives the grounding-line flotation test
+    bed = grid.bathyT if pf.get("SHELF_GROUNDING", bool, True) \
+        else None
+    shelf = ShelfState(
+        h_shelf=h0,
+        area_frac=(h0 > cfg.min_thickness).astype(h0.dtype),
+        bed_elev=bed)
     pf.close(fatal_unused=False)
 
     nsteps = max(1, int(round(daymax * 86400.0 / dt)))

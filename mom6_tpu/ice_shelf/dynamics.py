@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from mom6_tpu.core.grid import Grid
 from mom6_tpu.parallel.stencil import ip1, im1, jp1, jm1
 
-__all__ = ["SSACfg", "ssa_velocity_solve"]
+__all__ = ["SSACfg", "ssa_velocity_solve", "basal_traction"]
 
 _EPS = 1e-14
 
@@ -51,6 +51,19 @@ class SSACfg:
     n_inner: int = 200             # CG iterations per refresh
     eps_strain: float = 1e-10      # strain regularization [s-1]
     picard_damping: float = 0.0    # 0 = undamped, 0.5 = geometric mean
+    # --- basal friction law over grounded ice (calc_shelf_taub,
+    # MOM_ice_shelf_dynamics.F90:498-508) ---
+    # tau_b = C |u|^(n_b-1) u  (Weertman power law; n_b = 1 linear),
+    # optionally Coulomb-limited (Schoof 2005, Gagliardini et al 2007):
+    # tau_b = C |u|^(n_b-1) u / (1 + fB |u|^p)^(n_b) with
+    # fB = alpha (C / (CF_Max N))^(p/n_b), N = max(rho_i g (h-H_f),
+    # CF_MinN) the effective pressure above flotation.
+    c_basal: float = 0.0           # C_basal_friction [Pa (m s-1)^-n_b]
+    n_basal: float = 1.0           # BASAL_FRICTION_EXP
+    coulomb: bool = False          # USE_COULOMB_FRICTION
+    cf_min_n: float = 1.0          # CF_MinN [Pa]
+    cf_post_peak: float = 1.0      # CF_PostPeak exponent p
+    cf_max: float = 0.5            # CF_Max coefficient
 
 
 class SSAResult(NamedTuple):
@@ -65,20 +78,55 @@ def _surface(cfg: SSACfg, h_shelf, floating):
     return jnp.where(floating > 0, s_float, h_shelf)
 
 
+def basal_traction(cfg: SSACfg, grid: Grid, u, v, h_shelf,
+                   ground_frac, bed_elev=None):
+    """Area-weighted basal traction coefficient beta [Pa s m-1 · m²]
+    such that tau_b·A = beta·u (calc_shelf_taub,
+    MOM_ice_shelf_dynamics.F90): Weertman power law, Coulomb-limited
+    when cfg.coulomb, applied only over grounded ice."""
+    speed2 = u * u + v * v + (cfg.eps_strain ** 2
+                              * (grid.dxT ** 2 + grid.dyT ** 2))
+    unorm = jnp.sqrt(speed2)
+    coef = cfg.c_basal * unorm ** (cfg.n_basal - 1.0)
+    if cfg.coulomb:
+        p = cfg.cf_post_peak
+        alpha = ((p - 1.0) ** (p - 1.0) / p ** p) if p != 1.0 else 1.0
+        # flotation thickness from the bed depth below sea level
+        hf = jnp.maximum((cfg.rho_sw / cfg.rho_ice)
+                         * (bed_elev if bed_elev is not None
+                            else jnp.zeros_like(h_shelf)), 0.0)
+        fN = jnp.maximum(cfg.rho_ice * cfg.g * (h_shelf - hf),
+                         cfg.cf_min_n)
+        fB = alpha * (cfg.c_basal / (cfg.cf_max * fN)) \
+            ** (p / cfg.n_basal)
+        coef = coef / (1.0 + fB * unorm ** p) ** cfg.n_basal
+    return coef * grid.areaT * ground_frac
+
+
 def ssa_velocity_solve(cfg: SSACfg, grid: Grid, h_shelf, shelf_mask,
-                       floating=None, u0=None, v0=None) -> SSAResult:
+                       floating=None, u0=None, v0=None,
+                       ground_frac=None, bed_elev=None) -> SSAResult:
     """Solve the SSA for shelf velocities at h points.
 
     h_shelf: ice thickness [m]; shelf_mask: 1 where ice is present;
-    floating: 1 where afloat (defaults to all floating)."""
+    floating: 1 where afloat (defaults to all floating);
+    ground_frac: fraction of the cell grounded (basal friction acts
+    there; update_OD_ffrac analog), bed_elev: bed depth below sea
+    level [m] (for the Coulomb effective pressure)."""
     if floating is None:
-        floating = shelf_mask
+        floating = shelf_mask if ground_frac is None \
+            else shelf_mask * (1.0 - ground_frac)
     if u0 is None:
         u0 = jnp.zeros_like(h_shelf)
     if v0 is None:
         v0 = jnp.zeros_like(h_shelf)
+    if ground_frac is None:
+        ground_frac = jnp.zeros_like(h_shelf)
 
+    # grounded ice rests on the bed: s = h − bed_depth
     s = _surface(cfg, h_shelf, floating)
+    if bed_elev is not None:
+        s = jnp.where(ground_frac > 0.5, h_shelf - bed_elev, s)
     # driving stress ρ_i g h ∂s/∂x at h points (centered)
     tdx = cfg.rho_ice * cfg.g * h_shelf * 0.5 \
         * (ip1(s) - im1(s)) * grid.IdxT
@@ -107,7 +155,7 @@ def ssa_velocity_solve(cfg: SSACfg, grid: Grid, h_shelf, shelf_mask,
         return (jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1]))
 
     u, v = u0 * shelf_mask, v0 * shelf_mask
-    beta_a = cfg.basal_beta * grid.areaT * shelf_mask
+    beta_lin = cfg.basal_beta * grid.areaT * shelf_mask
     b = (-tdx * grid.areaT * shelf_mask,
          -tdy * grid.areaT * shelf_mask)
 
@@ -129,6 +177,14 @@ def ssa_velocity_solve(cfg: SSACfg, grid: Grid, h_shelf, shelf_mask,
         # (undamped Picard can oscillate for shear-thinning rheology)
         w = cfg.picard_damping
         visc_q = visc_q ** w * visc_new ** (1.0 - w)
+        # nonlinear basal traction refreshed with the viscosity
+        # (calc_shelf_taub is called per outer iteration in the
+        # reference's Picard loop, MOM_ice_shelf_dynamics.F90:1028)
+        beta_a = beta_lin
+        if cfg.c_basal > 0.0:
+            beta_a = beta_a + basal_traction(cfg, grid, u, v, h_shelf,
+                                             ground_frac, bed_elev) \
+                * shelf_mask
         nu_h = visc_q * jnp.maximum(corner_avg(h_shelf), 1.0) \
             * corner_avg(shelf_mask)
 

@@ -916,6 +916,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         from mom6_tpu.ice_shelf.shelf_main import (
             ShelfCfg, ShelfState, init_shelf_thickness)
         from mom6_tpu.ice_shelf.thermo import IceShelfCfg as _IST
+        from mom6_tpu.ice_shelf.dynamics import SSACfg as _SSA
         shelf_cfg = ShelfCfg(
             thermo=_IST(
                 gamma_t=pf.get("SHELF_3EQ_GAMMA_T", float, 1e-4,
@@ -923,12 +924,20 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 rho_ice=pf.get("DENSITY_ICE", float, 918.0,
                                units="kg m-3"),
                 rho0=rho0),
+            ssa=_SSA(
+                c_basal=pf.get("C_BASAL_FRICTION", float, 0.0,
+                               units="Pa (m s-1)^-n"),
+                n_basal=pf.get("BASAL_FRICTION_EXP", float, 1.0),
+                coulomb=pf.get("USE_COULOMB_FRICTION", bool, False),
+                cf_min_n=pf.get("CF_MinN", float, 1.0, units="Pa"),
+                cf_post_peak=pf.get("CF_PostPeak", float, 1.0),
+                cf_max=pf.get("CF_Max", float, 0.5)),
             dynamic=pf.get("DYNAMIC_SHELF", bool, False),
             g=g_earth,
             stress_frac=pf.get("SHELF_STRESS_FRACTION", float, 0.0))
         icfg = pf.get("ICE_PROFILE_CONFIG", str, "channel")
         tfile = pf.get("ICE_THICKNESS_FILE", str, "")
-        ice_shelf = ShelfState(h_shelf=init_shelf_thickness(
+        _h0 = init_shelf_thickness(
             icfg if not tfile else "file", grid,
             max_thick=pf.get("SHELF_MAX_THICKNESS", float, 500.0,
                              units="m"),
@@ -939,7 +948,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 pf.get("INPUTDIR", str, "."), tfile)
             if tfile else None,
             var=pf.get("ICE_THICKNESS_VARNAME", str, "thick"),
-            halo=halo))
+            halo=halo)
+        ice_shelf = ShelfState(
+            h_shelf=_h0,
+            area_frac=(_h0 > shelf_cfg.min_thickness
+                       ).astype(_h0.dtype),
+            bed_elev=grid.bathyT)
 
     # ---- state initialization ----
     pf.module("MOM_state_initialization")

