@@ -98,6 +98,11 @@ class SplitDiags(NamedTuple):
     int_tide_en: Optional[jnp.ndarray] = None
     # SPPT AR(1) pattern carried across steps when DO_SPPT is on
     sppt_pattern: Optional[jnp.ndarray] = None
+    # largest un-swept tracer-advection face transport as a fraction
+    # of its upwind cell volume (0 when every sweep completed; the
+    # reference's domore loop runs until this clears,
+    # MOM_tracer_advect.F90:329)
+    adv_residual: Optional[jnp.ndarray] = None
 
 
 def init_split_state(domain: Domain, grid: Grid, vgrid: VerticalGrid,

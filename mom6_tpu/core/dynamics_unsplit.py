@@ -66,6 +66,8 @@ class DynDiags(NamedTuple):
     # boundary-layer / mixed-layer depth [m] from the diabatic phase
     # (KPP BLD or ePBL MLD; consumed by mixed-layer restrat next step)
     mld: Optional[jnp.ndarray] = None
+    # largest un-swept tracer-advection face CFL (see SplitDiags)
+    adv_residual: Optional[jnp.ndarray] = None
     # internal-tide energy density (n_angle, njh, nih) [J m-2],
     # carried across steps when INTERNAL_TIDES is on
     int_tide_en: Optional[jnp.ndarray] = None

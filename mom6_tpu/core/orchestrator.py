@@ -436,8 +436,10 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         if obc is not None:
             he, uhtr, vhtr = obc.keep_boundary(
                 (state.h, diags.uhtr, diags.vhtr), (he, uhtr, vhtr))
-        adv, _ = advect_tracers(domain, grid, adv, he, uhtr, vhtr,
-                                cfg.tracer_adv, x_first=x_first)
+        adv, _, adv_resid = advect_tracers(domain, grid, adv, he,
+                                           uhtr, vhtr, cfg.tracer_adv,
+                                           x_first=x_first)
+        diags = diags._replace(adv_residual=adv_resid)
         if obc is not None and obc_reservoirs is not None:
             obc_reservoirs = obc.update_tracer_reservoirs(
                 obc_reservoirs, adv, state.u, state.v, dt)
@@ -475,9 +477,11 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         if obc is not None:
             he, uhtr, vhtr = obc.keep_boundary(
                 (state.h, diags.uhtr, diags.vhtr), (he, uhtr, vhtr))
-        tracers, _ = advect_tracers(domain, grid, tracers, he, uhtr,
-                                    vhtr, cfg.tracer_adv,
-                                    x_first=x_first)
+        tracers, _, adv_resid = advect_tracers(domain, grid, tracers,
+                                               he, uhtr, vhtr,
+                                               cfg.tracer_adv,
+                                               x_first=x_first)
+        diags = diags._replace(adv_residual=adv_resid)
         if obc is not None and obc_reservoirs is not None:
             obc_reservoirs = obc.update_tracer_reservoirs(
                 obc_reservoirs, tracers, state.u, state.v, dt)

@@ -1785,11 +1785,17 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 sponge_data["eta"] = d_tgt
 
     # transports accumulate over n_dyn_per_therm dynamics steps, so
-    # tracer advection needs enough alternating sweeps to exhaust an
-    # accumulated CFL of ~0.5 per step at 0.45 per pass (the
-    # reference's domore re-sweep loop, MOM_tracer_advect.F90)
+    # tracer advection needs enough alternating sweeps to exhaust the
+    # worst-case accumulated face CFL — bounded by CFL_TRUNCATE per
+    # dynamics step (vertvisc_limit_vel caps |u| dt/dx there) — at
+    # max_cfl moved per pass, plus one spare pass (the reference's
+    # domore re-sweep loop, MOM_tracer_advect.F90:329; the
+    # adv_residual diagnostic in SplitDiags proves the bound held)
+    _adv_default = TracerAdvectCfg()
+    _cfl_acc = n_dyn_per_therm * vv.cfl_trunc
     adv_cfg = TracerAdvectCfg(
-        n_sweep_pairs=max(2, n_dyn_per_therm + 1))
+        n_sweep_pairs=max(2, int(math.ceil(
+            _cfl_acc / _adv_default.max_cfl)) + 1))
     # ---- internal tide energy propagation (MOM_internal_tides.F90;
     # MOM.F90 INTERNAL_TIDES) ----
     pf.module("MOM_internal_tides")
@@ -1826,9 +1832,28 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         # vertical modes + input energy partition
         n_mode = pf.get("INTERNAL_TIDE_MODES", int, 1)
         frac_modes = pf.get("ENERGY_FRACTION_PER_MODE", list, [])
+        # frequency axis (the reference's nFreq spectrum,
+        # MOM_internal_tides.F90:219): per-bin periods + conversion
+        # partition, defaulting to the single FIRST_MODE_PERIOD bin
+        n_freq = pf.get("INTERNAL_TIDE_FREQS", int, 1)
+        periods = pf.get("INTERNAL_TIDE_PERIODS", list, [])
+        frac_freq = pf.get("ENERGY_FRACTION_PER_FREQ", list, [])
+        if periods:
+            freqs = tuple(2.0 * _math.pi / float(p) for p in periods)
+        elif n_freq > 1:
+            # standard constituent ladder M2, S2, K1, O1, N2 [rad s-1]
+            ladder = (2.0 * _math.pi / period1, 1.45444e-4,
+                      7.2921e-5, 6.7598e-5, 1.37880e-4)
+            freqs = ladder[:n_freq]
+        else:
+            freqs = (2.0 * _math.pi / period1,)
         int_tides_cfg = dataclasses.replace(
             int_tides_cfg, n_mode=n_mode,
-            mode_fraction=tuple(float(f) for f in frac_modes))
+            mode_fraction=tuple(float(f) for f in frac_modes),
+            freqs=freqs,
+            freq_fraction=tuple(float(f) for f in frac_freq),
+            scheme=pf.get("INTERNAL_TIDE_X_SCHEME", str,
+                          "upwind_1st").lower())
         # topographic reflection maps (MOM_internal_tides.F90:2804)
         refl_file = pf.get("REFL_ANGLE_FILE", str, "")
         if refl_file:

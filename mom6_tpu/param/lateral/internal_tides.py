@@ -182,11 +182,12 @@ def _cn_face(cn, shift):
     return w1 * cn + w2 * shift(cn)
 
 
-def _refract(cfg: InternalTidesCfg, grid: Grid, En, cn, dt):
+def _refract(cfg: InternalTidesCfg, grid: Grid, En, cn, dt,
+             freq=None):
     """Angular upwind advection at the refraction rate
     (refract :1048): dθ/dt = cosθ·Dl − sinθ·Dk with
     D(k,l)/Dt/|K| = −(f·∇f + (ω²−f²)∇ln c_n)/ω|K|."""
-    freq = cfg.freq
+    freq = cfg.freq if freq is None else freq
     na = cfg.n_angle
     fB = grid.CoriolisBu
     f2 = f2_at_h(grid)
@@ -225,10 +226,29 @@ def _refract(cfg: InternalTidesCfg, grid: Grid, En, cn, dt):
     return En + (jnp.roll(flux, 1, axis=0) - flux)
 
 
-def _propagate(cfg: InternalTidesCfg, domain, grid: Grid, En, cn, dt):
-    """First-order upwind flux-form x/y advection at the per-angle
-    group velocity (propagate_x/propagate_y with upwind_1st)."""
-    freq = cfg.freq
+def _ppm_face(c, up2, up1, dn1, cfl):
+    """PPM face value for flux-form advection: parabola over the
+    upwind cell (up2|up1|dn1 from far-upwind to downwind), integrated
+    over the CFL sweep (the reference's PPM option, zonal_flux_layer
+    shape; monotonized central edge estimates)."""
+    # monotonized edge values of the upwind cell
+    dl = 0.5 * (up1 - up2) + 0.5 * (dn1 - up1)
+    slp = jnp.sign(dl) * jnp.minimum(
+        jnp.abs(dl), 2.0 * jnp.minimum(jnp.abs(up1 - up2),
+                                       jnp.abs(dn1 - up1)))
+    slp = jnp.where((up1 - up2) * (dn1 - up1) > 0.0, slp, 0.0)
+    eL = up1 - 0.5 * slp
+    eR = up1 + 0.5 * slp
+    curv3 = eL + eR - 2.0 * up1
+    return eR + cfl * (0.5 * (eL - eR) + curv3 * (cfl - 1.5))
+
+
+def _propagate(cfg: InternalTidesCfg, domain, grid: Grid, En, cn, dt,
+               freq=None):
+    """Flux-form x/y advection at the per-angle group velocity
+    (propagate_x/propagate_y): first-order upwind or the PPM
+    reconstruction (cfg.scheme)."""
+    freq = cfg.freq if freq is None else freq
     na = cfg.n_angle
     f2 = f2_at_h(grid)
     speed = cn * jnp.sqrt(jnp.maximum(freq ** 2 - f2, 0.0)) / freq
@@ -244,12 +264,30 @@ def _propagate(cfg: InternalTidesCfg, domain, grid: Grid, En, cn, dt):
     cgy_av = jnp.asarray((np.cos(a0) - np.cos(a1)) / dtheta
                          ).reshape(-1, 1, 1)
 
+    use_ppm = cfg.scheme.lower() == "ppm"
+
     cg_x = speed_u[None] * cgx_av            # (na, njh, nih) at u
-    flux_x = jnp.where(cg_x > 0.0, En, ip1(En)) * cg_x * grid.dyCu
+    if use_ppm:
+        cfl_x = jnp.abs(cg_x) * dt * grid.IdxCu
+        f_pos = _ppm_face(cg_x, im1(En), En, ip1(En), cfl_x)
+        f_neg = _ppm_face(cg_x, ip1(ip1(En)), ip1(En), En, cfl_x)
+        face = jnp.where(cg_x > 0.0, f_pos, f_neg)
+        face = jnp.maximum(face, 0.0)
+    else:
+        face = jnp.where(cg_x > 0.0, En, ip1(En))
+    flux_x = face * cg_x * grid.dyCu
     En = En + dt * grid.IareaT * (im1(flux_x) - flux_x)
     En = domain.fill_halos(En)
     cg_y = speed_v[None] * cgy_av
-    flux_y = jnp.where(cg_y > 0.0, En, jp1(En)) * cg_y * grid.dxCv
+    if use_ppm:
+        cfl_y = jnp.abs(cg_y) * dt * grid.IdyCv
+        f_pos = _ppm_face(cg_y, jm1(En), En, jp1(En), cfl_y)
+        f_neg = _ppm_face(cg_y, jp1(jp1(En)), jp1(En), En, cfl_y)
+        face = jnp.where(cg_y > 0.0, f_pos, f_neg)
+        face = jnp.maximum(face, 0.0)
+    else:
+        face = jnp.where(cg_y > 0.0, En, jp1(En))
+    flux_y = face * cg_y * grid.dxCv
     En = En + dt * grid.IareaT * (jm1(flux_y) - flux_y)
     return jnp.maximum(En, 0.0) * grid.mask2dT
 
@@ -268,56 +306,75 @@ def step_internal_tides(cfg: InternalTidesCfg, domain, grid: Grid,
     barotropic tidal speed [m2 s-2]; h2_rough: topographic roughness
     variance [m2] (defaults to (kappa_h2_factor/kappa)²);
     refl_angle/refl_pref/refl_dbl: topographic reflection maps (see
-    :func:`reflect`)."""
+    :func:`reflect`).
+
+    En carries (n_freq, n_mode, n_angle, njh, nih) — the reference's
+    full En(i, j, angle, freq, mode) energy density (:219); legacy
+    (n_mode, n_angle, ...) and (n_angle, ...) layouts are promoted.
+    The conversion forcing is partitioned across frequency bins by
+    ``freq_fraction`` and across modes by ``mode_fraction``; each
+    (freq, mode) pair refracts and propagates at its own rates, and
+    the loss budgets are returned both summed and per frequency."""
     na = cfg.n_angle
     nm = cfg.n_mode
-    freq = cfg.freq
+    nf = cfg.n_freq
+    freqs = cfg.freq_list
     f2 = f2_at_h(grid)
     if En.ndim == 3:                     # single-mode legacy layout
         En = En[None]
-    propagating = (freq ** 2 > f2).astype(En.dtype) * grid.mask2dT
+    if En.ndim == 4:                     # single-frequency legacy
+        En = En[None]
 
     # source: the non-local fraction of the conversion, spread evenly
-    # over the angular wedges and partitioned across the vertical
-    # modes by ENERGY_FRACTION_PER_MODE (:362-378)
-    frac_m = _mode_fractions(cfg)
-    src = dt * ((1.0 - cfg.q_itides) / na) * (tke_input * propagating)
-    En = En + jnp.asarray(frac_m).reshape(-1, 1, 1, 1) \
-        * src[None, None]
+    # over the angular wedges, partitioned across frequency bins
+    # (per-constituent conversion) and across the vertical modes by
+    # ENERGY_FRACTION_PER_MODE (:362-378)
+    frac_m = jnp.asarray(_mode_fractions(cfg)).reshape(-1, 1, 1, 1)
+    frac_f = _freq_fractions(cfg)
+    src0 = dt * ((1.0 - cfg.q_itides) / na) * tke_input
+    En = En + jnp.stack([
+        frac_f[f] * frac_m
+        * (src0 * ((freqs[f] ** 2 > f2).astype(En.dtype)
+                   * grid.mask2dT))[None, None]
+        for f in range(nf)])
 
     cn_modes = [cn[m] if cn.ndim == 3 else cn / (m + 1.0)
                 for m in range(nm)] if nm > 1 or cn.ndim == 3 \
         else [cn]
 
-    def transport(En_m, cn_m):
+    def transport(En_m, cn_m, freq):
         En_m = domain.fill_halos(En_m)
-        En_m = _refract(cfg, grid, En_m, cn_m, 0.5 * dt)
+        En_m = _refract(cfg, grid, En_m, cn_m, 0.5 * dt, freq=freq)
         En_m = domain.fill_halos(En_m)
-        En_m = _propagate(cfg, domain, grid, En_m, cn_m, dt)
+        En_m = _propagate(cfg, domain, grid, En_m, cn_m, dt, freq=freq)
         if refl_angle is not None:
             En_m = reflect(cfg, En_m, refl_angle,
                            refl_pref if refl_pref is not None
                            else jnp.ones_like(refl_angle), refl_dbl)
         return En_m
 
-    En = jnp.stack([transport(En[m], cn_modes[m]) for m in range(nm)])
+    En = jnp.stack([
+        jnp.stack([transport(En[f, m], cn_modes[m], freqs[f])
+                   for m in range(nm)]) for f in range(nf)])
 
-    leak = jnp.zeros_like(htot)
+    i_d = 1.0 / jnp.maximum(htot, cfg.drag_min_depth)
+    zero_f = jnp.zeros((nf,) + htot.shape, dtype=En.dtype)
+
+    leak_f = zero_f
     if cfg.apply_background_drag and cfg.decay_rate > 0.0:
-        leak = jnp.sum(En, axis=(0, 1)) * cfg.decay_rate
+        leak_f = jnp.sum(En, axis=(1, 2)) * cfg.decay_rate
         En = En / (1.0 + dt * cfg.decay_rate)
 
-    quad = jnp.zeros_like(htot)
+    quad_f = zero_f
     if cfg.apply_bottom_drag:
-        # the near-bottom drag velocity collects every mode's energy
-        tot_all = jnp.sum(En, axis=(0, 1))
-        i_d = 1.0 / jnp.maximum(htot, cfg.drag_min_depth)
+        # the near-bottom drag velocity collects every bin's energy
+        tot_all = jnp.sum(En, axis=(0, 1, 2))
         drag_scale = cfg.cdrag * jnp.sqrt(jnp.maximum(
             0.0, u_bt2 + tot_all * i_d / cfg.rho0)) * i_d
-        quad = tot_all * drag_scale
-        En = En / (1.0 + dt * drag_scale[None, None])
+        quad_f = jnp.sum(En, axis=(1, 2)) * drag_scale[None]
+        En = En / (1.0 + dt * drag_scale[None, None, None])
 
-    itidal = jnp.zeros_like(htot)
+    itidal_f = zero_f
     if cfg.apply_wave_drag:
         # Jayne & St. Laurent small-scale wave drag
         # (itidal_lowmode_loss :932): loss = q κ h² Nb Ub², with each
@@ -328,35 +385,37 @@ def step_internal_tides(cfg: InternalTidesCfg, domain, grid: Grid,
             h2_rough = cfg.h2_default
         loss_fixed = 0.5 * cfg.kappa_h2_factor * cfg.kappa_itides \
             * h2_rough * cfg.rho0
-        tot_mode = jnp.sum(En, axis=1)               # per mode
-        ub2 = 2.0 * tot_mode / (cfg.rho0
-                                * jnp.maximum(htot,
-                                              cfg.drag_min_depth))
-        loss_m = cfg.q_itides * loss_fixed * Nb[None] * ub2
-        loss_rate = loss_m / (tot_mode + _EN_SUB)
-        itidal = jnp.sum(loss_m * (tot_mode > 0.0), axis=0)
-        En = En / (1.0 + dt * loss_rate[:, None])
+        tot_fm = jnp.sum(En, axis=2)             # (nf, nm, ...)
+        ub2 = 2.0 * tot_fm * (i_d / cfg.rho0)[None, None]
+        loss_m = cfg.q_itides * loss_fixed * Nb[None, None] * ub2
+        loss_rate = loss_m / (tot_fm + _EN_SUB)
+        itidal_f = jnp.sum(loss_m * (tot_fm > 0.0), axis=1)
+        En = En / (1.0 + dt * loss_rate[:, :, None])
 
-    froude = jnp.zeros_like(htot)
+    froude_f = zero_f
     if cfg.apply_froude_drag:
         # wave breaking where the modal velocity exceeds the phase
         # speed: En /= Fr² when Fr > 1 (propagate_int_tide Froude
         # branch, MOM_internal_tides.F90; the modal near-bottom
         # velocity from energy equipartition as in the wave drag)
-        tot_mode = jnp.sum(En, axis=1)
-        ub2 = 2.0 * tot_mode / (cfg.rho0
-                                * jnp.maximum(htot,
-                                              cfg.drag_min_depth))
+        tot_fm = jnp.sum(En, axis=2)
+        ub2 = 2.0 * tot_fm * (i_d / cfg.rho0)[None, None]
         c2 = jnp.stack([cn_modes[m] ** 2 for m in range(nm)])
-        fr2 = ub2 / jnp.maximum(c2, _CN_SUB)
+        fr2 = ub2 / jnp.maximum(c2[None], _CN_SUB)
         scale = jnp.where(fr2 > 1.0, 1.0 / fr2, 1.0)
-        froude = jnp.sum(tot_mode * (1.0 - scale), axis=0) / dt
-        En = En * scale[:, None]
+        froude_f = jnp.sum(tot_fm * (1.0 - scale), axis=1) / dt
+        En = En * scale[:, :, None]
 
     En = jnp.stack([
-        _refract(cfg, grid, domain.fill_halos(En[m]), cn_modes[m],
-                 0.5 * dt) for m in range(nm)])
+        jnp.stack([_refract(cfg, grid, domain.fill_halos(En[f, m]),
+                            cn_modes[m], 0.5 * dt, freq=freqs[f])
+                   for m in range(nm)]) for f in range(nf)])
     En = jnp.maximum(En, 0.0) * grid.mask2dT
-    return IntTideResult(En=En, tot_En=jnp.sum(En, axis=(0, 1)),
-                         itidal_loss=itidal, leak_loss=leak,
-                         quad_loss=quad, froude_loss=froude)
+    return IntTideResult(
+        En=En, tot_En=jnp.sum(En, axis=(0, 1, 2)),
+        itidal_loss=jnp.sum(itidal_f, axis=0),
+        leak_loss=jnp.sum(leak_f, axis=0),
+        quad_loss=jnp.sum(quad_f, axis=0),
+        froude_loss=jnp.sum(froude_f, axis=0),
+        itidal_loss_freq=itidal_f, leak_loss_freq=leak_f,
+        quad_loss_freq=quad_f, froude_loss_freq=froude_f)

@@ -128,8 +128,13 @@ def advect_tracers(domain, grid: Grid, tracers: dict, h_end, uhtr, vhtr,
     hprev = h_end + div(transports)/areaT, which stays exactly
     consistent with the transports for any accumulation interval
     (the reference builds hprev the same way,
-    MOM_tracer_advect.F90:165).  Returns (new_tracers, h_out) with
-    h_out == h_end once all transports are swept.
+    MOM_tracer_advect.F90:165).  Returns (new_tracers, h_out,
+    resid_cfl) with h_out == h_end once all transports are swept;
+    resid_cfl is the largest un-swept face transport as a fraction of
+    its upwind cell volume — the analog of the reference's ``domore``
+    loop terminating with work left (it loops until domore clears;
+    here the sweep count is derived from the accumulated-CFL bound at
+    build time and this diagnostic proves the bound held).
     """
     hvol = (h_end * grid.areaT + (uhtr - im1(uhtr))
             + (vhtr - jm1(vhtr)))
@@ -153,4 +158,11 @@ def advect_tracers(domain, grid: Grid, tracers: dict, h_end, uhtr, vhtr,
             hvol, uh_rem, vh_rem = domain.fill_halos(
                 (hvol, uh_rem, vh_rem), width=2)
     h_end = hvol / grid.areaT
-    return ts, h_end
+    # residual-transport diagnostic: max un-swept face CFL (should be
+    # ~0 when n_sweep_pairs covers the accumulated-CFL bound)
+    vol_up_x = jnp.where(uh_rem > 0.0, hvol, ip1(hvol))
+    vol_up_y = jnp.where(vh_rem > 0.0, hvol, jp1(hvol))
+    resid = jnp.maximum(
+        domain.global_max(jnp.abs(uh_rem) / (vol_up_x + _H_NEGLECT)),
+        domain.global_max(jnp.abs(vh_rem) / (vol_up_y + _H_NEGLECT)))
+    return ts, h_end, resid

@@ -38,9 +38,10 @@ def step_offline(domain, grid: Grid, tracers: dict, h_end,
     tracers = domain.fill_halos(tracers, width=2)
     h_end, uhtr, vhtr = domain.fill_halos((h_end, uhtr, vhtr),
                                           width=2)
-    tracers, h_end = advect_tracers(domain, grid, tracers, h_end,
-                                    uhtr, vhtr, cfg.tracer_adv,
-                                    x_first=x_first)
+    tracers, h_end, _resid = advect_tracers(domain, grid, tracers,
+                                            h_end, uhtr, vhtr,
+                                            cfg.tracer_adv,
+                                            x_first=x_first)
     if kd_int is not None:
         tracers = {k: tracer_vertdiff(v, h_end, kd_int, cfg.dt_offline)
                    for k, v in tracers.items()}

@@ -53,7 +53,7 @@ def test_propagation_moves_energy_outward():
                            apply_wave_drag=False)
     En = init_en(cfg, (d.njh, d.nih))
     jc, ic = H + NJ // 2, H + NI // 2
-    En = En.at[:, :, jc, ic].set(1.0e3 / cfg.n_angle)
+    En = En.at[:, :, :, jc, ic].set(1.0e3 / cfg.n_angle)
     cn = jnp.full((d.njh, d.nih), 2.0)
     htot = jnp.full((d.njh, d.nih), 4000.0)
     nb = jnp.zeros((d.njh, d.nih))
@@ -109,13 +109,13 @@ def test_refraction_on_beta_plane_shifts_angles():
     cfg = InternalTidesCfg(n_angle=12, apply_bottom_drag=False,
                            apply_wave_drag=False)
     En = init_en(cfg, (d.njh, d.nih))
-    En = En.at[:, 3].set(100.0)                # all energy in wedge 3
+    En = En.at[:, :, 3].set(100.0)             # all energy in wedge 3
     cn = jnp.full((d.njh, d.nih), 2.0)
     htot = jnp.full((d.njh, d.nih), 4000.0)
     r = step_internal_tides(cfg, d, g, En, cn, 43200.0,
                             jnp.zeros_like(htot),
                             jnp.zeros((d.njh, d.nih)), htot)
-    spread = np.asarray(jnp.sum(jnp.abs(r.En), axis=(0, 2, 3)))
+    spread = np.asarray(jnp.sum(jnp.abs(r.En), axis=(0, 1, 3, 4)))
     assert (spread > 1e-6).sum() > 1           # leaked to neighbors
 
 
@@ -206,25 +206,25 @@ def test_higher_modes_propagate_slower():
                            apply_bottom_drag=False,
                            apply_wave_drag=False)
     En = init_en(cfg, (d.njh, d.nih))
-    assert En.shape[0] == 2
+    assert En.shape[:2] == (1, 2)
     cn = jnp.full((d.njh, d.nih), 2.0)
     htot = jnp.full((d.njh, d.nih), 4000.0)
     nb = jnp.zeros((d.njh, d.nih))
     tke = jnp.full((d.njh, d.nih), 1e-3)
     dt = 3600.0
     r = step_internal_tides(cfg, d, g, En, cn, dt, tke, nb, htot)
-    tot_m = [float(np.asarray(d.interior(r.En[m])).sum())
+    tot_m = [float(np.asarray(d.interior(r.En[0, m])).sum())
              for m in range(2)]
     np.testing.assert_allclose(tot_m[0] / (tot_m[0] + tot_m[1]), 0.75,
                                rtol=1e-6)
     # point release: mode 1 spreads further than mode 2
     En = init_en(cfg, (d.njh, d.nih))
     jc, ic = H + NJ // 2, H + NI // 2
-    En = En.at[:, :, jc, ic].set(100.0)
+    En = En.at[:, :, :, jc, ic].set(100.0)
     r = step_internal_tides(cfg, d, g, En, cn, 30000.0,
                             jnp.zeros_like(htot), nb, htot)
-    E1 = np.asarray(r.En[0]).sum(axis=0)
-    E2 = np.asarray(r.En[1]).sum(axis=0)
+    E1 = np.asarray(r.En[0, 0]).sum(axis=0)
+    E2 = np.asarray(r.En[0, 1]).sum(axis=0)
     # the faster mode moved more energy off the source cell
     assert E1[jc, ic] < E2[jc, ic]
     assert E1[jc, ic + 1] > E2[jc, ic + 1]
@@ -291,3 +291,93 @@ def test_froude_drag_caps_supercritical_energy():
                              jnp.zeros_like(htot), nb, htot)
     np.testing.assert_allclose(float(jnp.max(r2.froude_loss)), 0.0,
                                atol=1e-12)
+
+
+def test_frequency_axis_partition_and_gating():
+    """The frequency axis (En(freq, mode, angle, y, x)): forcing is
+    partitioned by ENERGY_FRACTION_PER_FREQ, each bin propagates at
+    its own omega, the sub-inertial gate acts per frequency, and the
+    loss budgets are reported per frequency."""
+    # f between K1 and M2: K1 (7.29e-5) is sub-inertial, M2 is not
+    d, g = _setup(f0=1.0e-4)
+    cfg = InternalTidesCfg(n_angle=8, freqs=(1.4052e-4, 7.2921e-5),
+                           freq_fraction=(0.6, 0.4),
+                           apply_bottom_drag=True,
+                           apply_wave_drag=True)
+    En = init_en(cfg, (d.njh, d.nih))
+    assert En.shape[0] == 2
+    cn = jnp.full((d.njh, d.nih), 2.0)
+    htot = jnp.full((d.njh, d.nih), 4000.0)
+    nb = jnp.full((d.njh, d.nih), 2e-3)
+    tke = jnp.full((d.njh, d.nih), 1e-3)
+    r = step_internal_tides(cfg, d, g, En, cn, 3600.0, tke, nb, htot,
+                            u_bt2=0.01 ** 2)
+    tot_f = [float(np.asarray(d.interior(r.En[f])).sum())
+             for f in range(2)]
+    assert tot_f[0] > 0.0
+    # K1 is sub-inertial everywhere here: its bin got no input
+    np.testing.assert_allclose(tot_f[1], 0.0, atol=1e-12)
+    # per-frequency loss budgets: all in the M2 bin
+    assert r.itidal_loss_freq.shape[0] == 2
+    assert float(jnp.max(r.itidal_loss_freq[0])) > 0.0
+    np.testing.assert_allclose(
+        float(jnp.max(r.itidal_loss_freq[1])), 0.0, atol=1e-20)
+    # summed diagnostics equal the per-freq sums
+    np.testing.assert_allclose(
+        np.asarray(r.quad_loss),
+        np.asarray(jnp.sum(r.quad_loss_freq, axis=0)), rtol=1e-12)
+
+
+def test_frequency_bins_propagate_at_own_speed():
+    """Lower-frequency bins have slower group speed cg = cn
+    sqrt(1 - f^2/w^2): after one step the low bin leaves more energy
+    on the source cell."""
+    d, g = _setup(f0=5.0e-5)
+    cfg = InternalTidesCfg(n_angle=8, freqs=(1.4052e-4, 6.0e-5),
+                           freq_fraction=(0.5, 0.5),
+                           apply_bottom_drag=False,
+                           apply_wave_drag=False)
+    En = init_en(cfg, (d.njh, d.nih))
+    jc, ic = H + NJ // 2, H + NI // 2
+    En = En.at[:, :, :, jc, ic].set(100.0)
+    cn = jnp.full((d.njh, d.nih), 2.0)
+    htot = jnp.full((d.njh, d.nih), 4000.0)
+    r = step_internal_tides(cfg, d, g, En, cn, 30000.0,
+                            jnp.zeros_like(htot),
+                            jnp.zeros((d.njh, d.nih)), htot)
+    Ehi = np.asarray(r.En[0, 0]).sum(axis=0)
+    Elo = np.asarray(r.En[1, 0]).sum(axis=0)
+    assert Ehi[jc, ic] < Elo[jc, ic]
+
+
+def test_ppm_advection_conserves_and_sharpens():
+    """The PPM horizontal scheme conserves energy and diffuses a
+    point release less than first-order upwind."""
+    d, g = _setup()
+    base = dict(n_angle=8, apply_bottom_drag=False,
+                apply_wave_drag=False)
+    jc, ic = H + NJ // 2, H + NI // 2
+    cn = jnp.full((d.njh, d.nih), 2.0)
+    htot = jnp.full((d.njh, d.nih), 4000.0)
+    nb = jnp.zeros((d.njh, d.nih))
+    outs = {}
+    for scheme in ("upwind_1st", "ppm"):
+        # an eastward beam (all energy in wedge 0) on an f=0 plane:
+        # pure 1D transport, so peak retention isolates the scheme's
+        # numerical diffusion
+        d0, g0 = _setup(f0=0.0)
+        cfg = InternalTidesCfg(scheme=scheme, **base)
+        En = init_en(cfg, (d0.njh, d0.nih))
+        En = En.at[:, :, 0, jc, ic].set(1.0e3)
+        r = step_internal_tides(cfg, d0, g0, En, cn, 20000.0,
+                                jnp.zeros_like(htot), nb, htot)
+        for _ in range(3):
+            r = step_internal_tides(cfg, d0, g0, r.En, cn, 20000.0,
+                                    jnp.zeros_like(htot), nb, htot)
+        outs[scheme] = np.asarray(d0.interior(r.tot_En))
+    area = np.asarray(d.interior(g.areaT))
+    t_up = (outs["upwind_1st"] * area).sum()
+    t_pp = (outs["ppm"] * area).sum()
+    np.testing.assert_allclose(t_pp, t_up, rtol=1e-9)
+    # PPM keeps more energy near the peak (less numerical diffusion)
+    assert outs["ppm"].max() > outs["upwind_1st"].max()

@@ -25,7 +25,7 @@ def test_uniform_tracer_stays_uniform():
     vhtr = d.fill_halos(d.pad(jnp.asarray(
         1e7 * rng.standard_normal((2, 8, 32)))))
     T = jnp.full_like(h, 7.5)
-    ts, h_end = advect_tracers(d, g, {"T": T}, h, uhtr, vhtr)
+    ts, h_end, _ = advect_tracers(d, g, {"T": T}, h, uhtr, vhtr)
     np.testing.assert_allclose(np.asarray(d.interior(ts["T"])), 7.5,
                                rtol=1e-12)
 
@@ -40,7 +40,7 @@ def test_tracer_conservation():
         5e6 * rng.standard_normal((2, 8, 32)))))
     T = d.fill_halos(d.pad(jnp.asarray(
         10.0 + rng.standard_normal((2, 8, 32)))))
-    ts, h_end = advect_tracers(d, g, {"T": T}, h, uhtr, vhtr)
+    ts, h_end, _ = advect_tracers(d, g, {"T": T}, h, uhtr, vhtr)
     # advect_tracers takes the POST-transport thickness and
     # reconstructs hprev = h + div(transports)/areaT internally;
     # conservation relates content on hprev to content on h_out
@@ -69,7 +69,7 @@ def test_advection_translates_blob():
     uhtr = d.fill_halos(d.pad(jnp.full((1, 8, 64), 3.0 * h0 * area)))
     vhtr = jnp.zeros_like(uhtr)
     cfg = TracerAdvectCfg(n_sweep_pairs=4, max_cfl=0.98)
-    ts, h_end = advect_tracers(d, g, {"c": T}, h, uhtr, vhtr, cfg)
+    ts, h_end, _ = advect_tracers(d, g, {"c": T}, h, uhtr, vhtr, cfg)
     got = np.asarray(d.interior(ts["c"]))[0, 4]
     expect = np.roll(blob, 3)
     # the blob's mass should arrive 3 cells downstream
