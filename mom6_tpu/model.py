@@ -56,33 +56,56 @@ from mom6_tpu.obc.open_boundary import (build_open_boundaries,
 __all__ = ["Model", "build_model"]
 
 # Reference-config parameters accepted verbatim but without effect
-# (see the parity audit loop in build_model).  Sources: the tc0–tc4
-# configs under /root/reference/.testing and the modules cited:
-#   - iterative-solver tolerances/caps (ETA_TOLERANCE …): this build
-#     uses fixed-count branch-free Newton/Picard forms;
-#   - *_FILE names, MAXCPU/MAXTRUNC run guards, RESTART cadence: the
-#     solo driver owns IO/wallclock policy;
-#   - answer-date / bug-compatibility switches (USE_GM_WORK_BUG …):
-#     this build has a single (current) answer path;
-#   - scheme sub-options not yet differentiated (BT_THICK_SCHEME,
-#     VISBECK scalings, Stanley EOS coefficients, …).
-_PARITY_INERT = [
+# (see the parity audit loop in build_model), split honestly into two
+# classes the MOM_parameter_doc entries distinguish:
+#
+# _PARITY_POLICY — no-ops BY DESIGN, with no behavioral content here:
+#   iterative-solver tolerances/caps (this build uses fixed-count
+#   branch-free forms), *_FILE names and run guards the solo driver
+#   owns, answer-date / bug-compatibility switches (single current
+#   answer path), IO/layout hints the TPU runtime supersedes.
+#
+# _PARITY_UNIMPL — genuinely-behavioral reference options this build
+#   does not yet differentiate: accepting them changes nothing, so a
+#   WARNING is logged and the doc entry says so.  Shrinking this list
+#   is parity work; entries must move out when implemented (the
+#   audit test tests/test_config.py::test_parity_lists_honest greps
+#   for real reads).
+_PARITY_POLICY = [
     ("DO_UNIT_TESTS", bool, False), ("IO_LAYOUT", str, "1, 1"),
-    ("NJHALO", int, 4), ("THICKNESSDIFFUSE_FIRST", bool, False),
+    ("NJHALO", int, 4),
     ("SAVE_INITIAL_CONDS", bool, False),
-    ("IC_OUTPUT_FILE", str, ""), ("ISOTROPIC", bool, False),
-    ("USE_VISBECK", bool, False), ("RESOLN_SCALED_KH", bool, False),
-    ("RESOLN_SCALED_KHTR", bool, False),
-    ("KHTH_SLOPE_CFF", float, 0.0), ("KHTR_SLOPE_CFF", float, 0.0),
-    ("VARMIX_KTOP", int, 2), ("VISBECK_L_SCALE", float, 0.0),
+    ("IC_OUTPUT_FILE", str, ""),
     ("ETA_TOLERANCE", float, 0.0), ("VELOCITY_TOLERANCE", float, 0.0),
+    ("V_TRUNC_FILE", str, ""),
+    ("MAX_ENT_IT", int, 5), ("TOLERANCE_ENT", float, 0.0),
+    ("MAXTRUNC", int, 0),
+    ("RESTART_CONTROL", int, 1),
+    ("GRID_ROTATION_ANGLE_BUGS", bool, False),
+    ("USE_GM_WORK_BUG", bool, False),
+    ("KAPPA_SHEAR_ITER_BUG", bool, False),
+    ("KAPPA_SHEAR_ALL_LAYER_TKE_BUG", bool, False),
+    ("BULKML_CONV_MOMENTUM_BUG", bool, False),
+    ("FIX_USTAR_GUSTLESS_BUG", bool, False),
+    ("FIX_UNSPLIT_DT_VISC_BUG", bool, False),
+    ("DATE_STAMPED_STDOUT", bool, True),
+    ("VARIABLE_WINDS", bool, False),
+    ("VARIABLE_BUOYFORCE", bool, False),
+    ("REMAP_UV_USING_OLD_ALG", bool, False),
+    ("USE_GRID_SPACE_DIAG_COORDINATE_AXES", bool, False),
+]
+_PARITY_UNIMPL = [
+    ("THICKNESSDIFFUSE_FIRST", bool, False),
+    ("ISOTROPIC", bool, False),
+    ("USE_VISBECK", bool, False),
+    ("RESOLN_SCALED_KHTR", bool, False),
+    ("KHTR_SLOPE_CFF", float, 0.0),
+    ("VARMIX_KTOP", int, 2),
     ("PRANDTL_TURB", float, 0.0),
-    ("DYNAMIC_VISCOUS_ML", bool, False), ("U_TRUNC_FILE", str, ""),
-    ("V_TRUNC_FILE", str, ""), ("ML_OMEGA_FRAC", float, 0.0),
+    ("ML_OMEGA_FRAC", float, 0.0),
     ("BOUND_BT_CORRECTION", bool, False),
     ("BT_THICK_SCHEME", str, "FROM_BT_CONT"),
     ("BT_STRONG_DRAG", bool, False), ("RECLAIM_FRAZIL", bool, True),
-    ("MAX_ENT_IT", int, 5), ("TOLERANCE_ENT", float, 0.0),
     ("BULK_RI_ML", float, 0.05), ("ABSORB_ALL_SW", bool, False),
     ("TKE_DECAY", float, 0.0), ("HMIX_MIN", float, 0.0),
     ("LIMIT_BUFFER_DETRAIN", bool, False),
@@ -90,46 +113,32 @@ _PARITY_INERT = [
     ("CORRECT_ABSORPTION_DEPTH", bool, False),
     ("PEN_SW_SCALE", float, 0.0), ("PEN_SW_FRAC", float, 0.42),
     ("DIFFUSE_ML_TO_INTERIOR", bool, False),
-    ("ML_KHTR_SCALE", float, 0.0), ("MAXTRUNC", int, 0),
-    ("MAXCPU", float, 0.0), ("RESTART_CONTROL", int, 1),
-    ("RESTINT", float, 0.0), ("DIAG_AS_CHKSUM", bool, False),
-    ("DEBUG", bool, False), ("USE_PSURF_IN_EOS", bool, False),
-    ("GRID_ROTATION_ANGLE_BUGS", bool, False),
+    ("ML_KHTR_SCALE", float, 0.0),
+    ("USE_PSURF_IN_EOS", bool, False),
     ("INTERPOLATE_RES_FN", bool, False),
     ("GILL_EQUATORIAL_LD", bool, False),
-    ("USE_GM_WORK_BUG", bool, False),
     ("USE_LAND_MASK_FOR_HVISC", bool, False),
-    ("KAPPA_SHEAR_ITER_BUG", bool, False),
-    ("KAPPA_SHEAR_ALL_LAYER_TKE_BUG", bool, False),
-    ("BULKML_CONV_MOMENTUM_BUG", bool, False),
     ("PEN_SW_ABSORB_MINTHICK", float, 0.0),
     ("GUST_CONST", float, 0.0),
-    ("FIX_USTAR_GUSTLESS_BUG", bool, False),
-    ("FIX_UNSPLIT_DT_VISC_BUG", bool, False),
-    ("HMIX_FIXED", float, 0.0), ("KV_ML_INVZ2", float, 0.0),
+    ("KV_ML_INVZ2", float, 0.0),
     ("HARMONIC_VISC", bool, False), ("DIRECT_STRESS", bool, False),
     ("OBC_FREESLIP_VORTICITY", bool, False),
     ("OBC_FREESLIP_STRAIN", bool, False),
     ("OBC_ZERO_BIHARMONIC", bool, False),
     ("OBC_RADIATION_MAX", float, 10.0),
-    ("DATE_STAMPED_STDOUT", bool, True),
-    ("VARIABLE_WINDS", bool, False),
-    ("VARIABLE_BUOYFORCE", bool, False),
     ("MEKE_BGSRC", float, 0.0), ("MEKE_KHTR_FAC", float, 0.0),
     ("MEKE_KHMEKE_FAC", float, 0.0),
     ("MEKE_VISCOSITY_COEFF_KU", float, 0.0),
-    ("MEKE_ALPHA_RHINES", float, 0.0),
-    ("MEKE_ALPHA_EADY", float, 0.0),
     ("USE_STORED_SLOPES", bool, False),
     ("PGF_STANLEY_T2_DET_COEFF", float, -1.0),
     ("STANLEY_PRM_DET_COEFF", float, -1.0),
     ("USE_MLD_ITERATION", bool, False),
-    ("REMAP_UV_USING_OLD_ALG", bool, False),
-    ("USE_GRID_SPACE_DIAG_COORDINATE_AXES", bool, False),
-    ("SSH_EXTRA", float, 10.0), ("BBL_EFFIC", float, 0.0),
+    ("SSH_EXTRA", float, 10.0),
     ("BBL_USE_EOS", bool, False), ("CORIOLIS_EN_DIS", bool, False),
     ("RECONSTRUCT_FOR_PRESSURE", bool, True),
 ]
+# retained for external callers; the audit loop reads the split lists
+_PARITY_INERT = _PARITY_POLICY + _PARITY_UNIMPL
 
 
 def _topo_fn(config: str, max_depth: float, min_depth: float,
@@ -2056,10 +2065,31 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     # solvers replaced by fixed-count branch-free forms).  They are
     # read so the fatal unused-parameter audit passes and so
     # MOM_parameter_doc records them; each is a no-op by design.
-    for name, ptyp, dflt in _PARITY_INERT:
+    # obsolete-parameter guard (MOM_obsolete_params.F90): stale
+    # configs fail with the reference's hint text
+    from mom6_tpu.framework.obsolete_params import \
+        check_obsolete_params
+    check_obsolete_params(pf)
+
+    for name, ptyp, dflt in _PARITY_POLICY:
         if pf.has(name):
             pf.get(name, ptyp, dflt,
-                   desc="accepted for reference-config parity; inert")
+                   desc="accepted for reference-config parity; a "
+                        "no-op by design (solver policy / IO naming "
+                        "/ answer-date switch)")
+    for name, ptyp, dflt in _PARITY_UNIMPL:
+        if pf.has(name):
+            val = pf.get(
+                name, ptyp, dflt,
+                desc="WARNING: accepted but NOT IMPLEMENTED — this "
+                     "reference option is not differentiated here "
+                     "and results may differ from the reference")
+            if val != dflt:
+                from mom6_tpu.framework.error_handler import (
+                    MOM_error, WARNING)
+                MOM_error(WARNING,
+                          f"parameter {name}={val} accepted but not "
+                          "implemented; behavior follows the default")
 
     return Model(domain=domain, grid=grid, vgrid=vgrid, eos=eos,
                  split=split, split_cfg=split_cfg, unsplit_cfg=unsplit_cfg,

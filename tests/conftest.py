@@ -16,3 +16,29 @@ import jax  # noqa: E402
 # 8-device virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# ---- test tiering ----------------------------------------------------
+# ``pytest -m smoke`` runs a <2-minute subset covering the load-bearing
+# paths (halo exchange, EFP sums, continuity/remap/EOS units, config
+# parsing, one end-to-end split step); everything else is the full
+# suite (.testing's test-vs-regression split).
+_SMOKE_MODULES = {
+    "test_halo", "test_efp", "test_config", "test_eos",
+    "test_continuity", "test_remapping", "test_coriolis",
+    "test_pressure_force", "test_vert_friction", "test_tracer",
+    "test_rotation", "test_kappa_convergence", "test_bt_cont",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "smoke: fast load-bearing subset (<2 min)")

@@ -81,3 +81,55 @@ def test_doc_output():
     assert "module MOM" in doc
     short = param_doc_text(pf, short=True)
     assert "DT" in short and "NK" not in short
+
+
+def test_parity_lists_honest():
+    """No parameter in the accepted-but-inert lists may also be read
+    for real elsewhere in the package (the round-2 verdict found
+    RESOLN_SCALED_KH/VISBECK_L_SCALE listed as inert while wired)."""
+    import os
+    import re
+    from mom6_tpu.model import _PARITY_POLICY, _PARITY_UNIMPL
+    root = os.path.join(os.path.dirname(__file__), "..", "mom6_tpu")
+    sources = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(dirpath, f)
+                sources[p] = open(p).read()
+    # strip the list definitions themselves from model.py
+    mp = os.path.join(root, "model.py")
+    body = sources[mp]
+    body = re.sub(r"_PARITY_POLICY = \[.*?\]", "", body,
+                  flags=re.DOTALL)
+    body = re.sub(r"_PARITY_UNIMPL = \[.*?\]", "", body,
+                  flags=re.DOTALL)
+    sources[mp] = body
+    offenders = []
+    for name, _, _ in _PARITY_POLICY + _PARITY_UNIMPL:
+        for p, src in sources.items():
+            if f'"{name}"' in src or f"'{name}'" in src:
+                offenders.append((name, os.path.relpath(p, root)))
+    assert not offenders, (
+        "inert-listed parameters are read for real elsewhere — move "
+        f"them out of the parity lists: {offenders}")
+
+
+def test_obsolete_params_guard():
+    """Obsolete parameters fail fast with the reference's hint text
+    (MOM_obsolete_params.F90)."""
+    import pytest
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.framework.error_handler import FatalError
+    from mom6_tpu.framework.obsolete_params import \
+        check_obsolete_params
+    pf = ParamFile(text="OBC_CONFIG = DOME\n")
+    with pytest.raises(FatalError, match="OBC_SEGMENT"):
+        check_obsolete_params(pf)
+    # safe value: warning only
+    pf2 = ParamFile(text="CORRECT_DENSITY = True\n")
+    check_obsolete_params(pf2)
+    # wrong value of a safe-valued obsolete param: fatal
+    pf3 = ParamFile(text="CORRECT_DENSITY = False\n")
+    with pytest.raises(FatalError):
+        check_obsolete_params(pf3)
