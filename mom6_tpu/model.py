@@ -893,7 +893,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         nstep=1,
         bt_project=pf.get("BT_PROJECT_VELOCITY", bool, False),
         dt_bt_filter=pf.get("DT_BT_FILTER", float, -0.25, units="s"),
-        use_bt_cont=use_bt_cont)
+        use_bt_cont=use_bt_cont,
+        use_pallas=pf.get("BT_USE_PALLAS", bool, True),
+        wide_halo_period=pf.get("BT_WIDE_HALO_PERIOD", int, 1))
     split_cfg = None
     unsplit_cfg = None
     if split:

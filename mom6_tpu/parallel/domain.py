@@ -182,36 +182,61 @@ class Domain:
             strip = jnp.roll(strip, -1, axis=-1)
         return sign * strip
 
+    def _wall_mask_x(self, w: int, nih: int, dtype):
+        """True on the w halo columns adjacent to solid x walls."""
+        H, ni = self.halo, self.nil
+        i = jnp.arange(nih)
+        return ((i >= H - w) & (i < H)) | ((i >= H + ni)
+                                           & (i < H + ni + w))
+
+    def _wall_mask_y(self, w: int, njh: int):
+        H, nj = self.halo, self.njl
+        j = jnp.arange(njh)
+        return ((j >= H - w) & (j < H)) | ((j >= H + nj)
+                                           & (j < H + nj + w))
+
     def _fill_local(self, f: jnp.ndarray, w: int, corners: bool,
                     stagger: str = "T", sign: float = 1.0) -> jnp.ndarray:
         H, ni, nj = self.halo, self.nil, self.njl
         if self.layout != (1, 1):
             raise ValueError("local halo fill requires layout (1,1); "
                              "use shard_map for decomposed runs")
-        # x direction
+        # x direction.  A wrap is ONE concatenate (a single full-array
+        # copy) instead of two dynamic-update-slices (two copies); a
+        # solid wall is a where-zero on a constant index mask, which
+        # XLA fuses into the consumer for ~no extra HBM traffic.
         if self.reentrant_x:
             west = f[..., :, H + ni - w:H + ni]
             east = f[..., :, H:H + w]
+            f = jnp.concatenate(
+                [f[..., :, :H - w], west, f[..., :, H:H + ni], east,
+                 f[..., :, H + ni + w:]], axis=-1)
         else:
-            west = jnp.zeros_like(f[..., :, :w])
-            east = jnp.zeros_like(f[..., :, :w])
-        f = f.at[..., :, H - w:H].set(west)
-        f = f.at[..., :, H + ni:H + ni + w].set(east)
+            f = jnp.where(self._wall_mask_x(w, f.shape[-1], f.dtype),
+                          jnp.zeros((), dtype=f.dtype), f)
         # y direction (strips span x halos → corners filled)
+        if self.tripolar_n:
+            north = self._fold_strip(f, w, stagger, sign)
+            if self.reentrant_y:
+                south = f[..., H + nj - w:H + nj, :]
+            else:
+                south = jnp.zeros_like(f[..., :w, :])
+            f = f.at[..., H - w:H, :].set(south)
+            f = f.at[..., H + nj:H + nj + w, :].set(north)
+            if self.reentrant_x:
+                # corner refresh: fold-row x halos wrap through the
+                # (correct) compute columns of the fold rows
+                f = self._fill_local_x(f, w)
+            return f
         if self.reentrant_y:
             south = f[..., H + nj - w:H + nj, :]
             north = f[..., H:H + w, :]
+            f = jnp.concatenate(
+                [f[..., :H - w, :], south, f[..., H:H + nj, :], north,
+                 f[..., H + nj + w:, :]], axis=-2)
         else:
-            south = jnp.zeros_like(f[..., :w, :])
-            north = jnp.zeros_like(f[..., :w, :])
-        if self.tripolar_n:
-            north = self._fold_strip(f, w, stagger, sign)
-        f = f.at[..., H - w:H, :].set(south)
-        f = f.at[..., H + nj:H + nj + w, :].set(north)
-        if self.tripolar_n and self.reentrant_x:
-            # corner refresh: fold-row x halos wrap through the
-            # (correct) compute columns of the fold rows
-            f = self._fill_local_x(f, w)
+            f = jnp.where(self._wall_mask_y(w, f.shape[-2])[:, None],
+                          jnp.zeros((), dtype=f.dtype), f)
         return f
 
     def _fill_shmap(self, f: jnp.ndarray, w: int, corners: bool,
@@ -242,9 +267,8 @@ class Domain:
             f = f.at[..., :, H - w:H].set(from_west)
             f = f.at[..., :, H + ni:H + ni + w].set(from_east)
         else:
-            z = jnp.zeros_like(f[..., :, :w])
-            f = f.at[..., :, H - w:H].set(z)
-            f = f.at[..., :, H + ni:H + ni + w].set(z)
+            f = jnp.where(self._wall_mask_x(w, f.shape[-1], f.dtype),
+                          jnp.zeros((), dtype=f.dtype), f)
         return f
 
     def _exchange_y(self, f: jnp.ndarray, w: int, stagger: str = "T",
@@ -264,9 +288,8 @@ class Domain:
             f = f.at[..., H - w:H, :].set(from_south)
             f = f.at[..., H + nj:H + nj + w, :].set(from_north)
         else:
-            z = jnp.zeros_like(f[..., :w, :])
-            f = f.at[..., H - w:H, :].set(z)
-            f = f.at[..., H + nj:H + nj + w, :].set(z)
+            f = jnp.where(self._wall_mask_y(w, f.shape[-2])[:, None],
+                          jnp.zeros((), dtype=f.dtype), f)
         if self.tripolar_n:
             f = self._fold_shmap(f, w, stagger, sign)
         return f
@@ -318,26 +341,31 @@ class Domain:
         if self.reentrant_x:
             west = f[..., :, H + ni - w:H + ni]
             east = f[..., :, H:H + w]
-        else:
-            west = jnp.zeros_like(f[..., :, :w])
-            east = jnp.zeros_like(f[..., :, :w])
-        f = f.at[..., :, H - w:H].set(west)
-        f = f.at[..., :, H + ni:H + ni + w].set(east)
-        return f
+            return jnp.concatenate(
+                [f[..., :, :H - w], west, f[..., :, H:H + ni], east,
+                 f[..., :, H + ni + w:]], axis=-1)
+        return jnp.where(self._wall_mask_x(w, f.shape[-1], f.dtype),
+                         jnp.zeros((), dtype=f.dtype), f)
 
     def _fill_local_y(self, f, w, stagger: str = "T", sign: float = 1.0):
         H, nj = self.halo, self.njl
+        if self.tripolar_n:
+            north = self._fold_strip(f, w, stagger, sign)
+            if self.reentrant_y:
+                south = f[..., H + nj - w:H + nj, :]
+            else:
+                south = jnp.zeros_like(f[..., :w, :])
+            f = f.at[..., H - w:H, :].set(south)
+            f = f.at[..., H + nj:H + nj + w, :].set(north)
+            return f
         if self.reentrant_y:
             south = f[..., H + nj - w:H + nj, :]
             north = f[..., H:H + w, :]
-        else:
-            south = jnp.zeros_like(f[..., :w, :])
-            north = jnp.zeros_like(f[..., :w, :])
-        if self.tripolar_n:
-            north = self._fold_strip(f, w, stagger, sign)
-        f = f.at[..., H - w:H, :].set(south)
-        f = f.at[..., H + nj:H + nj + w, :].set(north)
-        return f
+            return jnp.concatenate(
+                [f[..., :H - w, :], south, f[..., H:H + nj, :], north,
+                 f[..., H + nj + w:, :]], axis=-2)
+        return jnp.where(self._wall_mask_y(w, f.shape[-2])[:, None],
+                         jnp.zeros((), dtype=f.dtype), f)
 
     # -- reductions ------------------------------------------------------
     def axis_names(self) -> tuple[str, ...]:
