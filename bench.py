@@ -8,14 +8,25 @@ for the full model step — split RK2 dynamics + thermodynamics (KPP +
 background mixing + surface restoring) + GM thickness diffusion + MLE
 restratification + T/S/age tracer advection + lateral tracer diffusion
 + Z* ALE regrid/remap — i.e. step_ocean, not just the dynamical core.
-The dyn-core-only number is reported alongside for continuity with
-round 1.  vs_baseline normalizes by the BASELINE.json 50M points/s
-placeholder (the reference publishes no absolute numbers).
+Also reported: the dyn-core-only number (round-1 continuity), the
+OM4-class 1440x1088x25 full-step number (the 0.25-degree production
+design point), and a per-phase breakdown of the dyn core measured by
+config-toggle deltas (the xplane profiler is unreliable through the
+axon tunnel, so phases are attributed by differencing: each probe
+disables exactly one phase).  vs_baseline normalizes by the
+BASELINE.json 50M points/s placeholder (the reference publishes no
+absolute numbers).
+
+Usage: python bench.py [--phases] [--no-om4]
+  --phases   additionally run the per-phase toggle probes (slow: each
+             probe is a fresh compile)
+  --no-om4   skip the 1440x1088x25 configuration
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 
@@ -57,11 +68,35 @@ SMAGORINSKY_AH = True
 SMAG_BI_CONST = 0.06
 """
 
+# dyn-core-only overrides (round-1 metric): adiabatic layered run with
+# every thermo/tracer/parameterization phase off
+DYN_OVERRIDES = (
+    "ADIABATIC = True\n#override USE_REGRIDDING = False\n"
+    "#override KHTR = 0.0\n#override KHTH = 0.0\n"
+    "#override MIXEDLAYER_RESTRAT = False\n"
+    "#override USE_IDEAL_AGE_TRACER = False\n"
+    "#override USE_KPP = False\n#override BUOY_CONFIG = zero\n"
+    "#override RESTOREBUOY = False\n")
+
+# OM4-class 0.25-degree production design point
+OM4_OVERRIDES = (
+    "#override NIGLOBAL = 1440\n#override NJGLOBAL = 1088\n"
+    "#override LENLON = 14400.0\n#override LENLAT = 10880.0\n")
+
+# per-phase toggle probes (positive delta vs dyn base = phase cost)
+PHASE_PROBES = [
+    ("btstep_pallas_gain", "BT_USE_PALLAS = False\n"),
+    ("bt_cont_curves", "#override USE_BT_CONT_TYPE = False\n"),
+    ("biharmonic_smag", "#override BIHARMONIC = False\n"
+                        "#override SMAGORINSKY_AH = False\n"),
+    ("ts_advection", "#override ENABLE_THERMODYNAMICS = False\n"
+                     "#override EQN_OF_STATE = LINEAR\n"),
+]
+
 
 def _bench(step_fn, state, split, tracers, nsteps, n0=0):
     import jax
-    # warmup: compile thermo/non-thermo × parity × (mld None/array)
-    # variants before timing
+    # warmup: compile thermo/non-thermo × parity variants before timing
     s, a, tr = state, split, tracers
     for k in range(4):
         s, a, tr = step_fn(s, a, tr, n=k)
@@ -73,11 +108,20 @@ def _bench(step_fn, state, split, tracers, nsteps, n0=0):
     return time.perf_counter() - t0
 
 
+def _run_config(cfg_text, nsteps):
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
+    m = build_model(ParamFile(text=cfg_text))
+    wall = _bench(m.step_fn(), m.state, m.split_state, m.tracers,
+                  nsteps)
+    pts = m.domain.ni * m.domain.nj * m.vgrid.nk * nsteps / wall
+    return pts, 1e3 * wall / nsteps
+
+
 def main():
     import jax
     # persistent compile cache: the first bench after a source change
-    # pays the big-graph compiles once; subsequent runs (including the
-    # driver's) replay them from disk
+    # pays the big-graph compiles once; subsequent runs replay
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
@@ -85,29 +129,14 @@ def main():
                           1.0)
     except Exception:
         pass
-    from mom6_tpu.framework.config import ParamFile
-    from mom6_tpu.model import build_model
 
-    m = build_model(ParamFile(text=CONFIG))
-    ni, nj, nk = m.domain.ni, m.domain.nj, m.vgrid.nk
-    nsteps = 12
-    wall_full = _bench(m.step_fn(), m.state, m.split_state, m.tracers,
-                       nsteps)
-    pts_full = ni * nj * nk * nsteps / wall_full
+    do_phases = "--phases" in sys.argv
+    do_om4 = "--no-om4" not in sys.argv
 
-    # dyn-core-only comparison config (round-1 metric)
-    dyn_cfg = CONFIG.replace("ENABLE_THERMODYNAMICS = True", "") \
-        + ("ADIABATIC = True\n#override USE_REGRIDDING = False\n"
-           "#override KHTR = 0.0\n#override KHTH = 0.0\n"
-           "#override MIXEDLAYER_RESTRAT = False\n"
-           "#override USE_IDEAL_AGE_TRACER = False\n"
-           "#override USE_KPP = False\n#override BUOY_CONFIG = zero\n")
-    m2 = build_model(ParamFile(text=dyn_cfg))
-    wall_dyn = _bench(m2.step_fn(), m2.state, m2.split_state,
-                      m2.tracers, nsteps)
-    pts_dyn = ni * nj * nk * nsteps / wall_dyn
+    pts_full, ms_full = _run_config(CONFIG, nsteps=12)
+    pts_dyn, ms_dyn = _run_config(CONFIG + DYN_OVERRIDES, nsteps=12)
 
-    print(json.dumps({
+    out = {
         "metric": "full ocean step grid-points/s/chip "
                   "(512x512x25 fp32: split RK2 + KPP thermo + GM + "
                   "MLE + tracers + Z* ALE)",
@@ -115,9 +144,37 @@ def main():
         "unit": "points/s",
         "vs_baseline": round(pts_full / 50e6, 3),
         "dyn_core_only_points_per_s": round(pts_dyn, 1),
-        "full_step_ms": round(1e3 * wall_full / nsteps, 2),
-        "dyn_step_ms": round(1e3 * wall_dyn / nsteps, 2),
-    }))
+        "full_step_ms": round(ms_full, 2),
+        "dyn_step_ms": round(ms_dyn, 2),
+    }
+
+    if do_om4:
+        try:
+            pts_om4, ms_om4 = _run_config(CONFIG + OM4_OVERRIDES,
+                                          nsteps=6)
+            out["om4_full_step_points_per_s"] = round(pts_om4, 1)
+            out["om4_full_step_ms"] = round(ms_om4, 2)
+        except Exception as exc:          # noqa: BLE001
+            out["om4_error"] = f"{type(exc).__name__}: {exc}"[:160]
+
+    if do_phases:
+        phases = {}
+        for tag, extra in PHASE_PROBES:
+            try:
+                _, ms = _run_config(CONFIG + DYN_OVERRIDES + extra,
+                                    nsteps=10)
+                phases[tag] = round(ms_dyn - ms, 2)
+            except Exception as exc:      # noqa: BLE001
+                phases[tag] = f"err: {exc}"[:80]
+        # residual = base minus the disable-able phase costs (the
+        # pallas probe is a gain, not a cost — excluded)
+        phases["btstep_plus_residual"] = round(
+            ms_dyn - sum(v for k, v in phases.items()
+                         if isinstance(v, float)
+                         and k != "btstep_pallas_gain"), 2)
+        out["dyn_phase_deltas_ms"] = phases
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
@@ -125,8 +182,7 @@ if __name__ == "__main__":
         main()
     except Exception as exc:          # noqa: BLE001
         # emit a parseable record even when the TPU tunnel is down so
-        # the driver logs the infrastructure failure rather than an
-        # empty file
+        # the driver logs the infrastructure failure, not an empty file
         print(json.dumps({
             "metric": "full ocean step grid-points/s/chip",
             "value": 0.0, "unit": "points/s", "vs_baseline": 0.0,

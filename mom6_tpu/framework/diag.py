@@ -58,6 +58,15 @@ class _DiagField:
     time_method: str = "none"       # "mean" or "none" (point)
     accum: Optional[np.ndarray] = None
     weight: float = 0.0
+    # cell measure (area [m2]) + land mask attached at registration
+    # (the reference's axes_grp cell measures / masks,
+    # MOM_diag_mediator.F90:3275+); both on the computational domain
+    area: Optional[np.ndarray] = None
+    mask: Optional[np.ndarray] = None
+    # horizontal downsample factor (the reference's ^N diag files)
+    downsample: int = 1
+    # 'mean' (intensive, area-weighted) or 'sum' (extensive) coarsening
+    cell_method: str = "mean"
 
 
 class DiagMediator:
@@ -82,7 +91,15 @@ class DiagMediator:
 
     # -- registration (register_diag_field) ---------------------------
     def register(self, module: str, name: str, units: str = "",
-                 longname: str = "") -> int:
+                 longname: str = "", area=None, mask=None,
+                 downsample: int = 1, cell_method: str = "mean") -> int:
+        """``area``/``mask``: cell measure [m2] and 0/1 land mask on
+        the computational domain (halo-padded arrays accepted) —
+        masked points are excluded from means and written as NaN;
+        ``downsample``: horizontal coarsening factor (the reference's
+        ^N downsampled diag files); ``cell_method``: 'mean' coarsens
+        area-weighted (intensive), 'sum' conserves totals
+        (extensive)."""
         key = (module, name)
         if key in self._byname:
             return self._byname[key]
@@ -94,11 +111,44 @@ class DiagMediator:
         fid = self._next_id if requested else -1
         if requested:
             self._next_id += 1
+
+            def _int2d(a):
+                if a is None:
+                    return None
+                d = self.domain
+                padded = (d.njl + 2 * d.halo, d.nil + 2 * d.halo)
+                if np.shape(a)[-2:] == padded:
+                    a = d.interior(a)
+                return np.asarray(a, np.float64)
+
             self._fields[fid] = _DiagField(
                 id=fid, module=module, name=name, units=units,
-                longname=longname, requested=True, time_method=meth)
+                longname=longname, requested=True, time_method=meth,
+                area=_int2d(area), mask=_int2d(mask),
+                downsample=max(1, int(downsample)),
+                cell_method=cell_method)
             self._byname[key] = fid
         return fid
+
+    @staticmethod
+    def _coarsen(arr, n: int, area, mask, method: str):
+        """Horizontal downsample by factor n (downsample_diag_field,
+        MOM_diag_mediator.F90): area-and-mask-weighted block means for
+        intensive fields, block sums for extensive ones."""
+        nj, ni = arr.shape[-2], arr.shape[-1]
+        njc, nic = nj // n, ni // n
+        a = arr[..., :njc * n, :nic * n].reshape(
+            arr.shape[:-2] + (njc, n, nic, n))
+        w = np.ones((nj, ni)) if area is None else area
+        if mask is not None:
+            w = w * mask
+        w = w[:njc * n, :nic * n].reshape(njc, n, nic, n)
+        a = np.where(w > 0, np.nan_to_num(a), 0.0)  # masked = NaN·0
+        if method == "sum":
+            return a.sum(axis=(-3, -1))
+        ws = w.sum(axis=(-3, -1))
+        return (a * w).sum(axis=(-3, -1)) / np.where(ws > 0, ws,
+                                                     np.nan)
 
     # -- posting (post_data) ------------------------------------------
     def post(self, fid: int, data, weight: float = 1.0):
@@ -106,21 +156,40 @@ class DiagMediator:
             return
         f = self._fields[fid]
         arr = np.asarray(self.domain.interior(data))
+        if f.mask is not None and arr.shape[-2:] == f.mask.shape:
+            arr = np.where(f.mask > 0, arr, np.nan)
+        if f.downsample > 1:
+            arr = self._coarsen(arr, f.downsample, f.area, f.mask,
+                                f.cell_method)
         if self.as_chksum:
-            bits = int(np.unpackbits(
-                np.frombuffer(arr.tobytes(), dtype=np.uint8)).sum())
+            finite = arr[np.isfinite(arr)]
+            bits = int(np.unpackbits(np.frombuffer(
+                np.nan_to_num(arr).tobytes(), dtype=np.uint8)).sum())
             self._chksum_lines.append(
-                f"{f.module}.{f.name}: mean={arr.mean():.17g} "
-                f"min={arr.min():.17g} max={arr.max():.17g} bits={bits}")
+                f"{f.module}.{f.name}: mean={finite.mean():.17g} "
+                f"min={finite.min():.17g} max={finite.max():.17g} "
+                f"bits={bits}")
             return
         if f.time_method == "mean":
             if f.accum is None:
-                f.accum = weight * arr.astype(np.float64)
+                f.accum = weight * np.nan_to_num(
+                    arr.astype(np.float64))
             else:
-                f.accum = f.accum + weight * arr
+                f.accum = f.accum + weight * np.nan_to_num(arr)
             f.weight += weight
         else:
             self._snapshots.setdefault(f"{f.module}.{f.name}", []).append(arr)
+
+    def area_mean(self, fid: int, data) -> float:
+        """Area-weighted, mask-aware spatial mean of a 2D field using
+        the field's registered cell measure (the axes-grp area
+        weighting of post-processed reference diagnostics)."""
+        f = self._fields[fid]
+        arr = np.asarray(self.domain.interior(data))
+        w = np.ones_like(arr) if f.area is None else f.area
+        if f.mask is not None:
+            w = w * f.mask
+        return float((arr * w).sum() / max(w.sum(), 1e-300))
 
     # -- output --------------------------------------------------------
     def flush(self, filename: str = "diags.nc", time_value: float = 0.0):

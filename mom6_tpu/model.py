@@ -1806,7 +1806,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     _cfl_acc = n_dyn_per_therm * vv.cfl_trunc
     adv_cfg = TracerAdvectCfg(
         n_sweep_pairs=max(2, int(math.ceil(
-            _cfl_acc / _adv_default.max_cfl)) + 1))
+            _cfl_acc / _adv_default.max_cfl))))
     # ---- internal tide energy propagation (MOM_internal_tides.F90;
     # MOM.F90 INTERNAL_TIDES) ----
     pf.module("MOM_internal_tides")

@@ -141,8 +141,16 @@ def advect_tracers(domain, grid: Grid, tracers: dict, h_end, uhtr, vhtr,
     uh_rem = uhtr
     vh_rem = vhtr
     ts = dict(tracers)
-    for p in range(cfg.n_sweep_pairs):
-        frac = cfg.max_cfl
+    frac = cfg.max_cfl
+
+    # lax.fori_loop keeps the graph one-pair-sized regardless of the
+    # accumulated-CFL-derived pair count (a 15-pair unroll at
+    # DT_THERM=12*DT fell off an XLA compilation cliff)
+    def pair(_, carry):
+        ts, hvol, uh_rem, vh_rem = carry
+        ts = domain.fill_halos(ts, width=2)
+        hvol, uh_rem, vh_rem = domain.fill_halos(
+            (hvol, uh_rem, vh_rem), width=2)
         if x_first:
             ts, hvol, uh_rem = _sweep_x(grid, ts, hvol, uh_rem, frac)
             ts = domain.fill_halos(ts, width=2)
@@ -153,10 +161,10 @@ def advect_tracers(domain, grid: Grid, tracers: dict, h_end, uhtr, vhtr,
             ts = domain.fill_halos(ts, width=2)
             hvol, vh_rem = domain.fill_halos((hvol, vh_rem), width=2)
             ts, hvol, uh_rem = _sweep_x(grid, ts, hvol, uh_rem, frac)
-        if p < cfg.n_sweep_pairs - 1:
-            ts = domain.fill_halos(ts, width=2)
-            hvol, uh_rem, vh_rem = domain.fill_halos(
-                (hvol, uh_rem, vh_rem), width=2)
+        return ts, hvol, uh_rem, vh_rem
+
+    ts, hvol, uh_rem, vh_rem = jax.lax.fori_loop(
+        0, cfg.n_sweep_pairs, pair, (ts, hvol, uh_rem, vh_rem))
     h_end = hvol / grid.areaT
     # residual-transport diagnostic: max un-swept face CFL (should be
     # ~0 when n_sweep_pairs covers the accumulated-CFL bound)
