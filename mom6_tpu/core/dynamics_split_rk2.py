@@ -78,6 +78,13 @@ class SplitDynState:
     uh: jnp.ndarray
     vh: jnp.ndarray
     eta: jnp.ndarray          # free surface [m]
+    # along-isopycnal stress-tensor divergence from the previous
+    # corrector: the reference computes horizontal_viscosity ONCE per
+    # step (corrector, MOM_dynamics_split_RK2.F90:860) and the
+    # predictor reuses the stored diffu(u[n-1]) (:554-559, a restart
+    # pair, :1262-1264)
+    diffu: jnp.ndarray
+    diffv: jnp.ndarray
 
 
 class SplitDiags(NamedTuple):
@@ -106,13 +113,27 @@ class SplitDiags(NamedTuple):
 
 
 def init_split_state(domain: Domain, grid: Grid, vgrid: VerticalGrid,
-                     state: State) -> SplitDynState:
+                     state: State, horvisc_cfg: HorViscCfg | None = None,
+                     ) -> SplitDynState:
     """Bootstrap the split auxiliary state from the instantaneous state
-    (first step / cold restart)."""
+    (first step / cold restart).
+
+    When ``horvisc_cfg`` is given, diffu/diffv are seeded with one
+    horizontal_viscosity evaluation of the initial velocities, like the
+    reference's query_initialized fallback
+    (MOM_dynamics_split_RK2.F90:1543-1548); otherwise zeros."""
     e = interface_heights(vgrid, state.h, grid.bathyT)
     z = jnp.zeros_like(state.h)
+    if horvisc_cfg is not None:
+        u = domain.fill_halos(state.u)
+        v = domain.fill_halos(state.v)
+        h = domain.fill_halos(state.h)
+        dv0 = horizontal_viscosity(grid, u, v, h, horvisc_cfg)
+        diffu, diffv = dv0.diffu, dv0.diffv
+    else:
+        diffu = diffv = z
     return SplitDynState(u_av=state.u, v_av=state.v, h_av=state.h,
-                         uh=z, vh=z, eta=e[0])
+                         uh=z, vh=z, eta=e[0], diffu=diffu, diffv=diffv)
 
 
 def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -178,15 +199,17 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             htot=jnp.sum(h_av, axis=0))
 
     # ---- PREDICTOR ----
+    # diffu(u[n-1]) from the previous corrector (the reference computes
+    # horizontal_viscosity once per step; :554-559 reuses the stored
+    # fields here)
+    diffu, diffv = fill_uv(split.diffu, split.diffv)
     pf = pressure_force(grid, vgrid, h, T, S, eos, p_atm=forces.p_surf,
                         cfg=cfg.pressure, e_tidal=e_tidal,
                         varT_mult=varT_mult)
     pbce, eta_pf = pf.pbce, pf.eta_pf
-    dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
-                              kh_scale=kh_scale, **gme_kw)
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
-    u_bc_accel = (ca.CAu + pf.PFu) + dv.diffu
-    v_bc_accel = (ca.CAv + pf.PFv) + dv.diffv
+    u_bc_accel = (ca.CAu + pf.PFu) + diffu
+    v_bc_accel = (ca.CAv + pf.PFv) + diffv
 
     dt_pred = dt * cfg.be
     # BBL piston/thickness once per step from the pre-step state
@@ -258,9 +281,10 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
                               kh_scale=kh_scale, **gme_kw)
+    diffu, diffv = dv.diffu, dv.diffv
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
-    u_bc_accel = (ca.CAu + pf.PFu) + dv.diffu
-    v_bc_accel = (ca.CAv + pf.PFv) + dv.diffv
+    u_bc_accel = (ca.CAu + pf.PFu) + diffu
+    v_bc_accel = (ca.CAv + pf.PFv) + diffv
 
     if cfg.barotropic.use_bt_cont:
         # the corrector anchors the curves to the predictor transports
@@ -302,7 +326,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
 
     new_state = state.replace(u=u_new, v=v_new, h=h_new)
     new_split = SplitDynState(u_av=u_av, v_av=v_av, h_av=h_av_new,
-                              uh=uh, vh=vh, eta=eta_new)
+                              uh=uh, vh=vh, eta=eta_new,
+                              diffu=diffu, diffv=diffv)
     diags = SplitDiags(uh=uh, vh=vh, uhtr=dt * uh, vhtr=dt * vh,
                        truncs=truncs, eta_av=bt.eta_av)
     return new_state, new_split, diags

@@ -259,6 +259,11 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             if has_av:
                 aux_u = {"u_av": domain.fill_halos(split_state.u_av)}
                 aux_v = {"v_av": domain.fill_halos(split_state.v_av)}
+                if hasattr(split_state, "diffu"):
+                    # the reference also remaps the stored viscous
+                    # accelerations (MOM_dynamics_split_RK2.F90:1300)
+                    aux_u["diffu"] = domain.fill_halos(split_state.diffu)
+                    aux_v["diffv"] = domain.fill_halos(split_state.diffv)
             # ALE runs once per thermo step, so the grid-motion filter
             # integrates over the thermo interval, not the dynamics dt
             state, tracers, _, aux_u, aux_v = ale_regrid_remap(
@@ -270,10 +275,14 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 # time-mean velocities with the face-thickness rule and
                 # refresh h_av (remap of dyn aux vars,
                 # MOM_dynamics_split_RK2.F90:1273)
-                split_state = dataclasses.replace(
-                    split_state, h_av=state.h,
+                repl = dict(
+                    h_av=state.h,
                     u_av=domain.fill_halos(aux_u["u_av"]),
                     v_av=domain.fill_halos(aux_v["v_av"]))
+                if "diffu" in aux_u:
+                    repl["diffu"] = domain.fill_halos(aux_u["diffu"])
+                    repl["diffv"] = domain.fill_halos(aux_v["diffv"])
+                split_state = dataclasses.replace(split_state, **repl)
 
 
         return state, split_state, tracers, extras

@@ -1426,7 +1426,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         from mom6_tpu.core.dynamics_split_rk2b import init_split_b_state
         split_state = init_split_b_state(domain, grid, vgrid, state)
     elif split:
-        split_state = init_split_state(domain, grid, vgrid, state)
+        split_state = init_split_state(domain, grid, vgrid, state,
+                                       horvisc_cfg=split_cfg.horvisc)
 
     # ---- ALE / thermo orchestration ----
     pf.module("MOM_ALE")

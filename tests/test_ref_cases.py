@@ -60,9 +60,12 @@ def _run(case, nsteps):
     # RESTINT/INPUTDIR belong to the solo driver, not build_model.
     unused = set(pf.close(fatal_unused=False))
     # DTBT_RESET_PERIOD is driver-owned too: the solo loop swaps in a
-    # re-jitted step when the dtbt estimate changes
+    # re-jitted step when the dtbt estimate changes.  DEBUG (checksum
+    # flood) and DIAG_AS_CHKSUM (chksum_diag output mode) are consumed
+    # by the solo driver as well (drivers/solo.py:60,136).
     assert unused <= {"ENERGYSAVEDAYS", "TIMEUNIT", "RESTINT",
-                      "INPUTDIR", "DTBT_RESET_PERIOD"}, unused
+                      "INPUTDIR", "DTBT_RESET_PERIOD", "DEBUG",
+                      "DIAG_AS_CHKSUM"}, unused
     step = m.step_fn()
     s, a, tr = m.state, m.split_state, m.tracers
     for k in range(nsteps):
