@@ -98,33 +98,52 @@ def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
     if cfg.regrid_time_scale > 0.0 and dt > 0.0:
         h_new = _filter_grid_motion(cfg, h, h_new, dt)
 
-    def remap_t(f):
-        return remap_column_means(h, f, h_new, cfg.remap)
+    # batch every field sharing a (h_src, h_dst) column pair into ONE
+    # remap call (fields stacked on a broadcast axis): the
+    # reconstruction geometry and sub-cell overlap masks are computed
+    # once per pair instead of once per field — the dominant cost of
+    # remap_column_means is pair-space geometry, not the field reduces
+    def remap_batch(h_src, fields, h_dst, rcfg):
+        if not fields:
+            return []
+        if len(fields) == 1:
+            return [remap_column_means(h_src, fields[0], h_dst, rcfg)]
+        stk = jnp.stack(fields, axis=1)          # (nk, F, nj, ni)
+        out = remap_column_means(h_src[:, None], stk, h_dst[:, None],
+                                 rcfg)
+        return [out[:, i] for i in range(len(fields))]
 
-    T_new = remap_t(state.T) if state.T is not None else None
-    S_new = remap_t(state.S) if state.S is not None else None
-    new_tracers = None
+    t_fields, t_names = [], []
+    if state.T is not None:
+        t_fields += [state.T, state.S]
+        t_names += ["__T", "__S"]
     if tracers is not None:
-        new_tracers = {k: remap_t(v) for k, v in tracers.items()}
+        for k, v in tracers.items():
+            t_fields.append(v)
+            t_names.append(k)
+    t_out = dict(zip(t_names,
+                     remap_batch(h, t_fields, h_new, cfg.remap)))
+    T_new = t_out.pop("__T", None)
+    S_new = t_out.pop("__S", None)
+    new_tracers = t_out if tracers is not None else None
 
     # velocities: face-column thicknesses (ALE_remap_set_h_vel)
     h_u_src = 0.5 * (h + ip1(h))
     h_u_dst = 0.5 * (h_new + ip1(h_new))
     h_v_src = 0.5 * (h + jp1(h))
     h_v_dst = 0.5 * (h_new + jp1(h_new))
-    u_new = remap_column_means(h_u_src, state.u, h_u_dst, cfg.vel_remap) \
-        * grid.mask2dCu
-    v_new = remap_column_means(h_v_src, state.v, h_v_dst, cfg.vel_remap) \
-        * grid.mask2dCv
+    u_fields = [state.u] + (list(aux_u.values()) if aux_u else [])
+    v_fields = [state.v] + (list(aux_v.values()) if aux_v else [])
+    u_out = [f * grid.mask2dCu for f in
+             remap_batch(h_u_src, u_fields, h_u_dst, cfg.vel_remap)]
+    v_out = [f * grid.mask2dCv for f in
+             remap_batch(h_v_src, v_fields, h_v_dst, cfg.vel_remap)]
+    u_new, v_new = u_out[0], v_out[0]
     aux_u_new = aux_v_new = None
     if aux_u is not None:
-        aux_u_new = {k: remap_column_means(h_u_src, f, h_u_dst,
-                                           cfg.vel_remap)
-                     * grid.mask2dCu for k, f in aux_u.items()}
+        aux_u_new = dict(zip(aux_u.keys(), u_out[1:]))
     if aux_v is not None:
-        aux_v_new = {k: remap_column_means(h_v_src, f, h_v_dst,
-                                           cfg.vel_remap)
-                     * grid.mask2dCv for k, f in aux_v.items()}
+        aux_v_new = dict(zip(aux_v.keys(), v_out[1:]))
 
     new_state = state.replace(u=u_new, v=v_new, h=h_new, T=T_new, S=S_new)
     return new_state, new_tracers, h_new, aux_u_new, aux_v_new
