@@ -451,7 +451,8 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     from mom6_tpu.core.barotropic_pallas import (pallas_supported,
                                                  subcycle_pallas)
     if (cfg.use_pallas and period == 1
-            and pallas_supported(domain, obc, period, eta_in.dtype)):
+            and pallas_supported(domain, obc, period, eta_in.dtype,
+                                 use_curve=use_curve)):
         import numpy as _np
         wt_rows = _np.stack([wt_vel_a, wt_eta_a, wt_trans_a,
                              wt_accel_a])

@@ -36,13 +36,48 @@ from mom6_tpu.parallel.stencil import ip1, im1, jp1, jm1
 
 __all__ = ["subcycle_pallas", "pallas_supported"]
 
-CHUNK = 4          # substeps fused per pallas_call (even: parity)
-BLOCK = 64         # valid rows per grid block
-# each substep's validity chain consumes 3 rows (the jnp path fills a
-# 3-ring halo per substep), needing 3*CHUNK+2=14; rounded up to a
-# sublane-tile multiple (8) so every DMA row slice/offset the kernel
-# issues is 8-aligned, which Mosaic requires
-OVERLAP = 16              # recompute margin rows on each side
+CHUNK = 4          # max substeps fused per pallas_call (even: parity)
+BLOCK = 64         # preferred valid rows per grid block
+# VMEM staging budget for the kernel's scratch buffer.  ~13 MiB keeps
+# the whole footprint under the compiler's per-core VMEM window with
+# margin for Mosaic's own temporaries; at 512-wide grids this admits
+# the full (CHUNK=4, BLOCK=64) plan, at OM4 width (nip=1536) the plan
+# shrinks itself instead of crashing the TPU compiler.
+VMEM_BUDGET = 13 * 2 ** 20
+
+
+def _overlap(chunk: int) -> int:
+    """Recompute margin rows per side: each substep's validity chain
+    consumes 3 rows (the jnp path fills a 3-ring halo per substep),
+    needing 3*chunk+2, rounded up to a sublane-tile multiple (8) so
+    every DMA row slice/offset the kernel issues is 8-aligned, which
+    Mosaic requires."""
+    return -(-(3 * chunk + 2) // 8) * 8
+
+
+def _n_const(use_curve: bool) -> int:
+    n = len(_CONST_SHARED)
+    return n + 2 * _N_CURVE + 2 if use_curve else n + len(_CONST_LINEAR)
+
+
+def _plan(nip: int, use_curve: bool):
+    """Choose (chunk, overlap, block) so the (10+n_const, R, nip) fp32
+    staging buffer fits VMEM_BUDGET.  Wide grids get fewer fused
+    substeps and/or narrower row blocks; returns None when even
+    chunk=2 with an 8-row block cannot fit (callers fall back to the
+    jnp fori_loop path)."""
+    import os
+    budget = int(os.environ.get("MOM6_PALLAS_VMEM", VMEM_BUDGET))
+    per_row = (10 + _n_const(use_curve)) * nip * 4
+    r_max = (budget // per_row) // 8 * 8
+    for chunk in (CHUNK, 2):
+        ov = _overlap(chunk)
+        b = min(BLOCK, (r_max - 2 * ov) // 8 * 8)
+        # insist the valid block at least matches its recompute
+        # margin; otherwise a smaller chunk (smaller margin) wins
+        if b >= ov or (chunk == 2 and b >= 8):
+            return chunk, ov, b
+    return None
 
 # stable ordering of the 2D constant fields
 _CONST_LINEAR = ("Datu", "Datv")
@@ -58,7 +93,8 @@ def _interpret() -> bool:
     return bool(os.environ.get("MOM6_PALLAS_INTERPRET"))
 
 
-def pallas_supported(domain, obc, period, dtype) -> bool:
+def pallas_supported(domain, obc, period, dtype,
+                     use_curve: bool = True) -> bool:
     try:
         backend = jax.default_backend()
     except Exception:
@@ -66,10 +102,12 @@ def pallas_supported(domain, obc, period, dtype) -> bool:
     ok_backend = backend == "tpu" and dtype == jnp.float32
     if _interpret():
         ok_backend = True         # CPU interpreter testing path
+    nip = -(-domain.nih // 128) * 128
     return (ok_backend and not domain.shmap
             and domain.layout == (1, 1) and obc is None
             and period == 1 and not domain.reentrant_y
-            and not domain.tripolar_n)
+            and not domain.tripolar_n
+            and _plan(nip, use_curve) is not None)
 
 
 def _find_uhbt_k(u, c10):
@@ -86,7 +124,7 @@ def _find_uhbt_k(u, c10):
 
 
 def _make_kernel(n_in, n_const, use_curve, reentrant_x, H, ni, nj,
-                 njp, nip, dtbt, bebt, total, R, B):
+                 njp, nip, dtbt, bebt, total, R, B, chunk, ov):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -104,7 +142,7 @@ def _make_kernel(n_in, n_const, use_curve, reentrant_x, H, ni, nj,
         # compute row offsets in 8-row tile units and multiply out, so
         # Mosaic can prove every DMA slice offset is sublane-aligned
         r0_t = jnp.minimum(i * (B // 8), (njp - B) // 8)
-        in_t = jnp.clip(r0_t - OVERLAP // 8, 0, (njp - R) // 8)
+        in_t = jnp.clip(r0_t - ov // 8, 0, (njp - R) // 8)
         r0 = r0_t * 8                                # valid-row start
         in_start = in_t * 8
         off = (r0_t - in_t) * 8                      # valid offset
@@ -187,7 +225,7 @@ def _make_kernel(n_in, n_const, use_curve, reentrant_x, H, ni, nj,
             return ((uh - im1(uh)) + (vh - jm1(vh))) * con["IareaT"]
 
         n0 = n0_ref[0]
-        for s in range(CHUNK):
+        for s in range(chunk):
             n = n0 + s
             uhbt = trans_u(ubt)
             vhbt = trans_v(vbt)
@@ -296,9 +334,14 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
     const_list = [_pad(a) for a in const_list]
     n_const = len(const_list)
 
+    plan = _plan(nip, use_curve)
+    if plan is None:          # callers check pallas_supported first
+        raise ValueError(f"no VMEM-feasible pallas plan at nip={nip}")
+    chunk, ov, B = plan
+
     # pad weights to a chunk multiple
-    nchunks = -(-total // CHUNK)
-    tpad = nchunks * CHUNK
+    nchunks = -(-total // chunk)
+    tpad = nchunks * chunk
     wt = np.zeros((4, tpad), np.float32)
     wt[:, :total] = wt_rows[:, :total]
     wt = jnp.asarray(wt)
@@ -306,10 +349,11 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
     zero = jnp.zeros_like(eta0)
     state = [eta0, ubt0, vbt0] + [zero] * 7
 
-    B = min(BLOCK, njp)
-    R = min(B + 2 * OVERLAP, njp)
+    B = min(B, njp)
+    R = min(B + 2 * ov, njp)
     kernel = _make_kernel(0, n_const, use_curve, reentrant_x, H,
-                          ni, nj, njp, nip, dtbt, bebt, tpad, R, B)
+                          ni, nj, njp, nip, dtbt, bebt, tpad, R, B,
+                          chunk, ov)
     nblocks = -(-njp // B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -333,7 +377,7 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
     )
 
     def chunk_step(c, st):
-        n0 = jnp.reshape(c * CHUNK, (1,)).astype(jnp.int32)
+        n0 = jnp.reshape(c * chunk, (1,)).astype(jnp.int32)
         outs = call(n0, *st, *const_list, wt)
         return list(outs)
 

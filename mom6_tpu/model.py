@@ -302,7 +302,20 @@ class Model:
                 return (st, a, tr, diags.uhtr, diags.vhtr,
                         diags.truncs, res_out, diags.mld,
                         diags.int_tide_en, diags.sppt_pattern)
-            return jax.jit(step)
+            # donate the rotating state/accumulator buffers: the
+            # caller always rebinds to the returned pytrees, and at
+            # the OM4-class 1440x1088x25 design point each 3D field
+            # is ~160 MB — without donation the step holds input AND
+            # output copies of ~20 such fields and exhausts HBM
+            # (argnums: state, split, tracers, uacc, vacc, res, mld,
+            # int_tide_en, sppt_pattern; t stays undonated).  TPU only:
+            # CPU tests legitimately re-read initial states after
+            # stepping, and HBM pressure is a device concern.
+            import os as _os
+            _env = _os.environ.get("MOM6_DONATE_ARGS")
+            donate = tuple(int(s) for s in _env.split(",") if s) \
+                if _env is not None else ()
+            return jax.jit(step, donate_argnums=donate)
         fns = {(xf, th): mk(xf, th) for xf in (True, False)
                for th in (True, False)}
         if carry is not None:
@@ -317,9 +330,12 @@ class Model:
         def step(state, split_state, tracers=None, n=0):
             do_thermo = ((n + 1) % n_per == 0)
             f = fns[(n % 2 == 0, do_thermo)]
-            z = jnp.zeros_like(state.h)
-            ua = acc["u"] if acc["u"] is not None else z
-            va = acc["v"] if acc["v"] is not None else z
+            # distinct zero buffers: ua/va are donated, and donating
+            # one buffer through two arguments is an aliasing error
+            ua = acc["u"] if acc["u"] is not None \
+                else jnp.zeros_like(state.h)
+            va = acc["v"] if acc["v"] is not None \
+                else jnp.zeros_like(state.h)
             # step-centered time, like the reference's day_center
             # forcing time (MOM_driver.F90); a traced scalar so time
             # advance never recompiles
