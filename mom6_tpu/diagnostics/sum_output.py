@@ -26,7 +26,9 @@ from mom6_tpu.core.pressure_force import interface_heights
 
 _SCALE32 = -24     # fp32-path pre-scale exponent (see efp_sum32)
 from mom6_tpu.framework.efp import (efp_sum, efp_to_float, efp_sum32,
-                                    efp32_to_float)
+                                    efp32_to_float, efp_sum_layers,
+                                    efp_sum32_layers,
+                                    efp_limbs_to_float_ingraph)
 from mom6_tpu.parallel.domain import Domain
 from mom6_tpu.parallel.stencil import im1, jm1
 
@@ -52,10 +54,15 @@ class Stats:
     total_mass: float           # [kg]
     mean_salin: float
     mean_temp: float
+    # depth-list APE extras (None without CALCULATE_APE):
+    # H0 = resting depth of the top interface [m] (the reference's
+    # "Zero APE Depth of Interface" H_0APE(1), printed negated as its
+    # Mean Sea Level column)
+    h0: Optional[float] = None
 
 
 def stat_sums(domain: Domain, grid: Grid, vgrid: VerticalGrid,
-              state: State, dt: float):
+              state: State, dt: float, depth_list=None):
     """Jittable piece: EFP limb sums + max CFL.  Returns a dict of limb
     arrays / scalars; host-side assembly happens in `collect_stats`."""
     h, u, v = state.h, state.u, state.v
@@ -94,6 +101,37 @@ def stat_sums(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         "pe": gsum(domain.interior(pe_density)),
         "eta": gsum(domain.interior(e[0] * areaT)),
     }
+
+    if depth_list is not None:
+        # APE vs the depth-list hypsometry (MOM_sum_output.F90:610-675
+        # Boussinesq branch).  Per-layer global volumes come from EFP
+        # limb sums so Z_0APE — the depth at which the fluid below
+        # interface K would rest when levelled over the real
+        # hypsometry — is bitwise layout-invariant; the search is an
+        # in-graph searchsorted over the replicated list arrays.
+        if use_efp:
+            lay_limbs = efp_sum_layers(vol_w, axis_names=axes)
+        else:
+            lay_limbs = efp_sum32_layers(vol_w, axis_names=axes,
+                                         scale_pow2=_SCALE32)
+        vol_lay = efp_limbs_to_float_ingraph(
+            lay_limbs, scale_pow2=0 if use_efp else _SCALE32)
+        volbelow = jnp.cumsum(vol_lay[::-1])[::-1]      # below iface K
+        li = jnp.clip(
+            jnp.searchsorted(depth_list.vol_below, volbelow,
+                             side="right") - 1,
+            0, depth_list.vol_below.shape[0] - 2)
+        z0 = depth_list.depth[li] - (volbelow
+                                     - depth_list.vol_below[li]) \
+            / depth_list.area[li]                       # positive down
+        # hint = Z0(K) + e_K (e negative below the surface); hbot =
+        # the part of the resting column truncated by the bottom
+        z0b = z0.reshape(-1, 1, 1).astype(e.dtype)
+        hint = z0b + e[:-1]
+        hbot = jnp.maximum(z0b - grid.bathyT[None], 0.0)
+        ape_density = 0.5 * gp * (hint * hint - hbot * hbot) * areaT
+        out["ape"] = gsum(domain.interior(ape_density))
+        out["h0"] = z0[0]
     if state.T is not None:
         out["heat"] = gsum(domain.interior(state.T * h * areaT))
         out["salt"] = gsum(domain.interior(state.S * h * areaT))
@@ -123,7 +161,11 @@ def collect_stats(raw: dict, vgrid: VerticalGrid, step: int, day: float,
     vol = val(raw["vol"])
     area = val(raw["area"])
     ke = val(raw["ke"])
-    pe = val(raw["pe"])
+    # with the depth list, the energy column uses the available PE
+    # relative to the levelled-over-hypsometry state, matching the
+    # reference's CALCULATE_APE=True default (MOM_sum_output.F90:823);
+    # otherwise the absolute-datum PE
+    pe = val(raw["ape"]) if "ape" in raw else val(raw["pe"])
     eta = val(raw["eta"])
     mass = vgrid.Rho0 * vol
     epm = (ke + pe) / max(mass / vgrid.Rho0, 1e-300)
@@ -141,7 +183,8 @@ def collect_stats(raw: dict, vgrid: VerticalGrid, step: int, day: float,
                  energy_per_mass=epm,
                  max_cfl=float(raw["max_cfl"]),
                  mean_sea_level=eta / max(area, 1e-300),
-                 total_mass=mass, mean_salin=salt, mean_temp=heat)
+                 total_mass=mass, mean_salin=salt, mean_temp=heat,
+                 h0=float(raw["h0"]) if "h0" in raw else None)
 
 
 def format_stats_header() -> str:

@@ -16,6 +16,101 @@ import sys
 import time
 
 
+def read_driver_params(pf, model):
+    """Perform every parameter read the solo driver owns (beyond
+    build_model's), returning them as a dict.
+
+    This is the single source of truth for driver-owned parameters:
+    ``main`` consumes the returned values, and the verbatim-config
+    regression harness calls it so its fatal unused-parameter audit
+    (MOM_file_parser.F90:260 analog) is generated from the driver's
+    actual reads instead of a hand-maintained allowlist."""
+    p = {}
+    pf.module("MOM_diag_mediator")
+    p["as_chksum"] = pf.get("DIAG_AS_CHKSUM", bool, False)
+    p["nz_diag"] = pf.get("NK_ZSPACE", int, model.vgrid.nk,
+                          desc="z levels for _z diagnostics")
+    pf.module("MOM_particles")
+    p["use_particles"] = pf.get("USE_PARTICLES", bool, False)
+    if p["use_particles"]:
+        p["particles_nx"] = pf.get("PARTICLES_NX", int, 8)
+        p["particles_ny"] = pf.get("PARTICLES_NY", int, 8)
+        p["particles_layer"] = pf.get("PARTICLES_LAYER", int, 0)
+    # ---- offline tracer mode (MOM.F90:2267 OFFLINE_TRACER_MODE /
+    # MOM_offline_main.F90:1367-1383) ----
+    pf.module("MOM")
+    p["offline_mode"] = pf.get("OFFLINE_TRACER_MODE", bool, False)
+    p["off_cfg"] = None
+    if p["offline_mode"]:
+        pf.module("MOM_offline")
+        p["off_cfg"] = dict(
+            dir=pf.get("OFFLINEDIR", str,
+                       pf.get("INPUTDIR", str, ".")),
+            sum_file=pf.get("OFF_SUM_FILE", str, "off_sum.nc"),
+            snap_file=pf.get("OFF_SNAP_FILE", str, "off_snap.nc"),
+            numtime=pf.get("NUMTIME", int, 0,
+                           desc="time levels before looping back"),
+            dt_offline=pf.get("DT_OFFLINE", float, model.dt_therm,
+                              units="s"))
+    # mom6_tpu extension: an online run records its per-thermo-step
+    # transports/thicknesses as the offline forcing files
+    p["write_offline"] = pf.get(
+        "WRITE_OFFLINE_FIELDS", bool, False,
+        desc="write OFF_SUM/OFF_SNAP files from this online run")
+    pf.module("MOM_sum_output")
+    # ENERGYSAVEDAYS counts TIMEUNIT seconds like DAYMAX
+    timeunit = pf.get("TIMEUNIT", float, 86400.0, units="s")
+    p["energysavedays"] = pf.get("ENERGYSAVEDAYS", float, 1.0,
+                                 units="TIMEUNIT") * (timeunit / 86400.0)
+    # APE-vs-depth machinery (MOM_sum_output.F90:74-82 READ_DEPTH_LIST)
+    p["do_ape"] = pf.get("CALCULATE_APE", bool, True,
+                         desc="available potential energy vs the "
+                         "depth-list hypsometry in ocean.stats")
+    p["read_depth_list"] = pf.get("READ_DEPTH_LIST", bool, False)
+    p["depth_list_file"] = pf.get("DEPTH_LIST_FILE", str,
+                                  "Depth_list.nc")
+    # DEBUG checksum-flood mode (the reference's DEBUG=True prints
+    # hchksum/uvchksum of the prognostic fields through the step; here
+    # the driver writes one checksum block per step to chksum_debug)
+    pf.module("MOM_debugging")
+    p["debug_mode"] = pf.get("DEBUG", bool, False)
+    # DEBUG_NANS: trap the first NaN-producing primitive inside jit
+    # (jax_debug_nans), the runtime self-check analog of the
+    # reference's NaN checksum aborts
+    p["debug_nans"] = pf.get("DEBUG_NANS", bool, False)
+    # U_TRUNC_FILE-style truncation dumps (MOM_PointAccel.F90)
+    p["u_trunc_file"] = pf.get("U_TRUNC_FILE", str, "")
+    # DTBT_RESET_PERIOD (MOM_barotropic.F90:2801, MOM.F90:2380-2390):
+    # periodically re-estimate the barotropic substep count from the
+    # evolving free-surface height.  0 → every dynamics step; <0
+    # disables.  The reference defaults the period to DT_THERM when
+    # DTBT<=0 and ignores it entirely (do_not_read) when a fixed
+    # DTBT>0 was set — an explicit DTBT is never overridden here
+    # either.  nstep is a static trip count under XLA, so the driver
+    # swaps step closures when the estimate changes; closures are
+    # memoized per nstep so each distinct value compiles exactly once.
+    pf.module("MOM_barotropic")
+    if pf.get("DTBT", float, -0.95, units="s or nondim") > 0.0:
+        p["dtbt_reset"] = -1.0     # fixed DTBT: no re-estimation
+    else:
+        p["dtbt_reset"] = pf.get(
+            "DTBT_RESET_PERIOD", float, model.dt_therm, units="s",
+            desc="period between dtbt re-estimates; "
+            "0 = every dynamics step, <0 disables")
+    # CPU-time budgeting (MOM_write_cputime.F90:44-108): record the
+    # cumulative CPU time per stats interval to CPU_TIME_FILE and end
+    # the run early if the projected next interval would exceed MAXCPU
+    pf.module("MOM_write_cputime")
+    p["maxcpu"] = pf.get("MAXCPU", float, -1.0,
+                         units="wall-clock seconds",
+                         desc="stop before exceeding this cpu budget; "
+                         "<0 disables")
+    p["cpu_file"] = pf.get("CPU_TIME_FILE", str, "CPU_stats")
+    pf.module("MOM_restart")
+    p["restint"] = pf.get("RESTINT", float, 0.0, units="days")
+    return p
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="mom6_tpu solo ocean driver")
     ap.add_argument("case_dir")
@@ -53,13 +148,12 @@ def main(argv=None):
 
     with clock("initialization"):
         model = build_model(pf)
+    dp = read_driver_params(pf, model)
     # diag mediator driven by the case's diag_table
     # (MOM_diag_mediator.F90; DIAG_AS_CHKSUM replaces binary output
     # with bitcount checksum lines, the reference's layout-test mode)
-    pf.module("MOM_diag_mediator")
-    as_chksum = pf.get("DIAG_AS_CHKSUM", bool, False)
-    nz_diag = pf.get("NK_ZSPACE", int, model.vgrid.nk,
-                     desc="z levels for _z diagnostics")
+    as_chksum = dp["as_chksum"]
+    nz_diag = dp["nz_diag"]
     diag_path = os.path.join(args.case_dir, "diag_table")
     diag_text = open(diag_path).read() \
         if os.path.exists(diag_path) else None
@@ -84,15 +178,14 @@ def main(argv=None):
             diags = None
     # ---- Lagrangian particles (MOM.F90:1357 USE_PARTICLES /
     # config_src/external/drifters) ----
-    pf.module("MOM_particles")
     particles = None
     part_traj = []
-    if pf.get("USE_PARTICLES", bool, False):
+    if dp["use_particles"]:
         from mom6_tpu.tracer.particles import (init_particles,
                                                advect_particles)
-        pnx = pf.get("PARTICLES_NX", int, 8)
-        pny = pf.get("PARTICLES_NY", int, 8)
-        pk = pf.get("PARTICLES_LAYER", int, 0)
+        pnx = dp["particles_nx"]
+        pny = dp["particles_ny"]
+        pk = dp["particles_layer"]
         import numpy as _np
         xs, ys = _np.meshgrid(
             (_np.arange(pnx) + 0.5) * model.domain.ni / pnx,
@@ -103,71 +196,18 @@ def main(argv=None):
             lambda p, u, v: advect_particles(
                 model.domain, model.grid, p, u, v, model.dt))
 
-    # ---- offline tracer mode (MOM.F90:2267 OFFLINE_TRACER_MODE /
-    # MOM_offline_main.F90:1367-1383) ----
-    pf.module("MOM")
-    offline_mode = pf.get("OFFLINE_TRACER_MODE", bool, False)
-    off_cfg = None
-    if offline_mode:
-        pf.module("MOM_offline")
-        off_cfg = dict(
-            dir=pf.get("OFFLINEDIR", str,
-                       pf.get("INPUTDIR", str, ".")),
-            sum_file=pf.get("OFF_SUM_FILE", str, "off_sum.nc"),
-            snap_file=pf.get("OFF_SNAP_FILE", str, "off_snap.nc"),
-            numtime=pf.get("NUMTIME", int, 0,
-                           desc="time levels before looping back"),
-            dt_offline=pf.get("DT_OFFLINE", float, model.dt_therm,
-                              units="s"))
-    # mom6_tpu extension: an online run records its per-thermo-step
-    # transports/thicknesses as the offline forcing files
-    write_offline = pf.get(
-        "WRITE_OFFLINE_FIELDS", bool, False,
-        desc="write OFF_SUM/OFF_SNAP files from this online run")
-    pf.module("MOM_sum_output")
-    # ENERGYSAVEDAYS counts TIMEUNIT seconds like DAYMAX
-    timeunit = pf.get("TIMEUNIT", float, 86400.0, units="s")
-    energysavedays = pf.get("ENERGYSAVEDAYS", float, 1.0,
-                            units="TIMEUNIT") * (timeunit / 86400.0)
-    # DEBUG checksum-flood mode (the reference's DEBUG=True prints
-    # hchksum/uvchksum of the prognostic fields through the step; here
-    # the driver writes one checksum block per step to chksum_debug)
-    pf.module("MOM_debugging")
-    debug_mode = pf.get("DEBUG", bool, False)
-    # DEBUG_NANS: trap the first NaN-producing primitive inside jit
-    # (jax_debug_nans), the runtime self-check analog of the
-    # reference's NaN checksum aborts
-    if pf.get("DEBUG_NANS", bool, False):
+    offline_mode = dp["offline_mode"]
+    off_cfg = dp["off_cfg"]
+    write_offline = dp["write_offline"]
+    energysavedays = dp["energysavedays"]
+    debug_mode = dp["debug_mode"]
+    if dp["debug_nans"]:
         jax.config.update("jax_debug_nans", True)
-    # U_TRUNC_FILE-style truncation dumps (MOM_PointAccel.F90)
-    u_trunc_file = pf.get("U_TRUNC_FILE", str, "")
-    # DTBT_RESET_PERIOD (MOM_barotropic.F90:2801, MOM.F90:2380-2390):
-    # periodically re-estimate the barotropic substep count from the
-    # evolving free-surface height.  0 → every dynamics step; <0
-    # disables.  The reference defaults the period to DT_THERM when
-    # DTBT<=0 and ignores it entirely (do_not_read) when a fixed
-    # DTBT>0 was set — an explicit DTBT is never overridden here
-    # either.  nstep is a static trip count under XLA, so the driver
-    # swaps step closures when the estimate changes; closures are
-    # memoized per nstep so each distinct value compiles exactly once.
-    pf.module("MOM_barotropic")
-    if pf.get("DTBT", float, -0.95, units="s or nondim") > 0.0:
-        dtbt_reset = -1.0          # fixed DTBT: no re-estimation
-    else:
-        dtbt_reset = pf.get("DTBT_RESET_PERIOD", float, model.dt_therm,
-                            units="s",
-                            desc="period between dtbt re-estimates; "
-                            "0 = every dynamics step, <0 disables")
-    # CPU-time budgeting (MOM_write_cputime.F90:44-108): record the
-    # cumulative CPU time per stats interval to CPU_TIME_FILE and end
-    # the run early if the projected next interval would exceed MAXCPU
-    pf.module("MOM_write_cputime")
-    maxcpu = pf.get("MAXCPU", float, -1.0, units="wall-clock seconds",
-                    desc="stop before exceeding this cpu budget; "
-                    "<0 disables")
-    cpu_file = pf.get("CPU_TIME_FILE", str, "CPU_stats")
-    pf.module("MOM_restart")
-    restint = pf.get("RESTINT", float, 0.0, units="days")
+    u_trunc_file = dp["u_trunc_file"]
+    dtbt_reset = dp["dtbt_reset"]
+    maxcpu = dp["maxcpu"]
+    cpu_file = dp["cpu_file"]
+    restint = dp["restint"]
     unused = pf.close(fatal_unused=False)
     if unused:
         MOM_error(WARNING,
@@ -198,6 +238,14 @@ def main(argv=None):
     tracers = model.tracers
     stats_jit = jax.jit(stat_sums)
     d, g, vg, dt = model.domain, model.grid, model.vgrid, model.dt
+    # depth-list hypsometry for the APE energy column
+    # (MOM_sum_output.F90 CALCULATE_APE / READ_DEPTH_LIST)
+    dlist = None
+    if dp["do_ape"]:
+        from mom6_tpu.diagnostics.depth_list import depth_list_setup
+        dlist = depth_list_setup(
+            d, g, read_file=dp["read_depth_list"],
+            path=os.path.join(args.case_dir, dp["depth_list_file"]))
     nsteps = int(round((daymax - t_days) * 86400.0 / dt))
     if nsteps <= 0:
         if daymax > t_days:
@@ -242,7 +290,8 @@ def main(argv=None):
             cpu_prev = cpu_now
         if n % stats_every == 0:
             with clock("ocean.stats"):
-                s = collect_stats(stats_jit(d, g, vg, state, dt), vg, n,
+                s = collect_stats(stats_jit(d, g, vg, state, dt,
+                                            dlist), vg, n,
                                   n * dt / 86400.0,
                                   truncs=step.truncations())
                 if mass0 is None:

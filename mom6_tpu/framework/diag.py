@@ -163,6 +163,8 @@ class DiagMediator:
                                 f.cell_method)
         if self.as_chksum:
             finite = arr[np.isfinite(arr)]
+            if finite.size == 0:      # fully-masked field: all zeros
+                finite = np.zeros(1, arr.dtype)
             bits = int(np.unpackbits(np.frombuffer(
                 np.nan_to_num(arr).tobytes(), dtype=np.uint8)).sum())
             self._chksum_lines.append(

@@ -93,6 +93,81 @@ def efp_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return a + b
 
 
+def efp_sum_layers(x: jnp.ndarray,
+                   axis_names: tuple[str, ...] = ()) -> jnp.ndarray:
+    """Per-layer order-invariant sums: (nk, nj, ni) float64 →
+    int64[NLIMB, nk] limbs (the layer-resolved companion of
+    :func:`efp_sum`, for the depth-list APE machinery of
+    MOM_sum_output.F90:610-630 which needs global per-layer volumes)."""
+    x = x.astype(jnp.float64)
+    lim = 2.0 ** (EXP_MAX - 1)
+    x = jnp.clip(x, -lim, lim)
+    sign = jnp.where(x < 0, -1, 1).astype(jnp.int64)
+    red = tuple(range(1, x.ndim))
+    limbs = []
+    r = jnp.abs(x)
+    for l in range(NLIMB - 1, -1, -1):
+        scale = 2.0 ** (EXP_MIN + LIMB_BITS * l)
+        q = jnp.floor(r / scale)
+        r = r - q * scale
+        limbs.append(jnp.sum(sign * q.astype(jnp.int64), axis=red))
+    out = jnp.stack(limbs[::-1])   # (NLIMB, nk)
+    for ax in axis_names:
+        out = jax.lax.psum(out, ax)
+    return out
+
+
+def efp_limbs_to_float_ingraph(limbs, scale_pow2: int = 0):
+    """In-graph limbs → float (f64 under x64, f32 otherwise).
+
+    Works on both the int64 (NLIMB, ...) and int32 (NLIMB32[+1], ...)
+    limb layouts — distinguished by dtype.  The conversion itself is
+    a deterministic weighted sum of identical limb values, so the
+    result stays bitwise layout-invariant even though it rounds."""
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if limbs.dtype == jnp.int64:
+        n, bits, emin = NLIMB, LIMB_BITS, EXP_MIN
+    else:
+        n, bits, emin = NLIMB32, LIMB_BITS32, EXP_MIN32 - scale_pow2
+    tot = jnp.zeros(limbs.shape[1:], ftype)
+    for l in range(n - 1, -1, -1):
+        tot = tot + limbs[l].astype(ftype) * ftype(2.0) ** (
+            emin + bits * l)
+    return tot
+
+
+def efp_sum32_layers(x: jnp.ndarray,
+                     axis_names: tuple[str, ...] = (),
+                     scale_pow2: int = 0) -> jnp.ndarray:
+    """Per-layer variant of :func:`efp_sum32`: (nk, nj, ni) fp32 →
+    int32[NLIMB32+1, nk]."""
+    x = jnp.asarray(x, jnp.float32)
+    if scale_pow2:
+        x = x * jnp.float32(2.0 ** scale_pow2)
+    nk = x.shape[0]
+    bad = ~jnp.isfinite(x)
+    n_bad = jnp.sum(bad.astype(jnp.int32), axis=tuple(range(1, x.ndim)))
+    x = jnp.where(bad, 0.0, x)
+    lim = jnp.float32(2.0 ** (EXP_MAX32 - 1))
+    x = jnp.clip(x, -lim, lim)
+    sign = jnp.where(x < 0, -1, 1).astype(jnp.int32)
+    flat = jnp.abs(x).reshape(nk, -1, x.shape[-1])
+    sgn = sign.reshape(flat.shape)
+    row_limbs = []
+    for l in range(NLIMB32 - 1, -1, -1):
+        scale = jnp.float32(2.0 ** (EXP_MIN32 + LIMB_BITS32 * l))
+        q = jnp.floor(flat / scale)
+        flat = flat - q * scale
+        row_limbs.append(jnp.sum(sgn * q.astype(jnp.int32), axis=-1))
+    row_limbs = row_limbs[::-1]
+    row_limbs = _carry_renorm32(row_limbs)     # (nk, rows) each
+    out = jnp.stack([jnp.sum(l, axis=-1) for l in row_limbs]
+                    + [n_bad])                 # (NLIMB32+1, nk)
+    for ax in axis_names:
+        out = jax.lax.psum(out, ax)
+    return out
+
+
 def efp_to_float(limbs) -> float:
     """Exact limbs → float64 on the host (Python big-int arithmetic)."""
     limbs = np.asarray(limbs)

@@ -22,15 +22,19 @@ __all__ = ["write_fields", "read_field", "read_fields", "field_names",
 
 def write_fields(path: str, fields: dict[str, np.ndarray],
                  dims: dict[str, tuple[str, ...]] | None = None,
-                 attrs: dict[str, dict] | None = None) -> None:
+                 attrs: dict[str, dict] | None = None,
+                 global_attrs: dict | None = None) -> None:
     """Write named arrays to a NetCDF-3 file.
 
     dims: optional per-field dimension names (defaults generated);
-    attrs: optional per-field attribute dicts (units, long_name)."""
+    attrs: optional per-field attribute dicts (units, long_name);
+    global_attrs: optional file-level attributes."""
     from scipy.io import netcdf_file
     dims = dims or {}
     attrs = attrs or {}
     with netcdf_file(path, "w") as nc:
+        for k, v in (global_attrs or {}).items():
+            setattr(nc, k, v.encode() if isinstance(v, str) else v)
         made: dict[tuple[str, int], str] = {}
 
         def dim_names(name, shape):
@@ -74,6 +78,13 @@ def read_field(path: str, name: str) -> np.ndarray:
 
 def read_fields(path: str, names) -> dict[str, np.ndarray]:
     return {n: read_field(path, n) for n in names}
+
+
+def read_attrs(path: str) -> dict:
+    """File-level (global) attributes of a NetCDF-3 file."""
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r") as nc:
+        return dict(nc._attributes)
 
 
 def field_names(path: str) -> list[str]:

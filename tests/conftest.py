@@ -28,6 +28,9 @@ _SMOKE_MODULES = {
     "test_continuity", "test_remapping", "test_coriolis",
     "test_pressure_force", "test_vert_friction", "test_tracer",
     "test_rotation", "test_kappa_convergence", "test_bt_cont",
+    # the flagship verbatim-reference-config goldens: these being red
+    # at snapshot is exactly what the smoke tier exists to prevent
+    "test_ref_cases",
 }
 
 

@@ -56,16 +56,15 @@ def _run(case, nsteps):
         os.chdir(cwd)
     # every parameter in the verbatim file must be known (implemented
     # or registered inert) — a typo'd/unknown param is a fatal audit,
-    # matching MOM_file_parser.F90:260.  ENERGYSAVEDAYS/TIMEUNIT/
-    # RESTINT/INPUTDIR belong to the solo driver, not build_model.
+    # matching MOM_file_parser.F90:260.  Driver-owned parameters
+    # (ENERGYSAVEDAYS, MAXCPU, U_TRUNC_FILE, ...) are marked used by
+    # performing the solo driver's own reads, so this audit can never
+    # drift from the driver again.  INPUTDIR is consumed by the case
+    # bootstrap (MOM_get_input.F90 analog) before build_model.
+    from mom6_tpu.drivers.solo import read_driver_params
+    read_driver_params(pf, m)
     unused = set(pf.close(fatal_unused=False))
-    # DTBT_RESET_PERIOD is driver-owned too: the solo loop swaps in a
-    # re-jitted step when the dtbt estimate changes.  DEBUG (checksum
-    # flood) and DIAG_AS_CHKSUM (chksum_diag output mode) are consumed
-    # by the solo driver as well (drivers/solo.py:60,136).
-    assert unused <= {"ENERGYSAVEDAYS", "TIMEUNIT", "RESTINT",
-                      "INPUTDIR", "DTBT_RESET_PERIOD", "DEBUG",
-                      "DIAG_AS_CHKSUM"}, unused
+    assert unused <= {"INPUTDIR"}, unused
     step = m.step_fn()
     s, a, tr = m.state, m.split_state, m.tracers
     for k in range(nsteps):
