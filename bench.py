@@ -17,10 +17,12 @@ disables exactly one phase).  vs_baseline normalizes by the
 BASELINE.json 50M points/s placeholder (the reference publishes no
 absolute numbers).
 
-Usage: python bench.py [--phases] [--no-om4]
-  --phases   additionally run the per-phase toggle probes (slow: each
-             probe is a fresh compile)
-  --no-om4   skip the 1440x1088x25 configuration
+Usage: python bench.py [--no-phases] [--no-om4]
+  --no-phases  skip the per-phase toggle probes (they are on by
+               default so the driver artifact always carries the
+               attribution; each probe compiles once, then replays
+               from the persistent cache)
+  --no-om4     skip the 1440x1088x25 configuration
 """
 
 from __future__ import annotations
@@ -78,10 +80,13 @@ DYN_OVERRIDES = (
     "#override USE_KPP = False\n#override BUOY_CONFIG = zero\n"
     "#override RESTOREBUOY = False\n")
 
-# OM4-class 0.25-degree production design point
+# OM4-class 0.25-degree production design point.  PHASED_JIT splits
+# thermo steps into two executables so peak HBM fits the 16 GB chip
+# (the fused step's temporaries RESOURCE_EXHAUST at this size).
 OM4_OVERRIDES = (
     "#override NIGLOBAL = 1440\n#override NJGLOBAL = 1088\n"
-    "#override LENLON = 14400.0\n#override LENLAT = 10880.0\n")
+    "#override LENLON = 14400.0\n#override LENLAT = 10880.0\n"
+    "PHASED_JIT = True\n")
 
 # per-phase toggle probes (positive delta vs dyn base = phase cost)
 PHASE_PROBES = [
@@ -91,6 +96,17 @@ PHASE_PROBES = [
                         "#override SMAGORINSKY_AH = False\n"),
     ("ts_advection", "#override ENABLE_THERMODYNAMICS = False\n"
                      "#override EQN_OF_STATE = LINEAR\n"),
+]
+
+# thermo-side probes (positive delta vs the FULL base = phase cost;
+# DT_THERM=2*DT so each is ~half its per-thermo-step cost)
+FULL_PROBES = [
+    ("ale_regrid_remap", "#override USE_REGRIDDING = False\n"),
+    ("kpp_diabatic", "#override USE_KPP = False\n"),
+    ("gm_mle", "#override KHTH = 0.0\n"
+               "#override MIXEDLAYER_RESTRAT = False\n"),
+    ("tracer_adv_diff", "#override KHTR = 0.0\n"
+                        "#override USE_IDEAL_AGE_TRACER = False\n"),
 ]
 
 
@@ -130,7 +146,7 @@ def main():
     except Exception:
         pass
 
-    do_phases = "--phases" in sys.argv
+    do_phases = "--no-phases" not in sys.argv
     do_om4 = "--no-om4" not in sys.argv
 
     pts_full, ms_full = _run_config(CONFIG, nsteps=12)
@@ -173,6 +189,17 @@ def main():
                          if isinstance(v, float)
                          and k != "btstep_pallas_gain"), 2)
         out["dyn_phase_deltas_ms"] = phases
+        fph = {}
+        for tag, extra in FULL_PROBES:
+            try:
+                _, ms = _run_config(CONFIG + extra, nsteps=10)
+                fph[tag] = round(ms_full - ms, 2)
+            except Exception as exc:      # noqa: BLE001
+                fph[tag] = f"err: {exc}"[:80]
+        fph["dyn_plus_residual"] = round(
+            ms_full - sum(v for v in fph.values()
+                          if isinstance(v, float)), 2)
+        out["full_phase_deltas_ms"] = fph
 
     print(json.dumps(out))
 

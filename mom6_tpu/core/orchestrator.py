@@ -20,7 +20,8 @@ from mom6_tpu.core.grid import Grid
 from mom6_tpu.core.state import State
 from mom6_tpu.core.vertical_grid import VerticalGrid
 from mom6_tpu.core.forcing import MechForcing, Fluxes
-from mom6_tpu.core.dynamics_split_rk2 import (SplitCfg, SplitDynState,
+from mom6_tpu.core.dynamics_split_rk2 import (SplitCfg, SplitDiags,
+                                              SplitDynState,
                                               step_dyn_split_rk2)
 from mom6_tpu.core.dynamics_unsplit import UnsplitCfg, step_dyn_unsplit
 from mom6_tpu.tracer.advect import TracerAdvectCfg, advect_tracers
@@ -116,7 +117,8 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                x_first: bool = True, tracer_registry=None, obc=None,
                do_thermo: bool = True, uhtr_accum=None,
                vhtr_accum=None, obc_reservoirs=None, mld_prev=None,
-               t=None, int_tide_en=None, sppt_pattern=None):
+               t=None, int_tide_en=None, sppt_pattern=None,
+               thermo_only: bool = False):
     """One full ocean step of length dt.
 
     ``do_thermo`` gates the tracer-advection/diabatic/ALE phases (the
@@ -287,150 +289,166 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
 
         return state, split_state, tracers, extras
 
-    if cfg.diabatic_first and do_thermo:
-        state, split_state, tracers, _ex = thermo_and_ale(
-            state, split_state, tracers, int_tide_en, sppt_pattern)
-        _pre_extras = _ex
-    else:
+    if thermo_only:
+        # PHASED_JIT phase-2 entry: tracer transport + thermo/ALE
+        # on pre-accumulated transports.  Keeping this in its own
+        # executable halves the peak HBM footprint vs the fused
+        # step at the OM4-class 1440x1088x25 design point, where
+        # the single-program temporaries exhaust the chip.
+        assert not cfg.diabatic_first and obc is None and do_thermo
+        _z3 = jnp.zeros_like(state.h)
+        diags = SplitDiags(
+            uh=_z3, vh=_z3,
+            uhtr=uhtr_accum if uhtr_accum is not None else _z3,
+            vhtr=vhtr_accum if vhtr_accum is not None else _z3,
+            truncs=jnp.zeros((), jnp.int32),
+            eta_av=jnp.zeros_like(state.h[0]))
         _pre_extras = None
-
-    # --- MEKE → VarMix → KHTH coefficient chain ---
-    # the resolution function damps eddy parameterizations where the
-    # deformation radius is resolved (calc_resolution_function,
-    # MOM_lateral_mixing_coeffs.F90:214); MEKE feeds an eddy
-    # diffusivity K_MEKE into KHTH (MOM_thickness_diffuse.F90:204)
-    khth_2d = None
-    res_fn = None
-    rd_dx = None
-    sn = None
-    use_meke = cfg.use_meke and state.meke is not None
-    if cfg.use_varmix:
-        vm = calc_resolution_function(cfg.varmix, grid, vgrid,
-                                      state.h, state.T, state.S, eos)
-        res_fn = vm.res_fn
-        rd_dx = vm.rd_dx
-    need_sn = (cfg.use_varmix and cfg.varmix.khth_slope_cff > 0.0) \
-        or (use_meke and (cfg.meke.geometric or cfg.meke.a_eady > 0.0))
-    if need_sn:
-        # Eady growth rate (calc_slope_functions) feeding the Visbeck
-        # diffusivity and the MEKE length scales / GEOMETRIC closure
-        hh = domain.fill_halos(state.h, width=1)
-        tt = domain.fill_halos(state.T, width=1) \
-            if state.T is not None else None
-        ss = domain.fill_halos(state.S, width=1) \
-            if state.S is not None else None
-        sn = calc_eady_rate(cfg.varmix, grid, vgrid, hh, tt, ss, eos)
-    if cfg.use_varmix and cfg.varmix.khth_slope_cff > 0.0:
-        kh_vis = visbeck_kh(cfg.varmix, grid, sn)
-        if kh_vis is not None:
-            khth_2d = cfg.thickness_diffuse.khth + kh_vis
-    if use_meke and cfg.meke_khth_fac > 0.0:
-        base = khth_2d if khth_2d is not None \
-            else cfg.thickness_diffuse.khth
-        khth_2d = base + cfg.meke_khth_fac * meke_khth(
-            cfg.meke, state.meke, sn=sn)
-    if res_fn is not None and cfg.resoln_scaled_khth:
-        base = khth_2d if khth_2d is not None \
-            else cfg.thickness_diffuse.khth
-        khth_2d = base * res_fn
-
-    # thickness diffusion / interface filter act before the dynamics
-    # (THICKNESSDIFFUSE, MOM.F90:1160-1186); their layer transports
-    # are added into the tracer-advection accumulators so T/S and
-    # passives ride the GM/filter mass redistribution (the reference
-    # accumulates uhD*dt into uhtr, MOM_thickness_diffuse.F90:602)
-    uh_param = vh_param = None
-    if cfg.thickness_diffuse.khth > 0.0 or khth_2d is not None:
-        h = domain.fill_halos(state.h, width=2)
-        kh2 = domain.fill_halos(khth_2d, width=2) \
-            if khth_2d is not None else None
-        gp_int = None
-        if use_meke and state.T is not None and eos is not None:
-            # interface reduced gravities N²·Δz from the actual
-            # stratification, for the GM PE-release MEKE source
-            from mom6_tpu.diagnostics.wave_speed import brunt_vaisala2
-            tt, ss = domain.fill_halos((state.T, state.S), width=2)
-            n2 = brunt_vaisala2(vgrid, h, tt, ss, eos)
-            dz = 0.5 * (h[:-1] + h[1:])
-            zed = jnp.zeros_like(h[:1])
-            gp_int = jnp.concatenate([zed, n2 * dz, zed], axis=0)
-        td = thickness_diffuse(grid, vgrid, h, dt,
-                               cfg.thickness_diffuse, khth_2d=kh2,
-                               gprime_int=gp_int)
-        state = state.replace(h=domain.fill_halos(td.h))
-        uh_param, vh_param = dt * td.uhD, dt * td.vhD
-        if use_meke:
-            # advance the prognostic eddy energy with the GM release
-            # as its source (MOM_MEKE.F90 step_forward_MEKE)
-            meke_e = domain.fill_halos(state.meke, width=1)
-            hsum = jnp.sum(h, axis=0) + 1e-30
-            u_bt = jnp.sum(0.5 * (h + _ip1_(h)) * state.u, axis=0) \
-                / hsum
-            v_bt = jnp.sum(0.5 * (h + _jp1_(h)) * state.v, axis=0) \
-                / hsum
-            meke_new = step_meke(cfg.meke, grid, meke_e, dt,
-                                 gm_work=td.gm_work, rd_dx=rd_dx,
-                                 sn=sn, u_bt=u_bt, v_bt=v_bt)
-            state = state.replace(meke=domain.fill_halos(meke_new))
-    elif use_meke:
-        meke_e = domain.fill_halos(state.meke, width=1)
-        meke_new = step_meke(cfg.meke, grid, meke_e, dt, rd_dx=rd_dx,
-                             sn=sn)
-        state = state.replace(meke=domain.fill_halos(meke_new))
-    if cfg.interface_filter.time_scale > 0.0:
-        h = domain.fill_halos(state.h, width=2)
-        hf, uhF, vhF = interface_filter(domain, grid, vgrid, h, dt,
-                                        cfg.interface_filter)
-        state = state.replace(h=domain.fill_halos(hf))
-        uh_param = dt * uhF if uh_param is None else uh_param + dt * uhF
-        vh_param = dt * vhF if vh_param is None else vh_param + dt * vhF
-
-    kh_scale = None
-    if cfg.resoln_scaled_kh and res_fn is not None:
-        kh_scale = domain.fill_halos(res_fn, width=2)
-    if cfg.split and cfg.split_rk2b:
-        from mom6_tpu.core.dynamics_split_rk2b import step_dyn_split_rk2b
-        state, split_state, diags = step_dyn_split_rk2b(
-            domain, grid, vgrid, state, split_state, forces, dt,
-            cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,
-            stoch_pattern=sppt_pattern, kh_scale=kh_scale)
-    elif cfg.split:
-        state, split_state, diags = step_dyn_split_rk2(
-            domain, grid, vgrid, state, split_state, forces, dt,
-            cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,
-            stoch_pattern=sppt_pattern, kh_scale=kh_scale)
     else:
-        state, diags = step_dyn_unsplit(
-            domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,
-            eos=eos, t=t)
-
-    # --- mixed-layer restratification (MOM_mixed_layer_restrat.F90):
-    # submesoscale overturning transports applied to h after the
-    # dynamics, riding into the tracer advection via uhtr (the
-    # reference adds uhml into uhtr, mixedlayer_restrat :248) ---
-    if cfg.use_mle and cfg.thermo and state.T is not None:
-        hh, tt, ss = domain.fill_halos((state.h, state.T, state.S),
-                                       width=1)
-        mle = mixed_layer_restrat(cfg.mlrestrat, grid, vgrid, hh, dt,
-                                  T=tt, S=ss, eos=eos, hml=mld_prev)
-        state = state.replace(h=domain.fill_halos(mle.h))
-        if uh_param is None:
-            uh_param, vh_param = dt * mle.uhml, dt * mle.vhml
+        if cfg.diabatic_first and do_thermo:
+            state, split_state, tracers, _ex = thermo_and_ale(
+                state, split_state, tracers, int_tide_en, sppt_pattern)
+            _pre_extras = _ex
         else:
-            uh_param = uh_param + dt * mle.uhml
-            vh_param = vh_param + dt * mle.vhml
+            _pre_extras = None
 
-    # accumulate transports across the thermo interval (uhtr, MOM.F90)
-    uhtr, vhtr = diags.uhtr, diags.vhtr
-    if uh_param is not None:
-        uhtr, vhtr = uhtr + uh_param, vhtr + vh_param
-    if uhtr_accum is not None:
-        uhtr, vhtr = uhtr_accum + uhtr, vhtr_accum + vhtr
-    diags = diags._replace(uhtr=uhtr, vhtr=vhtr)
-    if not do_thermo:
-        if obc_reservoirs is not None:
-            return state, split_state, tracers, diags, obc_reservoirs
-        return state, split_state, tracers, diags
+        # --- MEKE → VarMix → KHTH coefficient chain ---
+        # the resolution function damps eddy parameterizations where the
+        # deformation radius is resolved (calc_resolution_function,
+        # MOM_lateral_mixing_coeffs.F90:214); MEKE feeds an eddy
+        # diffusivity K_MEKE into KHTH (MOM_thickness_diffuse.F90:204)
+        khth_2d = None
+        res_fn = None
+        rd_dx = None
+        sn = None
+        use_meke = cfg.use_meke and state.meke is not None
+        if cfg.use_varmix:
+            vm = calc_resolution_function(cfg.varmix, grid, vgrid,
+                                          state.h, state.T, state.S, eos)
+            res_fn = vm.res_fn
+            rd_dx = vm.rd_dx
+        need_sn = (cfg.use_varmix and cfg.varmix.khth_slope_cff > 0.0) \
+            or (use_meke and (cfg.meke.geometric or cfg.meke.a_eady > 0.0))
+        if need_sn:
+            # Eady growth rate (calc_slope_functions) feeding the Visbeck
+            # diffusivity and the MEKE length scales / GEOMETRIC closure
+            hh = domain.fill_halos(state.h, width=1)
+            tt = domain.fill_halos(state.T, width=1) \
+                if state.T is not None else None
+            ss = domain.fill_halos(state.S, width=1) \
+                if state.S is not None else None
+            sn = calc_eady_rate(cfg.varmix, grid, vgrid, hh, tt, ss, eos)
+        if cfg.use_varmix and cfg.varmix.khth_slope_cff > 0.0:
+            kh_vis = visbeck_kh(cfg.varmix, grid, sn)
+            if kh_vis is not None:
+                khth_2d = cfg.thickness_diffuse.khth + kh_vis
+        if use_meke and cfg.meke_khth_fac > 0.0:
+            base = khth_2d if khth_2d is not None \
+                else cfg.thickness_diffuse.khth
+            khth_2d = base + cfg.meke_khth_fac * meke_khth(
+                cfg.meke, state.meke, sn=sn)
+        if res_fn is not None and cfg.resoln_scaled_khth:
+            base = khth_2d if khth_2d is not None \
+                else cfg.thickness_diffuse.khth
+            khth_2d = base * res_fn
+
+        # thickness diffusion / interface filter act before the dynamics
+        # (THICKNESSDIFFUSE, MOM.F90:1160-1186); their layer transports
+        # are added into the tracer-advection accumulators so T/S and
+        # passives ride the GM/filter mass redistribution (the reference
+        # accumulates uhD*dt into uhtr, MOM_thickness_diffuse.F90:602)
+        uh_param = vh_param = None
+        if cfg.thickness_diffuse.khth > 0.0 or khth_2d is not None:
+            h = domain.fill_halos(state.h, width=2)
+            kh2 = domain.fill_halos(khth_2d, width=2) \
+                if khth_2d is not None else None
+            gp_int = None
+            if use_meke and state.T is not None and eos is not None:
+                # interface reduced gravities N²·Δz from the actual
+                # stratification, for the GM PE-release MEKE source
+                from mom6_tpu.diagnostics.wave_speed import brunt_vaisala2
+                tt, ss = domain.fill_halos((state.T, state.S), width=2)
+                n2 = brunt_vaisala2(vgrid, h, tt, ss, eos)
+                dz = 0.5 * (h[:-1] + h[1:])
+                zed = jnp.zeros_like(h[:1])
+                gp_int = jnp.concatenate([zed, n2 * dz, zed], axis=0)
+            td = thickness_diffuse(grid, vgrid, h, dt,
+                                   cfg.thickness_diffuse, khth_2d=kh2,
+                                   gprime_int=gp_int)
+            state = state.replace(h=domain.fill_halos(td.h))
+            uh_param, vh_param = dt * td.uhD, dt * td.vhD
+            if use_meke:
+                # advance the prognostic eddy energy with the GM release
+                # as its source (MOM_MEKE.F90 step_forward_MEKE)
+                meke_e = domain.fill_halos(state.meke, width=1)
+                hsum = jnp.sum(h, axis=0) + 1e-30
+                u_bt = jnp.sum(0.5 * (h + _ip1_(h)) * state.u, axis=0) \
+                    / hsum
+                v_bt = jnp.sum(0.5 * (h + _jp1_(h)) * state.v, axis=0) \
+                    / hsum
+                meke_new = step_meke(cfg.meke, grid, meke_e, dt,
+                                     gm_work=td.gm_work, rd_dx=rd_dx,
+                                     sn=sn, u_bt=u_bt, v_bt=v_bt)
+                state = state.replace(meke=domain.fill_halos(meke_new))
+        elif use_meke:
+            meke_e = domain.fill_halos(state.meke, width=1)
+            meke_new = step_meke(cfg.meke, grid, meke_e, dt, rd_dx=rd_dx,
+                                 sn=sn)
+            state = state.replace(meke=domain.fill_halos(meke_new))
+        if cfg.interface_filter.time_scale > 0.0:
+            h = domain.fill_halos(state.h, width=2)
+            hf, uhF, vhF = interface_filter(domain, grid, vgrid, h, dt,
+                                            cfg.interface_filter)
+            state = state.replace(h=domain.fill_halos(hf))
+            uh_param = dt * uhF if uh_param is None else uh_param + dt * uhF
+            vh_param = dt * vhF if vh_param is None else vh_param + dt * vhF
+
+        kh_scale = None
+        if cfg.resoln_scaled_kh and res_fn is not None:
+            kh_scale = domain.fill_halos(res_fn, width=2)
+        if cfg.split and cfg.split_rk2b:
+            from mom6_tpu.core.dynamics_split_rk2b import step_dyn_split_rk2b
+            state, split_state, diags = step_dyn_split_rk2b(
+                domain, grid, vgrid, state, split_state, forces, dt,
+                cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,
+                stoch_pattern=sppt_pattern, kh_scale=kh_scale)
+        elif cfg.split:
+            state, split_state, diags = step_dyn_split_rk2(
+                domain, grid, vgrid, state, split_state, forces, dt,
+                cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,
+                stoch_pattern=sppt_pattern, kh_scale=kh_scale)
+        else:
+            state, diags = step_dyn_unsplit(
+                domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,
+                eos=eos, t=t)
+
+        # --- mixed-layer restratification (MOM_mixed_layer_restrat.F90):
+        # submesoscale overturning transports applied to h after the
+        # dynamics, riding into the tracer advection via uhtr (the
+        # reference adds uhml into uhtr, mixedlayer_restrat :248) ---
+        if cfg.use_mle and cfg.thermo and state.T is not None:
+            hh, tt, ss = domain.fill_halos((state.h, state.T, state.S),
+                                           width=1)
+            mle = mixed_layer_restrat(cfg.mlrestrat, grid, vgrid, hh, dt,
+                                      T=tt, S=ss, eos=eos, hml=mld_prev)
+            state = state.replace(h=domain.fill_halos(mle.h))
+            if uh_param is None:
+                uh_param, vh_param = dt * mle.uhml, dt * mle.vhml
+            else:
+                uh_param = uh_param + dt * mle.uhml
+                vh_param = vh_param + dt * mle.vhml
+
+        # accumulate transports across the thermo interval (uhtr, MOM.F90)
+        uhtr, vhtr = diags.uhtr, diags.vhtr
+        if uh_param is not None:
+            uhtr, vhtr = uhtr + uh_param, vhtr + vh_param
+        if uhtr_accum is not None:
+            uhtr, vhtr = uhtr_accum + uhtr, vhtr_accum + vhtr
+        diags = diags._replace(uhtr=uhtr, vhtr=vhtr)
+        if not do_thermo:
+            if obc_reservoirs is not None:
+                return state, split_state, tracers, diags, obc_reservoirs
+            return state, split_state, tracers, diags
 
     # --- tracer transport (T/S ride the same accumulated transports) ---
     if cfg.thermo and state.T is not None:

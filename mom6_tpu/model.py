@@ -199,6 +199,11 @@ class Model:
     # ice shelf over the ocean: ShelfState + ShelfCfg (None → no shelf)
     ice_shelf: Any = None
     shelf_cfg: Any = None
+    # PHASED_JIT: run thermo steps as two executables (dynamics, then
+    # tracer+thermo/ALE) so their temporaries don't share one peak —
+    # the HBM lever that fits the OM4-class 1440x1088x25 config on a
+    # 16 GB chip.  Costs one extra dispatch per thermo step.
+    phased_jit: bool = False
 
     def reset_dtbt(self, state) -> int:
         """DTBT_RESET_PERIOD support: re-estimate the barotropic
@@ -240,7 +245,7 @@ class Model:
 
         dov = self.data_override
 
-        def mk(x_first, do_thermo):
+        def mk(x_first, do_thermo, thermo_only=False):
             def step(state, split_state, tracers, uacc, vacc, res,
                      mld, t, iten, sppt_pat):
                 # t: traced model time (s) at the step center, for
@@ -297,7 +302,8 @@ class Model:
                     obc=ob, do_thermo=do_thermo,
                     uhtr_accum=uacc, vhtr_accum=vacc,
                     obc_reservoirs=res, mld_prev=mld, t=t,
-                    int_tide_en=iten, sppt_pattern=sppt_pat)
+                    int_tide_en=iten, sppt_pattern=sppt_pat,
+                    thermo_only=thermo_only)
                 res_out = rest[0] if rest else None
                 return (st, a, tr, diags.uhtr, diags.vhtr,
                         diags.truncs, res_out, diags.mld,
@@ -318,6 +324,9 @@ class Model:
             return jax.jit(step, donate_argnums=donate)
         fns = {(xf, th): mk(xf, th) for xf in (True, False)
                for th in (True, False)}
+        if self.phased_jit:
+            for xf in (True, False):
+                fns[(xf, "thermo")] = mk(xf, True, thermo_only=True)
         if carry is not None:
             acc = carry
         else:
@@ -329,7 +338,36 @@ class Model:
 
         def step(state, split_state, tracers=None, n=0):
             do_thermo = ((n + 1) % n_per == 0)
-            f = fns[(n % 2 == 0, do_thermo)]
+            xf = (n % 2 == 0)
+            if self.phased_jit and do_thermo:
+                # phase 1: dynamics only (accumulates transports)
+                f1 = fns[(xf, False)]
+                ua = acc["u"] if acc["u"] is not None \
+                    else jnp.zeros_like(state.h)
+                va = acc["v"] if acc["v"] is not None \
+                    else jnp.zeros_like(state.h)
+                t = jnp.asarray((n + 0.5) * self.dt,
+                                dtype=jnp.result_type(float))
+                s, a, tr, uh, vh, tn, res, mld, iten, spat = f1(
+                    state, split_state, tracers, ua, va, acc["res"],
+                    acc["mld"], t, acc["iten"], acc["sppt"])
+                # phase 2: tracer transport + thermo/ALE
+                f2 = fns[(xf, "thermo")]
+                s, a, tr, uh, vh, _tn2, res, mld, iten, spat = f2(
+                    s, a, tr, uh, vh, res, mld, t, iten, spat)
+                if res is not None:
+                    acc["res"] = res
+                if mld is not None:
+                    acc["mld"] = mld
+                if iten is not None:
+                    acc["iten"] = iten
+                if spat is not None:
+                    acc["sppt"] = spat
+                acc["off"] = (uh, vh, s.h)
+                acc["u"], acc["v"] = None, None
+                acc["truncs"] = acc["truncs"] + tn
+                return s, a, tr
+            f = fns[(xf, do_thermo)]
             # distinct zero buffers: ua/va are donated, and donating
             # one buffer through two arguments is an aliasing error
             ua = acc["u"] if acc["u"] is not None \
@@ -2121,4 +2159,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                  obc=obc, fluxes_fn=fluxes_fn, forces_fn=forces_fn,
                  data_override=data_override,
                  obc_update_fn=obc_update_fn,
-                 ice_shelf=ice_shelf, shelf_cfg=shelf_cfg)
+                 ice_shelf=ice_shelf, shelf_cfg=shelf_cfg,
+                 phased_jit=pf.get(
+                     "PHASED_JIT", bool, False, module="MOM",
+                     desc="run thermo steps as two executables "
+                     "(dynamics, then tracer+thermo/ALE) to halve "
+                     "peak HBM at production grid sizes"))

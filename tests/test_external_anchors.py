@@ -374,3 +374,153 @@ KV = 1.0e-4
     # close at both resolutions and converging
     assert diffs[0] < 0.05, diffs
     assert diffs[1] < 0.7 * diffs[0], diffs
+
+
+# ---------------------------------------------------------------- 7 —
+def test_internal_wave_speed_under_ale():
+    """Mode-1 internal standing wave in uniformly-stratified water
+    under the FULL split-RK2 + Z* ALE regrid/remap + EOS chain: the
+    long-wave phase speed is c1 = N H / pi (linear theory), so the
+    standing-wave half period is L / (2 c1).  The tc2-class anchor
+    the round-3 verdict asked for — every other stratified anchor ran
+    adiabatic/layered; this one remaps the state through the ALE
+    machinery every step."""
+    H0, Lkm, nk = 1000.0, 100.0, 10
+    cfg = f"""
+SPLIT = True
+DT = 300.0
+DT_THERM = 300.0
+NIGLOBAL = 64
+NJGLOBAL = 4
+NK = {nk}
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = {Lkm}
+LENLAT = 6.25
+REENTRANT_X = True
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = {H0}
+TS_CONFIG = linear
+T_RANGE = 12.0
+S_RANGE = 0.0
+EQN_OF_STATE = LINEAR
+RHO_T0_S0 = 1040.0
+DRHO_DT = -0.17
+DRHO_DS = 0.0
+USE_REGRIDDING = True
+REGRIDDING_COORDINATE_MODE = Z*
+WIND_CONFIG = zero
+ADIABATIC = True
+KV = 0.0
+BOTTOMDRAGLAW = False
+CDRAG = 0.0
+"""
+    m = build_model(ParamFile(text=cfg))
+    g_e, rho0 = m.vgrid.g_Earth, m.vgrid.Rho0
+    # N^2 from the linear EOS and the initialized dT/dz
+    dTdz = 12.0 / H0
+    N = math.sqrt(g_e / rho0 * 0.17 * dTdz)
+    c1 = N * H0 / math.pi
+    x = np.asarray(m.grid.geoLonT)              # km
+    # mode-1 isopycnal displacement A sin(pi z / H) sin(k x) imposed
+    # as a temperature anomaly  T' = A sin(..) sin(..) dT/dz
+    T = np.array(m.state.T)
+    h = np.asarray(m.state.h)
+    zc = -(np.cumsum(h, axis=0) - 0.5 * h)      # layer centers (<0)
+    A = 10.0                                     # displacement [m]
+    T = T + A * np.sin(math.pi * (-zc) / H0) \
+        * np.sin(2 * np.pi * x / Lkm)[None] * dTdz
+    object.__setattr__(
+        m, "state",
+        m.state.replace(T=m.domain.fill_halos(jnp.asarray(T))))
+
+    half_period = Lkm * 1e3 / (2.0 * c1)
+    nsteps = int(round(1.6 * half_period / m.dt))
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    probe = []
+    for n in range(nsteps):
+        s, a, tr = step(s, a, tr, n=n)
+        Ti = np.asarray(m.domain.interior(s.T))
+        probe.append(Ti[nk // 2, 2, 16])         # x = L/4 antinode
+    ts = np.array(probe)
+    ts = ts - 0.5 * (ts.max() + ts.min())
+    k0 = int(np.argmin(ts))
+    assert 2 <= k0 <= nsteps - 2
+    y0, y1, y2 = ts[k0 - 1], ts[k0], ts[k0 + 1]
+    frac = 0.5 * (y0 - y2) / (y0 - 2 * y1 + y2)
+    t_half = (k0 + 1 + frac) * m.dt
+    c_meas = Lkm * 1e3 / (2.0 * t_half)
+    assert abs(c_meas - c1) / c1 < 0.06, (c_meas, c1)
+
+
+# ---------------------------------------------------------------- 8 —
+def test_lock_exchange_under_ale_eos():
+    """Benjamin front speed again, but through the thermodynamic
+    path: the density contrast comes from TEMPERATURE via the linear
+    EOS, the state is remapped by Z* ALE every step, and T rides the
+    tracer advection.  u_front = 0.5 sqrt(g' H) with
+    g' = g |dRho/dT| dT / rho0."""
+    H0, Lkm, nk = 20.0, 64.0, 8
+    dT = 6.0
+    drho_dt = 0.2
+    cfg = f"""
+SPLIT = True
+DT = 30.0
+DT_THERM = 30.0
+NIGLOBAL = 128
+NJGLOBAL = 4
+NK = {nk}
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = {Lkm}
+LENLAT = 2.0
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = {H0}
+TS_CONFIG = linear
+T_RANGE = 0.0
+S_RANGE = 0.0
+EQN_OF_STATE = LINEAR
+RHO_T0_S0 = 1000.0
+DRHO_DT = -{drho_dt}
+DRHO_DS = 0.0
+USE_REGRIDDING = True
+REGRIDDING_COORDINATE_MODE = Z*
+WIND_CONFIG = zero
+ADIABATIC = True
+KV = 1.0e-5
+BOTTOMDRAGLAW = False
+CDRAG = 0.0
+"""
+    m = build_model(ParamFile(text=cfg))
+    g_e, rho0 = m.vgrid.g_Earth, m.vgrid.Rho0
+    gp = g_e * drho_dt * dT / rho0
+    x = np.asarray(m.grid.geoLonT)
+    west = (x < 0.5 * Lkm)[None]
+    T_mid = float(np.mean(np.asarray(m.domain.interior(m.state.T))))
+    # cold (dense) water west: its bottom gravity current runs east
+    T = np.array(m.state.T) + np.where(west, -0.5 * dT, 0.5 * dT)
+    object.__setattr__(
+        m, "state",
+        m.state.replace(T=m.domain.fill_halos(jnp.asarray(T))))
+    u_benj = 0.5 * math.sqrt(gp * H0)
+
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    xT = np.asarray(m.domain.interior(jnp.asarray(x)))[2] * 1e3
+    rec = []
+    for n in range(1080):                        # 9 h
+        s, a, tr = step(s, a, tr, n=n)
+        if (n + 1) % 120 == 0:
+            # cold (dense) water present in the bottom layer east of
+            # the lock marks the gravity-current nose
+            Tb = np.asarray(m.domain.interior(s.T))[-1, 2]
+            idx = np.where(Tb < T_mid - 0.25 * dT)[0]
+            rec.append(((n + 1) * m.dt,
+                        xT[idx.max()] if idx.size else 0.0))
+    t_rec, x_rec = np.array(rec).T
+    u_f = np.polyfit(t_rec[2:], x_rec[2:], 1)[0]
+    # ALE z-coordinates mix the interface over ~1 cell per remap, so
+    # the front runs slightly slower than the sharp-interface layered
+    # measurement; Benjamin's bound still brackets it
+    assert 0.7 * u_benj <= u_f <= 1.1 * u_benj, (u_f, u_benj)
