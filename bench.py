@@ -110,6 +110,90 @@ FULL_PROBES = [
 ]
 
 
+def _land_bench(nsteps=10):
+    """Land-block elimination, measured: the split dyn core on a
+    512x512x25 domain with a 53%-land strip, dense vs the
+    block-compressed BlockDomain (reference masktable analog,
+    MOM_domains.F90:488-681).  Returns ms/step for both and the
+    speedup — the blocked run simply never computes the dropped
+    blocks."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.parallel.block_domain import (
+        BlockDomain, choose_wet_blocks, blockify, blockify_grid)
+    from mom6_tpu.core.grid import cartesian_grid
+    from mom6_tpu.core.vertical_grid import VerticalGrid
+    from mom6_tpu.core.state import State
+    from mom6_tpu.core.forcing import MechForcing
+    from mom6_tpu.core.dynamics_split_rk2 import (
+        SplitCfg, init_split_state, step_dyn_split_rk2)
+    from mom6_tpu.core.barotropic import BarotropicCfg
+    from mom6_tpu.core.vert_friction import VertViscCfg
+    from mom6_tpu.param.lateral.hor_visc import HorViscCfg
+
+    ni = nj = 512
+    nk = 25
+    tj = ti = 128
+    depth = np.full((nj, ni), 4000.0)
+    depth[:, 120:392] = 0.0                  # mid-basin land strip
+    depth_pad = np.pad(depth, 4, mode="wrap")
+    dn = Domain(ni=ni, nj=nj, halo=4, reentrant_x=True,
+                reentrant_y=True)
+    g = cartesian_grid(dn, lenlon_km=5120.0, lenlat_km=5120.0,
+                       f0=1e-4, depth_fn=lambda x, y:
+                       jnp.asarray(depth_pad), max_depth=4000.0)
+    vg = VerticalGrid.uniform(nk=nk, gint=0.005)
+    cfg = SplitCfg(vertvisc=VertViscCfg(kv=1e-4),
+                   horvisc=HorViscCfg(biharmonic=True,
+                                      smag_bi_const=0.06, dt=600.0),
+                   barotropic=BarotropicCfg(nstep=16,
+                                            use_pallas=False))
+    rng = np.random.default_rng(0)
+    h0 = np.where(depth[None] > 0,
+                  4000.0 / nk + rng.standard_normal((nk, nj, ni)),
+                  1e-10).astype(np.float32)
+    u0 = (0.05 * rng.standard_normal((nk, nj, ni))).astype(np.float32)
+
+    out = {}
+    for mode in ("dense", "blocked"):
+        if mode == "dense":
+            d, gr = dn, g
+            h = d.fill_halos(d.pad(jnp.asarray(h0)))
+            u = d.fill_halos(d.pad(jnp.asarray(u0)) * gr.mask2dCu)
+        else:
+            mask = np.asarray(dn.interior(g.mask2dT))
+            blocks = choose_wet_blocks(mask, tj, ti, halo=4)
+            d = BlockDomain(ni=ni, nj=nj, tj=tj, ti=ti,
+                            blocks=blocks, halo=4, reentrant_x=True,
+                            reentrant_y=True)
+            gr = blockify_grid(d, dn, g)
+            h = blockify(d, jnp.asarray(h0))
+            u = blockify(d, jnp.asarray(u0)) * gr.mask2dCu
+            out["blocks_kept"] = len(blocks)
+            out["blocks_total"] = (nj // tj) * (ni // ti)
+        st = State(u=u, v=jnp.zeros_like(u), h=h)
+        sp = init_split_state(d, gr, vg, st)
+        forces = MechForcing(taux=0.1 * gr.mask2dCu)
+
+        @jax.jit
+        def step(st, sp):
+            return step_dyn_split_rk2(d, gr, vg, st, sp, forces,
+                                      600.0, cfg)[:2]
+        for _ in range(2):
+            st, sp = step(st, sp)
+        jax.block_until_ready(st.h)
+        t0 = time.perf_counter()
+        for _ in range(nsteps):
+            st, sp = step(st, sp)
+        jax.block_until_ready(st.h)
+        out[f"{mode}_ms"] = round(
+            1e3 * (time.perf_counter() - t0) / nsteps, 2)
+    out["speedup"] = round(out["dense_ms"] / out["blocked_ms"], 3)
+    return out
+
+
 def _bench(step_fn, state, split, tracers, nsteps, n0=0):
     import jax
     # warmup: compile thermo/non-thermo × parity variants before timing
@@ -163,6 +247,12 @@ def main():
         "full_step_ms": round(ms_full, 2),
         "dyn_step_ms": round(ms_dyn, 2),
     }
+
+    if "--no-landbench" not in sys.argv:
+        try:
+            out["land_block_bench"] = _land_bench()
+        except Exception as exc:          # noqa: BLE001
+            out["land_block_bench"] = f"err: {exc}"[:160]
 
     if do_om4:
         try:

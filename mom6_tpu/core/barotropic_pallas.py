@@ -107,6 +107,9 @@ def pallas_supported(domain, obc, period, dtype,
             and domain.layout == (1, 1) and obc is None
             and period == 1 and not domain.reentrant_y
             and not domain.tripolar_n
+            # the kernel's in-register x-wrap assumes one contiguous
+            # tile, not a block-compressed stack
+            and getattr(domain, "blocks", None) is None
             and _plan(nip, use_curve) is not None)
 
 

@@ -118,7 +118,12 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                do_thermo: bool = True, uhtr_accum=None,
                vhtr_accum=None, obc_reservoirs=None, mld_prev=None,
                t=None, int_tide_en=None, sppt_pattern=None,
-               thermo_only: bool = False):
+               thermo_only=False):
+    # ``thermo_only``: False = normal fused step; True = skip the
+    # dynamics phase (PHASED_JIT phase 2: tracers + thermo/ALE);
+    # "tracers" / "thermo" split phase 2 itself in two — the finer
+    # 3-executable pipeline the OM4-class config needs to keep each
+    # executable's temporaries under the HBM budget.
     """One full ocean step of length dt.
 
     ``do_thermo`` gates the tracer-advection/diabatic/ALE phases (the
@@ -451,7 +456,9 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             return state, split_state, tracers, diags
 
     # --- tracer transport (T/S ride the same accumulated transports) ---
-    if cfg.thermo and state.T is not None:
+    if thermo_only == "thermo":
+        pass                       # phase 2b: tracers already moved
+    elif cfg.thermo and state.T is not None:
         adv = {"T": state.T, "S": state.S}
         if tracers:
             adv.update(tracers)
@@ -517,6 +524,12 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                                             width=1)
             tracers = tracer_hordiff(domain, grid, tracers, hh, dt,
                                      cfg.hordiff)
+
+    if thermo_only == "tracers":
+        # phase 2a ends here; thermo/ALE runs in its own executable
+        if obc_reservoirs is not None:
+            return state, split_state, tracers, diags, obc_reservoirs
+        return state, split_state, tracers, diags
 
     if _pre_extras is not None:
         extras = _pre_extras

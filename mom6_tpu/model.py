@@ -326,7 +326,10 @@ class Model:
                for th in (True, False)}
         if self.phased_jit:
             for xf in (True, False):
-                fns[(xf, "thermo")] = mk(xf, True, thermo_only=True)
+                fns[(xf, "tracers")] = mk(xf, True,
+                                          thermo_only="tracers")
+                fns[(xf, "thermo")] = mk(xf, True,
+                                         thermo_only="thermo")
         if carry is not None:
             acc = carry
         else:
@@ -351,10 +354,26 @@ class Model:
                 s, a, tr, uh, vh, tn, res, mld, iten, spat = f1(
                     state, split_state, tracers, ua, va, acc["res"],
                     acc["mld"], t, acc["iten"], acc["sppt"])
-                # phase 2: tracer transport + thermo/ALE
-                f2 = fns[(xf, "thermo")]
-                s, a, tr, uh, vh, _tn2, res, mld, iten, spat = f2(
+                # phase 2a: tracer transport on the accumulated
+                # transports; phase 2b: column thermo + ALE.  Three
+                # executables so no phase's temporaries stack on
+                # another's at the 16 GB HBM budget.
+                f2a = fns[(xf, "tracers")]
+                s, a, tr, uh, vh, _t2, res2, mld2, it2, sp2 = f2a(
                     s, a, tr, uh, vh, res, mld, t, iten, spat)
+                # carried fields pass through unchanged phases as
+                # None — keep the live value, don't clobber it
+                res = res2 if res2 is not None else res
+                mld = mld2 if mld2 is not None else mld
+                iten = it2 if it2 is not None else iten
+                spat = sp2 if sp2 is not None else spat
+                f2b = fns[(xf, "thermo")]
+                s, a, tr, uh, vh, _t3, res2, mld2, it2, sp2 = f2b(
+                    s, a, tr, uh, vh, res, mld, t, iten, spat)
+                res = res2 if res2 is not None else res
+                mld = mld2 if mld2 is not None else mld
+                iten = it2 if it2 is not None else iten
+                spat = sp2 if sp2 is not None else spat
                 if res is not None:
                     acc["res"] = res
                 if mld is not None:
