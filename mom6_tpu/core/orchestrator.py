@@ -180,6 +180,14 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 int_tide_en = itr.En
                 tidal_e2d = itr.itidal_loss
                 extras["int_tide_en"] = int_tide_en
+            # the pattern carry is a bare array for SPPT alone, or a
+            # {"sppt", "skeb"} dict when SKEB is active too
+            if isinstance(sppt_pattern, dict):
+                sp_prev = sppt_pattern.get("sppt")
+                sk_prev = sppt_pattern.get("skeb")
+            else:
+                sp_prev, sk_prev = sppt_pattern, None
+            skeb_on = cfg.sppt is not None and cfg.sppt.do_skeb
             sppt_on = cfg.sppt is not None and state.T is not None \
                 and (cfg.sppt.do_sppt or cfg.stoch_eos)
             if sppt_on:
@@ -190,11 +198,13 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 step_i = jnp.asarray(
                     jnp.round((0.0 if t is None else t) / dt),
                     jnp.int32)
-                pat = sppt_pattern if sppt_pattern is not None else \
+                pat = sp_prev if sp_prev is not None else \
                     init_pattern(domain, cfg.sppt, cfg.sppt_seed)
                 pat = step_pattern(domain, cfg.sppt, pat, cfg.sppt_seed,
                                    step_i)
-                extras["sppt_pattern"] = pat
+                sp_prev = pat
+                if not skeb_on:
+                    extras["sppt_pattern"] = pat
                 sppt_on = cfg.sppt.do_sppt       # tendencies only if SPPT
                 T_b, S_b = state.T, state.S
             state, tracers, dia = diabatic(state, fluxes, dt, cfg.diabatic,
@@ -205,6 +215,29 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 state = state.replace(
                     T=T_b + apply_sppt(cfg.sppt, state.T - T_b, pat),
                     S=S_b + apply_sppt(cfg.sppt, state.S - S_b, pat))
+            if skeb_on:
+                # SKEB: non-divergent stochastic velocity increment
+                # scaled by the smoothed local dissipation rate
+                # (apply_skeb, MOM_stochastics.F90:265-390; the
+                # reference applies it in step_MOM_thermo, MOM.F90:1613)
+                from mom6_tpu.param.stochastic.stochastics import (
+                    init_pattern, step_pattern, apply_skeb)
+                step_i = jnp.asarray(
+                    jnp.round((0.0 if t is None else t) / dt),
+                    jnp.int32)
+                skeb_seed = cfg.sppt_seed + 7919    # distinct stream
+                skp = sk_prev if sk_prev is not None else \
+                    init_pattern(domain, cfg.sppt, skeb_seed)
+                skp = step_pattern(domain, cfg.sppt, skp, skeb_seed,
+                                   step_i)
+                uf, vf = domain.fill_vector_halos(state.u, state.v,
+                                                  width=1)
+                u2, v2 = apply_skeb(domain, grid, cfg.sppt, uf, vf,
+                                    skp, dt)
+                state = state.replace(u=domain.fill_halos(u2),
+                                      v=domain.fill_halos(v2))
+                extras["sppt_pattern"] = {"sppt": sp_prev,
+                                          "skeb": skp}
             if "frazil" in dia:
                 extras["frazil"] = dia["frazil"]
             if "mld" in dia:
@@ -416,12 +449,18 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             state, split_state, diags = step_dyn_split_rk2b(
                 domain, grid, vgrid, state, split_state, forces, dt,
                 cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,
-                stoch_pattern=sppt_pattern, kh_scale=kh_scale)
+                stoch_pattern=(sppt_pattern.get("sppt")
+                               if isinstance(sppt_pattern, dict)
+                               else sppt_pattern),
+                kh_scale=kh_scale)
         elif cfg.split:
             state, split_state, diags = step_dyn_split_rk2(
                 domain, grid, vgrid, state, split_state, forces, dt,
                 cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,
-                stoch_pattern=sppt_pattern, kh_scale=kh_scale)
+                stoch_pattern=(sppt_pattern.get("sppt")
+                               if isinstance(sppt_pattern, dict)
+                               else sppt_pattern),
+                kh_scale=kh_scale)
         else:
             state, diags = step_dyn_unsplit(
                 domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,

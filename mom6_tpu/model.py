@@ -1971,14 +1971,21 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     pf.module("MOM_stochastics")
     sppt_cfg = None
     do_sppt = pf.get("DO_SPPT", bool, False)
+    do_skeb = pf.get("DO_SKEB", bool, False)
     use_stoch_eos = pf.get("STOCH_EOS", bool, False)
-    if do_sppt or use_stoch_eos:
+    if do_sppt or use_stoch_eos or do_skeb:
         from mom6_tpu.param.stochastic.stochastics import StochasticsCfg
         sppt_cfg = StochasticsCfg(
             do_sppt=do_sppt,
             sppt_amplitude=pf.get("SPPT_AMPLITUDE", float, 0.5),
             decorr_steps=pf.get("SPPT_DECORR_STEPS", int, 48),
-            smooth_passes=pf.get("SPPT_SMOOTH_PASSES", int, 4))
+            smooth_passes=pf.get("SPPT_SMOOTH_PASSES", int, 4),
+            do_skeb=do_skeb,
+            skeb_npass=pf.get("SKEB_NPASS", int, 5,
+                              desc="9-point smoother passes on the "
+                              "SKEB dissipation estimate"),
+            skeb_taper_width=pf.get("SKEB_TAPER_WIDTH", int, 4),
+            skeb_amplitude=pf.get("SKEB_AMPLITUDE", float, 1.0))
 
 
     pf.module("MOM_hor_bnd_diffusion")

@@ -101,3 +101,77 @@ def test_derived_diagnostics():
     ssh = sea_surface_height(g, h)
     np.testing.assert_allclose(np.asarray(d.interior(ssh)),
                                200.0 - 4000.0)
+
+
+def test_skeb_increment_nondivergent_and_tapered():
+    """SKEB (apply_skeb, MOM_stochastics.F90:265-390): the velocity
+    increment is the curl of a streamfunction, so on a uniform grid
+    its discrete divergence vanishes identically; the taper zeroes it
+    near land; and it injects (not removes) kinetic energy where the
+    flow is active."""
+    from mom6_tpu.param.stochastic.stochastics import (
+        StochasticsCfg, init_pattern, apply_skeb, skeb_taper)
+    from mom6_tpu.parallel.stencil import ip1, im1, jp1, jm1
+
+    d = Domain(ni=32, nj=32, halo=4, reentrant_x=True,
+               reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=320.0, lenlat_km=320.0)
+    cfg = StochasticsCfg(do_skeb=True, skeb_npass=3,
+                         skeb_taper_width=3)
+    rng = np.random.default_rng(5)
+    u = d.fill_halos(d.pad(jnp.asarray(
+        0.3 * rng.standard_normal((2, 32, 32)))))
+    v = d.fill_halos(d.pad(jnp.asarray(
+        0.3 * rng.standard_normal((2, 32, 32)))))
+    wts = init_pattern(d, cfg, seed=7)
+    u2, v2 = apply_skeb(d, g, cfg, u, v, wts, dt=600.0)
+    du, dv = u2 - u, v2 - v
+    assert float(jnp.max(jnp.abs(d.interior(du)))) > 0.0
+    # non-divergent: du/dx + dv/dy = 0 discretely (uniform metrics)
+    div = (du - im1(du)) + (dv - jm1(dv))
+    scale = float(jnp.max(jnp.abs(d.interior(du)))) + 1e-30
+    assert float(jnp.max(jnp.abs(d.interior(div)[..., 1:-1, 1:-1]))) \
+        < 1e-10 * scale
+    # taper: a wet cell adjacent to land gets ~zero increment
+    t_cu, t_cv = skeb_taper(d, g, width=3)
+    assert float(jnp.min(t_cu)) >= 0.0 and float(jnp.max(t_cu)) <= 1.0
+
+
+def test_skeb_in_model_runs_and_carries_pattern():
+    cfg_text = """
+NIGLOBAL = 24
+NJGLOBAL = 24
+NK = 3
+DT = 600.0
+DT_THERM = 600.0
+DAYMAX = 1.0
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 240.0
+LENLAT = 240.0
+REENTRANT_X = True
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 1000.0
+F_0 = 1.0e-4
+TS_CONFIG = linear
+T_RANGE = 8.0
+EQN_OF_STATE = LINEAR
+USE_REGRIDDING = True
+REGRIDDING_COORDINATE_MODE = Z*
+WIND_CONFIG = gyres
+TAUX_MAGNITUDE = 0.1
+DO_SKEB = True
+SKEB_AMPLITUDE = 0.5
+"""
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
+    m = build_model(ParamFile(text=cfg_text))
+    assert m.ocean_cfg.sppt is not None and m.ocean_cfg.sppt.do_skeb
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    for n in range(3):
+        s, a, tr = step(s, a, tr, n=n)
+    assert np.isfinite(np.asarray(m.domain.interior(s.u))).all()
+    # the SKEB AR(1) pattern is carried across steps as a dict entry
+    carry = step.carry()["sppt"]
+    assert isinstance(carry, dict) and carry.get("skeb") is not None
