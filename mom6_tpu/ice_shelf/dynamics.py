@@ -103,16 +103,46 @@ def basal_traction(cfg: SSACfg, grid: Grid, u, v, h_shelf,
     return coef * grid.areaT * ground_frac
 
 
+def glen_a_arrhenius(t_shelf, a_ref: float = 2.4e-24,
+                     t_ref: float = -10.0):
+    """Temperature-dependent Glen's-law rate factor A(T) by the
+    standard Arrhenius relation (Cuffey & Paterson 2010 §3.4.6):
+    A = A* exp(-Qc/R (1/T_h - 1/T_h*)) with the creep activation
+    energy Qc = 60 kJ/mol below -10 °C and 115 kJ/mol above, and the
+    pressure-melting-adjusted temperature approximated by T itself.
+    Normalized so A(t_ref) = a_ref.  This is how the evolving
+    vertically-integrated shelf temperature (t_shelf,
+    MOM_ice_shelf_dynamics.F90:84,3694 ice_shelf_temp) feeds back on
+    the rheology."""
+    R = 8.314
+    tk = t_shelf + 273.15
+    tk_ref = t_ref + 273.15
+    q_ref = 60.0e3 if t_ref < -10.0 else 115.0e3
+    # continuous at -10 °C: anchor both branches there
+    tk10 = 263.15
+    loga = jnp.where(
+        t_shelf < -10.0,
+        -(60.0e3 / R) * (1.0 / tk - 1.0 / tk10),
+        -(115.0e3 / R) * (1.0 / tk - 1.0 / tk10))
+    loga_ref = -(q_ref / R) * (1.0 / tk_ref - 1.0 / tk10)
+    return a_ref * jnp.exp(loga - loga_ref)
+
+
 def ssa_velocity_solve(cfg: SSACfg, grid: Grid, h_shelf, shelf_mask,
                        floating=None, u0=None, v0=None,
-                       ground_frac=None, bed_elev=None) -> SSAResult:
+                       ground_frac=None, bed_elev=None,
+                       a_glen_2d=None) -> SSAResult:
     """Solve the SSA for shelf velocities at h points.
 
     h_shelf: ice thickness [m]; shelf_mask: 1 where ice is present;
     floating: 1 where afloat (defaults to all floating);
     ground_frac: fraction of the cell grounded (basal friction acts
     there; update_OD_ffrac analog), bed_elev: bed depth below sea
-    level [m] (for the Coulomb effective pressure)."""
+    level [m] (for the Coulomb effective pressure); a_glen_2d: an
+    optional spatially-varying Glen rate factor [Pa-n s-1] (from the
+    evolving shelf temperature via :func:`glen_a_arrhenius`, or an
+    observational AGlen_visc file — calc_shelf_visc's OBS/MODEL
+    paths, MOM_ice_shelf_dynamics.F90:2932-3050)."""
     if floating is None:
         floating = shelf_mask if ground_frac is None \
             else shelf_mask * (1.0 - ground_frac)
@@ -134,7 +164,6 @@ def ssa_velocity_solve(cfg: SSACfg, grid: Grid, h_shelf, shelf_mask,
         * (jp1(s) - jm1(s)) * grid.IdyT
 
     n = cfg.glen_n
-    B = cfg.glen_a ** (-1.0 / n)
 
     def strains_q(u, v):
         """Compact strains at cell corners (NE of cell (j,i))."""
@@ -154,6 +183,11 @@ def ssa_velocity_solve(cfg: SSACfg, grid: Grid, h_shelf, shelf_mask,
     def dot(a, b):
         return (jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1]))
 
+    # Glen rate factor at corners: scalar, or the evolving 2D field
+    a_q = cfg.glen_a if a_glen_2d is None \
+        else jnp.maximum(corner_avg(a_glen_2d), 1e-32)
+    B = a_q ** (-1.0 / n)
+
     u, v = u0 * shelf_mask, v0 * shelf_mask
     beta_lin = cfg.basal_beta * grid.areaT * shelf_mask
     b = (-tdx * grid.areaT * shelf_mask,
@@ -165,7 +199,7 @@ def ssa_velocity_solve(cfg: SSACfg, grid: Grid, h_shelf, shelf_mask,
     # and costs that many extra Picard refreshes
     tau0 = 0.25 * cfg.rho_ice * (1.0 - cfg.rho_ice / cfg.rho_sw) \
         * cfg.g * jnp.maximum(corner_avg(h_shelf), 1.0)
-    ee0 = cfg.glen_a * tau0 ** n + cfg.eps_strain
+    ee0 = a_q * tau0 ** n + cfg.eps_strain
     visc_q = 0.5 * B * ee0 ** ((1.0 - n) / n)
 
     for _ in range(cfg.n_outer):

@@ -43,6 +43,16 @@ class ShelfCfg:
     # under the shelf (0 = fully shielded, the reference default)
     stress_frac: float = 0.0
     min_thickness: float = 1e-3   # [m] shelf presence threshold
+    # --- vertically-integrated ice temperature evolution
+    # (ice_shelf_temp, MOM_ice_shelf_dynamics.F90:3694): advects T·h
+    # with the ice flow and exchanges heat at the surface (accumulation
+    # at Tsurf) and base (melt at the local freezing point); the
+    # temperature feeds the rheology via glen_a_arrhenius ---
+    evolve_temp: bool = False
+    t_surf: float = -20.0         # surface air temperature [degC]
+    adot: float = 0.1 / (365.0 * 86400.0)   # surface accum [m s-1 ice]
+    t_shelf_missing: float = -10.0          # T_SHELF_MISSING [degC]
+    t_freeze_base: float = -1.9   # basal freezing temperature [degC]
 
 
 import jax
@@ -60,6 +70,9 @@ class ShelfState:
     # bed elevation (depth below sea level, positive down) for the
     # grounding-line flotation test; None → deep ocean (all afloat)
     bed_elev: Optional[jnp.ndarray] = None
+    # vertically averaged ice temperature [degC] (t_shelf,
+    # MOM_ice_shelf_dynamics.F90:84); None → isothermal rheology
+    t_shelf: Optional[jnp.ndarray] = None
 
     def mask(self, min_thickness: float = 1e-3):
         return (self.h_shelf > min_thickness).astype(self.h_shelf.dtype)
@@ -132,18 +145,33 @@ def step_shelf(domain, grid: Grid, state: ShelfState, cfg: ShelfCfg,
     mask = state.mask(cfg.min_thickness)
     area = state.area_frac if state.area_frac is not None else mask
     bed = state.bed_elev
-    fills = [h, mask, area] + ([bed] if bed is not None else [])
+    tsh = state.t_shelf
+    fills = [h, mask, area] + ([bed] if bed is not None else []) \
+        + ([tsh] if tsh is not None else [])
     out = domain.fill_halos(tuple(fills))
     h, mask, area = out[0], out[1], out[2]
+    k = 3
     if bed is not None:
-        bed = out[3]
-    st = ShelfState(h_shelf=h, area_frac=area, bed_elev=bed)
+        bed = out[k]
+        k += 1
+    if tsh is not None:
+        tsh = out[k]
+    st = ShelfState(h_shelf=h, area_frac=area, bed_elev=bed,
+                    t_shelf=tsh)
 
     # grounding line: flotation test each step (update_OD_ffrac)
     _, ground_frac = update_grounding(cfg, st, ocean_col_thick)
 
+    # evolving temperature → Glen rate factor (calc_shelf_visc MODEL
+    # path with A(T); glen_a_arrhenius)
+    a2d = None
+    if tsh is not None:
+        from mom6_tpu.ice_shelf.dynamics import glen_a_arrhenius
+        a2d = glen_a_arrhenius(tsh, a_ref=cfg.ssa.glen_a)
+
     res = ssa_velocity_solve(cfg.ssa, grid, h, mask, u0=u0, v0=v0,
-                             ground_frac=ground_frac, bed_elev=bed)
+                             ground_frac=ground_frac, bed_elev=bed,
+                             a_glen_2d=a2d)
     u, v = domain.fill_halos((res.u, res.v))
 
     full = st.full_mask(cfg.min_thickness)
@@ -213,9 +241,43 @@ def step_shelf(domain, grid: Grid, state: ShelfState, cfg: ShelfCfg,
         h_new = h_new - (melt / cfg.thermo.rho_ice) * dt
     h_new = jnp.maximum(h_new, 0.0)
     area_new = jnp.where(h_new > cfg.min_thickness, area_new, 0.0)
+
+    t_new = None
+    if tsh is not None and cfg.evolve_temp:
+        # (hT)_t = -div(u hT) + (adot·Tsurf − mdot·Tfreeze)/ρ_i
+        # with the SAME limited fluxes as the thickness update
+        # (ice_shelf_temp, MOM_ice_shelf_dynamics.F90:3694-3775).
+        # T is recovered against the purely ADVECTIVE thickness (same
+        # fluxes, so T_new is a convex combination of upwind values);
+        # the front-advance partial-cell bookkeeping redistributes
+        # volume, not temperature.
+        t_up_x = jnp.where(u_f > 0.0, tsh, ip1(tsh))
+        t_up_y = jnp.where(v_f > 0.0, tsh, jp1(tsh))
+        ftx = fx * t_up_x
+        fty = fy * t_up_y
+        th = tsh * h
+        th = th - ((ftx - im1(ftx)) + (fty - jm1(fty))) \
+            * grid.IareaT * dt
+        melt_i = (melt / cfg.thermo.rho_ice) if melt is not None \
+            else 0.0
+        h_adv = jnp.maximum((h - div) * grid.mask2dT
+                            - melt_i * dt, 0.0)
+        t_adv = th / jnp.maximum(h_adv, cfg.min_thickness)
+        # surface/basal heat exchange on the *average* temperature
+        t_adv = t_adv + dt * (cfg.adot * cfg.t_surf
+                              - melt_i * cfg.t_freeze_base) \
+            / jnp.maximum(h_adv, cfg.min_thickness) * mask
+        t_new = jnp.where((h_new > cfg.min_thickness)
+                          & (h_adv > cfg.min_thickness),
+                          t_adv, cfg.t_shelf_missing)
+        # keep within physical bounds
+        t_new = jnp.clip(t_new, -60.0, 0.0)
+    elif tsh is not None:
+        t_new = tsh
+
     return ShelfStepResult(
         state=ShelfState(h_shelf=h_new, area_frac=area_new,
-                         bed_elev=state.bed_elev),
+                         bed_elev=state.bed_elev, t_shelf=t_new),
         u=u, v=v)
 
 

@@ -1018,7 +1018,15 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 cf_max=pf.get("CF_Max", float, 0.5)),
             dynamic=pf.get("DYNAMIC_SHELF", bool, False),
             g=g_earth,
-            stress_frac=pf.get("SHELF_STRESS_FRACTION", float, 0.0))
+            stress_frac=pf.get("SHELF_STRESS_FRACTION", float, 0.0),
+            evolve_temp=pf.get("EVOLVE_ICE_TEMP", bool, False,
+                               desc="advect/evolve the vertically "
+                               "integrated ice temperature and feed "
+                               "it back on the Glen rheology"),
+            t_surf=pf.get("ICE_SURFACE_TEMP", float, -20.0,
+                          units="degC"),
+            t_shelf_missing=pf.get("T_SHELF_MISSING", float, -10.0,
+                                   units="degC"))
         icfg = pf.get("ICE_PROFILE_CONFIG", str, "channel")
         tfile = pf.get("ICE_THICKNESS_FILE", str, "")
         _h0 = init_shelf_thickness(
@@ -1037,7 +1045,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             h_shelf=_h0,
             area_frac=(_h0 > shelf_cfg.min_thickness
                        ).astype(_h0.dtype),
-            bed_elev=grid.bathyT)
+            bed_elev=grid.bathyT,
+            t_shelf=(jnp.where(_h0 > shelf_cfg.min_thickness,
+                               pf.get("T_SHELF_INIT", float, -15.0,
+                                      units="degC"),
+                               shelf_cfg.t_shelf_missing)
+                     if shelf_cfg.evolve_temp else None))
 
     # ---- state initialization ----
     pf.module("MOM_state_initialization")

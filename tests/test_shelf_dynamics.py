@@ -180,3 +180,65 @@ def test_grounded_cells_do_not_advect_like_floating():
     sg = float(np.abs(np.asarray(res_g.u))[gmask].max())
     sf = float(np.abs(np.asarray(res_f.u))[gmask].max())
     assert sg < 0.1 * sf, (sg, sf)
+
+
+def test_arrhenius_rate_factor_monotone():
+    """A(T) increases with temperature (warmer ice is softer), is
+    continuous at the -10 degC activation-energy break, and equals
+    the reference value at the anchor (Cuffey & Paterson 2010
+    S3.4.6; the t_shelf -> rheology link of
+    MOM_ice_shelf_dynamics.F90:84)."""
+    from mom6_tpu.ice_shelf.dynamics import glen_a_arrhenius
+    T = jnp.linspace(-40.0, -0.5, 80)
+    A = np.asarray(glen_a_arrhenius(T, a_ref=2.4e-24))
+    assert np.all(np.diff(A) > 0)
+    np.testing.assert_allclose(
+        float(glen_a_arrhenius(jnp.asarray(-10.0), a_ref=2.4e-24)),
+        2.4e-24, rtol=1e-12)
+    # continuity across the break
+    a_m = float(glen_a_arrhenius(jnp.asarray(-10.001)))
+    a_p = float(glen_a_arrhenius(jnp.asarray(-9.999)))
+    assert abs(a_p - a_m) / a_m < 1e-2
+    # roughly 3 decades softer from -40 to -1 degC
+    assert A[-1] / A[0] > 100.0
+
+
+def test_warm_shelf_flows_faster():
+    """The evolving-temperature rheology feedback: the same shelf at
+    -2 degC spreads faster than at -30 degC."""
+    d, g = _grid()
+    st = _channel_state(g, d)
+    mask = st.mask()
+    speeds = {}
+    for tdeg in (-30.0, -2.0):
+        from mom6_tpu.ice_shelf.dynamics import glen_a_arrhenius
+        a2d = glen_a_arrhenius(jnp.full_like(st.h_shelf, tdeg))
+        res = ssa_velocity_solve(SSACfg(), g, st.h_shelf, mask,
+                                 a_glen_2d=a2d)
+        speeds[tdeg] = float(jnp.max(jnp.abs(res.u)))
+    assert speeds[-2.0] > 3.0 * speeds[-30.0]
+
+
+def test_ice_temperature_advects_and_cools_from_surface():
+    """(hT)_t = -div(uhT) + adot*Tsurf: with a cold surface source
+    the mean shelf temperature trends toward Tsurf; the advected
+    temperature stays within [min, max] of its initial range away
+    from the source terms (upwind monotonicity)."""
+    d, g = _grid()
+    st0 = _channel_state(g, d)
+    t0 = jnp.where(st0.h_shelf > 1e-3, -8.0, -10.0)
+    st = ShelfState(h_shelf=st0.h_shelf, area_frac=st0.area_frac,
+                    bed_elev=None, t_shelf=t0)
+    cfg = ShelfCfg(dynamic=True, evolve_temp=True, t_surf=-20.0,
+                   adot=2.0e-7)       # exaggerated accumulation
+    dt = 86400.0
+    for _ in range(10):
+        r = step_shelf(d, g, st, cfg, dt)
+        st = r.state
+    Ti = np.asarray(d.interior(st.t_shelf))
+    hi = np.asarray(d.interior(st.h_shelf))
+    wet = hi > 1e-3
+    assert np.isfinite(Ti).all()
+    # cooling trend from the cold accumulation source
+    assert Ti[wet].mean() < -8.0
+    assert Ti[wet].min() >= -20.5      # bounded by the source temp
