@@ -36,3 +36,11 @@ class Fluxes:
     lprec: Optional[jnp.ndarray] = None
     fprec: Optional[jnp.ndarray] = None
     salt_flux: Optional[jnp.ndarray] = None
+    # coupler-supplied gas-exchange boundary fields (the
+    # coupler_bc_type tables of MOM_couplertype_infra.F90:1-120): a
+    # dict of 2D arrays — atmospheric partial pressures keyed by the
+    # BGC registry's atm_field names (pco2_atm, po2_atm, pcfc11_atm,
+    # ...), plus optionally "u10" and "ice_frac".  In coupled mode
+    # these take precedence over the BGC package's own
+    # constants/file registry.
+    gas_fields: Optional[dict] = None

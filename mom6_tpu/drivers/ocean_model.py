@@ -40,6 +40,10 @@ class IceOceanBoundary:
     lprec: Optional[jnp.ndarray] = None
     salt_flux: Optional[jnp.ndarray] = None
     p_surf: Optional[jnp.ndarray] = None
+    # coupler_bc_type gas-flux tables (MOM_couplertype_infra.F90):
+    # atmospheric partial pressures / winds / ice fraction for the
+    # BGC gas exchange, keyed by the BGC registry's field names
+    gas_fields: Optional[dict] = None
 
 
 @jax.tree_util.register_dataclass
@@ -69,7 +73,8 @@ def _iob_to_forcing(iob: IceOceanBoundary, grid):
     forces = MechForcing(taux=taux, tauy=tauy, p_surf=iob.p_surf)
     fluxes = Fluxes(sw=iob.sw_flux, lw=iob.lw_flux,
                     sensible=iob.t_flux, evap=iob.q_flux,
-                    lprec=iob.lprec, salt_flux=iob.salt_flux)
+                    lprec=iob.lprec, salt_flux=iob.salt_flux,
+                    gas_fields=iob.gas_fields)
     return forces, fluxes
 
 

@@ -391,6 +391,20 @@ class BGCCoupler:
         like = h[0]
         forcing = self.forcing_sources.at(t, like)
         f = forcing.fields
+        u10 = forcing.u10
+        open_frac = forcing.open_frac
+        # coupled mode: coupler_bc_type-style gas fields override the
+        # package's own constants/file registry
+        # (MOM_couplertype_infra.F90 extract_coupler_type_data)
+        gf = getattr(fluxes, "gas_fields", None) \
+            if fluxes is not None else None
+        if gf:
+            f = {**f, **{k: v for k, v in gf.items()
+                         if k not in ("u10", "ice_frac")}}
+            if "u10" in gf:
+                u10 = gf["u10"]
+            if "ice_frac" in gf:
+                open_frac = jnp.clip(1.0 - gf["ice_frac"], 0.0, 1.0)
         out = dict(tracers)
 
         T0 = T[0] if T is not None else jnp.zeros_like(like) + 15.0
@@ -411,8 +425,8 @@ class BGCCoupler:
                 patm = f.get(s.gas.atm_field, 0.0)
                 if not hasattr(patm, "shape"):
                     patm = jnp.zeros_like(like) + patm
-                stf = stf + s.gas.flux(tr[0], T0, S0, forcing.u10,
-                                       patm, forcing.open_frac)
+                stf = stf + s.gas.flux(tr[0], T0, S0, u10,
+                                       patm, open_frac)
             if s.river_field and s.river_field in f:
                 stf = stf + f[s.river_field]
             if s.dep_field and s.dep_field in f:

@@ -224,3 +224,40 @@ def test_bgc_tracers_are_advected():
     # interior source terms; fields must stay finite and non-uniform
     # after biology acts on the light gradient
     assert np.isfinite(no3).all()
+
+
+def test_coupler_gas_fields_override_registry():
+    """Coupled gas-flux ingestion (MOM_couplertype_infra.F90 tables):
+    atmospheric partial pressures and winds supplied on the IOB take
+    precedence over the BGC package's own constants — a doubled
+    coupler pCFC-11 must roughly double the initial uptake, and a
+    zero coupler wind must shut the exchange off."""
+    from mom6_tpu.drivers.ocean_model import (IceOceanBoundary,
+                                              update_ocean_model)
+
+    def uptake(gas_fields):
+        m = build_model(ParamFile(
+            text=BASE + "USE_MARBL_TRACERS = True\n"
+            "USE_OCMIP2_CFC = True\n"))
+        shp = m.grid.mask2dT.shape
+        iob = IceOceanBoundary(
+            u_flux=jnp.zeros(shp),
+            gas_fields=gas_fields)
+        s, a, tr, _ = update_ocean_model(
+            m, iob, m.state, m.split_state, m.tracers,
+            dt_coupling=2 * m.dt)
+        return float(jnp.sum(m.domain.interior(tr["cfc11"][0]))), m
+
+    base_patm = 1.0e-10                         # ~ modern pCFC-11 atm
+    m0 = build_model(ParamFile(
+        text=BASE + "USE_MARBL_TRACERS = True\n"
+        "USE_OCMIP2_CFC = True\n"))
+    shp = m0.grid.mask2dT.shape
+    one = jnp.ones(shp)
+    u1, _ = uptake({"pcfc11_atm": base_patm * one, "u10": 8.0 * one})
+    u2, _ = uptake({"pcfc11_atm": 2 * base_patm * one,
+                    "u10": 8.0 * one})
+    u0, _ = uptake({"pcfc11_atm": base_patm * one, "u10": 0.0 * one})
+    assert u1 > 0.0
+    assert abs(u2 / u1 - 2.0) < 0.05       # flux ∝ patm (zero initial)
+    assert u0 < 1e-3 * u1                  # no wind → no exchange
