@@ -86,7 +86,7 @@ DYN_OVERRIDES = (
 OM4_OVERRIDES = (
     "#override NIGLOBAL = 1440\n#override NJGLOBAL = 1088\n"
     "#override LENLON = 14400.0\n#override LENLAT = 10880.0\n"
-    "PHASED_JIT = True\n")
+    "PHASED_JIT = True\nALE_SEQUENTIAL_REMAP = True\n")
 
 # per-phase toggle probes (positive delta vs dyn base = phase cost)
 PHASE_PROBES = [

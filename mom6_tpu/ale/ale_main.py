@@ -42,6 +42,13 @@ class ALECfg:
     regrid_time_scale: float = 0.0
     filter_shallow_depth: float = 0.0
     filter_deep_depth: float = 0.0
+    # ALE_SEQUENTIAL_REMAP: remap fields one at a time behind
+    # optimization barriers instead of stacking each group into one
+    # batched call.  Slower (geometry recomputed per field) but caps
+    # the live-temporary set at one field's worth — the HBM lever for
+    # production grid sizes where the stacked remap's concurrent
+    # buffers dominate the thermo executable's footprint.
+    sequential_remap: bool = False
 
 
 def _filter_grid_motion(cfg: ALECfg, h_old, h_new, dt: float):
@@ -106,6 +113,20 @@ def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
     def remap_batch(h_src, fields, h_dst, rcfg):
         if not fields:
             return []
+        if cfg.sequential_remap:
+            import jax as _jax
+            out = []
+            carry = (h_src, h_dst)
+            for f in fields:
+                hs, hd = carry
+                r = remap_column_means(hs, f, hd, rcfg)
+                # barrier: the next field's remap may not start until
+                # this one's temporaries are dead
+                r, hs, hd = _jax.lax.optimization_barrier(
+                    (r, hs, hd))
+                carry = (hs, hd)
+                out.append(r)
+            return out
         if len(fields) == 1:
             return [remap_column_means(h_src, fields[0], h_dst, rcfg)]
         stk = jnp.stack(fields, axis=1)          # (nk, F, nj, ni)

@@ -1554,6 +1554,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             vel_remap=RemapCfg(scheme=pf.get("VELOCITY_REMAPPING_SCHEME",
                                              str, scheme)),
             hybgen_unmix=unmix_cfg,
+            sequential_remap=pf.get(
+                "ALE_SEQUENTIAL_REMAP", bool, False,
+                desc="remap fields one at a time behind optimization "
+                "barriers: slower, but caps the remap's live "
+                "temporaries at one field (HBM lever for production "
+                "grids)"),
             regrid_time_scale=pf.get("REGRID_TIME_SCALE", float, 0.0,
                                      units="s"),
             filter_shallow_depth=pf.get("REGRID_FILTER_SHALLOW_DEPTH",
