@@ -168,3 +168,62 @@ def ale_regrid_remap(grid: Grid, vgrid: VerticalGrid, state: State,
 
     new_state = state.replace(u=u_new, v=v_new, h=h_new, T=T_new, S=S_new)
     return new_state, new_tracers, h_new, aux_u_new, aux_v_new
+
+
+def ale_regrid_accelerated(grid: Grid, vgrid: VerticalGrid,
+                           state: State, cfg: ALECfg, n_itt: int,
+                           eos=None, tracers: dict | None = None):
+    """Iterated regridding for initialization spin-up
+    (ALE_regrid_accelerated, /root/reference/src/ALE/MOM_ALE.F90:609):
+    regrid n_itt times, carrying only working copies of (h, T, S)
+    between iterations so the target coordinate converges toward its
+    attractor (z-climatology initial states can sit far from a RHO or
+    HYCOM coordinate's equilibrium), then remap the FULL original
+    state (u, v, tracers, T, S) once from the original grid onto the
+    final one — minimizing accumulated remap diffusion.
+    Returns (new_state, new_tracers, h_final)."""
+    from mom6_tpu.ale.regridding import build_grid
+    h_orig = state.h
+    h = state.h
+    T, S = state.T, state.S
+    for _ in range(max(n_itt, 1)):
+        h_new = build_grid(cfg.regrid, h, grid.bathyT, T, S, eos,
+                           rlay=vgrid.Rlay, rho0=vgrid.Rho0,
+                           g=vgrid.g_Earth, mask2dT=grid.mask2dT)
+        if T is not None:
+            stk = jnp.stack([T, S], axis=1)
+            out = remap_column_means(h[:, None], stk, h_new[:, None],
+                                     cfg.remap)
+            T, S = out[:, 0], out[:, 1]
+        h = h_new
+    # single final remap of the complete state from the ORIGINAL grid
+    # onto the converged one (one remap's worth of diffusion total)
+    h_f = h
+    fields = []
+    names = []
+    if state.T is not None:
+        fields += [state.T, state.S]
+        names += ["__T", "__S"]
+    if tracers is not None:
+        for k, v in tracers.items():
+            fields.append(v)
+            names.append(k)
+    outs = {}
+    if fields:
+        stk = jnp.stack(fields, axis=1)
+        rem = remap_column_means(h_orig[:, None], stk, h_f[:, None],
+                                 cfg.remap)
+        outs = {n: rem[:, i] for i, n in enumerate(names)}
+    h_u_src = 0.5 * (h_orig + ip1(h_orig))
+    h_u_dst = 0.5 * (h_f + ip1(h_f))
+    h_v_src = 0.5 * (h_orig + jp1(h_orig))
+    h_v_dst = 0.5 * (h_f + jp1(h_f))
+    u_new = remap_column_means(h_u_src, state.u, h_u_dst,
+                               cfg.vel_remap) * grid.mask2dCu
+    v_new = remap_column_means(h_v_src, state.v, h_v_dst,
+                               cfg.vel_remap) * grid.mask2dCv
+    new_state = state.replace(h=h_f, u=u_new, v=v_new,
+                              T=outs.pop("__T", None),
+                              S=outs.pop("__S", None))
+    new_tracers = outs if tracers is not None else None
+    return new_state, new_tracers, h_f

@@ -1566,6 +1566,34 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                         float, 0.0, units="m"),
             filter_deep_depth=pf.get("REGRID_FILTER_DEEP_DEPTH",
                                      float, 0.0, units="m"))
+        # REGRID_ACCELERATE_INIT (MOM_state_initialization.F90:467):
+        # iterate the regrid at init so slow-converging coordinates
+        # (RHO/HYCOM) start near their attractor instead of drifting
+        # there over model time (ALE_regrid_accelerated,
+        # MOM_ALE.F90:609); the split aux state re-initializes on the
+        # converged grid
+        if thermo and state.T is not None \
+                and pf.get("REGRID_ACCELERATE_INIT", bool, False):
+            from mom6_tpu.ale.ale_main import ale_regrid_accelerated
+            n_acc = pf.get("REGRID_ACCELERATE_ITERATIONS", int, 1)
+            fill0 = (domain.local().fill_halos if not domain.shmap
+                     else (lambda a: a))
+            state = state.replace(h=fill0(state.h),
+                                  T=fill0(state.T),
+                                  S=fill0(state.S))
+            state, _, _ = ale_regrid_accelerated(
+                grid, vgrid, state, ale_cfg, n_acc, eos=eos)
+            state = state.replace(h=fill0(state.h),
+                                  T=fill0(state.T),
+                                  S=fill0(state.S))
+            if split and split_rk2b:
+                from mom6_tpu.core.dynamics_split_rk2b import \
+                    init_split_b_state as _isb
+                split_state = _isb(domain, grid, vgrid, state)
+            elif split:
+                split_state = init_split_state(
+                    domain, grid, vgrid, state,
+                    horvisc_cfg=split_cfg.horvisc)
     pf.module("MOM_set_diffusivity")
     from mom6_tpu.param.vertical.shear_mixing import ShearMixingCfg
     from mom6_tpu.param.vertical.conv_ddiff import (ConvectionCfg,

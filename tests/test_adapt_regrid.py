@@ -175,3 +175,51 @@ def test_regrid_time_filter():
                filter_deep_depth=0.0), h_old, h_new, dt)
     np.testing.assert_allclose(np.asarray(h_f0), np.asarray(h_new),
                                atol=1e-6)
+
+
+def test_regrid_accelerate_init_converges_coordinate():
+    """REGRID_ACCELERATE_INIT (MOM_state_initialization.F90:467 /
+    ALE_regrid_accelerated, MOM_ALE.F90:609): with an initial state
+    far from the RHO coordinate's equilibrium, the accelerated init
+    lands the grid (near) the coordinate attractor — the first model
+    regrid then barely moves the interfaces, while the
+    non-accelerated init still has most of its adjustment ahead."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
+    from mom6_tpu.ale.regridding import build_grid
+
+    base = """
+NIGLOBAL = 8
+NJGLOBAL = 8
+NK = 8
+DT = 600.0
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 80.0
+LENLAT = 80.0
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 1000.0
+TS_CONFIG = linear
+T_RANGE = 12.0
+EQN_OF_STATE = LINEAR
+USE_REGRIDDING = True
+REGRIDDING_COORDINATE_MODE = RHO
+WIND_CONFIG = zero
+"""
+    drift = {}
+    for acc in (False, True):
+        extra = ("REGRID_ACCELERATE_INIT = True\n"
+                 "REGRID_ACCELERATE_ITERATIONS = 8\n") if acc else ""
+        m = build_model(ParamFile(text=base + extra))
+        h0 = m.state.h
+        h1 = build_grid(m.ocean_cfg.ale.regrid, h0, m.grid.bathyT,
+                        m.state.T, m.state.S, m.eos,
+                        rlay=m.vgrid.Rlay, rho0=m.vgrid.Rho0,
+                        g=m.vgrid.g_Earth, mask2dT=m.grid.mask2dT)
+        z0 = jnp.cumsum(h0, axis=0)
+        z1 = jnp.cumsum(h1, axis=0)
+        drift[acc] = float(jnp.max(jnp.abs(
+            m.domain.interior(z1 - z0))))
+    assert drift[True] < 0.2 * drift[False], drift
