@@ -43,6 +43,9 @@ class RegridCfg:
     adapt_alpha: float = 1.0          # ADAPT_ALPHA
     adapt_drho0: float = 0.5          # ADAPT_DRHO0 [kg m-3]
     adapt_do_min: bool = False        # ADAPT_DO_MIN_DEPTH
+    # HYBGEN mode: the full HYCOM hybrid generator's own parameters
+    # (MOM_hybgen_regrid.F90; mom6_tpu.ale.hybgen_regrid)
+    hybgen: object = None             # HybgenRegridCfg | None
 
 
 def _nominal(cfg: RegridCfg, nk: int) -> np.ndarray:
@@ -180,6 +183,29 @@ def build_grid(cfg: RegridCfg, h, bathyT, T=None, S=None, eos=None,
             raise ValueError("ADAPTIVE regridding needs T, S and an EOS")
         return _build_adapt(cfg, h, htot, bathyT, T, S, eos, rho0, g,
                             mask2dT)
+
+    if mode == "HYBGEN":
+        # the full HYCOM hybgen generator (MOM_hybgen_regrid.F90):
+        # cushioned interface relocation toward the target isopycnals
+        # under dp0k/ds0k minimum-thickness and relaxation constraints
+        from mom6_tpu.ale.hybgen_regrid import (HybgenRegridCfg,
+                                                hybgen_regrid)
+        hcfg = cfg.hybgen
+        if hcfg is None:
+            dz = _nominal(cfg, nk)
+            if cfg.resolution == ():
+                dz = dz * float(jnp.max(bathyT))
+            hcfg = HybgenRegridCfg(dp0k=tuple(dz),
+                                   ds0k=tuple(0.1 * dz),
+                                   min_thickness=cfg.min_thickness)
+        if T is not None and eos is not None:
+            rcv = eos.density(T, S, hcfg.ref_pressure)
+        else:
+            rcv = jnp.broadcast_to(
+                jnp.asarray(rlay).reshape(-1, 1, 1), h.shape)
+        rcv_tgt = jnp.asarray(rlay)
+        h_new = hybgen_regrid(hcfg, h, rcv, rcv_tgt, bathyT)
+        return _enforce_min(cfg, h_new, htot)
 
     if mode in ("HYCOM1", "HYBRID"):
         # HyCOM-style hybrid: interfaces follow target isopycnals but

@@ -1545,11 +1545,52 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 qhybrlx=pf.get("HYBGEN_REGRID_RELAX", float, 0.25),
                 fixlay=pf.get("HYBGEN_UNMIX_FIXLAY", int, 2),
                 ref_pressure=p_ref)
+        hybgen_kw = {}
+        if mode.upper() == "HYBGEN":
+            # the full HYCOM hybgen generator's runtime surface
+            # (hybgen_regrid_init, MOM_hybgen_regrid.F90:84-235;
+            # note the reference's literal PR0FILE spelling)
+            from mom6_tpu.ale.hybgen_regrid import HybgenRegridCfg
+            nomdz = res if res else [max_depth / nk] * nk
+            dp0k = pf.get("HYBGEN_DEEP_DZ_PR0FILE", list,
+                          list(nomdz), units="m")
+            ds0k = pf.get("HYBGEN_SHALLOW_DZ_PR0FILE", list,
+                          [0.1 * v for v in nomdz], units="m")
+            hybgen_kw["hybgen"] = HybgenRegridCfg(
+                dp0k=tuple(dp0k), ds0k=tuple(ds0k),
+                nsigma=pf.get("HYBGEN_N_SIGMA", int, 0),
+                dp00i=pf.get("HYBGEN_ISOPYCNAL_DZ_MIN", float, 1.0,
+                             units="m"),
+                qhybrlx=1.0 / max(pf.get("HYBGEN_RELAX_PERIOD",
+                                         float, 4.0,
+                                         units="timesteps"), 1.0),
+                topiso_const=pf.get("HYBGEN_MIN_ISO_DEPTH", float,
+                                    0.0, units="m"),
+                hybiso=pf.get("HYBGEN_REMAP_DENSITY_MATCH", float,
+                              0.01, units="kg m-3"),
+                thkbot=pf.get("HYBGEN_BBL_THICKNESS", float, 6.0,
+                              units="m"),
+                min_thickness=pf.get("HYBGEN_MIN_THICKNESS", float,
+                                     1e-3, units="m"),
+                rho_eps=pf.get("HYBGEN_DENSITY_EPSILON", float,
+                               1e-11, units="kg m-3"),
+                h_thin=pf.get("HYBGEN_H_THIN", float, 1e-6,
+                              units="m"),
+                dp_far_from_sfc=pf.get("HYBGEN_FAR_FROM_SURFACE",
+                                       float, 0.25, units="m"),
+                dp_far_from_bot=pf.get("HYBGEN_FAR_FROM_BOTTOM",
+                                       float, 0.25, units="m"),
+                min_dilate=pf.get("HYBGEN_REMAP_MIN_ZSTAR_DILATE",
+                                  float, 0.5),
+                max_dilate=pf.get("HYBGEN_REMAP_MAX_ZSTAR_DILATE",
+                                  float, 2.0),
+                ref_pressure=pf.get("P_REF", float, 2.0e7,
+                                    units="Pa"))
         ale_cfg = ALECfg(
             regrid=RegridCfg(mode=mode, resolution=tuple(res),
                              min_thickness=pf.get("MIN_THICKNESS", float,
                                                   1e-3, units="m"),
-                             **adapt_kw),
+                             **adapt_kw, **hybgen_kw),
             remap=RemapCfg(scheme=scheme),
             vel_remap=RemapCfg(scheme=pf.get("VELOCITY_REMAPPING_SCHEME",
                                              str, scheme)),
