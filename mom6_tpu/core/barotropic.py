@@ -613,16 +613,40 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                                        do_fill=last)
         return (eta, ubt, vbt, sums)
 
-    zero2 = jnp.zeros_like(eta_r)
-    sums0 = dict(uhbt=zero2, vhbt=zero2, eta=zero2, accel_u=zero2,
-                 accel_v=zero2, ubt=zero2, vbt=zero2)
-    eta_f, ubt_f, vbt_f, sums = jax.lax.fori_loop(
-        0, nblocks, block, (eta_r, ubt_r, vbt_r, sums0))
+    # fused Pallas march: same chunked schedule, kernel-resident
+    # substeps, caller-side wide-halo exchange between chunks — works
+    # for any layout (incl. inside shard_map) and reentrant y, the
+    # configurations the single-device kernel cannot serve
+    from mom6_tpu.core.barotropic_pallas import pallas_march_supported
+    if (cfg.use_pallas and period > 1
+            and pallas_march_supported(dom_run, obc, eta_r.dtype,
+                                       use_curve, chunk)):
+        import numpy as _np
+        wt_rows = _np.stack([wt_vel_a, wt_eta_a, wt_trans_a,
+                             wt_accel_a])
+        curve_args = None
+        if use_curve:
+            curve_args = (consts["cu"], consts["cv"],
+                          consts["uhbt0"], consts["vhbt0"])
+        _, _, _, sums = subcycle_pallas(
+            eta_r, ubt_r, vbt_r, consts, curve_args, wt_rows,
+            dtbt, bebt, nblocks * chunk, dom_run.reentrant_x,
+            dom_run.halo, dom_run.nil, dom_run.njl,
+            march=True, fill_fn=_run_fill_bt3, chunk_force=chunk,
+            vma=dom_run.axis_names() if dom_run.shmap else ())
+        eta_f = ubt_f = vbt_f = None      # not consumed downstream
+    else:
+        zero2 = jnp.zeros_like(eta_r)
+        sums0 = dict(uhbt=zero2, vhbt=zero2, eta=zero2,
+                     accel_u=zero2, accel_v=zero2, ubt=zero2,
+                     vbt=zero2)
+        eta_f, ubt_f, vbt_f, sums = jax.lax.fori_loop(
+            0, nblocks, block, (eta_r, ubt_r, vbt_r, sums0))
 
     if period > 1:
-        # back to the narrow representation (fills included)
-        eta_f, ubt_f, vbt_f = _narrow(domain, dom_run,
-                                      (eta_f, ubt_f, vbt_f))
+        # back to the narrow representation (fills included); the
+        # final instantaneous (eta, ubt, vbt) are not consumed
+        # downstream (outputs are the filter-weighted sums)
         sums = _narrow(domain, dom_run, sums)
     else:
         # The per-substep accumulations were made before that substep's

@@ -93,6 +93,41 @@ def _interpret() -> bool:
     return bool(os.environ.get("MOM6_PALLAS_INTERPRET"))
 
 
+def _plan_march(nip: int, use_curve: bool, chunk: int):
+    """Block plan for wide-halo march mode: the chunk is fixed by the
+    exchange period, only the row block adapts to VMEM."""
+    import os
+    budget = int(os.environ.get("MOM6_PALLAS_VMEM", VMEM_BUDGET))
+    per_row = (10 + _n_const(use_curve)) * nip * 4
+    r_max = (budget // per_row) // 8 * 8
+    ov = _overlap(chunk)
+    b = min(BLOCK, (r_max - 2 * ov) // 8 * 8)
+    return None if b < 8 else (chunk, ov, b)
+
+
+def pallas_march_supported(dom_run, obc, dtype, use_curve: bool,
+                           chunk: int) -> bool:
+    """Eligibility of the fused kernel for the wide-halo march: the
+    kernel runs ``chunk`` substeps on the widened arrays with NO edge
+    fixing (halo state evolves in-kernel exactly like the jnp march),
+    and the caller exchanges the wide halos between chunks — so any
+    layout works, including inside shard_map, and reentrant y needs
+    no special casing."""
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    ok_backend = backend == "tpu" and dtype == jnp.float32
+    if _interpret():
+        ok_backend = True
+    nip = -(-dom_run.nih // 128) * 128
+    return (ok_backend and obc is None
+            and not dom_run.tripolar_n
+            and getattr(dom_run, "blocks", None) is None
+            and chunk % 2 == 0
+            and _plan_march(nip, use_curve, chunk) is not None)
+
+
 def pallas_supported(domain, obc, period, dtype,
                      use_curve: bool = True) -> bool:
     try:
@@ -127,7 +162,8 @@ def _find_uhbt_k(u, c10):
 
 
 def _make_kernel(n_in, n_const, use_curve, reentrant_x, H, ni, nj,
-                 njp, nip, dtbt, bebt, total, R, B, chunk, ov):
+                 njp, nip, dtbt, bebt, total, R, B, chunk, ov,
+                 march=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -193,26 +229,36 @@ def _make_kernel(n_in, n_const, use_curve, reentrant_x, H, ni, nj,
             def trans_v(v):
                 return con["Datv"] * v
 
-        # global row ids for the y-wall zeroing
-        grow = jax.lax.broadcasted_iota(jnp.int32, (R, nip), 0) \
-            + in_start
-        y_wet = (grow >= H) & (grow < H + nj)
+        if march:
+            # wide-halo march: halo state evolves in-register exactly
+            # like the jnp comm-avoiding loop; the caller exchanges
+            # the wide halos between chunks, so no in-kernel fixing
+            def yfix(f):
+                return f
 
-        def yfix(f):
-            return jnp.where(y_wet, f, 0.0)
+            def xfix(f):
+                return f
+        else:
+            # global row ids for the y-wall zeroing
+            grow = jax.lax.broadcasted_iota(jnp.int32, (R, nip), 0) \
+                + in_start
+            y_wet = (grow >= H) & (grow < H + nj)
 
-        def xfix(f):
-            # static-slice concatenation (Mosaic has no scatter):
-            # columns [H-3,H) ← east interior, [H+ni,H+ni+3) ← west
-            if reentrant_x:
-                src_w = f[:, H + ni - 3:H + ni]
-                src_e = f[:, H:H + 3]
-            else:
-                src_w = jnp.zeros_like(f[:, :3])
-                src_e = jnp.zeros_like(f[:, :3])
-            return jnp.concatenate(
-                [f[:, :H - 3], src_w, f[:, H:H + ni], src_e,
-                 f[:, H + ni + 3:]], axis=1)
+            def yfix(f):
+                return jnp.where(y_wet, f, 0.0)
+
+            def xfix(f):
+                # static-slice concatenation (Mosaic has no scatter):
+                # columns [H-3,H) ← east interior, [H+ni,H+ni+3) ← west
+                if reentrant_x:
+                    src_w = f[:, H + ni - 3:H + ni]
+                    src_e = f[:, H:H + 3]
+                else:
+                    src_w = jnp.zeros_like(f[:, :3])
+                    src_e = jnp.zeros_like(f[:, :3])
+                return jnp.concatenate(
+                    [f[:, :H - 3], src_w, f[:, H:H + ni], src_e,
+                     f[:, H + ni + 3:]], axis=1)
 
         def cor_u(vbt):
             dvv = con["Dv_q"] * vbt
@@ -298,10 +344,18 @@ def _make_kernel(n_in, n_const, use_curve, reentrant_x, H, ni, nj,
 
 def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
                     dtbt: float, bebt: float, total: int,
-                    reentrant_x: bool, H: int, ni: int, nj: int):
+                    reentrant_x: bool, H: int, ni: int, nj: int,
+                    march: bool = False, fill_fn=None,
+                    chunk_force: int | None = None,
+                    vma: tuple = ()):
     """Run the full ``total``-substep barotropic subcycle through the
     fused kernel.  consts: dict of 2D fields; curve_args: None or
     (cu(10), cv(10), uhbt0, vhbt0); wt_rows: (4, total) numpy weights.
+
+    march/fill_fn/chunk_force: wide-halo comm-avoiding mode — the
+    kernel runs ``chunk_force`` substeps with no edge fixing on the
+    widened arrays, then ``fill_fn((eta, ubt, vbt))`` refreshes the
+    wide halos (a ppermute exchange under shard_map) between chunks.
     Returns (eta, ubt, vbt, sums dict)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -321,9 +375,17 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
     ypad = njp - njp_raw
 
     def _pad(a):
-        if xpad == 0 and ypad == 0:
-            return a
-        return jnp.pad(a, ((0, ypad), (0, xpad)))
+        # concatenate-based (jnp.pad's inner jit trips a lowering-
+        # cache bug when nested in shard_map + interpret-mode pallas)
+        if xpad:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (xpad,), a.dtype)],
+                axis=-1)
+        if ypad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((ypad,) + a.shape[1:], a.dtype)],
+                axis=0)
+        return a
 
     eta0, ubt0, vbt0 = _pad(eta0), _pad(ubt0), _pad(vbt0)
 
@@ -337,15 +399,17 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
     const_list = [_pad(a) for a in const_list]
     n_const = len(const_list)
 
-    plan = _plan(nip, use_curve)
+    plan = _plan_march(nip, use_curve, chunk_force) if march \
+        else _plan(nip, use_curve)
     if plan is None:          # callers check pallas_supported first
         raise ValueError(f"no VMEM-feasible pallas plan at nip={nip}")
     chunk, ov, B = plan
 
-    # pad weights to a chunk multiple
+    # pad weights to a chunk multiple (dtype follows the fields so
+    # the f64 interpreter tests match the jnp path's weights exactly)
     nchunks = -(-total // chunk)
     tpad = nchunks * chunk
-    wt = np.zeros((4, tpad), np.float32)
+    wt = np.zeros((4, tpad), np.dtype(dtype.name))
     wt[:, :total] = wt_rows[:, :total]
     wt = jnp.asarray(wt)
 
@@ -356,7 +420,7 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
     R = min(B + 2 * ov, njp)
     kernel = _make_kernel(0, n_const, use_curve, reentrant_x, H,
                           ni, nj, njp, nip, dtbt, bebt, tpad, R, B,
-                          chunk, ov)
+                          chunk, ov, march=march)
     nblocks = -(-njp // B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -371,9 +435,15 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
             pltpu.SemaphoreType.DMA((10 + n_const,)),
         ],
     )
+    # under shard_map, outputs must declare which mesh axes they vary
+    # over (jax's check_vma).  Interpreter mode hits a jax lowering-
+    # cache bug with vma-annotated closed_calls; interpret-mode tests
+    # run their shard_map with check_vma=False instead.
+    kw = {"vma": frozenset(vma)} if (vma and not _interpret()) else {}
     call = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((njp, nip), dtype)] * 10,
+        out_shape=[jax.ShapeDtypeStruct((njp, nip), dtype,
+                                        **kw)] * 10,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
@@ -381,8 +451,15 @@ def subcycle_pallas(eta0, ubt0, vbt0, consts, curve_args, wt_rows,
 
     def chunk_step(c, st):
         n0 = jnp.reshape(c * chunk, (1,)).astype(jnp.int32)
-        outs = call(n0, *st, *const_list, wt)
-        return list(outs)
+        outs = list(call(n0, *st, *const_list, wt))
+        if march:
+            # between-chunk wide-halo exchange (the jnp march's
+            # do_fill-at-chunk-end, on the caller's domain semantics)
+            trio = tuple(a[:njp_raw, :nip_raw] if (xpad or ypad)
+                         else a for a in outs[:3])
+            trio = fill_fn(trio)
+            outs[0], outs[1], outs[2] = (_pad(a) for a in trio)
+        return outs
 
     state = jax.lax.fori_loop(0, nchunks, chunk_step, state)
 

@@ -95,3 +95,59 @@ def test_pallas_subcycle_matches_fori_loop(ni, curve, monkeypatch):
         b = np.asarray(getattr(results[True], f))[:, sl[0], sl[1]]
         scale = np.abs(a).max() + 1e-12
         assert np.abs(a - b).max() / scale < tol, f
+
+
+@pytest.mark.parametrize("period", [2, 4])
+@pytest.mark.parametrize("reentrant_y", [False, True])
+def test_pallas_march_matches_jnp_march(period, reentrant_y,
+                                        monkeypatch):
+    """Wide-halo march mode: the fused kernel runs each chunk with no
+    edge fixing on the widened arrays and the caller exchanges the
+    wide halos between chunks — so it must reproduce the jnp
+    comm-avoiding loop on configurations the single-device kernel
+    cannot serve (reentrant y included)."""
+    import jax
+    ni, nj, nk = 32, 24, 3
+    d = Domain(ni=ni, nj=nj, halo=4, reentrant_x=True,
+               reentrant_y=reentrant_y)
+    g = cartesian_grid(d, lenlon_km=320.0, lenlat_km=240.0, f0=1e-4,
+                       max_depth=900.0)
+    g = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "astype") and a.dtype == jnp.float64 else a, g)
+    vg = VerticalGrid.uniform(nk=nk)
+    vg = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "astype") and a.dtype == jnp.float64 else a, vg)
+    rng = np.random.default_rng(9)
+    f32 = jnp.float32
+    pad = lambda a: d.fill_halos(d.pad(jnp.asarray(a, f32)))
+    h = pad(rng.uniform(250.0, 350.0, (nk, nj, ni)))
+    u = pad(0.05 * rng.standard_normal((nk, nj, ni)))
+    v = pad(0.05 * rng.standard_normal((nk, nj, ni)))
+    eta = pad(0.05 * rng.standard_normal((nj, ni)))
+    acc = pad(1e-6 * rng.standard_normal((nk, nj, ni)))
+    pbce = jnp.full((nk, d.njh, d.nih), 9.8 / nk, f32)
+    ecor = pad(0.01 * rng.standard_normal((nj, ni)))
+    nstep = set_dtbt(d, g, vg, BarotropicCfg(), 600.0)
+
+    results = {}
+    for use_p in (False, True):
+        if use_p:
+            monkeypatch.setenv("MOM6_PALLAS_INTERPRET", "1")
+        else:
+            monkeypatch.delenv("MOM6_PALLAS_INTERPRET", raising=False)
+        cfg = BarotropicCfg(nstep=nstep, use_bt_cont=False,
+                            use_pallas=use_p,
+                            wide_halo_period=period)
+        results[use_p] = btstep(
+            d, g, vg, u, v, eta, h, acc, acc, pbce, u, v, 600.0, cfg,
+            eta_cor=ecor)
+
+    H = d.halo
+    sl = (slice(H, H + nj), slice(H, H + ni))
+    for f in ("eta", "uhbtav", "vhbtav", "ubt_av", "vbt_av"):
+        a = np.asarray(getattr(results[False], f))[sl]
+        b = np.asarray(getattr(results[True], f))[sl]
+        scale = np.abs(a).max() + 1e-12
+        assert np.abs(a - b).max() / scale < 5e-5, f

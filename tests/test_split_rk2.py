@@ -273,3 +273,66 @@ def test_wide_halo_barotropic_equivalence():
     eN = np.asarray(unpad_field(dn, out[0]))
     np.testing.assert_allclose(eN, np.asarray(d1.interior(r4.eta)),
                                atol=1e-11)
+
+
+def test_pallas_march_sharded_matches_single_device(monkeypatch):
+    """The fused Pallas march runs per-shard inside shard_map with the
+    wide-halo ppermute exchange between chunks: a (2,2) layout must
+    reproduce the single-device jnp result (interpreter mode; the
+    compiled path rides the same code on the chip)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mom6_tpu.parallel.domain import (make_mesh, pad_field,
+                                          unpad_field)
+    from mom6_tpu.core.grid import blockify_grid
+
+    ni = nj = 32
+    d1, g1, vg, _ = setup(ni=ni, nj=nj)
+    rng = np.random.default_rng(9)
+    shp3 = (2, 40, 40)
+    h = d1.fill_halos(d1.pad(jnp.full((2, 32, 32), 500.0)))
+    eta0 = d1.fill_halos(jnp.asarray(
+        0.05 * rng.standard_normal((40, 40))))
+    u0 = d1.fill_halos(jnp.asarray(0.02 * rng.standard_normal(shp3)))
+    v0 = d1.fill_halos(jnp.asarray(0.02 * rng.standard_normal(shp3)))
+    acc = d1.fill_halos(jnp.asarray(1e-6 * rng.standard_normal(shp3)))
+    pbce = jnp.full(shp3, 9.8)
+
+    cfg_ref = BarotropicCfg(nstep=16, wide_halo_period=1)
+    r1 = btstep(d1, g1, vg, u0, v0, eta0, h, acc, acc, pbce, u0, v0,
+                dt=1800.0, cfg=cfg_ref)
+
+    monkeypatch.setenv("MOM6_PALLAS_INTERPRET", "1")
+    cfg_p = BarotropicCfg(nstep=16, wide_halo_period=4,
+                          use_pallas=True)
+    layout = (2, 2)
+    dn = Domain(ni=ni, nj=nj, halo=4, layout=layout,
+                reentrant_x=True, reentrant_y=True).sharded()
+    gn = blockify_grid(dn, g1)
+    mesh = make_mesh(layout)
+    s3 = P(None, "y", "x")
+    s2 = P("y", "x")
+    gspec = jax.tree.map(lambda _: s2, gn)
+
+    def runN(u, v, e, hh, aa, pb, gr):
+        u, v, e, hh, aa = dn.fill_halos((u, v, e, hh, aa))
+        r = btstep(dn, gr, vg, u, v, e, hh, aa, aa, pb, u, v,
+                   dt=1800.0, cfg=cfg_p)
+        return r.eta, r.uhbtav
+
+    out = jax.jit(shard_map(
+        runN, mesh=mesh,
+        in_specs=(s3, s3, s2, s3, s3, s3, gspec),
+        out_specs=(s2, s2), check_vma=False))(
+        pad_field(dn, d1.interior(u0)), pad_field(dn, d1.interior(v0)),
+        pad_field(dn, d1.interior(eta0)),
+        pad_field(dn, d1.interior(h)), pad_field(dn, d1.interior(acc)),
+        pad_field(dn, jnp.full_like(d1.interior(acc), 9.8)), gn)
+    eN = np.asarray(unpad_field(dn, out[0]))
+    uhN = np.asarray(unpad_field(dn, out[1]))
+    np.testing.assert_allclose(eN, np.asarray(d1.interior(r1.eta)),
+                               atol=1e-10)
+    sc = np.abs(np.asarray(d1.interior(r1.uhbtav))).max() + 1e-30
+    np.testing.assert_allclose(uhN / sc,
+                               np.asarray(d1.interior(r1.uhbtav)) / sc,
+                               atol=1e-9)
