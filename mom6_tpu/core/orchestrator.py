@@ -73,6 +73,7 @@ class OceanCfg:
     varmix: VarMixCfg = VarMixCfg()
     resoln_scaled_khth: bool = False     # RESOLN_SCALED_KHTH
     resoln_scaled_kh: bool = False       # RESOLN_SCALED_KH (hor_visc)
+    resoln_scaled_khtr: bool = False     # RESOLN_SCALED_KHTR
     # --- mixed-layer restratification (MOM_mixed_layer_restrat.F90) ---
     use_mle: bool = False                # MIXEDLAYER_RESTRAT
     mlrestrat: MLRestratCfg = MLRestratCfg()
@@ -525,9 +526,21 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                                     adv["T"], adv["S"], eos, dt,
                                     cfg.neutral)
         elif cfg.hordiff.khtr > 0.0:
+            ktr2 = None
+            if cfg.resoln_scaled_khtr and cfg.use_varmix:
+                # RESOLN_SCALED_KHTR: damp the tracer diffusivity
+                # where the deformation radius is resolved
+                # (MOM_lateral_mixing_coeffs.F90 Res_fn applied to
+                # KHTR in tracer_hor_diff_init); recomputed here so
+                # the PHASED_JIT tracer phase stays self-contained
+                vmr = calc_resolution_function(
+                    cfg.varmix, grid, vgrid, state.h, state.T,
+                    state.S, eos)
+                ktr2 = domain.fill_halos(
+                    cfg.hordiff.khtr * vmr.res_fn, width=1)
             adv, hh = domain.fill_halos((adv, state.h), width=1)
             adv = tracer_hordiff(domain, grid, adv, hh, dt,
-                                 cfg.hordiff)
+                                 cfg.hordiff, khtr_2d=ktr2)
         if cfg.use_hbd and mld_prev is not None:
             # near-boundary diffusion inside the boundary layer
             # (hor_bnd_diffusion, applied after tracer_hordiff as in

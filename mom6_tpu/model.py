@@ -93,12 +93,15 @@ _PARITY_POLICY = [
     ("VARIABLE_BUOYFORCE", bool, False),
     ("REMAP_UV_USING_OLD_ALG", bool, False),
     ("USE_GRID_SPACE_DIAG_COORDINATE_AXES", bool, False),
+    # always-absorb semantics: unabsorbed shortwave reaching the
+    # seafloor goes into the deepest layer unconditionally
+    # (diabatic_aux), so the flag carries no choice here
+    ("ABSORB_ALL_SW", bool, False),
+    ("PEN_SW_ABSORB_MINTHICK", float, 0.0),
 ]
 _PARITY_UNIMPL = [
     ("THICKNESSDIFFUSE_FIRST", bool, False),
     ("ISOTROPIC", bool, False),
-    ("USE_VISBECK", bool, False),
-    ("RESOLN_SCALED_KHTR", bool, False),
     ("KHTR_SLOPE_CFF", float, 0.0),
     ("VARMIX_KTOP", int, 2),
     ("PRANDTL_TURB", float, 0.0),
@@ -106,20 +109,17 @@ _PARITY_UNIMPL = [
     ("BOUND_BT_CORRECTION", bool, False),
     ("BT_THICK_SCHEME", str, "FROM_BT_CONT"),
     ("BT_STRONG_DRAG", bool, False), ("RECLAIM_FRAZIL", bool, True),
-    ("BULK_RI_ML", float, 0.05), ("ABSORB_ALL_SW", bool, False),
+    ("BULK_RI_ML", float, 0.05),
     ("TKE_DECAY", float, 0.0), ("HMIX_MIN", float, 0.0),
     ("LIMIT_BUFFER_DETRAIN", bool, False),
     ("DEPTH_LIMIT_FLUXES", float, 0.0),
     ("CORRECT_ABSORPTION_DEPTH", bool, False),
-    ("PEN_SW_SCALE", float, 0.0), ("PEN_SW_FRAC", float, 0.42),
     ("DIFFUSE_ML_TO_INTERIOR", bool, False),
     ("ML_KHTR_SCALE", float, 0.0),
     ("USE_PSURF_IN_EOS", bool, False),
     ("INTERPOLATE_RES_FN", bool, False),
     ("GILL_EQUATORIAL_LD", bool, False),
     ("USE_LAND_MASK_FOR_HVISC", bool, False),
-    ("PEN_SW_ABSORB_MINTHICK", float, 0.0),
-    ("GUST_CONST", float, 0.0),
     ("KV_ML_INVZ2", float, 0.0),
     ("HARMONIC_VISC", bool, False), ("DIRECT_STRESS", bool, False),
     ("OBC_FREESLIP_VORTICITY", bool, False),
@@ -1733,9 +1733,24 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                      nstar=pf.get("EPBL_NSTAR", float, 0.2),
                      tke_decay=pf.get("EPBL_TKE_DECAY", float, 2.5)),
         rho0=rho0,
-        use_opacity=pen_sw_nbands > 0,
+        gust_const=pf.get("GUST_CONST", float, 0.0, units="Pa",
+                          desc="background gustiness added to |tau| "
+                          "in the u* used by the boundary-layer "
+                          "schemes (MOM_surface_forcing.F90:428)"),
+        use_opacity=(pen_sw_nbands > 0
+                     or pf.get("PEN_SW_SCALE", float, 0.0,
+                               units="m") > 0.0),
         opacity=OpacityCfg(
-            scheme=pf.get("OPACITY_SCHEME", str, "JERLOV"),
+            # PEN_SW_SCALE>0 selects the single-band exponential
+            # (the tc1-class benchmark forcing); otherwise the named
+            # OPACITY_SCHEME water-type bands
+            scheme=("EXPONENTIAL"
+                    if pf.get("PEN_SW_SCALE", float, 0.0) > 0.0
+                    and pen_sw_nbands == 0
+                    else pf.get("OPACITY_SCHEME", str, "JERLOV")),
+            pen_sw_scale=pf.get("PEN_SW_SCALE", float, 15.0)
+            or 15.0,
+            pen_sw_frac=pf.get("PEN_SW_FRAC", float, 0.42),
             water_type={1: "I", 2: "IA", 3: "IB", 4: "II",
                         5: "III"}.get(
                 pf.get("WATER_TYPE", int, 3), "IB"),
@@ -1800,7 +1815,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         geometric=pf.get("MEKE_GEOMETRIC", bool, False),
         geometric_alpha=pf.get("MEKE_GEOMETRIC_ALPHA", float, 0.05))
     pf.module("MOM_lateral_mixing_coeffs")
-    use_varmix = pf.get("USE_VARIABLE_MIXING", bool, False)
+    # USE_VISBECK requires the VarMix slope machinery (VarMix_init,
+    # MOM_lateral_mixing_coeffs.F90:523: Visbeck coefficients are a
+    # VarMix product consumed through KHTH_SLOPE_CFF)
+    use_varmix = pf.get("USE_VARIABLE_MIXING", bool, False) \
+        or pf.get("USE_VISBECK", bool, False)
     varmix_cfg = VarMixCfg(
         use_variable_mixing=use_varmix,
         res_fn_power=pf.get("KH_RES_FN_POWER", int, 2),
@@ -2110,6 +2129,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                                  bool, False),
                          resoln_scaled_khth=pf.get(
                              "RESOLN_SCALED_KHTH", bool, False),
+                         resoln_scaled_khtr=pf.get(
+                             "RESOLN_SCALED_KHTR", bool, False),
                          use_mle=use_mle, mlrestrat=mle_cfg,
                          hordiff=hordiff_cfg,
                          use_neutral=use_neutral, neutral=neutral_cfg,

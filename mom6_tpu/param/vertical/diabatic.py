@@ -60,6 +60,9 @@ class DiabaticCfg:
     use_epbl: bool = False         # ENERGETICS_SFC_PBL
     epbl: EPBLCfg = EPBLCfg()
     rho0: float = 1035.0
+    # GUST_CONST: unresolved background gustiness added to |tau| in
+    # u* = sqrt((|tau|+gust)/rho0) (MOM_surface_forcing.F90:421-431)
+    gust_const: float = 0.0
     # shortwave penetration (PEN_SW_NBANDS > 0 → opacity profile)
     use_opacity: bool = False
     opacity: OpacityCfg = OpacityCfg()
@@ -148,7 +151,7 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
                        else 0.0 * forces.taux)
                       + jp1(forces.tauy if forces.tauy is not None
                             else 0.0 * forces.taux))) ** 2)
-        ustar = jnp.sqrt(tau_h / cfg.rho0)
+        ustar = jnp.sqrt((tau_h + cfg.gust_const) / cfg.rho0)
     if fluxes is not None and T is not None and eos is not None:
         buoy_flux = _surface_buoyancy_flux(fluxes, T, S, eos,
                                            cfg.rho0, g)

@@ -31,13 +31,21 @@ _JERLOV = {
 
 @dataclasses.dataclass(frozen=True)
 class OpacityCfg:
-    scheme: str = "JERLOV"         # JERLOV | MANIZZA_05
+    scheme: str = "JERLOV"         # JERLOV | MANIZZA_05 | EXPONENTIAL
     water_type: str = "IB"         # WATER_TYPE
     chl: float = 0.1               # chlorophyll [mg m-3] for MANIZZA
     sw_max_pen_depth: float = 1e4
+    # EXPONENTIAL: the single-band PEN_SW_SCALE / PEN_SW_FRAC scheme
+    # of the solo/gfdl surface forcing (MOM_surface_forcing.F90 and
+    # MOM_opacity.F90's SW_EXP_MODE); the tc1-class benchmark configs
+    # use it
+    pen_sw_scale: float = 15.0     # PEN_SW_SCALE e-folding depth [m]
+    pen_sw_frac: float = 0.42      # PEN_SW_FRAC penetrating fraction
 
 
 def _bands(cfg: OpacityCfg):
+    if cfg.scheme.upper() == "EXPONENTIAL":
+        return ((cfg.pen_sw_frac, max(cfg.pen_sw_scale, 1e-3)),)
     if cfg.scheme.upper() == "JERLOV":
         r1, z1, z2 = _JERLOV[cfg.water_type.upper()]
         return ((r1, z1), (1.0 - r1, z2))
@@ -70,8 +78,14 @@ def sw_absorption_profile(cfg: OpacityCfg, h, sw_surface):
     z_int = jnp.concatenate([jnp.zeros_like(h[:1]),
                              jnp.cumsum(h, axis=0)], axis=0)
     flux = jnp.zeros_like(z_int)            # downward SW at interfaces
+    fsum = 0.0
     for frac, zpen in _bands(cfg):
+        fsum += frac
         flux = flux + frac * sw_surface[None] * jnp.exp(
             -jnp.minimum(z_int / zpen, 80.0))
     heating = flux[:-1] - flux[1:]
+    if fsum < 1.0 - 1e-12:
+        # the non-penetrating remainder is absorbed at the surface
+        # (single-band PEN_SW_FRAC semantics)
+        heating = heating.at[0].add((1.0 - fsum) * sw_surface)
     return heating, flux[-1]

@@ -68,3 +68,28 @@ def test_morel_88_opacity_scheme():
     # clear water lets a large fraction penetrate deeply
     assert lo[1][0] > 0.4
     assert lo[1][1] > 15.0
+
+
+def test_exponential_pen_sw_scheme():
+    """PEN_SW_SCALE/PEN_SW_FRAC single-band exponential
+    (MOM_surface_forcing.F90 / SW_EXP_MODE): 42% of the shortwave
+    decays over the e-folding depth, the rest is absorbed at the
+    surface, and nothing is lost."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.param.vertical.opacity import (OpacityCfg,
+                                                 sw_absorption_profile)
+    cfg = OpacityCfg(scheme="EXPONENTIAL", pen_sw_scale=15.0,
+                     pen_sw_frac=0.42)
+    h = jnp.full((10, 2, 2), 10.0)
+    sw = jnp.full((2, 2), 200.0)
+    heating, bottom = sw_absorption_profile(cfg, h, sw)
+    tot = np.asarray(heating.sum(0) + bottom)
+    np.testing.assert_allclose(tot, 200.0, rtol=1e-6)
+    # top layer: the 58% non-penetrating part plus the first
+    # e-folding slice of the 42%
+    expect_top = 200.0 * (0.58 + 0.42 * (1.0 - np.exp(-10.0 / 15.0)))
+    np.testing.assert_allclose(np.asarray(heating[0]), expect_top,
+                               rtol=1e-6)
+    # penetration reaches the interior: layer 3 (30-40 m) sees heat
+    assert float(heating[3].min()) > 0.1
