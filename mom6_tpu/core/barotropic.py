@@ -76,6 +76,10 @@ class BarotropicCfg:
     dt_bt_filter: float = -0.25
     # USE_BT_CONT_TYPE: use the continuity-fitted face-area curves
     use_bt_cont: bool = True
+    # BOUND_BT_CORRECTION (MOM_barotropic.F90:1587): cap the eta_cor
+    # pseudo mass source by what maxCFL_BT_cont velocities can carry
+    bound_bt_corr: bool = False
+    maxcfl_bt_cont: float = 0.25     # MAXCFL_BT_CONT
     # fuse the subcycle into the Pallas TPU kernel when supported
     # (single device, fp32, no OBC; see barotropic_pallas.py)
     use_pallas: bool = True
@@ -387,11 +391,6 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                   eta_pf=eta_pf, IdxCu=grid.IdxCu, IdyCv=grid.IdyCv,
                   IareaT=grid.IareaT)
 
-    # eta_cor mass source: reconcile the BT eta with the layered Σh
-    # over the step (bt_mass_source :4318); applied per substep
-    consts["eta_src"] = (grid.mask2dT * eta_cor / nstep) \
-        if eta_cor is not None else jnp.zeros_like(eta_in)
-
     # BT_cont face-area curves: derived cubic constants plus the
     # residual transports that anchor the curve to the layered flow
     use_curve = cfg.use_bt_cont and bt_cont is not None
@@ -417,6 +416,32 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         consts["cv"] = cv_args
         consts["uhbt0"] = uhbt0
         consts["vhbt0"] = vhbt0
+
+    # eta_cor mass source: reconcile the BT eta with the layered Σh
+    # over the step (bt_mass_source :4318); applied per substep
+    if eta_cor is not None:
+        ec = eta_cor
+        if cfg.bound_bt_corr and use_curve:
+            # BOUND_BT_CORRECTION (MOM_barotropic.F90:1587-1617):
+            # outward (positive) corrections are limited to the mass
+            # the BT_cont curves can export at maxCFL_BT_cont; inward
+            # corrections to the mass already in the column
+            u_cor = grid.dxT * (cfg.maxcfl_bt_cont / dt)
+            v_cor = grid.dyT * (cfg.maxcfl_bt_cont / dt)
+            out_u = find_uhbt(u_cor, *cu_args) + uhbt0
+            in_u = find_uhbt(-u_cor, *cu_args) + uhbt0
+            out_v = find_uhbt(v_cor, *cv_args) + vhbt0
+            in_v = find_uhbt(-v_cor, *cv_args) + vhbt0
+            ec_max = dt * grid.IareaT * (
+                (out_u - im1(in_u)) + (out_v - jm1(in_v)))
+            htot_col = grid.bathyT + eta_in
+            ec = jnp.where(ec > 0.0,
+                           jnp.minimum(ec, jnp.maximum(0.0, ec_max)),
+                           jnp.maximum(ec, -jnp.maximum(0.0,
+                                                        htot_col)))
+        consts["eta_src"] = grid.mask2dT * ec / nstep
+    else:
+        consts["eta_src"] = jnp.zeros_like(eta_in)
 
     # round substep count up to an even multiple of the exchange period
     period = max(1, int(cfg.wide_halo_period))

@@ -256,7 +256,9 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     coefs = vertvisc_coef(grid, up, vp, h, cfg=cfg.vertvisc, bbl=bbl,
                           ustar=ustar)
     up, vp = vertvisc(grid, up, vp, h, coefs, dt_pred,
-                      forces.taux, forces.tauy, rho0)
+                      forces.taux, forces.tauy, rho0,
+                      direct_stress=cfg.vertvisc.direct_stress,
+                      hmix_stress=cfg.vertvisc.hmix_stress)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
     up, vp = fill_uv(up, vp)
     visc_rem_u, visc_rem_v = fill_face_scalars(visc_rem_u, visc_rem_v)
@@ -304,7 +306,9 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     coefs = vertvisc_coef(grid, u_new, v_new, h, cfg=cfg.vertvisc, bbl=bbl,
                           ustar=ustar)
     u_new, v_new = vertvisc(grid, u_new, v_new, h, coefs, dt,
-                            forces.taux, forces.tauy, rho0)
+                            forces.taux, forces.tauy, rho0,
+                      direct_stress=cfg.vertvisc.direct_stress,
+                      hmix_stress=cfg.vertvisc.hmix_stress)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt)
     u_new, v_new, truncs = vertvisc_limit_vel(grid, u_new, v_new, dt,
                                               cfg.vertvisc)

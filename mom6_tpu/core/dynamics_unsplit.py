@@ -130,7 +130,9 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     coefs = vertvisc_coef(grid, up, vp, h_av, cfg=cfg.vertvisc, bbl=bbl,
                           ustar=ustar)
     up, vp = vertvisc(grid, up, vp, h_av, coefs, dt_pred,
-                      forces.taux, forces.tauy, rho0)
+                      forces.taux, forces.tauy, rho0,
+                      direct_stress=cfg.vertvisc.direct_stress,
+                      hmix_stress=cfg.vertvisc.hmix_stress)
     up, vp = fill_uv(up, vp)
 
     if cfg.scheme == "RK3":
@@ -146,7 +148,9 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         coefs = vertvisc_coef(grid, upp, vpp, hp, cfg=cfg.vertvisc, bbl=bbl,
                           ustar=ustar)
         upp, vpp = vertvisc(grid, upp, vpp, hp, coefs, 0.5 * dt,
-                            forces.taux, forces.tauy, rho0)
+                            forces.taux, forces.tauy, rho0,
+                      direct_stress=cfg.vertvisc.direct_stress,
+                      hmix_stress=cfg.vertvisc.hmix_stress)
         upp, vpp = fill_uv(upp, vpp)
     else:
         upp, vpp = up, vp
@@ -166,7 +170,9 @@ def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     coefs = vertvisc_coef(grid, u_new, v_new, h_av, cfg=cfg.vertvisc, bbl=bbl,
                           ustar=ustar)
     u_new, v_new = vertvisc(grid, u_new, v_new, h_av, coefs, dt,
-                            forces.taux, forces.tauy, rho0)
+                            forces.taux, forces.tauy, rho0,
+                      direct_stress=cfg.vertvisc.direct_stress,
+                      hmix_stress=cfg.vertvisc.hmix_stress)
     u_new, v_new, truncs = vertvisc_limit_vel(grid, u_new, v_new, dt,
                                               cfg.vertvisc)
     u_new, v_new = fill_uv(u_new, v_new)

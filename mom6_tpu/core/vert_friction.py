@@ -65,6 +65,13 @@ class VertViscCfg:
     # diabatic path).  '' disables.
     visc_ml_mode: str = ""        # '', 'fixed', 'dynamic'
     hmix_fixed: float = 20.0      # HMIX_FIXED [m]
+    # DIRECT_STRESS: wind stress as a body force over the topmost
+    # HMIX_STRESS of fluid instead of a surface boundary condition
+    direct_stress: bool = False
+    hmix_stress: float = 20.0     # HMIX_STRESS [m]
+    # HARMONIC_VISC: harmonic (vs arithmetic) mean thicknesses in the
+    # interior viscous coupling (MOM_vert_friction.F90:121-128)
+    harmonic_visc: bool = False
     ml_ekman_coeff: float = 0.5   # decay-scale coefficient [nondim]
     vonkar: float = 0.41          # VON_KARMAN
 
@@ -257,8 +264,16 @@ def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
 
     def face_coefs(h_face, kv_face, piston, bbl_thick, ust_face,
                    absf):
-        # interior interfaces K=1..nk-1: a = Kv / dz between layer centers
-        dz = 0.5 * (h_face[:-1] + h_face[1:]) + _H_NEGLECT
+        # interior interfaces K=1..nk-1: a = Kv / dz between layer
+        # centers; HARMONIC_VISC uses the harmonic mean spacing,
+        # which lets thin layers decouple (the Hallberg layered-mode
+        # preference, MOM_vert_friction.F90:121)
+        if cfg.harmonic_visc:
+            dz = (h_face[:-1] * h_face[1:]) \
+                / (h_face[:-1] + h_face[1:] + _H_NEGLECT) \
+                + _H_NEGLECT
+        else:
+            dz = 0.5 * (h_face[:-1] + h_face[1:]) + _H_NEGLECT
         a_int = kv_face[1:-1] / dz
         if cfg.visc_ml_mode and ust_face is not None:
             a_int = ml_floor(a_int, h_face, ust_face, absf)
@@ -377,14 +392,36 @@ def implicit_visc_solve(u, h_col, a, dt, rhs_extra=None, ray=None):
 @jax.named_scope("vertvisc")
 def vertvisc(grid: Grid, u, v, h, coefs: ViscCoefs, dt,
              taux=None, tauy=None, rho0: float = 1035.0,
-             ray_u=None, ray_v=None):
+             ray_u=None, ray_v=None,
+             direct_stress: bool = False,
+             hmix_stress: float = 20.0):
     """Apply the implicit viscosity solve to both velocity components.
 
-    taux/tauy: surface stress [Pa] at u/v points."""
+    taux/tauy: surface stress [Pa] at u/v points.  With
+    ``direct_stress`` the stress enters as a body force spread over
+    the topmost ``hmix_stress`` of fluid instead of a surface
+    boundary condition (DIRECT_STRESS / HMIX_STRESS,
+    MOM_vert_friction.F90:666-683)."""
     stress_u = None if taux is None else (dt / rho0) * taux * grid.mask2dCu
     stress_v = None if tauy is None else (dt / rho0) * tauy * grid.mask2dCv
     hu = coefs.h_u + _H_NEGLECT
     hv = coefs.h_v + _H_NEGLECT
+    if direct_stress:
+        def body(vel, stress, h_face):
+            if stress is None:
+                return vel
+            # fraction of each layer within the top hmix_stress
+            z_top = jnp.concatenate(
+                [jnp.zeros_like(h_face[:1]),
+                 jnp.cumsum(h_face, axis=0)], axis=0)
+            hfr = (jnp.clip(hmix_stress - z_top[:-1], 0.0,
+                            h_face + _H_NEGLECT)
+                   / (h_face + _H_NEGLECT))
+            return vel + (stress / hmix_stress)[None] * hfr \
+                * (h_face > _H_NEGLECT)
+        u = body(u, stress_u, hu)
+        v = body(v, stress_v, hv)
+        stress_u = stress_v = None
     ray_u = coefs.ray_u if ray_u is None else ray_u
     ray_v = coefs.ray_v if ray_v is None else ray_v
     u_new = implicit_visc_solve(u, hu, coefs.a_u, dt, stress_u, ray_u)

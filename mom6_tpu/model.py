@@ -106,7 +106,6 @@ _PARITY_UNIMPL = [
     ("VARMIX_KTOP", int, 2),
     ("PRANDTL_TURB", float, 0.0),
     ("ML_OMEGA_FRAC", float, 0.0),
-    ("BOUND_BT_CORRECTION", bool, False),
     ("BT_THICK_SCHEME", str, "FROM_BT_CONT"),
     ("BT_STRONG_DRAG", bool, False), ("RECLAIM_FRAZIL", bool, True),
     ("BULK_RI_ML", float, 0.05),
@@ -121,7 +120,6 @@ _PARITY_UNIMPL = [
     ("GILL_EQUATORIAL_LD", bool, False),
     ("USE_LAND_MASK_FOR_HVISC", bool, False),
     ("KV_ML_INVZ2", float, 0.0),
-    ("HARMONIC_VISC", bool, False), ("DIRECT_STRESS", bool, False),
     ("OBC_FREESLIP_VORTICITY", bool, False),
     ("OBC_FREESLIP_STRAIN", bool, False),
     ("OBC_ZERO_BIHARMONIC", bool, False),
@@ -869,6 +867,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                       else "fixed" if pf.get("FIXED_DEPTH_LOTW_ML",
                                              bool, False) else ""),
         hmix_fixed=pf.get("HMIX_FIXED", float, 20.0, units="m"),
+        direct_stress=pf.get("DIRECT_STRESS", bool, False),
+        hmix_stress=pf.get("HMIX_STRESS", float,
+                           pf.get("HMIX_FIXED", float, 20.0),
+                           units="m"),
+        harmonic_visc=pf.get("HARMONIC_VISC", bool, False),
         vonkar=pf.get("VON_KARMAN_CONST", float, 0.41))
     pf.module("MOM_hor_visc")
     # reference semantics: SMAGORINSKY_KH/AH are Booleans enabling the
@@ -967,6 +970,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         bt_project=pf.get("BT_PROJECT_VELOCITY", bool, False),
         dt_bt_filter=pf.get("DT_BT_FILTER", float, -0.25, units="s"),
         use_bt_cont=use_bt_cont,
+        bound_bt_corr=pf.get("BOUND_BT_CORRECTION", bool, False),
+        maxcfl_bt_cont=pf.get("MAXCFL_BT_CONT", float, 0.25),
         use_pallas=pf.get("BT_USE_PALLAS", bool, True),
         wide_halo_period=pf.get("BT_WIDE_HALO_PERIOD", int, 1))
     split_cfg = None

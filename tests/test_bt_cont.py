@@ -166,3 +166,51 @@ def test_eta_cor_pulls_eta_to_layered_surface():
                  900.0, cfg)
     gap0 = np.asarray(d.interior(eta_true - bt0.eta))
     assert np.abs(gap0).min() > 0.9
+
+
+def test_bound_bt_correction_limits_eta_cor():
+    """BOUND_BT_CORRECTION (MOM_barotropic.F90:1587-1617): an
+    outlandish positive eta_cor is capped by the mass the BT_cont
+    curves can export at maxCFL_BT_cont, and a huge negative one by
+    the mass in the column — so the bounded run stays finite where
+    the unbounded source would blow the subcycle up."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    from mom6_tpu.core.vertical_grid import VerticalGrid
+    from mom6_tpu.core.barotropic import BarotropicCfg, btstep
+    from mom6_tpu.core.continuity_ppm import (ContinuityCfg,
+                                              set_up_bt_cont)
+
+    d = Domain(ni=24, nj=16, halo=4, reentrant_x=True,
+               reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=240.0, lenlat_km=160.0, f0=1e-4,
+                       max_depth=1000.0)
+    vg = VerticalGrid.uniform(nk=2)
+    rng = np.random.default_rng(2)
+    pad = lambda a: d.fill_halos(d.pad(jnp.asarray(a)))
+    h = pad(np.full((2, 16, 24), 500.0))
+    u = pad(0.02 * rng.standard_normal((2, 16, 24)))
+    eta = pad(0.01 * rng.standard_normal((16, 24)))
+    acc = pad(1e-6 * rng.standard_normal((2, 16, 24)))
+    pbce = jnp.full_like(h, 9.8 / 2)
+    bc = set_up_bt_cont(g, vg, u, u, h, 600.0, ContinuityCfg())
+    # absurd mass source: +1e4 m in one cell, -1e9 in another
+    ec = np.zeros((16, 24))
+    ec[8, 8] = 1.0e4
+    ec[4, 4] = -1.0e9
+    ec = pad(ec)
+    uh0 = jnp.sum(h * u, 0)
+    res = {}
+    for bound in (False, True):
+        cfg = BarotropicCfg(nstep=16, use_bt_cont=True,
+                            use_pallas=False, bound_bt_corr=bound)
+        r = btstep(d, g, vg, u, u, eta, h, acc, acc, pbce, u, u,
+                   600.0, cfg, bt_cont=bc, eta_cor=ec,
+                   uhbt_in=uh0, vhbt_in=uh0)
+        res[bound] = float(jnp.max(jnp.abs(d.interior(r.eta))))
+    assert np.isfinite(res[True])
+    assert res[True] < 1e3                     # bounded stays sane
+    assert res[True] < 0.01 * res[False] or not np.isfinite(
+        res[False])

@@ -152,3 +152,40 @@ def test_make_frazil_and_find_uv_at_h():
     uh, vh = find_uv_at_h(u, v, hh)
     np.testing.assert_allclose(np.asarray(uh), 0.4, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(vh), -0.2, rtol=1e-12)
+
+
+def test_direct_stress_spreads_momentum_over_hmix():
+    """DIRECT_STRESS (MOM_vert_friction.F90:666-683): the wind's
+    momentum input is identical, but it lands as a body force over
+    the top HMIX_STRESS instead of at the surface — with weak
+    viscosity, layer 2 (inside Hmix) accelerates immediately while
+    the surface-BC run leaves it still."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    from mom6_tpu.core.vert_friction import (VertViscCfg,
+                                             vertvisc_coef, vertvisc)
+
+    d = Domain(ni=8, nj=8, halo=4, reentrant_x=True, reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=80.0, lenlat_km=80.0,
+                       max_depth=1000.0)
+    h = jnp.full((5, d.njh, d.nih), 30.0)
+    u = jnp.zeros_like(h)
+    taux = 0.1 * g.mask2dCu
+    out = {}
+    for ds in (False, True):
+        cfg = VertViscCfg(kv=1e-6, cdrag=0.0, bottomdraglaw=False,
+                          direct_stress=ds, hmix_stress=60.0)
+        coefs = vertvisc_coef(g, u, u, h, cfg=cfg)
+        un, _ = vertvisc(g, u, u, h, coefs, 600.0, taux, None,
+                         1035.0, direct_stress=ds, hmix_stress=60.0)
+        out[ds] = np.asarray(d.interior(un))
+    # same total momentum input (sum h*u equal to ~1%)
+    m0 = (out[False] * 30.0).sum(0)
+    m1 = (out[True] * 30.0).sum(0)
+    np.testing.assert_allclose(m1, m0, rtol=2e-2)
+    # distribution differs: direct stress reaches layer 2 (30-60 m)
+    assert out[True][1].max() > 10.0 * max(out[False][1].max(), 1e-12)
+    # and layers below Hmix stay unforced
+    assert out[True][3].max() < 1e-6
