@@ -168,12 +168,23 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     rho0 = vgrid.Rho0
     T, S = state.T, state.S
 
-    u, v = fill_uv(state.u, state.v)
-    h = fill(state.h)
-    u_av, v_av = fill_uv(split.u_av, split.v_av)
-    h_av = fill(split.h_av)
-    uh, vh = fill_uv(split.uh, split.vh, width=2)
-    eta = fill(split.eta)
+    # grouped passes (do_group_pass analog): one fused exchange per
+    # width class instead of one message per field; falls back to
+    # per-leaf fills for OBC extension or tripolar sign/stagger cases
+    use_group = obc is None and not domain.tripolar_n
+
+    if use_group:
+        ((u, v), h, (u_av, v_av), h_av, eta) = domain.fill_halos_group(
+            ((state.u, state.v), state.h, (split.u_av, split.v_av),
+             split.h_av, split.eta))
+        uh, vh = domain.fill_halos_group((split.uh, split.vh), width=2)
+    else:
+        u, v = fill_uv(state.u, state.v)
+        h = fill(state.h)
+        u_av, v_av = fill_uv(split.u_av, split.v_av)
+        h_av = fill(split.h_av)
+        uh, vh = fill_uv(split.uh, split.vh, width=2)
+        eta = fill(split.eta)
 
     # tidal + SAL geopotential anomaly, once per dynamics step from
     # the mass-consistent eta (calc_tidal_forcing cadence)
@@ -260,16 +271,25 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                       direct_stress=cfg.vertvisc.direct_stress,
                       hmix_stress=cfg.vertvisc.hmix_stress)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
-    up, vp = fill_uv(up, vp)
-    visc_rem_u, visc_rem_v = fill_face_scalars(visc_rem_u, visc_rem_v)
+    if use_group:
+        ((up, vp), (visc_rem_u, visc_rem_v)) = domain.fill_halos_group(
+            ((up, vp), (visc_rem_u, visc_rem_v)))
+    else:
+        up, vp = fill_uv(up, vp)
+        visc_rem_u, visc_rem_v = fill_face_scalars(visc_rem_u,
+                                                   visc_rem_v)
 
     res = continuity_ppm(grid, vgrid, up, vp, h, dt, cfg.continuity,
                          uhbt=bt.uhbtav, vhbt=bt.vhbtav,
                          visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
                          x_first=x_first)
-    hp = fill(res.h)
-    uh, vh = fill_uv(res.uh, res.vh)
-    u_av, v_av = fill_uv(res.u_cor, res.v_cor)
+    if use_group:
+        (hp, (uh, vh), (u_av, v_av)) = domain.fill_halos_group(
+            (res.h, (res.uh, res.vh), (res.u_cor, res.v_cor)))
+    else:
+        hp = fill(res.h)
+        uh, vh = fill_uv(res.uh, res.vh)
+        u_av, v_av = fill_uv(res.u_cor, res.v_cor)
     h_av = 0.5 * (h + hp)
 
     # ---- CORRECTOR ----
@@ -316,16 +336,26 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         # Orlanski radiation of the baroclinic velocities at open faces
         u_new = obc.radiate_u(u_new, u, dt=dt)
         v_new = obc.radiate_v(v_new, v, dt=dt)
-    u_new, v_new = fill_uv(u_new, v_new)
-    visc_rem_u, visc_rem_v = fill_face_scalars(visc_rem_u, visc_rem_v)
+    if use_group:
+        ((u_new, v_new), (visc_rem_u, visc_rem_v)) = \
+            domain.fill_halos_group(((u_new, v_new),
+                                     (visc_rem_u, visc_rem_v)))
+    else:
+        u_new, v_new = fill_uv(u_new, v_new)
+        visc_rem_u, visc_rem_v = fill_face_scalars(visc_rem_u,
+                                                   visc_rem_v)
 
     res = continuity_ppm(grid, vgrid, u_new, v_new, h, dt, cfg.continuity,
                          uhbt=bt.uhbtav, vhbt=bt.vhbtav,
                          visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
                          x_first=x_first)
-    h_new = fill(res.h)
-    uh, vh = fill_uv(res.uh, res.vh)
-    u_av, v_av = fill_uv(res.u_cor, res.v_cor)
+    if use_group:
+        (h_new, (uh, vh), (u_av, v_av)) = domain.fill_halos_group(
+            (res.h, (res.uh, res.vh), (res.u_cor, res.v_cor)))
+    else:
+        h_new = fill(res.h)
+        uh, vh = fill_uv(res.uh, res.vh)
+        u_av, v_av = fill_uv(res.u_cor, res.v_cor)
     h_av_new = 0.5 * (h + h_new)
 
     new_state = state.replace(u=u_new, v=v_new, h=h_new)

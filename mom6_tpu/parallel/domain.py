@@ -159,6 +159,44 @@ class Domain:
         return (self.fill_halos(u, width, corners, stagger=su, sign=-1.0),
                 self.fill_halos(v, width, corners, stagger=sv, sign=-1.0))
 
+    def fill_halos_group(self, fields, width: int | None = None,
+                         corners: bool = True):
+        """Fused group pass: ONE halo exchange for a whole pytree.
+
+        All leaves are stacked along a leading plane axis (k-planes of
+        3-D fields, singleton planes of 2-D fields) so each direction
+        moves a single large strip through ``ppermute`` instead of one
+        message per field — the ICI cost of a halo strip is dominated
+        by per-message latency, so fewer/larger messages is the win the
+        reference gets from its grouped passes
+        (create_group_pass/do_group_pass, MOM_domain_infra.F90:1141).
+        XLA's latency-hiding scheduler then overlaps the fused
+        collective-permute with any independent interior compute.
+
+        Tripolar folds are stagger/sign-dependent per field and 2-D
+        leaves of a different (njh, nih) footprint cannot ride the
+        stack; those cases fall back to per-leaf :meth:`fill_halos`
+        (bitwise-identical semantics either way).
+        """
+        w = self.halo if width is None else width
+        leaves, treedef = jax.tree.flatten(fields)
+        if (w == 0 or not self.shmap or self.tripolar_n
+                or len(leaves) <= 1):
+            return self.fill_halos(fields, width, corners)
+        njh_nih = leaves[0].shape[-2:]
+        dt = leaves[0].dtype
+        if any(a.shape[-2:] != njh_nih or a.dtype != dt
+               for a in leaves):
+            return self.fill_halos(fields, width, corners)
+        import numpy as _np
+        flat = [a.reshape((-1,) + njh_nih) for a in leaves]
+        sizes = [p.shape[0] for p in flat]
+        stacked = jnp.concatenate(flat, axis=0)
+        stacked = self._fill_shmap(stacked, w, corners)
+        outs = jnp.split(stacked, list(_np.cumsum(sizes[:-1])), axis=0)
+        new_leaves = [o.reshape(a.shape) for o, a in zip(outs, leaves)]
+        return jax.tree.unflatten(treedef, new_leaves)
+
     def _fold_strip(self, f: jnp.ndarray, w: int, stagger: str,
                     sign: float) -> jnp.ndarray:
         """The w rows that a tripolar fold writes into the north halo,
