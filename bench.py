@@ -191,7 +191,40 @@ def _land_bench(nsteps=10):
         out[f"{mode}_ms"] = round(
             1e3 * (time.perf_counter() - t0) / nsteps, 2)
     out["speedup"] = round(out["dense_ms"] / out["blocked_ms"], 3)
+    import gc
+    gc.collect()
+    jax.clear_caches()
     return out
+
+
+def _bgc_probe(ms_full, nsteps=8):
+    """BGC-on throughput (weak spot flagged in round 3: the MARBL
+    restoring remap cost was unmeasured).  Runs the flagship config
+    with the MARBL-shaped coupler on — base-bio gas exchange +
+    interior tendencies + sinking + 3 restored tracers remapped from
+    a z-file climatology every thermo step — and reports the added
+    ms/step."""
+    import os
+    import tempfile
+    import numpy as np
+    from mom6_tpu.framework.io import write_fields
+    ni = nj = 512
+    nzf = 3
+    rp = os.path.join(tempfile.mkdtemp(), "restore.nc")
+    fields = {"z_edges": np.array([0.0, 500.0, 1500.0, 4000.0])}
+    dims = {"z_edges": ("zi",)}
+    for name, val in (("no3", 30.0), ("po4", 2.0), ("sio3", 60.0),
+                      ("I_TAU", 1.0 / (30 * 86400.0))):
+        fields[name] = np.full((nzf, nj, ni), val, np.float32)
+        dims[name] = ("zl", "yh", "xh")
+    write_fields(rp, fields, dims=dims)
+    extra = ("USE_MARBL_TRACERS = True\n"
+             "MARBL_TRACER_RESTORING_SOURCE = file\n"
+             f"MARBL_TRACER_RESTORING_FILE = {rp}\n")
+    pts, ms = _run_config(CONFIG + extra, nsteps)
+    return {"bgc_on_points_per_s": round(pts, 1),
+            "bgc_on_ms": round(ms, 2),
+            "bgc_delta_ms": round(ms - ms_full, 2)}
 
 
 def _bench(step_fn, state, split, tracers, nsteps, n0=0):
@@ -209,12 +242,22 @@ def _bench(step_fn, state, split, tracers, nsteps, n0=0):
 
 
 def _run_config(cfg_text, nsteps):
+    import gc
+    import jax
     from mom6_tpu.framework.config import ParamFile
     from mom6_tpu.model import build_model
     m = build_model(ParamFile(text=cfg_text))
     wall = _bench(m.step_fn(), m.state, m.split_state, m.tracers,
                   nsteps)
     pts = m.domain.ni * m.domain.nj * m.vgrid.nk * nsteps / wall
+    # drop this config's live executables + their pinned device
+    # constants before the next config compiles: ~10 configs' worth of
+    # executables otherwise accumulate in HBM and the later probes die
+    # RESOURCE_EXHAUSTED (observed in the r4 bench).  Recompiles replay
+    # from the persistent disk cache, so this costs seconds not minutes.
+    del m
+    gc.collect()
+    jax.clear_caches()
     return pts, 1e3 * wall / nsteps
 
 
@@ -254,14 +297,11 @@ def main():
         except Exception as exc:          # noqa: BLE001
             out["land_block_bench"] = f"err: {exc}"[:160]
 
-    if do_om4:
+    if "--no-bgc" not in sys.argv:
         try:
-            pts_om4, ms_om4 = _run_config(CONFIG + OM4_OVERRIDES,
-                                          nsteps=6)
-            out["om4_full_step_points_per_s"] = round(pts_om4, 1)
-            out["om4_full_step_ms"] = round(ms_om4, 2)
+            out["bgc_bench"] = _bgc_probe(ms_full)
         except Exception as exc:          # noqa: BLE001
-            out["om4_error"] = f"{type(exc).__name__}: {exc}"[:160]
+            out["bgc_bench"] = f"err: {exc}"[:160]
 
     if do_phases:
         phases = {}
@@ -290,6 +330,16 @@ def main():
             ms_full - sum(v for v in fph.values()
                           if isinstance(v, float)), 2)
         out["full_phase_deltas_ms"] = fph
+
+    # OM4 last: a RESOURCE_EXHAUSTED here must not poison the probes
+    if do_om4:
+        try:
+            pts_om4, ms_om4 = _run_config(CONFIG + OM4_OVERRIDES,
+                                          nsteps=6)
+            out["om4_full_step_points_per_s"] = round(pts_om4, 1)
+            out["om4_full_step_ms"] = round(ms_om4, 2)
+        except Exception as exc:          # noqa: BLE001
+            out["om4_error"] = f"{type(exc).__name__}: {exc}"[:160]
 
     print(json.dumps(out))
 
