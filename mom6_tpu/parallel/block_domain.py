@@ -6,20 +6,28 @@ nothing (gen_auto_mask_table / determine_land_blocks,
 device cannot simply "leave the mesh", so the TPU-native equivalent
 compresses the *array layout* instead: the horizontal domain is cut
 into (tj × ti) blocks, all-land blocks are dropped, and the surviving
-wet blocks are stacked along the j axis — each carrying its own halo
-ring — giving rank-3 arrays of shape (..., B·(tj+2h), ti+2h).
+wet blocks are stacked along the i (lane) axis — each carrying its own
+halo ring — giving rank-3 arrays of shape (..., tj+2h, B·(ti+2h)).
 
-Why this shape: every stencil in the model reaches at most ``halo``
-cells, so provided each block's ring is refreshed from its true
-neighbors, ``ip1/jm1``-style shifted-slice stencils work UNCHANGED on
-the folded layout — no component rewrite.  Halo refresh becomes a
-static-index gather over the block axis (XLA lowers it to cheap
+Why the i axis: the TPU vector unit tiles the minor dimension in
+128-lane chunks, so a lone block's padded width ti+2h (e.g. 136) would
+round up to 256 lanes and waste ~half the machine; concatenating the
+blocks along the lanes amortizes that round-up across the whole stack
+(B·136 → one ≤128-lane round-up total).  The sublane (second-minor)
+dimension only rounds to multiples of 8, which tj+2h already is.
+
+Why this works unchanged: every stencil in the model reaches at most
+``halo`` cells, so provided each block's ring is refreshed from its
+true neighbors, ``ip1/jm1``-style shifted-slice stencils work
+UNCHANGED on the packed layout — values that cross a block boundary
+land in halo positions that the next fill refreshes.  Halo refresh is
+a static-index gather over the block axis (XLA lowers it to cheap
 copies), with walls/reentrancy expressed through the precomputed
 neighbor table exactly like the dense Domain's wrap/zero logic.
 
 Compute saved ≈ land fraction × (useful/padded block area).  At the
-OM4-class 0.25° grid ~40 % of blocks are land; with 64×256 blocks the
-packing overhead is ~16 %, a net ~30 % throughput gain.
+OM4-class 0.25° grid ~40 % of blocks are land; with 128×128 blocks the
+packing overhead is ~12 %, a net ~30 % throughput gain.
 
 This class intentionally mirrors the :class:`Domain` API (nil/njl,
 interior/pad, fill_halos/fill_vector_halos, global reductions) so
@@ -85,19 +93,19 @@ class BlockDomain:
 
     @property
     def nil(self) -> int:
-        return self.ti
+        return self.nb * self.ti
 
     @property
     def njl(self) -> int:
-        return self.nb * self.tj
+        return self.tj
 
     @property
     def nih(self) -> int:
-        return self.tih
+        return self.nb * self.tih
 
     @property
     def njh(self) -> int:
-        return self.nb * self.tjh
+        return self.tjh
 
     def sharded(self):
         raise NotImplementedError(
@@ -143,25 +151,25 @@ class BlockDomain:
 
     # -- views (Domain API) -------------------------------------------
     def _as_blocks(self, f):
-        """(..., nb·tjh, tih) → (..., nb, tjh, tih) view."""
-        return f.reshape(f.shape[:-2] + (self.nb, self.tjh, self.tih))
+        """(..., tjh, nb·tih) → (..., tjh, nb, tih) view (free: splits
+        the minor dim)."""
+        return f.reshape(f.shape[:-1] + (self.nb, self.tih))
 
     def _from_blocks(self, fb):
-        return fb.reshape(fb.shape[:-3] + (self.nb * self.tjh,
-                                           self.tih))
+        return fb.reshape(fb.shape[:-2] + (self.nb * self.tih,))
 
     def interior(self, f):
-        """Strip per-block halos: (..., nb·tj, ti)."""
+        """Strip per-block halos: (..., tj, nb·ti)."""
         H = self.halo
         fb = self._as_blocks(f)
-        fb = fb[..., H:H + self.tj, H:H + self.ti]
-        return fb.reshape(fb.shape[:-3] + (self.nb * self.tj, self.ti))
+        fb = fb[..., H:H + self.tj, :, H:H + self.ti]
+        return fb.reshape(fb.shape[:-2] + (self.nb * self.ti,))
 
     def pad(self, f):
-        """(..., nb·tj, ti) → halo-padded block stack (zeros rings)."""
+        """(..., tj, nb·ti) → halo-padded block stack (zero rings)."""
         H = self.halo
-        fb = f.reshape(f.shape[:-2] + (self.nb, self.tj, self.ti))
-        pads = [(0, 0)] * (fb.ndim - 2) + [(H, H), (H, H)]
+        fb = f.reshape(f.shape[:-1] + (self.nb, self.ti))
+        pads = [(0, 0)] * (fb.ndim - 3) + [(H, H), (0, 0), (H, H)]
         return self._from_blocks(jnp.pad(fb, pads))
 
     # -- halo exchange -------------------------------------------------
@@ -174,6 +182,11 @@ class BlockDomain:
         if w > self.halo:
             raise ValueError(f"halo width {w} exceeds {self.halo}")
         return jax.tree.map(lambda a: self._fill(a, w), f)
+
+    def fill_halos_group(self, fields, width: int | None = None,
+                         corners: bool = True):
+        # single-device: per-leaf fills are already gather/concat only
+        return self.fill_halos(fields, width, corners)
 
     def fill_vector_halos(self, u, v, width=None, corners=True,
                           stagger: str = "C"):
@@ -193,21 +206,22 @@ class BlockDomain:
                 self._fill_y(self._as_blocks(a), w)), f)
 
     def _gather(self, fb, ids):
-        """Gather blocks by id with a zeros ghost appended."""
-        zeros = jnp.zeros_like(fb[..., :1, :, :])
-        fbz = jnp.concatenate([fb, zeros], axis=-3)
-        return jnp.take(fbz, jnp.asarray(ids), axis=-3)
+        """Gather blocks by id with a zeros ghost appended.
+        fb: (..., tjh, nb, tih); gathers along the block axis (-2)."""
+        zeros = jnp.zeros_like(fb[..., :1, :])
+        fbz = jnp.concatenate([fb, zeros], axis=-2)
+        return jnp.take(fbz, jnp.asarray(ids), axis=-2)
 
     def _fill_x(self, fb, w):
         H, ti = self.halo, self.ti
         t = self._tables()
         wnb = self._gather(fb, t["w"])
         enb = self._gather(fb, t["e"])
-        west = wnb[..., :, H + ti - w:H + ti]
-        east = enb[..., :, H:H + w]
+        west = wnb[..., H + ti - w:H + ti]
+        east = enb[..., H:H + w]
         return jnp.concatenate(
-            [fb[..., :, :H - w], west, fb[..., :, H:H + ti], east,
-             fb[..., :, H + ti + w:]], axis=-1)
+            [fb[..., :H - w], west, fb[..., H:H + ti], east,
+             fb[..., H + ti + w:]], axis=-1)
 
     def _fill_y(self, fb, w):
         H, tj = self.halo, self.tj
@@ -216,11 +230,11 @@ class BlockDomain:
         nnb = self._gather(fb, t["n"])
         # strips span the full padded x width, so corners pick up the
         # neighbor's just-filled x halos (the standard two-pass trick)
-        south = snb[..., H + tj - w:H + tj, :]
-        north = nnb[..., H:H + w, :]
+        south = snb[..., H + tj - w:H + tj, :, :]
+        north = nnb[..., H:H + w, :, :]
         return jnp.concatenate(
-            [fb[..., :H - w, :], south, fb[..., H:H + tj, :], north,
-             fb[..., H + tj + w:, :]], axis=-2)
+            [fb[..., :H - w, :, :], south, fb[..., H:H + tj, :, :],
+             north, fb[..., H + tj + w:, :, :]], axis=-3)
 
     def _fill(self, a, w):
         fb = self._as_blocks(a)
@@ -275,9 +289,8 @@ def blockify(bd: BlockDomain, f):
     for jb, ib in bd.blocks:
         parts.append(f[..., jb * bd.tj:(jb + 1) * bd.tj,
                        ib * bd.ti:(ib + 1) * bd.ti])
-    packed = jnp.stack(parts, axis=-3)
-    packed = packed.reshape(packed.shape[:-3]
-                            + (bd.nb * bd.tj, bd.ti))
+    packed = jnp.stack(parts, axis=-2)          # (..., tj, nb, ti)
+    packed = packed.reshape(packed.shape[:-2] + (bd.nb * bd.ti,))
     return bd.fill_halos(bd.pad(packed))
 
 
@@ -303,9 +316,9 @@ def unblockify(bd: BlockDomain, f, fill=np.nan):
     """Packed padded stack → dense global (..., nj, ni) numpy array
     (land blocks = ``fill``)."""
     x = np.asarray(bd.interior(f))
-    xb = x.reshape(x.shape[:-2] + (bd.nb, bd.tj, bd.ti))
+    xb = x.reshape(x.shape[:-1] + (bd.nb, bd.ti))
     out = np.full(x.shape[:-2] + (bd.nj, bd.ni), fill, x.dtype)
     for k, (jb, ib) in enumerate(bd.blocks):
         out[..., jb * bd.tj:(jb + 1) * bd.tj,
-            ib * bd.ti:(ib + 1) * bd.ti] = xb[..., k, :, :]
+            ib * bd.ti:(ib + 1) * bd.ti] = xb[..., :, k, :]
     return out

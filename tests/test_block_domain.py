@@ -102,7 +102,8 @@ def test_halo_fill_matches_dense():
     # per-block halos: check against the dense filled array by
     # reading each block's ring from the dense global (wrap indexing)
     H = 4
-    pb = np.asarray(packed).reshape(bd.nb, bd.tjh, bd.tih)
+    # (tjh, nb, tih) block view — independent of the stacking axis
+    pb = np.asarray(bd._as_blocks(jnp.asarray(packed)))
     for k, (jb, ib) in enumerate(bd.blocks):
         js = jb * 8
         is_ = ib * 8
@@ -110,7 +111,7 @@ def test_halo_fill_matches_dense():
             for di in range(-H, 8 + H):
                 gj = (js + dj) % 32
                 gi = (is_ + di) % 32
-                np.testing.assert_allclose(pb[k, dj + H, di + H],
+                np.testing.assert_allclose(pb[dj + H, k, di + H],
                                            f0[gj, gi], rtol=0)
 
 
