@@ -1654,6 +1654,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     from mom6_tpu.param.vertical.diabatic_aux import FrazilCfg
     from mom6_tpu.param.vertical.bulk_mixed_layer import \
         BulkMixedLayerCfg
+    from mom6_tpu.param.vertical.entrain_diffusive import \
+        EntrainDiffusiveCfg
     use_lmd94 = pf.get("USE_LMD94", bool, False)
     use_pp81 = pf.get("USE_PP81", bool, False)
     shear_cfg = ShearMixingCfg(
@@ -1770,6 +1772,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             nstar=pf.get("NSTAR", float, 0.15), rho0=rho0),
         use_entrain_diffusive=pf.get("ENTRAIN_DIFFUSIVE", bool,
                                      not use_regrid),
+        entrain=EntrainDiffusiveCfg(
+            max_ent_it=pf.get("MAX_ENT_IT", int, 5)),
         use_regularize=pf.get("REGULARIZE_SURFACE_LAYERS", bool,
                               False),
         do_frazil=pf.get("FRAZIL", bool, False),
@@ -1823,8 +1827,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     # USE_VISBECK requires the VarMix slope machinery (VarMix_init,
     # MOM_lateral_mixing_coeffs.F90:523: Visbeck coefficients are a
     # VarMix product consumed through KHTH_SLOPE_CFF)
-    use_varmix = pf.get("USE_VARIABLE_MIXING", bool, False) \
-        or pf.get("USE_VISBECK", bool, False)
+    # read both unconditionally: `or` would short-circuit the second
+    # read and trip the fatal unused-parameter audit
+    use_varmix_param = pf.get("USE_VARIABLE_MIXING", bool, False)
+    use_visbeck = pf.get("USE_VISBECK", bool, False)
+    use_varmix = use_varmix_param or use_visbeck
     varmix_cfg = VarMixCfg(
         use_variable_mixing=use_varmix,
         res_fn_power=pf.get("KH_RES_FN_POWER", int, 2),

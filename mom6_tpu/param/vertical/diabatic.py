@@ -239,8 +239,9 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
         trs = dict(new_tracers) if new_tracers else {}
         if T is not None:
             trs = {"_T": T, "_S": S, **trs}
-        h, trs, _ = entrainment_diffusive(cfg.entrain, h, kd_int, dt,
-                                          trs or None)
+        h, trs, _ = entrainment_diffusive(
+            cfg.entrain, h, kd_int, dt, trs or None,
+            gprime=vgrid.g_prime if vgrid is not None else None)
         if trs:
             T = trs.pop("_T", T)
             S = trs.pop("_S", S)

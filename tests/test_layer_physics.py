@@ -17,10 +17,11 @@ def col(a):
 
 
 def test_entrain_diffusive_conserves_and_smooths():
+    """Explicit donor-limited scheme: relaxes toward uniform."""
     h = col([10.0, 150.0, 40.0, 200.0])
     dye = col([1.0, 0.0, 0.5, 0.2])
     kd = jnp.full((5, 1, 1), 1e-3)
-    cfg = EntrainDiffusiveCfg()
+    cfg = EntrainDiffusiveCfg(implicit=False)
     tot_h0 = float(jnp.sum(h))
     tot_c0 = float(jnp.sum(h * dye))
     tr = {"dye": dye}
@@ -33,6 +34,50 @@ def test_entrain_diffusive_conserves_and_smooths():
     hv = np.asarray(h).ravel()
     assert hv.std() < np.asarray(col([10.0, 150, 40, 200])).std()
     assert np.all(hv > 10.0)          # the thin layer inflated
+
+
+def test_entrain_diffusive_implicit_solves_flux_relation():
+    """Hallberg-2000 implicit scheme (the default): away from the
+    minF/maxF caps, the converged flux satisfies
+    F_k·h_k^new = dtKd_k with uniform density ratios
+    (MOM_entrain_diffusive.F90:554-560), and the update conserves
+    mass/tracer exactly while depleting no layer below Angstrom."""
+    import jax
+    h = col([10.0, 150.0, 40.0, 200.0])
+    dye = col([1.0, 0.0, 0.5, 0.2])
+    kd = jnp.full((5, 1, 1), 1e-3)
+    cfg = EntrainDiffusiveCfg(max_ent_it=8)
+    assert cfg.implicit
+
+    # the flux relation itself, via the internal solver
+    from mom6_tpu.param.vertical.entrain_diffusive import _implicit_F
+    dtkd = 1800.0 * 0.5 * (kd[:-1] + kd[1:])
+    ones = jnp.ones_like(h)
+    dd = ones.at[-1].set(0.0)
+    F = _implicit_F(cfg, h, dtkd, dd, dd)
+    Fm = jnp.concatenate([jnp.zeros_like(F[:1]), F[:-1]])
+    Fp = jnp.concatenate([F[1:], jnp.zeros_like(F[:1])])
+    h_new = h + 2.0 * F - Fm - Fp
+    resid = np.asarray(F * h_new - dtkd).ravel()[1:-1]
+    np.testing.assert_allclose(resid, 0.0, atol=1e-10)
+
+    # multi-step conservation + Angstrom bound + interior smoothing
+    step = jax.jit(lambda h, tr: entrainment_diffusive(
+        cfg, h, kd, 1800.0, tr))
+    tot_h0 = float(jnp.sum(h))
+    tot_c0 = float(jnp.sum(h * dye))
+    tr = {"dye": dye}
+    for _ in range(50):
+        h, tr, _ = step(h, tr)
+    assert abs(float(jnp.sum(h)) - tot_h0) / tot_h0 < 1e-11
+    tot_c1 = float(jnp.sum(h * tr["dye"]))
+    assert abs(tot_c1 - tot_c0) / tot_c0 < 1e-11
+    hv = np.asarray(h).ravel()
+    assert np.all(hv > 0.9 * cfg.angstrom)
+    # the thin interior layer (40 m) inflates from its thick
+    # neighbors; the boundary layers thin (no flux through the
+    # surface/bottom — the reference's behavior absent a BML)
+    assert hv[2] > 40.0
 
 
 def test_entrain_diffusive_zero_kd_identity():
