@@ -16,34 +16,84 @@ import numpy as np
 __all__ = ["bilinear_regrid", "fill_missing"]
 
 
-def fill_missing(field: np.ndarray, valid: np.ndarray,
-                 n_iter: int = 200, tol: float = 1e-8) -> np.ndarray:
-    """Fill points where ``valid`` is False by iterated neighbor
-    averaging (Jacobi sweeps of a Laplacian fill, the fill_miss_2d
-    analog).  ``field`` (..., ny, nx); ``valid`` broadcastable bool.
+def _nbrs(a: np.ndarray, const: float = 0.0):
+    """4-neighbor views of (..., ny, nx) with constant out-of-domain
+    padding (the closed-boundary pass_var semantics): (E, W, N, S)."""
+    ap = np.pad(a, [(0, 0)] * (a.ndim - 2) + [(1, 1), (1, 1)],
+                mode="constant", constant_values=const)
+    return (ap[..., 1:-1, 2:], ap[..., 1:-1, :-2],
+            ap[..., 2:, 1:-1], ap[..., :-2, 1:-1])
 
-    Valid points are held fixed; missing points relax to the average
-    of their defined 4-neighbors, so enclosed basins converge to the
-    surrounding coastal values and fully-missing rows inherit from the
-    nearest defined latitude.
+
+def fill_missing(field: np.ndarray, valid: np.ndarray,
+                 n_iter: int = 10000, tol: float = 1e-8,
+                 relax: float = 0.25, prev: np.ndarray | None = None,
+                 fill_mask: np.ndarray | None = None) -> np.ndarray:
+    """Creeping-sea fill + Laplacian relaxation of missing points
+    (fill_miss_2d, MOM_horizontal_regridding.F90:99-272).
+
+    Stage 1 (creeping): the valid mask expands outward one ring per
+    pass — each missing point adjacent to ≥1 currently-valid neighbor
+    takes the average of ONLY those valid neighbors, so coastal values
+    creep into unresolved bays and marginal seas instead of a basin
+    mean diffusing in.  Points unreachable from any valid data
+    (enclosed fully-missing basins) take ``prev`` — the
+    previous-vertical-level first guess of the reference (:208-210) —
+    or the valid-data mean when no prev exists.
+
+    Stage 2: Laplacian smoothing of the filled points only (valid
+    data held fixed) with relaxation coefficient ``relax`` (the
+    reference's relc=0.25 default), iterated until the max change is
+    ≤ ``tol`` (acrit) or ``n_iter`` (num_pass) passes, using the
+    post-2019 rotationally-symmetric operand grouping.
+
+    ``fill_mask`` restricts which missing points are filled/smoothed
+    (the reference's separate fill argument; e.g. model-land points
+    excluded); default: every invalid point.
     """
     f = np.array(field, dtype=np.float64)
-    valid = np.broadcast_to(valid, f.shape)
+    valid = np.broadcast_to(valid, f.shape).astype(bool)
     if valid.all():
         return f
     if not valid.any():
         raise ValueError("fill_missing: no valid source points")
-    # seed missing points with the mean of the valid ones
-    f = np.where(valid, f, f[valid].mean())
+    fill = (~valid if fill_mask is None
+            else np.broadcast_to(fill_mask, f.shape).astype(bool))
+    fill = fill & ~valid
+    f = np.where(valid, f, 0.0)
+
+    # ---- stage 1: creeping fill ----
+    good = valid.copy()
+    remaining = fill.copy()
+    for _ in range(f.shape[-1] + f.shape[-2]):
+        if not remaining.any():
+            break
+        gE, gW, gN, gS = _nbrs(good.astype(np.float64))
+        fE, fW, fN, fS = _nbrs(f)
+        ngood = (gE + gW) + (gN + gS)
+        nb = ((gE * fE + gW * fW) + (gN * fN + gS * fS)) \
+            / np.maximum(ngood, 1.0)
+        newly = remaining & (ngood > 0)
+        f = np.where(newly, nb, f)
+        good |= newly
+        remaining &= ~newly
+    if remaining.any():
+        # disconnected from all valid data: previous-level guess
+        if prev is not None:
+            f = np.where(remaining, np.broadcast_to(prev, f.shape), f)
+        else:
+            f = np.where(remaining, f[valid].mean(), f)
+
+    # ---- stage 2: Laplacian relaxation of the filled points ----
+    wgt = (valid | fill).astype(np.float64)
     for _ in range(n_iter):
-        fp = np.pad(f, [(0, 0)] * (f.ndim - 2) + [(1, 1), (1, 1)],
-                    mode="edge")
-        nb = 0.25 * (fp[..., :-2, 1:-1] + fp[..., 2:, 1:-1]
-                     + fp[..., 1:-1, :-2] + fp[..., 1:-1, 2:])
-        new = np.where(valid, f, nb)
-        delta = np.abs(new - f).max()
-        f = new
-        if delta < tol:
+        wE, wW, wN, wS = _nbrs(wgt)
+        fE, fW, fN, fS = _nbrs(f)
+        chg = relax * (((wS * fS + wN * fN) + (wW * fW + wE * fE))
+                       - ((wS + wN) + (wW + wE)) * f)
+        chg = np.where(fill, chg, 0.0)
+        f = f + chg
+        if np.abs(chg).max() <= tol:
             break
     return f
 
