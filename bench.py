@@ -231,6 +231,9 @@ def _bench(step_fn, state, split, tracers, nsteps, n0=0):
     import jax
     # warmup: compile thermo/non-thermo × parity variants before timing
     s, a, tr = state, split, tracers
+    # the parameters would pin the initial generation (~2.3 GB at OM4
+    # scale) for the whole bench on a no-donation runtime
+    del state, split, tracers
     for k in range(4):
         s, a, tr = step_fn(s, a, tr, n=k)
     jax.block_until_ready(s.h)
@@ -247,9 +250,13 @@ def _run_config(cfg_text, nsteps):
     from mom6_tpu.framework.config import ParamFile
     from mom6_tpu.model import build_model
     m = build_model(ParamFile(text=cfg_text))
-    wall = _bench(m.step_fn(), m.state, m.split_state, m.tracers,
-                  nsteps)
-    pts = m.domain.ni * m.domain.nj * m.vgrid.nk * nsteps / wall
+    step, s0, a0, tr0 = m.step_fn(), m.state, m.split_state, m.tracers
+    pts_per_step = m.domain.ni * m.domain.nj * m.vgrid.nk
+    # release the model object's pinned copy of the initial state
+    m.state = m.split_state = m.tracers = None
+    wall = _bench(step, s0, a0, tr0, nsteps)
+    del s0, a0, tr0
+    pts = pts_per_step * nsteps / wall
     # drop this config's live executables + their pinned device
     # constants before the next config compiles: ~10 configs' worth of
     # executables otherwise accumulate in HBM and the later probes die

@@ -319,7 +319,27 @@ class Model:
             _env = _os.environ.get("MOM6_DONATE_ARGS")
             donate = tuple(int(s) for s in _env.split(",") if s) \
                 if _env is not None else ()
-            return jax.jit(step, donate_argnums=donate)
+            jitted = jax.jit(step, donate_argnums=donate)
+            if _os.environ.get("MOM6_MEM_ANALYSIS"):
+                # HBM budget probe: print each executable's compiled
+                # footprint (the axon backend exposes no
+                # device.memory_stats(), so XLA's own accounting is
+                # the only visibility into which phase OOMs)
+                tag = (x_first, do_thermo, thermo_only)
+
+                def wrapped(*args, _j=jitted, _tag=tag):
+                    c = _j.lower(*args).compile()
+                    ma = c.memory_analysis()
+                    if ma is not None:
+                        gib = 1.0 / 2**30
+                        print(f"[mem] {_tag}: "
+                              f"temp={ma.temp_size_in_bytes*gib:.2f} "
+                              f"args={ma.argument_size_in_bytes*gib:.2f} "
+                              f"out={ma.output_size_in_bytes*gib:.2f} "
+                              f"GiB", flush=True)
+                    return c(*args)
+                return wrapped
+            return jitted
         fns = {(xf, th): mk(xf, th) for xf in (True, False)
                for th in (True, False)}
         if self.phased_jit:
@@ -352,6 +372,13 @@ class Model:
                 s, a, tr, uh, vh, tn, res, mld, iten, spat = f1(
                     state, split_state, tracers, ua, va, acc["res"],
                     acc["mld"], t, acc["iten"], acc["sppt"])
+                # drop the pre-step generation NOW: donation is
+                # unsupported on this TPU runtime, so without these
+                # dels three full state generations are live when
+                # phase 2b compiles/runs and the OM4-class config
+                # exhausts HBM
+                del state, split_state, tracers, ua, va
+                acc["u"], acc["v"] = None, None
                 # phase 2a: tracer transport on the accumulated
                 # transports; phase 2b: column thermo + ALE.  Three
                 # executables so no phase's temporaries stack on
@@ -381,7 +408,6 @@ class Model:
                 if spat is not None:
                     acc["sppt"] = spat
                 acc["off"] = (uh, vh, s.h)
-                acc["u"], acc["v"] = None, None
                 acc["truncs"] = acc["truncs"] + tn
                 return s, a, tr
             f = fns[(xf, do_thermo)]

@@ -184,8 +184,10 @@ def _thomas_entrain(ea, eb, h, h_new, tr):
         r_k = (rhs_k + ea_k * r_km1) * binv
         return (q_k, r_k), (q_k, r_k)
 
-    z = jnp.zeros_like(h[0])
-    _, (q, r) = jax.lax.scan(fwd, (z, z), (h, ea, eb, h * tr))
+    rhs = h * tr
+    zq = jnp.zeros_like(h[0])
+    zr = jnp.zeros_like(rhs[0])
+    _, (q, r) = jax.lax.scan(fwd, (zq, zr), (h, ea, eb, rhs))
 
     def bwd(carry, xs):
         t_kp1 = carry
@@ -193,7 +195,7 @@ def _thomas_entrain(ea, eb, h, h_new, tr):
         t_k = r_k + q_k * t_kp1
         return t_k, t_k
 
-    _, t_new = jax.lax.scan(bwd, z, (q, r), reverse=True)
+    _, t_new = jax.lax.scan(bwd, zr, (q, r), reverse=True)
     return t_new
 
 
@@ -203,7 +205,10 @@ def _entrain_implicit(cfg: EntrainDiffusiveCfg, h, kd_int, dt,
     kd_lay = 0.5 * (kd_int[:-1] + kd_int[1:nk + 1])
     dtkd = dt * kd_lay
     if gprime is not None:
-        gp = jnp.asarray(gprime, h.dtype)
+        # guard degenerate (unstratified) interfaces: g'=0 would make
+        # the flux ratios 0/0; treat them as uniform steps instead
+        gp = jnp.maximum(jnp.asarray(gprime, h.dtype), _EPS)
+        gp = jnp.where(jnp.asarray(gprime, h.dtype) > 0.0, gp, 1.0)
         shape = (-1,) + (1,) * (h.ndim - 1)
         # ds_dsp1_k = g'_k / g'_{k+1} (:295); rows 0 and nk-1 unused
         # (F pinned) / forced to 0 like the reference (:290-291)
