@@ -43,7 +43,7 @@ def run_core(s_t: float, nsteps=4):
                              maxvel=6.0 / s_t),
         horvisc=HorViscCfg(laplacian=True, kh=1000.0 / s_t,
                            dt=600.0 * s_t),
-        barotropic=BarotropicCfg(nstep=8))
+        barotropic=BarotropicCfg(nstep=16))
     rng = np.random.default_rng(0)
     h0 = 500.0 + jnp.asarray(rng.standard_normal((2, 16, 16)))
     u0 = (0.05 / s_t) * jnp.asarray(rng.standard_normal((2, 16, 16)))
@@ -64,6 +64,8 @@ def run_core(s_t: float, nsteps=4):
 def test_time_rescaling_bitwise(s_t):
     d, ref = run_core(1.0)
     d, scaled = run_core(s_t)
+    assert np.isfinite(np.asarray(d.interior(ref.u))).all(), \
+        "baseline run is not finite -- the invariance check would be vacuous"
     # u scales as 1/s_t; h is unscaled
     np.testing.assert_array_equal(
         np.asarray(d.interior(scaled.h)), np.asarray(d.interior(ref.h)),
@@ -91,7 +93,7 @@ def run_core_L(s_l: float, nsteps=4):
                              maxvel=6.0 * s_l),
         horvisc=HorViscCfg(laplacian=True, kh=1000.0 * s_l ** 2,
                            dt=600.0),
-        barotropic=BarotropicCfg(nstep=8))
+        barotropic=BarotropicCfg(nstep=16))
     rng = np.random.default_rng(0)
     h0 = 500.0 + jnp.asarray(rng.standard_normal((2, 16, 16)))
     u0 = (0.05 * s_l) * jnp.asarray(rng.standard_normal((2, 16, 16)))
@@ -115,6 +117,8 @@ def test_length_rescaling_bitwise(s_l):
     test.dim.l exists for, MOM_unit_scaling.F90:23-67)."""
     d, ref = run_core_L(1.0)
     d, scaled = run_core_L(s_l)
+    assert np.isfinite(np.asarray(d.interior(ref.u))).all(), \
+        "baseline run is not finite -- the invariance check would be vacuous"
     np.testing.assert_array_equal(
         np.asarray(d.interior(scaled.h)), np.asarray(d.interior(ref.h)),
         err_msg="h not invariant under length rescaling")
@@ -147,7 +151,7 @@ def run_core_H(s_h: float, nsteps=4, ale=False):
                              bbl_thick_min=0.1 * s_h,
                              kv_bbl_min=1e-4 * s_h ** 2),
         horvisc=HorViscCfg(laplacian=True, kh=1000.0, dt=600.0),
-        barotropic=BarotropicCfg(nstep=8))
+        barotropic=BarotropicCfg(nstep=16))
     rng = np.random.default_rng(0)
     h0 = s_h * (500.0 + jnp.asarray(rng.standard_normal((2, 16, 16))))
     u0 = 0.05 * jnp.asarray(rng.standard_normal((2, 16, 16)))
@@ -186,6 +190,8 @@ def test_thickness_rescaling_bitwise(s_h, ale):
     epsilons) that the reference's test.dim.h guards against."""
     d, ref = run_core_H(1.0, ale=ale)
     d, scaled = run_core_H(s_h, ale=ale)
+    assert np.isfinite(np.asarray(d.interior(ref.u))).all(), \
+        "baseline run is not finite -- the invariance check would be vacuous"
     np.testing.assert_array_equal(
         np.asarray(d.interior(scaled.h)) / s_h,
         np.asarray(d.interior(ref.h)),
@@ -194,3 +200,55 @@ def test_thickness_rescaling_bitwise(s_h, ale):
         np.asarray(d.interior(scaled.u)),
         np.asarray(d.interior(ref.u)),
         err_msg="u not invariant under vertical rescaling")
+
+
+def run_core_R(s_r: float, nsteps=4):
+    """Split core with density rescaled by s_r (the reference's
+    test.dim.r, MOM_unit_scaling.F90 R scale).  Scalings: Rho0·s and
+    surface stress taux [R L Z T-2]·s; density-dimensioned parameters
+    rescale too (RHO_PGF_REF — unit_scale applies the R scale to every
+    [R] get_param); reduced gravities [L2 Z-1 T-2] are density-ratio
+    quantities and stay fixed, as do u, h, f, Kv, Kh, dt."""
+    from mom6_tpu.core.pressure_force import PressureForceCfg
+    d = Domain(ni=16, nj=16, halo=4, reentrant_x=True, reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=160.0, lenlat_km=160.0,
+                       f0=1e-4, max_depth=1000.0)
+    vg = VerticalGrid.uniform(nk=2, g_Earth=9.8, gint=0.01,
+                              Rho0=1035.0 * s_r)
+    cfg = SplitCfg(
+        vertvisc=VertViscCfg(kv=1e-4, cdrag=0.0,
+                             bottomdraglaw=False, maxvel=6.0),
+        horvisc=HorViscCfg(laplacian=True, kh=1000.0, dt=600.0),
+        pressure=PressureForceCfg(rho_ref=1035.0 * s_r),
+        barotropic=BarotropicCfg(nstep=16))
+    rng = np.random.default_rng(0)
+    h0 = 500.0 + jnp.asarray(rng.standard_normal((2, 16, 16)))
+    u0 = 0.05 * jnp.asarray(rng.standard_normal((2, 16, 16)))
+    v0 = 0.05 * jnp.asarray(rng.standard_normal((2, 16, 16)))
+    st = State(u=d.fill_halos(d.pad(u0)), v=d.fill_halos(d.pad(v0)),
+               h=d.fill_halos(d.pad(h0)))
+    sp = init_split_state(d, g, vg, st)
+    taux = (0.1 * s_r) * g.mask2dCu
+    forces = MechForcing(taux=taux)
+    for n in range(nsteps):
+        st, sp, _ = step_dyn_split_rk2(d, g, vg, st, sp, forces,
+                                       600.0, cfg,
+                                       x_first=(n % 2 == 0))
+    return d, st
+
+
+@pytest.mark.parametrize("s_r", [4.0, 0.25])
+def test_density_rescaling_bitwise(s_r):
+    """Density invariance: every ρ must enter through Rho0 (or a
+    density ratio) — a hidden 1035-class constant breaks this."""
+    d, ref = run_core_R(1.0)
+    d, scaled = run_core_R(s_r)
+    assert np.isfinite(np.asarray(d.interior(ref.u))).all(), \
+        "baseline run is not finite -- the invariance check would be vacuous"
+    np.testing.assert_array_equal(
+        np.asarray(d.interior(scaled.h)), np.asarray(d.interior(ref.h)),
+        err_msg="h not invariant under density rescaling")
+    np.testing.assert_array_equal(
+        np.asarray(d.interior(scaled.u)),
+        np.asarray(d.interior(ref.u)),
+        err_msg="u not invariant under density rescaling")
