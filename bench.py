@@ -96,6 +96,12 @@ PHASE_PROBES = [
                         "#override SMAGORINSKY_AH = False\n"),
     ("ts_advection", "#override ENABLE_THERMODYNAMICS = False\n"
                      "#override EQN_OF_STATE = LINEAR\n"),
+    # halve the barotropic substep count: delta ~= half the btstep
+    # cost (default nstep=27 at this config; DTBT=45 -> 14)
+    ("bt_substeps_half", "DTBT = 45.0\n"),
+    # halve the continuity Newton flux evaluations (7 -> 4 per
+    # direction per call)
+    ("newton_iters_3", "CONT_NEWTON_ITERS = 3\n"),
 ]
 
 # thermo-side probes (positive delta vs the FULL base = phase cost;
@@ -227,13 +233,15 @@ def _bgc_probe(ms_full, nsteps=8):
             "bgc_delta_ms": round(ms - ms_full, 2)}
 
 
-def _bench(step_fn, state, split, tracers, nsteps, n0=0):
+def _bench(step_fn, init, nsteps, n0=0):
+    """``init`` is a [state, split, tracers] list that is CLEARED on
+    entry: on a no-donation runtime any surviving reference (here or
+    in the caller's frame) pins the whole initial generation (~2.3 GB
+    at OM4 scale) for the duration and OOMs the 1440x1088x25 config."""
     import jax
+    s, a, tr = init
+    init.clear()
     # warmup: compile thermo/non-thermo × parity variants before timing
-    s, a, tr = state, split, tracers
-    # the parameters would pin the initial generation (~2.3 GB at OM4
-    # scale) for the whole bench on a no-donation runtime
-    del state, split, tracers
     for k in range(4):
         s, a, tr = step_fn(s, a, tr, n=k)
     jax.block_until_ready(s.h)
@@ -250,12 +258,13 @@ def _run_config(cfg_text, nsteps):
     from mom6_tpu.framework.config import ParamFile
     from mom6_tpu.model import build_model
     m = build_model(ParamFile(text=cfg_text))
-    step, s0, a0, tr0 = m.step_fn(), m.state, m.split_state, m.tracers
+    step = m.step_fn()
     pts_per_step = m.domain.ni * m.domain.nj * m.vgrid.nk
-    # release the model object's pinned copy of the initial state
+    init = [m.state, m.split_state, m.tracers]
+    # release the model object's pinned copy of the initial state;
+    # _bench clears `init` so no frame holds generation 0
     m.state = m.split_state = m.tracers = None
-    wall = _bench(step, s0, a0, tr0, nsteps)
-    del s0, a0, tr0
+    wall = _bench(step, init, nsteps)
     pts = pts_per_step * nsteps / wall
     # drop this config's live executables + their pinned device
     # constants before the next config compiles: ~10 configs' worth of
@@ -268,7 +277,56 @@ def _run_config(cfg_text, nsteps):
     return pts, 1e3 * wall / nsteps
 
 
+def _om4_child():
+    """Run ONLY the OM4 config and print one JSON line.  Executed as
+    a subprocess BEFORE the parent initializes the TPU: the OM4 design
+    point needs nearly all of HBM, and even with per-config cache
+    clearing the backend does not return enough of the earlier
+    configs' allocations for it to fit at the end of a long bench run
+    (fresh-process OM4 runs at ~944 ms/step; end-of-bench OM4
+    RESOURCE_EXHAUSTs)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      1.0)
+    out = {}
+    try:
+        pts_om4, ms_om4 = _run_config(CONFIG + OM4_OVERRIDES,
+                                      nsteps=6)
+        out["om4_full_step_points_per_s"] = round(pts_om4, 1)
+        out["om4_full_step_ms"] = round(ms_om4, 2)
+    except Exception as exc:          # noqa: BLE001
+        out["om4_error"] = f"{type(exc).__name__}: {exc}"[:160]
+    print("OM4JSON:" + json.dumps(out))
+
+
+def _om4_subprocess():
+    """Spawn the OM4-only child (one TPU process at a time: the
+    parent has not touched jax yet when this runs)."""
+    import os
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--om4-only"],
+            capture_output=True, text=True, timeout=4800)
+        for line in r.stdout.splitlines():
+            if line.startswith("OM4JSON:"):
+                return json.loads(line[len("OM4JSON:"):])
+        return {"om4_error": ("child produced no result; tail: "
+                              + (r.stdout + r.stderr)[-120:])}
+    except Exception as exc:          # noqa: BLE001
+        return {"om4_error": f"subprocess: {exc}"[:160]}
+
+
 def main():
+    do_phases = "--no-phases" not in sys.argv
+    do_om4 = "--no-om4" not in sys.argv
+
+    # OM4 first, in its own process, before this process claims the
+    # TPU (single-tenant tunnel: two live TPU processes wedge it)
+    om4_out = _om4_subprocess() if do_om4 else {}
+
     import jax
     # persistent compile cache: the first bench after a source change
     # pays the big-graph compiles once; subsequent runs replay
@@ -279,9 +337,6 @@ def main():
                           1.0)
     except Exception:
         pass
-
-    do_phases = "--no-phases" not in sys.argv
-    do_om4 = "--no-om4" not in sys.argv
 
     pts_full, ms_full = _run_config(CONFIG, nsteps=12)
     pts_dyn, ms_dyn = _run_config(CONFIG + DYN_OVERRIDES, nsteps=12)
@@ -320,11 +375,14 @@ def main():
             except Exception as exc:      # noqa: BLE001
                 phases[tag] = f"err: {exc}"[:80]
         # residual = base minus the disable-able phase costs (the
-        # pallas probe is a gain, not a cost — excluded)
+        # pallas probe is a gain and the *_half/_3 probes are partial
+        # attributions, not removable costs — excluded)
+        _attr_only = {"btstep_pallas_gain", "bt_substeps_half",
+                      "newton_iters_3"}
         phases["btstep_plus_residual"] = round(
             ms_dyn - sum(v for k, v in phases.items()
                          if isinstance(v, float)
-                         and k != "btstep_pallas_gain"), 2)
+                         and k not in _attr_only), 2)
         out["dyn_phase_deltas_ms"] = phases
         fph = {}
         for tag, extra in FULL_PROBES:
@@ -338,17 +396,14 @@ def main():
                           if isinstance(v, float)), 2)
         out["full_phase_deltas_ms"] = fph
 
-    # OM4 last: a RESOURCE_EXHAUSTED here must not poison the probes
-    if do_om4:
-        try:
-            pts_om4, ms_om4 = _run_config(CONFIG + OM4_OVERRIDES,
-                                          nsteps=6)
-            out["om4_full_step_points_per_s"] = round(pts_om4, 1)
-            out["om4_full_step_ms"] = round(ms_om4, 2)
-        except Exception as exc:          # noqa: BLE001
-            out["om4_error"] = f"{type(exc).__name__}: {exc}"[:160]
+    out.update(om4_out)
 
     print(json.dumps(out))
+
+
+if "--om4-only" in sys.argv:
+    _om4_child()
+    sys.exit(0)
 
 
 if __name__ == "__main__":

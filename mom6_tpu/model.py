@@ -858,7 +858,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     cont = ContinuityCfg(
         upwind_1st=pf.get("UPWIND_1ST_CONTINUITY", bool, False),
         simple_2nd=pf.get("SIMPLE_2ND_PPM_CONTINUITY", bool, False),
-        monotonic=pf.get("MONOTONIC_CONTINUITY", bool, False))
+        monotonic=pf.get("MONOTONIC_CONTINUITY", bool, False),
+        # TPU extension: fixed Newton count for the uhbt-matching flux
+        # adjustment (the reference iterates to tolerance with
+        # bisection fallback; a fixed count is jit-static)
+        newton_iters=pf.get("CONT_NEWTON_ITERS", int, 6))
     pf.module("MOM_CoriolisAdv")
     cor = CoriolisCfg(
         scheme=pf.get("CORIOLIS_SCHEME", str, "SADOURNY75_ENERGY"),
