@@ -241,13 +241,15 @@ def _bench(step_fn, init, nsteps, n0=0):
     import jax
     s, a, tr = init
     init.clear()
-    # warmup: compile thermo/non-thermo × parity variants before timing
-    for k in range(4):
+    # warmup: compile thermo/non-thermo × parity variants before
+    # timing (6 steps: a tracer-less probe config was observed to
+    # compile one extra variant inside the timed window with only 4)
+    for k in range(6):
         s, a, tr = step_fn(s, a, tr, n=k)
     jax.block_until_ready(s.h)
     t0 = time.perf_counter()
     for k in range(nsteps):
-        s, a, tr = step_fn(s, a, tr, n=4 + n0 + k)
+        s, a, tr = step_fn(s, a, tr, n=6 + n0 + k)
     jax.block_until_ready(s.h)
     return time.perf_counter() - t0
 

@@ -888,6 +888,88 @@ def _column_integral_at(h_src, rec: Reconstruction, z_eval):
     return I_done + I_part
 
 
+def remap_column_means_banded(h_src, u_src, h_dst, band: int,
+                              cfg: RemapCfg = RemapCfg()):
+    """Conservative remap assuming near-diagonal grid overlap.
+
+    The full :func:`remap_column_means` evaluates every (dst
+    interface, src cell) pair — an (M, nk, ...) op space that
+    dominates the per-step ALE cost.  For the in-step Z*/HYCOM remap
+    the target interfaces move only a CFL-bounded fraction of a layer
+    per step, so dst interface m's containing src cell k satisfies
+    |k - m| <= band with small band; evaluating only that diagonal
+    band costs (2·band+1, M, ...) instead.
+
+    EXACT by construction: whenever any clipped interface fails to
+    find its containing cell within the band (large grid changes, long
+    vanished-layer runs), the whole call falls back to the full remap
+    through ``lax.cond`` — so callers may use this unconditionally on
+    per-step paths; only the rare violating step pays full price.
+
+    MEASURED on TPU v5e at nk=25, 512²: SLOWER than the full pair
+    space (37 vs 21 ms for a 3-field batch) — the (2b+1) static
+    k-axis gathers each materialize a full (M, ...) copy, outweighing
+    the pair-space savings at shallow nk.  Off by default
+    (ALE_REMAP_BAND=0); the crossover would come at much deeper
+    columns (nk ≳ 75) where the full pair space grows quadratically
+    but the banded copies stay linear.
+    """
+    rec = reconstruct(h_src, u_src, cfg)
+    zs = interface_positions(h_src)              # (nk+1, ...)
+    hk = h_src + _H_NEGLECT
+    cell_int = h_src * rec.cell_mean()
+    cumint0 = jnp.concatenate(
+        [jnp.zeros_like(cell_int[:1]), jnp.cumsum(cell_int, axis=0)],
+        axis=0)                                  # (nk+1, ...)
+    total_z = zs[-1]
+    z_dst = interface_positions(h_dst)           # (M, ...)
+    M = z_dst.shape[0]
+    nk = h_src.shape[0]
+    z = jnp.clip(z_dst, 0.0, total_z[None])
+
+    coeffs = [c for c in (rec.c0, rec.c1, rec.c2, rec.c3, rec.c4)
+              if c is not None]
+    import numpy as _np
+    I = jnp.zeros_like(z)
+    matched = jnp.zeros(z.shape, bool)
+    for off in range(-band, band + 1):
+        ks = _np.arange(M) + off
+        valid = (ks >= 0) & (ks < nk)
+        if not valid.any():
+            continue
+        idx = _np.clip(ks, 0, nk - 1)
+        vmask = jnp.asarray(
+            valid.reshape((M,) + (1,) * (z.ndim - 1)))
+        zk = zs[idx]
+        zk1 = zs[idx + 1]
+        hkk = hk[idx]
+        inside = (zk <= z) & (z < zk1) & vmask
+        xi = jnp.clip((z - zk) / hkk, 0.0, 1.0)
+        cc = [c[idx] for c in coeffs]
+        rloc = Reconstruction(*(cc + [None] * (5 - len(cc))))
+        part = hkk * rloc.integral_to(xi)
+        I = I + jnp.where(inside, cumint0[idx] + part, 0.0)
+        matched = matched | inside
+    # interfaces clipped to the column bottom: full-column integral
+    at_bottom = z >= total_z[None]
+    I = jnp.where(at_bottom, cumint0[-1][None], I)
+    matched = matched | at_bottom
+    ok = jnp.all(matched)
+
+    def _finish(I):
+        du = I[1:] - I[:-1]
+        u_dst = du / (h_dst + _H_NEGLECT)
+        tiny = h_dst <= 1e-9 * (jnp.sum(h_src, axis=0, keepdims=True)
+                                + _H_NEGLECT)
+        u_fill = jnp.where(tiny, _shift_k(u_dst, -1), u_dst)
+        return jnp.where(tiny, u_fill, u_dst)
+
+    return jax.lax.cond(
+        ok,
+        lambda: _finish(I),
+        lambda: remap_column_means(h_src, u_src, h_dst, cfg))
+
+
 def remap_column_means(h_src, u_src, h_dst, cfg: RemapCfg = RemapCfg()):
     """Conservative remap of cell means from (h_src, u_src) → h_dst.
 

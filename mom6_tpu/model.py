@@ -1636,6 +1636,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                 "barriers: slower, but caps the remap's live "
                 "temporaries at one field (HBM lever for production "
                 "grids)"),
+            remap_band=pf.get(
+                "ALE_REMAP_BAND", int, 0,
+                desc="evaluate only the near-diagonal (dst,src) pairs "
+                "of the per-step remap, |k-m|<=band; a violating step "
+                "falls back to the full pair space (exact); 0 "
+                "disables"),
             regrid_time_scale=pf.get("REGRID_TIME_SCALE", float, 0.0,
                                      units="s"),
             filter_shallow_depth=pf.get("REGRID_FILTER_SHALLOW_DEPTH",

@@ -345,3 +345,54 @@ def test_pqm_ih6ih5_beats_ih4ih3():
         return np.max(np.abs(got[q:-q] - expect[q:-q]))
 
     assert err("PQM_IH6IH5", 32) < 0.5 * err("PQM_IH4IH3", 32)
+
+
+def test_banded_remap_matches_full_bitwise():
+    """remap_column_means_banded == full remap bitwise whenever the
+    dst interfaces stay within `band` source cells (the per-step ALE
+    regime), including batched field axes and vanished target cells."""
+    from mom6_tpu.ale.remapping import remap_column_means_banded
+    rng = np.random.default_rng(7)
+    nk, nj, ni = 12, 4, 5
+    h_src = jnp.asarray(10.0 + rng.random((nk, nj, ni)))
+    # dst: same column totals, interfaces perturbed < one layer
+    w = jnp.asarray(rng.random((nk, nj, ni)) + 0.5)
+    h_dst = w / w.sum(0, keepdims=True) * h_src.sum(0, keepdims=True)
+    for scheme in ("PCM", "PLM", "PPM_H4", "PQM_IH4IH3"):
+        cfg = RemapCfg(scheme=scheme)
+        u = jnp.asarray(rng.standard_normal((nk, nj, ni)))
+        full = remap_column_means(h_src, u, h_dst, cfg)
+        band = remap_column_means_banded(h_src, u, h_dst, 3, cfg)
+        np.testing.assert_array_equal(np.asarray(band),
+                                      np.asarray(full),
+                                      err_msg=scheme)
+    # batched field axis
+    u2 = jnp.asarray(rng.standard_normal((nk, 3, nj, ni)))
+    full = remap_column_means(h_src[:, None], u2, h_dst[:, None])
+    band = remap_column_means_banded(h_src[:, None], u2,
+                                     h_dst[:, None], 3)
+    np.testing.assert_array_equal(np.asarray(band), np.asarray(full))
+
+
+def test_banded_remap_fallback_on_violation():
+    """A dst grid far outside the band (all mass in the last cells)
+    must fall back to the full pair space and stay exact."""
+    from mom6_tpu.ale.remapping import remap_column_means_banded
+    rng = np.random.default_rng(3)
+    nk = 16
+    h_src = col([5.0] * nk)
+    u = col(rng.standard_normal(nk))
+    # nearly all the column in the FIRST dst cell: interface 1 sits
+    # |k-m| ~ nk away from its containing source cell
+    h_dst = col([5.0 * nk - 0.5] + [0.5 / (nk - 1)] * (nk - 1))
+    full = remap_column_means(h_src, u, h_dst)
+    band = remap_column_means_banded(h_src, u, h_dst, 2)
+    # same algorithm, but the cond branch may fuse differently: ulp
+    np.testing.assert_allclose(np.asarray(band), np.asarray(full),
+                               rtol=1e-14, atol=1e-15)
+    # conservation either way
+    tot_f = float((np.asarray(full).ravel()
+                   * np.asarray(h_dst).ravel()).sum())
+    tot_s = float((np.asarray(u).ravel()
+                   * np.asarray(h_src).ravel()).sum())
+    np.testing.assert_allclose(tot_f, tot_s, rtol=1e-12)
