@@ -79,6 +79,7 @@ def step_dyn_split_rk2b(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                         forces: MechForcing, dt: float, cfg: SplitCfg,
                         eos=None, x_first: bool = True, obc=None,
                         t=None, stoch_pattern=None, kh_scale=None,
+                       kh_extra=None,
                         ) -> tuple[State, SplitBDynState, SplitDiags]:
     """One RK2b dynamics step.  ``state.u/v`` are the filtered
     velocities (the reference's u_av); returns them updated along with
@@ -148,7 +149,7 @@ def step_dyn_split_rk2b(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                         varT_mult=varT_mult)
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv_visc = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
-                                   kh_scale=kh_scale, **gme_kw)
+                                   kh_scale=kh_scale, kh_extra=kh_extra, **gme_kw)
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
     u_bc_accel = (ca.CAu + pf.PFu) + dv_visc.diffu
     v_bc_accel = (ca.CAv + pf.PFv) + dv_visc.diffv
@@ -223,7 +224,7 @@ def step_dyn_split_rk2b(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                         e_tidal=e_tidal, varT_mult=varT_mult)
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv_visc = horizontal_viscosity(grid, u_av_p, v_av_p, h_av,
-                                   cfg.horvisc, kh_scale=kh_scale,
+                                   cfg.horvisc, kh_scale=kh_scale, kh_extra=kh_extra,
                                    **gme_kw)
     ca = coriolis_adv(grid, u_av_p, v_av_p, h_av, uh, vh, cfg.coriolis)
     u_bc_accel = (ca.CAu + pf.PFu) + dv_visc.diffu

@@ -69,6 +69,7 @@ class OceanCfg:
     use_meke: bool = False               # USE_MEKE
     meke: MEKECfg = MEKECfg()
     meke_khth_fac: float = 0.0           # MEKE_KHTH_FAC
+    meke_khtr_fac: float = 0.0           # MEKE_KHTR_FAC
     use_varmix: bool = False             # USE_VARIABLE_MIXING
     varmix: VarMixCfg = VarMixCfg()
     resoln_scaled_khth: bool = False     # RESOLN_SCALED_KHTH
@@ -445,6 +446,18 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         kh_scale = None
         if cfg.resoln_scaled_kh and res_fn is not None:
             kh_scale = domain.fill_halos(res_fn, width=2)
+        kh_extra = None
+        if use_meke and cfg.meke.viscosity_coeff_ku != 0.0:
+            # MEKE-derived Laplacian viscosity Ku added inside
+            # hor_visc (MEKE_VISCOSITY_COEFF_KU)
+            from mom6_tpu.param.lateral.meke import (meke_ku,
+                                                     meke_length_scales)
+            lmix, _, _ = meke_length_scales(
+                cfg.meke, grid, state.meke,
+                jnp.maximum(grid.bathyT, cfg.meke.min_depth),
+                rd_dx=rd_dx, sn=sn)
+            kh_extra = domain.fill_halos(
+                meke_ku(cfg.meke, state.meke, lmix=lmix), width=2)
         if cfg.split and cfg.split_rk2b:
             from mom6_tpu.core.dynamics_split_rk2b import step_dyn_split_rk2b
             state, split_state, diags = step_dyn_split_rk2b(
@@ -453,7 +466,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 stoch_pattern=(sppt_pattern.get("sppt")
                                if isinstance(sppt_pattern, dict)
                                else sppt_pattern),
-                kh_scale=kh_scale)
+                kh_scale=kh_scale, kh_extra=kh_extra)
         elif cfg.split:
             state, split_state, diags = step_dyn_split_rk2(
                 domain, grid, vgrid, state, split_state, forces, dt,
@@ -461,7 +474,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 stoch_pattern=(sppt_pattern.get("sppt")
                                if isinstance(sppt_pattern, dict)
                                else sppt_pattern),
-                kh_scale=kh_scale)
+                kh_scale=kh_scale, kh_extra=kh_extra)
         else:
             state, diags = step_dyn_unsplit(
                 domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,
@@ -525,7 +538,9 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
             adv = neutral_diffusion(domain, grid, vgrid, adv, hh,
                                     adv["T"], adv["S"], eos, dt,
                                     cfg.neutral)
-        elif cfg.hordiff.khtr > 0.0:
+        elif cfg.hordiff.khtr > 0.0 or (
+                cfg.use_meke and state.meke is not None
+                and cfg.meke_khtr_fac > 0.0):
             ktr2 = None
             if cfg.resoln_scaled_khtr and cfg.use_varmix:
                 # RESOLN_SCALED_KHTR: damp the tracer diffusivity
@@ -536,8 +551,16 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 vmr = calc_resolution_function(
                     cfg.varmix, grid, vgrid, state.h, state.T,
                     state.S, eos)
-                ktr2 = domain.fill_halos(
-                    cfg.hordiff.khtr * vmr.res_fn, width=1)
+                ktr2 = cfg.hordiff.khtr * vmr.res_fn
+            if (cfg.use_meke and state.meke is not None
+                    and cfg.meke_khtr_fac > 0.0):
+                # MEKE_KHTR_FAC: KhTr gains a fraction of the
+                # MEKE-derived diffusivity (tracer_hor_diff.F90:241)
+                base = ktr2 if ktr2 is not None else cfg.hordiff.khtr
+                ktr2 = base + cfg.meke_khtr_fac * meke_khth(
+                    cfg.meke, state.meke)
+            if ktr2 is not None:
+                ktr2 = domain.fill_halos(ktr2, width=1)
             adv, hh = domain.fill_halos((adv, state.h), width=1)
             adv = tracer_hordiff(domain, grid, adv, hh, dt,
                                  cfg.hordiff, khtr_2d=ktr2)

@@ -124,9 +124,6 @@ _PARITY_UNIMPL = [
     ("OBC_FREESLIP_STRAIN", bool, False),
     ("OBC_ZERO_BIHARMONIC", bool, False),
     ("OBC_RADIATION_MAX", float, 10.0),
-    ("MEKE_BGSRC", float, 0.0), ("MEKE_KHTR_FAC", float, 0.0),
-    ("MEKE_KHMEKE_FAC", float, 0.0),
-    ("MEKE_VISCOSITY_COEFF_KU", float, 0.0),
     ("USE_STORED_SLOPES", bool, False),
     ("PGF_STANLEY_T2_DET_COEFF", float, -1.0),
     ("STANLEY_PRM_DET_COEFF", float, -1.0),
@@ -1847,6 +1844,10 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         ct=pf.get("MEKE_CT", float, 50.0),
         cd_scale=pf.get("MEKE_CD_SCALE", float, 0.0),
         ks_coeff=pf.get("MEKE_KHCOEFF", float, 1.0),
+        bgsrc=pf.get("MEKE_BGSRC", float, 0.0, units="W kg-1"),
+        khmeke_fac=pf.get("MEKE_KHMEKE_FAC", float, 0.0),
+        viscosity_coeff_ku=pf.get("MEKE_VISCOSITY_COEFF_KU", float,
+                                  0.0, units="nondim"),
         advection_factor=pf.get("MEKE_ADVECTION_FACTOR", float, 0.0),
         a_deform=pf.get("MEKE_ALPHA_DEFORM", float, 0.0),
         a_frict=pf.get("MEKE_ALPHA_FRICT", float, 0.0),
@@ -1859,6 +1860,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         use_min_lscale=pf.get("MEKE_USE_MIN_LSCALE", bool, False),
         geometric=pf.get("MEKE_GEOMETRIC", bool, False),
         geometric_alpha=pf.get("MEKE_GEOMETRIC_ALPHA", float, 0.05))
+    if (use_meke and meke_cfg.viscosity_coeff_ku != 0.0
+            and not hv.laplacian):
+        from mom6_tpu.framework.error_handler import MOM_error, FATAL
+        MOM_error(FATAL, "MEKE_VISCOSITY_COEFF_KU is true but "
+                  "LAPLACIAN is false (MOM_MEKE.F90:1375)")
     pf.module("MOM_lateral_mixing_coeffs")
     # USE_VISBECK requires the VarMix slope machinery (VarMix_init,
     # MOM_lateral_mixing_coeffs.F90:523: Visbeck coefficients are a
@@ -2171,6 +2177,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                          # budget is diagnostic until explicitly
                          # coupled into KHTH (MOM_MEKE.F90 MEKE_KHTH_FAC)
                          meke_khth_fac=pf.get("MEKE_KHTH_FAC", float,
+                                              0.0),
+                         meke_khtr_fac=pf.get("MEKE_KHTR_FAC", float,
                                               0.0),
                          use_varmix=use_varmix, varmix=varmix_cfg,
                          resoln_scaled_kh=pf.get("RESOLN_SCALED_KH",

@@ -113,7 +113,8 @@ def _smooth9(f):
 def horizontal_viscosity(grid: Grid, u, v, h,
                          cfg: HorViscCfg = HorViscCfg(),
                          u_bt=None, v_bt=None,
-                         htot=None, kh_scale=None) -> HorViscResult:
+                         htot=None, kh_scale=None,
+                         kh_extra=None) -> HorViscResult:
     """(diffu, diffv) [m s-2] from Laplacian+biharmonic friction.
 
     Needs u, v valid to ≥2 halo rings, h to ≥1.  With USE_GME the
@@ -121,7 +122,11 @@ def horizontal_viscosity(grid: Grid, u, v, h,
     the GME stress backscatters energy at the barotropic strain.
     ``kh_scale``: optional (njh, nih) multiplier on the Laplacian
     viscosity (the VarMix resolution function, RESOLN_SCALED_KH,
-    MOM_hor_visc.F90 Kh *= VarMix%Res_fn_h)."""
+    MOM_hor_visc.F90 Kh *= VarMix%Res_fn_h).
+    ``kh_extra``: optional (njh, nih) ADDITIVE Laplacian viscosity at
+    h points (MEKE%Ku, MOM_hor_visc.F90:1145-1149), applied after the
+    resolution scaling and subject to the CFL bound; may be negative
+    (backscatter) — the bound then clips from below as well."""
     zb_u = zb_v = None
     if cfg.use_zb2020:
         from mom6_tpu.param.lateral.zanna_bolton import (ZB2020Cfg,
@@ -231,9 +236,20 @@ def horizontal_viscosity(grid: Grid, u, v, h,
             ks_q = 0.25 * ((kh_scale + _ip1j(_jp1j(kh_scale)))
                            + (_ip1j(kh_scale) + _jp1j(kh_scale)))
             Kh_q = Kh_q * ks_q
+        if kh_extra is not None:
+            from mom6_tpu.parallel.stencil import ip1 as _ip1k, \
+                jp1 as _jp1k
+            Kh_h = Kh_h + kh_extra
+            Kh_q = Kh_q + 0.25 * ((kh_extra + _ip1k(_jp1k(kh_extra)))
+                                  + (_ip1k(kh_extra)
+                                     + _jp1k(kh_extra)))
         if cfg.bound_coef:
             Kh_h = jnp.minimum(Kh_h, 0.2 * grid_sp_h2 / cfg.dt)
             Kh_q = jnp.minimum(Kh_q, 0.2 * grid_sp_q2 / cfg.dt)
+            if kh_extra is not None:
+                # negative (backscatter) Ku: bound from below too
+                Kh_h = jnp.maximum(Kh_h, -0.2 * grid_sp_h2 / cfg.dt)
+                Kh_q = jnp.maximum(Kh_q, -0.2 * grid_sp_q2 / cfg.dt)
         str_xx = str_xx - Kh_h * sh_xx
         str_xy = str_xy - Kh_q * sh_xy
         if cfg.anisotropic and cfg.kh_aniso != 0.0:

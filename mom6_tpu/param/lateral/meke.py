@@ -42,8 +42,13 @@ class MEKECfg:
     ct: float = 50.0            # MEKE_CT (barotrFac2 shape)
     cd_scale: float = 0.0       # MEKE_CD_SCALE (gamma_b floor term)
     min_gamma: float = 0.0001   # MEKE_MIN_GAMMA2
-    khmeke_fac: float = 1.0     # KHMEKE_FAC: diffusion of E itself
+    khmeke_fac: float = 1.0     # MEKE_KHMEKE_FAC: diffusion of E itself
     ks_coeff: float = 1.0       # MEKE_KHCOEFF → K from E
+    bgsrc: float = 0.0          # MEKE_BGSRC background source [W kg-1]
+    # MEKE_VISCOSITY_COEFF_KU: Ku = coeff·sqrt(2E)·Lmix added to the
+    # Laplacian viscosity (MOM_MEKE.F90 Ku update; consumed at
+    # MOM_hor_visc.F90:1145-1149); negative = backscatter
+    viscosity_coeff_ku: float = 0.0
     advection_factor: float = 0.0   # MEKE_ADVECTION_FACTOR
     # mixing-length blend (MEKE_ALPHA_*, MEKE_USE_MIN_LSCALE)
     a_deform: float = 0.0       # MEKE_ALPHA_DEFORM
@@ -135,6 +140,8 @@ def step_meke(cfg: MEKECfg, grid: Grid, meke_e, dt,
     if fric_work is not None:
         src = src + cfg.frcoeff * fric_work
     src = src / jnp.maximum(depth, cfg.min_depth)
+    # constant background source (MEKE_BGSRC, already per unit mass)
+    src = src + cfg.bgsrc
 
     # bottom drag damping: lambda = cdrag*sqrt(2 gamma_b^2 E + Ub^2)/H
     ub2 = jnp.zeros_like(e)
@@ -146,15 +153,24 @@ def step_meke(cfg: MEKECfg, grid: Grid, meke_e, dt,
                                     + cfg.cb * cfg.cdrag ** 2)
     lam = cfg.damping + drag_vel / jnp.maximum(depth, cfg.min_depth)
 
-    # lateral diffusion of E with K_MEKE
+    # lateral diffusion of E with K_MEKE: flux form with face-mean,
+    # CFL-limited diffusivity (MOM_MEKE.F90:498-530; the reference's
+    # harmonic column-mass weighting is omitted — E here is already
+    # per unit mass throughout this module)
     ke = meke_khth(cfg, e, lmix=lmix, barotr2=barotr2)
-
-    def lap(f):
-        fx = (ip1(f) - f) * grid.mask2dCu * grid.dyCu * grid.IdxCu
-        fy = (jp1(f) - f) * grid.mask2dCv * grid.dxCv * grid.IdyCv
-        return ((fx - im1(fx)) + (fy - jm1(fy))) * grid.IareaT
-
-    diff = cfg.khmeke_fac * lap(ke * e)
+    kh_u = cfg.khmeke_fac * 0.5 * (ke + ip1(ke))
+    kh_v = cfg.khmeke_fac * 0.5 * (ke + jp1(ke))
+    geo_u = grid.dyCu * grid.IdxCu
+    geo_v = grid.dxCv * grid.IdyCv
+    inv_max_u = 2.0 * dt * geo_u * jnp.maximum(grid.IareaT,
+                                               ip1(grid.IareaT))
+    inv_max_v = 2.0 * dt * geo_v * jnp.maximum(grid.IareaT,
+                                               jp1(grid.IareaT))
+    kh_u = jnp.minimum(kh_u, 0.25 / jnp.maximum(inv_max_u, _EPS))
+    kh_v = jnp.minimum(kh_v, 0.25 / jnp.maximum(inv_max_v, _EPS))
+    fx = kh_u * geo_u * (e - ip1(e)) * grid.mask2dCu
+    fy = kh_v * geo_v * (e - jp1(e)) * grid.mask2dCv
+    diff = ((im1(fx) - fx) + (jm1(fy) - fy)) * grid.IareaT
 
     # advection of E by the depth-mean flow (MEKE_ADVECTION_FACTOR):
     # first-order upwind fluxes, conservative
@@ -182,6 +198,16 @@ def meke_khth(cfg: MEKECfg, meke_e, lmix=None, barotr2=None, sn=None):
     gt = jnp.sqrt(barotr2) if barotr2 is not None else 1.0
     l = lmix if lmix is not None else cfg.l_fixed
     return cfg.ks_coeff * gt * jnp.sqrt(2.0 * e) * l
+
+
+def meke_ku(cfg: MEKECfg, meke_e, lmix=None):
+    """Additive Laplacian viscosity from the eddy energy
+    (MOM_MEKE.F90: MEKE%Ku = viscosity_coeff_Ku·sqrt(2·max(0,E))·
+    LmixScale; hor_visc adds it to Kh, MOM_hor_visc.F90:1145-1149).
+    Negative coefficients give backscatter."""
+    e = jnp.maximum(meke_e, 0.0)
+    l = lmix if lmix is not None else cfg.l_fixed
+    return cfg.viscosity_coeff_ku * jnp.sqrt(2.0 * e) * l
 
 
 def meke_equilibrium(cfg: MEKECfg, grid: Grid, depth, sn,

@@ -364,3 +364,87 @@ def test_meke_geometric_and_visbeck_from_config():
     e = np.asarray(d.interior(s.meke))
     assert np.all(np.isfinite(e)) and np.all(e >= 0.0)
     assert np.all(np.isfinite(np.asarray(d.interior(s.h))))
+
+
+def test_meke_bgsrc_grows_energy():
+    """MEKE_BGSRC: the constant background source grows E with no
+    other forcing (MOM_MEKE.F90:1225)."""
+    base = "USE_MEKE = True\nMEKE_INIT = 1.0e-8\nADIABATIC = True\n"
+    m1 = _model(base + "MEKE_BGSRC = 1.0e-9\n")
+    s1, _, _ = _run(m1, 4)
+    m0 = _model(base)
+    s0, _, _ = _run(m0, 4)
+    e1 = float(jnp.mean(m1.domain.interior(s1.meke)))
+    e0 = float(jnp.mean(m0.domain.interior(s0.meke)))
+    assert e1 > e0
+    # ~ bgsrc·t gain (drag is negligible at these tiny E)
+    assert e1 - e0 > 0.5 * 1.0e-9 * 4 * 600.0
+
+
+def test_meke_viscosity_ku_damps_flow():
+    """MEKE_VISCOSITY_COEFF_KU: the MEKE-derived Laplacian viscosity
+    (Ku = c·sqrt(2E)·Lmix added to Kh, MOM_hor_visc.F90:1145) damps
+    kinetic energy relative to an identical run without it."""
+    base = ("USE_MEKE = True\nMEKE_INIT = 0.05\nADIABATIC = True\n"
+            "LAPLACIAN = True\nKH = 0.0\n"
+            "WIND_CONFIG = gyres\nTAUX_MAGNITUDE = 0.1\n")
+    mk = _model(base + "MEKE_VISCOSITY_COEFF_KU = 1.0\n")
+    sk, _, _ = _run(mk, 6)
+    m0 = _model(base)
+    s0, _, _ = _run(m0, 6)
+
+    def ke(m, s):
+        d = m.domain
+        return float(jnp.sum(d.interior(s.h * (s.u ** 2 + s.v ** 2))))
+
+    assert ke(mk, sk) < ke(m0, s0)
+    # FATAL without LAPLACIAN, like MOM_MEKE.F90:1375
+    from mom6_tpu.framework.error_handler import FatalError
+    with pytest.raises(FatalError):
+        _model("USE_MEKE = True\nMEKE_VISCOSITY_COEFF_KU = 1.0\n")
+
+
+def test_meke_khtr_fac_spreads_tracers():
+    """MEKE_KHTR_FAC: KhTr gains a fraction of the MEKE diffusivity
+    (MOM_tracer_hor_diff.F90:241) — T variance decays faster."""
+    # horizontal T structure (the BASE linear profile varies only
+    # with depth, so lateral diffusion would be a no-op)
+    base = ("USE_MEKE = True\nMEKE_INIT = 0.05\n"
+            "#override TS_CONFIG = baroclinic_zone\n"
+            "BCZIC%DELTA_T = 2.0\nKHTR = 0.0\n")
+    mf = _model(base + "MEKE_KHTR_FAC = 1.0\n")
+    sf, _, _ = _run(mf, 4)
+    m0 = _model(base)
+    s0, _, _ = _run(m0, 4)
+
+    def t_var(m, s):
+        d = m.domain
+        t = d.interior(s.T)
+        return float(jnp.var(t))
+
+    assert t_var(mf, sf) < t_var(m0, s0)
+
+
+def test_meke_khmeke_fac_diffuses_energy():
+    """MEKE_KHMEKE_FAC: lateral diffusion of E itself spreads a
+    localized eddy-energy blob (MOM_MEKE.F90 KhMEKE_Fac)."""
+    import numpy as np
+    from mom6_tpu.param.lateral.meke import MEKECfg, step_meke
+    from mom6_tpu.parallel.domain import Domain
+    from mom6_tpu.core.grid import cartesian_grid
+    d = Domain(ni=16, nj=16, halo=4, reentrant_x=True,
+               reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=160.0, lenlat_km=160.0, f0=1e-4,
+                       max_depth=1000.0)
+    e0 = np.zeros((16, 16))
+    e0[8, 8] = 1.0
+    e = d.fill_halos(d.pad(jnp.asarray(e0)))
+    cfg_on = MEKECfg(khmeke_fac=1.0, cdrag=0.0, l_fixed=3.0e4)
+    cfg_off = MEKECfg(khmeke_fac=0.0, cdrag=0.0, l_fixed=3.0e4)
+    e_on = e_off = e
+    for _ in range(3):
+        e_on = d.fill_halos(step_meke(cfg_on, g, e_on, dt=3600.0))
+        e_off = d.fill_halos(step_meke(cfg_off, g, e_off, dt=3600.0))
+    peak_on = float(jnp.max(d.interior(e_on)))
+    peak_off = float(jnp.max(d.interior(e_off)))
+    assert peak_on < peak_off
