@@ -78,7 +78,7 @@ _PARITY_POLICY = [
     ("IC_OUTPUT_FILE", str, ""),
     ("ETA_TOLERANCE", float, 0.0), ("VELOCITY_TOLERANCE", float, 0.0),
     ("V_TRUNC_FILE", str, ""),
-    ("MAX_ENT_IT", int, 5), ("TOLERANCE_ENT", float, 0.0),
+    ("TOLERANCE_ENT", float, 0.0),
     ("MAXTRUNC", int, 0),
     ("RESTART_CONTROL", int, 1),
     ("GRID_ROTATION_ANGLE_BUGS", bool, False),
