@@ -387,10 +387,15 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 else cfg.thickness_diffuse.khth
             khth_2d = base + cfg.meke_khth_fac * meke_khth(
                 cfg.meke, state.meke, sn=sn)
+        # RESOLN_SCALED_KHTH damps the face coefficients with the
+        # face-centered Res_fn (direct evaluation unless
+        # INTERPOLATE_RES_FN; MOM_lateral_mixing_coeffs.F90:374-381)
+        res_u = res_v = None
         if res_fn is not None and cfg.resoln_scaled_khth:
-            base = khth_2d if khth_2d is not None \
-                else cfg.thickness_diffuse.khth
-            khth_2d = base * res_fn
+            res_u, res_v = vm.res_fn_u, vm.res_fn_v
+            if khth_2d is None:
+                khth_2d = cfg.thickness_diffuse.khth \
+                    * jnp.ones_like(res_fn)
 
         # thickness diffusion / interface filter act before the dynamics
         # (THICKNESSDIFFUSE, MOM.F90:1160-1186); their layer transports
@@ -412,9 +417,14 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 dz = 0.5 * (h[:-1] + h[1:])
                 zed = jnp.zeros_like(h[:1])
                 gp_int = jnp.concatenate([zed, n2 * dz, zed], axis=0)
+            ru = rv = None
+            if res_u is not None:
+                ru = domain.fill_halos(res_u, width=2, stagger="U")
+                rv = domain.fill_halos(res_v, width=2, stagger="V")
             td = thickness_diffuse(grid, vgrid, h, dt,
                                    cfg.thickness_diffuse, khth_2d=kh2,
-                                   gprime_int=gp_int)
+                                   gprime_int=gp_int, res_u=ru,
+                                   res_v=rv)
             state = state.replace(h=domain.fill_halos(td.h))
             uh_param, vh_param = dt * td.uhD, dt * td.vhD
             if use_meke:
@@ -540,30 +550,66 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                                     cfg.neutral)
         elif cfg.hordiff.khtr > 0.0 or (
                 cfg.use_meke and state.meke is not None
-                and cfg.meke_khtr_fac > 0.0):
+                and cfg.meke_khtr_fac > 0.0) \
+                or cfg.hordiff.khtr_slope_cff > 0.0:
             ktr2 = None
+            tr_res_u = tr_res_v = None
+            tr_add_u = tr_add_v = None
+            if cfg.hordiff.khtr_slope_cff > 0.0:
+                # KHTR_SLOPE_CFF: Visbeck addition cff·L²·SN at the
+                # faces (MOM_tracer_hor_diff.F90:241)
+                sn_tr = calc_eady_rate(cfg.varmix, grid, vgrid,
+                                       domain.fill_halos(state.h),
+                                       domain.fill_halos(state.T)
+                                       if state.T is not None else None,
+                                       domain.fill_halos(state.S)
+                                       if state.S is not None else None,
+                                       eos)
+                sn_tr = domain.fill_halos(sn_tr, width=2)
+                L2 = cfg.varmix.visbeck_l_scale ** 2 \
+                    if cfg.varmix.visbeck_l_scale > 0.0 else grid.areaT
+                cffL2sn = cfg.hordiff.khtr_slope_cff * L2 * sn_tr
+                tr_add_u = 0.5 * (cffL2sn + _ip1_(cffL2sn))
+                tr_add_v = 0.5 * (cffL2sn + _jp1_(cffL2sn))
             if cfg.resoln_scaled_khtr and cfg.use_varmix:
                 # RESOLN_SCALED_KHTR: damp the tracer diffusivity
-                # where the deformation radius is resolved
-                # (MOM_lateral_mixing_coeffs.F90 Res_fn applied to
-                # KHTR in tracer_hor_diff_init); recomputed here so
-                # the PHASED_JIT tracer phase stays self-contained
+                # where the deformation radius is resolved via the
+                # face-centered Res_fn (MOM_tracer_hor_diff.F90:439);
+                # recomputed here so the PHASED_JIT tracer phase
+                # stays self-contained
+                # the reference averages the h-point Res_fn to faces
+                # here (not the face-centered formula,
+                # MOM_tracer_hor_diff.F90:245,261)
                 vmr = calc_resolution_function(
                     cfg.varmix, grid, vgrid, state.h, state.T,
                     state.S, eos)
-                ktr2 = cfg.hordiff.khtr * vmr.res_fn
+                rfh = domain.fill_halos(vmr.res_fn, width=2)
+                tr_res_u = 0.5 * (rfh + _ip1_(rfh))
+                tr_res_v = 0.5 * (rfh + _jp1_(rfh))
             if (cfg.use_meke and state.meke is not None
                     and cfg.meke_khtr_fac > 0.0):
                 # MEKE_KHTR_FAC: KhTr gains a fraction of the
                 # MEKE-derived diffusivity (tracer_hor_diff.F90:241)
-                base = ktr2 if ktr2 is not None else cfg.hordiff.khtr
-                ktr2 = base + cfg.meke_khtr_fac * meke_khth(
-                    cfg.meke, state.meke)
+                ktr2 = cfg.hordiff.khtr + cfg.meke_khtr_fac \
+                    * meke_khth(cfg.meke, state.meke)
             if ktr2 is not None:
                 ktr2 = domain.fill_halos(ktr2, width=1)
             adv, hh = domain.fill_halos((adv, state.h), width=1)
+            rho_ml = None
+            if cfg.hordiff.diffuse_ml_to_interior \
+                    and cfg.hordiff.nkmb > 0 and eos is not None \
+                    and "T" in adv:
+                # coordinate density of the ML/buffer water for the
+                # epipycnal pairing (tracer_epipycnal_ML_diff uses
+                # tv%P_Ref coordinate densities, :845-855)
+                rho_ml = eos.density(adv["T"][:cfg.hordiff.nkmb],
+                                     adv["S"][:cfg.hordiff.nkmb],
+                                     cfg.hordiff.p_ref)
             adv = tracer_hordiff(domain, grid, adv, hh, dt,
-                                 cfg.hordiff, khtr_2d=ktr2)
+                                 cfg.hordiff, khtr_2d=ktr2,
+                                 res_u=tr_res_u, res_v=tr_res_v,
+                                 add_u=tr_add_u, add_v=tr_add_v,
+                                 rho_ml=rho_ml, rlay=vgrid.Rlay)
         if cfg.use_hbd and mld_prev is not None:
             # near-boundary diffusion inside the boundary layer
             # (hor_bnd_diffusion, applied after tracer_hordiff as in

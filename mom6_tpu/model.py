@@ -102,8 +102,6 @@ _PARITY_POLICY = [
 _PARITY_UNIMPL = [
     ("THICKNESSDIFFUSE_FIRST", bool, False),
     ("ISOTROPIC", bool, False),
-    ("KHTR_SLOPE_CFF", float, 0.0),
-    ("VARMIX_KTOP", int, 2),
     ("PRANDTL_TURB", float, 0.0),
     ("ML_OMEGA_FRAC", float, 0.0),
     ("BT_THICK_SCHEME", str, "FROM_BT_CONT"),
@@ -113,11 +111,7 @@ _PARITY_UNIMPL = [
     ("LIMIT_BUFFER_DETRAIN", bool, False),
     ("DEPTH_LIMIT_FLUXES", float, 0.0),
     ("CORRECT_ABSORPTION_DEPTH", bool, False),
-    ("DIFFUSE_ML_TO_INTERIOR", bool, False),
-    ("ML_KHTR_SCALE", float, 0.0),
     ("USE_PSURF_IN_EOS", bool, False),
-    ("INTERPOLATE_RES_FN", bool, False),
-    ("GILL_EQUATORIAL_LD", bool, False),
     ("USE_LAND_MASK_FOR_HVISC", bool, False),
     ("KV_ML_INVZ2", float, 0.0),
     ("OBC_FREESLIP_VORTICITY", bool, False),
@@ -1880,7 +1874,10 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         res_coef=pf.get("KH_RES_SCALE_COEF", float, 1.0),
         khth_slope_cff=pf.get("KHTH_SLOPE_CFF", float, 0.0),
         visbeck_l_scale=pf.get("VISBECK_L_SCALE", float, 0.0,
-                               units="m"))
+                               units="m"),
+        gill_equatorial_ld=pf.get("GILL_EQUATORIAL_LD", bool, True),
+        interpolate_res_fn=pf.get("INTERPOLATE_RES_FN", bool, False),
+        varmix_ktop=pf.get("VARMIX_KTOP", int, 2))
     pf.module("MOM_mixed_layer_restrat")
     use_mle = pf.get("MIXEDLAYER_RESTRAT", bool, False)
     mle_cfg = MLRestratCfg(
@@ -1892,7 +1889,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     hordiff_cfg = TracerHorDiffCfg(
         khtr=pf.get("KHTR", float, 0.0, units="m2 s-1"),
         khtr_min=pf.get("KHTR_MIN", float, 0.0, units="m2 s-1"),
-        khtr_max=pf.get("KHTR_MAX", float, -1.0, units="m2 s-1"))
+        khtr_max=pf.get("KHTR_MAX", float, -1.0, units="m2 s-1"),
+        khtr_slope_cff=pf.get("KHTR_SLOPE_CFF", float, 0.0),
+        diffuse_ml_to_interior=pf.get("DIFFUSE_ML_TO_INTERIOR", bool,
+                                      False),
+        ml_khtr_scale=pf.get("ML_KHTR_SCALE", float, 1.0),
+        nkml=nkml, nkmb=nk_rho_varies, p_ref=p_ref)
     use_neutral = pf.get("USE_NEUTRAL_DIFFUSION", bool, False)
     neutral_cfg = NeutralDiffCfg(khtr=hordiff_cfg.khtr)
     n_dyn_per_therm = max(1, int(round(dt_therm / dt)))

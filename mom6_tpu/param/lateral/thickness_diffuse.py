@@ -56,15 +56,19 @@ class ThicknessDiffuseResult(NamedTuple):
 @jax.named_scope("thickness_diffuse")
 def thickness_diffuse(grid: Grid, vgrid: VerticalGrid, h, dt,
                       cfg: ThicknessDiffuseCfg, khth_2d=None,
-                      gprime_int=None):
+                      gprime_int=None, res_u=None, res_v=None):
     """Apply interface-height diffusion over dt.  Needs h halos ≥2.
 
     khth_2d: optional (njh, nih) coefficient at h points replacing the
     constant (interpolated to faces here); the caller assembles it
-    from MEKE/VarMix.  gprime_int: optional (nk+1, njh, nih) interface
-    reduced gravities for the PE-release diagnostic (e.g. N²·Δz from
-    the actual stratification); defaults to the Rlay target-density
-    jumps (degenerate for z*-type coordinates)."""
+    from MEKE/VarMix.  res_u/res_v: optional face-centered resolution
+    functions multiplying the face coefficients (RESOLN_SCALED_KHTH
+    applies VarMix%Res_fn_u/v at the faces, MOM_thickness_diffuse.F90
+    KH_u scaling; the face Res_fn is evaluated directly unless
+    INTERPOLATE_RES_FN).  gprime_int: optional (nk+1, njh, nih)
+    interface reduced gravities for the PE-release diagnostic
+    (e.g. N²·Δz from the actual stratification); defaults to the Rlay
+    target-density jumps (degenerate for z*-type coordinates)."""
     if cfg.khth <= 0.0 and khth_2d is None:
         z = jnp.zeros_like(h)
         return ThicknessDiffuseResult(h=h, uhD=z, vhD=z,
@@ -80,6 +84,10 @@ def thickness_diffuse(grid: Grid, vgrid: VerticalGrid, h, dt,
     else:
         kh_u0 = cfg.khth
         kh_v0 = cfg.khth
+    if res_u is not None:
+        kh_u0 = kh_u0 * res_u
+    if res_v is not None:
+        kh_v0 = kh_v0 * res_v
     kh_u = jnp.minimum(kh_u0, cfg.khth_max_cfl
                        * grid.dxCu * grid.dxCu / dt)
     kh_v = jnp.minimum(kh_v0, cfg.khth_max_cfl

@@ -65,6 +65,75 @@ def test_resolution_function_limits():
     assert np.all(np.asarray(res.res_fn) <= 1)
 
 
+def test_resolution_function_equatorial_beta():
+    """On an equatorial beta plane (f=0) the denominator is carried
+    entirely by the beta term: Gill's definition (factor 2,
+    MOM_lateral_mixing_coeffs.F90:1507) gives a SMALLER equatorial
+    deformation radius, hence a LARGER res_fn, than Pedlosky's; both
+    stay physical (strictly inside (0,1)) instead of collapsing to
+    the f-floor."""
+    d = Domain(ni=16, nj=16, halo=4, reentrant_x=True,
+               reentrant_y=True)
+    g = cartesian_grid(d, lenlon_km=1600.0, lenlat_km=1600.0,
+                       f0=0.0, beta=2.3e-11, max_depth=1000.0,
+                       south_lat=-800.0)
+    vg = VerticalGrid.uniform(nk=4, gint=0.01)
+    h = d.fill_halos(d.pad(jnp.full((4, 16, 16), 250.0)))
+    res_gill = calc_resolution_function(
+        VarMixCfg(gill_equatorial_ld=True), g, vg, h)
+    res_ped = calc_resolution_function(
+        VarMixCfg(gill_equatorial_ld=False), g, vg, h)
+    rg = np.asarray(d.interior(res_gill.res_fn))
+    rp = np.asarray(d.interior(res_ped.res_fn))
+    assert np.all(rg > rp)          # beta term doubled → less resolved
+    assert np.all((rg > 0.0) & (rg < 1.0))
+    # the deformation-radius ratio shrinks by exactly sqrt(2) where f≈0
+    j0 = rg.shape[0] // 2
+    ratio = (np.asarray(d.interior(res_ped.rd_dx))[j0]
+             / np.asarray(d.interior(res_gill.rd_dx))[j0])
+    np.testing.assert_allclose(ratio, np.sqrt(2.0), rtol=2e-2)
+
+
+def test_resolution_function_face_vs_interpolated():
+    """On a uniform f-plane the directly-evaluated face Res_fn
+    (INTERPOLATE_RES_FN=False, the reference default) agrees with the
+    h-point average (=True) because every input is spatially uniform;
+    both paths populate res_fn_u/res_fn_v."""
+    d, g, vg = setup(dxkm=50.0, f0=8e-5)
+    h = d.fill_halos(d.pad(jnp.full((4, 16, 16), 250.0)))
+    direct = calc_resolution_function(
+        VarMixCfg(interpolate_res_fn=False), g, vg, h)
+    interp = calc_resolution_function(
+        VarMixCfg(interpolate_res_fn=True), g, vg, h)
+    for a, b in ((direct.res_fn_u, interp.res_fn_u),
+                 (direct.res_fn_v, interp.res_fn_v)):
+        np.testing.assert_allclose(np.asarray(d.interior(a)),
+                                   np.asarray(d.interior(b)),
+                                   rtol=1e-6)
+    # and the face values bracket the h-point field
+    ru = float(jnp.mean(d.interior(direct.res_fn_u)))
+    rh = float(jnp.mean(d.interior(direct.res_fn)))
+    np.testing.assert_allclose(ru, rh, rtol=1e-3)
+
+
+def test_varmix_ktop_excludes_shallow_interfaces():
+    """VARMIX_KTOP > 2 removes the shallowest interfaces from the SN
+    integral (calc_slope_functions loops K=nz..ktop), reducing the
+    Eady rate when the near-surface slopes dominate."""
+    from mom6_tpu.param.lateral.varmix import calc_eady_rate
+    d, g, vg = setup(nk=6, dxkm=10.0)
+    h = jnp.full((6, 16, 16), 200.0)
+    # tilt the top interfaces only: slope lives at interfaces 0-1
+    j = jnp.arange(16, dtype=jnp.float64).reshape(1, -1, 1)
+    h = h.at[0].add(20.0 * j[0]).at[1].add(-20.0 * j[0])
+    h = d.fill_halos(d.pad(h))
+    sn_all = calc_eady_rate(VarMixCfg(varmix_ktop=2), g, vg, h)
+    sn_cut = calc_eady_rate(VarMixCfg(varmix_ktop=4), g, vg, h)
+    assert float(jnp.max(d.interior(sn_all))) > 0.0
+    assert float(jnp.max(d.interior(sn_cut))) \
+        < 0.7 * float(jnp.max(d.interior(sn_all)))
+
+
 def test_ml_restrat_flattens_front_and_conserves():
     """A lateral buoyancy front within the mixed layer drives an
     overturning that conserves mass per column total."""

@@ -107,3 +107,71 @@ def test_registry():
                              column_fn=lambda t, h, dt: t + dt))
     out = reg2.apply_column_fns({"age": jnp.zeros(3)}, None, 2.0)
     np.testing.assert_allclose(np.asarray(out["age"]), 2.0)
+
+
+def test_khtr_slope_cff_accelerates_mixing():
+    """KHTR_SLOPE_CFF adds cff*L^2*SN to the face diffusivity
+    (MOM_tracer_hor_diff.F90:241): with an additive face term the
+    tracer front homogenizes faster, and conservation still holds."""
+    from mom6_tpu.tracer.hor_diff import TracerHorDiffCfg, \
+        tracer_hordiff
+    d, g = setup()
+    h = d.fill_halos(d.pad(jnp.full((2, 8, 32), 100.0)))
+    T = jnp.where(jnp.arange(g.bathyT.shape[-1]) < g.bathyT.shape[-1]
+                  // 2, 1.0, 0.0) * jnp.ones_like(h)
+    T = d.fill_halos(T)
+    cfg = TracerHorDiffCfg(khtr=50.0, khtr_slope_cff=1.0)
+    add = jnp.full_like(g.bathyT, 450.0)   # cff*L^2*SN at faces
+    base = tracer_hordiff(d, g, {"c": T}, h, 3600.0, cfg)["c"]
+    fast = tracer_hordiff(d, g, {"c": T}, h, 3600.0, cfg,
+                          add_u=add, add_v=add)["c"]
+    var_b = float(jnp.var(d.interior(base)))
+    var_f = float(jnp.var(d.interior(fast)))
+    assert var_f < var_b
+    tot0 = float(jnp.sum(d.interior(T * h)))
+    tot1 = float(jnp.sum(d.interior(fast * h)))
+    np.testing.assert_allclose(tot1, tot0, rtol=1e-12)
+
+
+def test_diffuse_ml_to_interior_epipycnal():
+    """DIFFUSE_ML_TO_INTERIOR: mixed-layer water exchanges with the
+    density-matched INTERIOR layer of the neighbor column (the
+    max_kRho pairing of tracer_epipycnal_ML_diff,
+    MOM_tracer_hor_diff.F90:857), not with its own z-like level;
+    buffer layers get no along-layer diffusion; total content is
+    conserved."""
+    from mom6_tpu.tracer.hor_diff import TracerHorDiffCfg, \
+        tracer_hordiff
+    d, g = setup(ni=32, nj=8)
+    nz, nkml, nkmb = 5, 1, 2
+    h = d.fill_halos(d.pad(jnp.full((nz, 8, 32), 100.0)))
+    rlay = jnp.asarray([1020.0, 1021.0, 1025.0, 1027.0, 1029.0])
+    # ML coordinate density ≈ 1026.5 everywhere → pairs with interior
+    # layer 3 (Rlay=1027 bracket), never layer 2 or 4
+    rho_ml = jnp.full_like(h[:nkmb], 1026.5)
+    # dye lives only in the left half's ML layer
+    i = jnp.arange(h.shape[-1])
+    dye = jnp.where(i < h.shape[-1] // 2, 1.0, 0.0) \
+        * jnp.ones_like(h[0])
+    c = jnp.zeros_like(h).at[0].set(dye)
+    c = d.fill_halos(c)
+    cfg = TracerHorDiffCfg(khtr=100.0, diffuse_ml_to_interior=True,
+                           ml_khtr_scale=0.0, nkml=nkml, nkmb=nkmb)
+    out = tracer_hordiff(d, g, {"dye": c}, h, 3600.0, cfg,
+                         rho_ml=rho_ml, rlay=rlay)["dye"]
+    oi = np.asarray(d.interior(out))
+    ci = np.asarray(d.interior(c))
+    hi = np.asarray(d.interior(h))
+    # conservation
+    np.testing.assert_allclose(np.sum(oi * hi), np.sum(ci * hi),
+                               rtol=1e-12)
+    # dye appeared in interior layer 3 at the front, nowhere else new
+    assert oi[3].max() > 1e-6
+    assert abs(oi[2]).max() < 1e-14 and abs(oi[4]).max() < 1e-14
+    # the buffer layer (k=1) only sees dye second-hand (epipycnal
+    # exchange with the neighbor's now-dyed interior layer on a later
+    # pass) — far less than the directly-paired interior layer
+    assert abs(oi[1]).max() < 0.1 * oi[3].max()
+    # with ml_khtr_scale=0 the ML dye front did NOT diffuse along k=0
+    # (only the epipycnal drain changed it): the right half stays 0
+    assert abs(oi[0][:, oi.shape[-1] * 3 // 4]).max() < 1e-14
