@@ -109,15 +109,12 @@ _PARITY_UNIMPL = [
     ("BULK_RI_ML", float, 0.05),
     ("TKE_DECAY", float, 0.0), ("HMIX_MIN", float, 0.0),
     ("LIMIT_BUFFER_DETRAIN", bool, False),
-    ("DEPTH_LIMIT_FLUXES", float, 0.0),
-    ("CORRECT_ABSORPTION_DEPTH", bool, False),
     ("USE_PSURF_IN_EOS", bool, False),
     ("USE_LAND_MASK_FOR_HVISC", bool, False),
     ("KV_ML_INVZ2", float, 0.0),
     ("OBC_FREESLIP_VORTICITY", bool, False),
     ("OBC_FREESLIP_STRAIN", bool, False),
     ("OBC_ZERO_BIHARMONIC", bool, False),
-    ("OBC_RADIATION_MAX", float, 10.0),
     ("USE_STORED_SLOPES", bool, False),
     ("PGF_STANLEY_T2_DET_COEFF", float, -1.0),
     ("STANLEY_PRM_DET_COEFF", float, -1.0),
@@ -1788,7 +1785,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
             water_type={1: "I", 2: "IA", 3: "IB", 4: "II",
                         5: "III"}.get(
                 pf.get("WATER_TYPE", int, 3), "IB"),
-            chl=pf.get("CHL_CONC", float, 0.1, units="mg m-3")),
+            chl=pf.get("CHL_CONC", float, 0.1, units="mg m-3"),
+            correct_absorption_depth=pf.get("CORRECT_ABSORPTION_DEPTH",
+                                            bool, False)),
+        depth_limit_fluxes=pf.get("DEPTH_LIMIT_FLUXES", float, 0.0,
+                                  units="m"),
         use_geothermal=geo_flux > 0.0,
         geothermal=GeothermalCfg(geothermal_flux=geo_flux, rho0=rho0),
         use_full_conv=pf.get("FULL_CONVECTION", bool, False),

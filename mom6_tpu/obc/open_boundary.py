@@ -317,6 +317,10 @@ class OpenBoundaries:
                                         metadata=dict(static=True))
     tau_out_n: float = dataclasses.field(default=0.0,
                                          metadata=dict(static=True))
+    # OBC_RADIATION_MAX: cap on the nondimensional Orlanski radiation
+    # CFL rx (MOM_open_boundary.F90:629,2322-2363)
+    rx_max: float = dataclasses.field(default=10.0,
+                                      metadata=dict(static=True))
     # tracer-reservoir length scales [m]
     # (OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT / _IN)
     res_len_out: float = dataclasses.field(
@@ -465,7 +469,8 @@ class OpenBoundaries:
             num = u_old[..., :, i1] - u_new[..., :, i1]
             den = u_old[..., :, i1] - u_old[..., :, i2]
             rx = jnp.clip(num / (den + jnp.where(jnp.abs(den) > eps,
-                                                 0.0, eps)), 0.0, 1.0)
+                                                 0.0, eps)), 0.0,
+                          self.rx_max)
             val = (u_old[..., :, iB] + rx * u_new[..., :, i1]) \
                 / (1.0 + rx)
             east = iB >= H + ni - 1
@@ -496,7 +501,8 @@ class OpenBoundaries:
             num = v_old[..., j1, :] - v_new[..., j1, :]
             den = v_old[..., j1, :] - v_old[..., j2, :]
             rx = jnp.clip(num / (den + jnp.where(jnp.abs(den) > eps,
-                                                 0.0, eps)), 0.0, 1.0)
+                                                 0.0, eps)), 0.0,
+                          self.rx_max)
             val = (v_old[..., jB, :] + rx * v_new[..., j1, :]) \
                 / (1.0 + rx)
             north = jB >= H + nj - 1
@@ -728,6 +734,7 @@ def build_open_boundaries(pf, domain: Domain, indir: str = ".",
         if ext_pairs[d]:
             data[s_key] = paint_edge(d, ext_pairs[d], 1)
             data[v_key] = paint_edge(d, ext_pairs[d], 2)
+    data["rx_max"] = pf.get("OBC_RADIATION_MAX", float, 10.0)
     data["res_len_out"] = pf.get(
         "OBC_TRACER_RESERVOIR_LENGTH_SCALE_OUT", float, 1.0e4,
         units="m")

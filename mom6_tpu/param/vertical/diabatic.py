@@ -67,6 +67,9 @@ class DiabaticCfg:
     use_opacity: bool = False
     opacity: OpacityCfg = OpacityCfg()
     pen_sw_frac: float = 0.42   # top-layer absorbed fraction fallback
+    # DEPTH_LIMIT_FLUXES: scale surface fluxes away where the column
+    # is shallower than this (extractFluxes1d H_limit_fluxes)
+    depth_limit_fluxes: float = 0.0
     use_geothermal: bool = False   # GEOTHERMAL_FLUX > 0
     geothermal: GeothermalCfg = GeothermalCfg()
     use_full_conv: bool = False    # full convective adjustment
@@ -200,7 +203,8 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
             h, T, S, fluxes, dt, cfg.rho0, cp=_CP,
             opacity_cfg=cfg.opacity if cfg.use_opacity else None,
             pen_sw_frac=cfg.pen_sw_frac,
-            angstrom=vgrid.angstrom if vgrid is not None else 1e-10)
+            angstrom=vgrid.angstrom if vgrid is not None else 1e-10,
+            depth_limit_fluxes=cfg.depth_limit_fluxes)
         h, T, S = bf.h, bf.T, bf.S
 
     # --- geothermal bottom heating (MOM_geothermal.F90) ---

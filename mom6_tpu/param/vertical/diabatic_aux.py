@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from mom6_tpu.parallel.stencil import im1, jm1, ip1, jp1
@@ -68,7 +69,8 @@ class BoundaryFluxResult(NamedTuple):
 def apply_boundary_fluxes(h, T, S, fluxes, dt, rho0: float,
                           cp: float = _CP, opacity_cfg=None,
                           pen_sw_frac: float = 0.42,
-                          angstrom: float = 1e-10):
+                          angstrom: float = 1e-10,
+                          depth_limit_fluxes: float = 0.0):
     """Deposit surface fluxes into the upper ocean over dt.
 
     The explicit counterpart of applyBoundaryFluxesInOut
@@ -90,6 +92,18 @@ def apply_boundary_fluxes(h, T, S, fluxes, dt, rho0: float,
     zero = jnp.zeros_like(h[0])
     if fluxes is None:
         return BoundaryFluxResult(h, T, S, zero, zero, zero)
+
+    # DEPTH_LIMIT_FLUXES: surface fluxes are scaled away where the
+    # total ocean thickness is shallower than the limit, so near-dry
+    # columns do not blow up (extractFluxes1d's H_limit_fluxes
+    # scaling, MOM_forcing_type.F90 / MOM_bulk_mixed_layer.F90:4072)
+    flux_scale = None
+    if depth_limit_fluxes > 0.0:
+        flux_scale = jnp.minimum(jnp.sum(h, axis=0)
+                                 / depth_limit_fluxes, 1.0)
+        fluxes = jax.tree.map(
+            lambda f: f * flux_scale if f is not None else None,
+            fluxes, is_leaf=lambda x: x is None)
 
     heat_nonpen = zero
     for f in (fluxes.lw, fluxes.latent, fluxes.sensible):

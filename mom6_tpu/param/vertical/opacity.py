@@ -41,6 +41,12 @@ class OpacityCfg:
     # use it
     pen_sw_scale: float = 15.0     # PEN_SW_SCALE e-folding depth [m]
     pen_sw_frac: float = 0.42      # PEN_SW_FRAC penetrating fraction
+    # CORRECT_ABSORPTION_DEPTH: move part of each layer's absorbed
+    # shortwave into the water above so the pressure-weighted mean
+    # heating depth matches the exact exponential profile
+    # (absorbRemainingSW's adjustAbsorptionProfile branch,
+    # MOM_opacity.F90:755-790)
+    correct_absorption_depth: bool = False
 
 
 def _bands(cfg: OpacityCfg):
@@ -77,15 +83,44 @@ def sw_absorption_profile(cfg: OpacityCfg, h, sw_surface):
     Returns (heating (nk, ...), sw_bottom leftover)."""
     z_int = jnp.concatenate([jnp.zeros_like(h[:1]),
                              jnp.cumsum(h, axis=0)], axis=0)
-    flux = jnp.zeros_like(z_int)            # downward SW at interfaces
+    flux_bot = 0.0
+    heating = jnp.zeros_like(h)
     fsum = 0.0
+    hh = z_int[:-1]                         # thickness above layer k
     for frac, zpen in _bands(cfg):
         fsum += frac
-        flux = flux + frac * sw_surface[None] * jnp.exp(
+        fb = frac * sw_surface[None] * jnp.exp(
             -jnp.minimum(z_int / zpen, 80.0))
-    heating = flux[:-1] - flux[1:]
+        absorbed = fb[:-1] - fb[1:]
+        flux_bot = flux_bot + fb[-1]
+        if not cfg.correct_absorption_depth:
+            heating = heating + absorbed
+            continue
+        # adjustAbsorptionProfile (MOM_opacity.F90:755-790): a
+        # fraction SWa of each layer's absorption heats the column
+        # above uniformly in temperature, chosen so the
+        # pressure-weighted mean heating depth equals that of the
+        # exact exponential profile within the layer; capped so the
+        # overlying water never warms faster than the layer itself
+        od = h / zpen
+        e = jnp.exp(-jnp.minimum(od, 80.0))
+        swa_full = (((od + (od + 2.0) * e) - 2.0)
+                    / ((od + hh / zpen) * jnp.maximum(1.0 - e, 1e-30)))
+        swa_taylor = h * (od * (1.0 - od)) \
+            / ((hh + h) * (6.0 - 3.0 * od) + 1e-30)
+        swa = jnp.where(od > 1e-5, swa_full, swa_taylor)
+        swa = jnp.where(hh > 0.0,
+                        jnp.minimum(swa, hh / (hh + h + 1e-30)), 0.0)
+        heating = heating + (1.0 - swa) * absorbed
+        # uniform ΔT over the hh of water above: reverse-cumulated
+        # temperature tendency × local thickness keeps it O(nz)
+        dT_above = swa * absorbed / jnp.maximum(hh, 1e-30)
+        s = jnp.flip(jnp.cumsum(jnp.flip(dT_above, 0), axis=0), 0)
+        s_excl = jnp.concatenate([s[1:], jnp.zeros_like(s[:1])],
+                                 axis=0)
+        heating = heating + h * s_excl
     if fsum < 1.0 - 1e-12:
         # the non-penetrating remainder is absorbed at the surface
         # (single-band PEN_SW_FRAC semantics)
         heating = heating.at[0].add((1.0 - fsum) * sw_surface)
-    return heating, flux[-1]
+    return heating, flux_bot

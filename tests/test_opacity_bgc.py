@@ -93,3 +93,57 @@ def test_exponential_pen_sw_scheme():
                                rtol=1e-6)
     # penetration reaches the interior: layer 3 (30-40 m) sees heat
     assert float(heating[3].min()) > 0.1
+
+
+def test_correct_absorption_depth_conserves_and_lifts_heat():
+    """CORRECT_ABSORPTION_DEPTH (adjustAbsorptionProfile,
+    MOM_opacity.F90:755): part of each layer's absorption heats the
+    overlying water so the mean heating depth matches the exact
+    exponential; total absorbed heat is unchanged and the heating
+    centroid moves upward (the lumped per-layer profile places heat
+    too deep on coarse grids)."""
+    import jax.numpy as jnp
+    import numpy as np
+    h = jnp.full((6, 4, 4), 40.0)        # coarse 40 m layers
+    sw = jnp.full((4, 4), 200.0)
+    cfg0 = OpacityCfg(scheme="EXPONENTIAL", pen_sw_scale=15.0,
+                      pen_sw_frac=1.0)
+    cfg1 = OpacityCfg(scheme="EXPONENTIAL", pen_sw_scale=15.0,
+                      pen_sw_frac=1.0, correct_absorption_depth=True)
+    h0, b0 = sw_absorption_profile(cfg0, h, sw)
+    h1, b1 = sw_absorption_profile(cfg1, h, sw)
+    np.testing.assert_allclose(np.asarray(jnp.sum(h0, 0) + b0),
+                               np.asarray(jnp.sum(h1, 0) + b1),
+                               rtol=1e-12)
+    zc = jnp.cumsum(h, 0) - 0.5 * h      # layer-center depths
+    d0 = float(jnp.sum(zc * h0) / jnp.sum(h0))
+    d1 = float(jnp.sum(zc * h1) / jnp.sum(h1))
+    assert d1 < d0                        # heat moved upward
+    # analytic pressure-weighted mean depth of I0*exp(-z/zp)/zp over
+    # (0, inf) is zp = 15 m; the corrected centroid must land closer
+    assert abs(d1 - 15.0) < abs(d0 - 15.0)
+
+
+def test_depth_limit_fluxes_scales_shallow_columns():
+    """DEPTH_LIMIT_FLUXES: surface heating is scaled away where the
+    column is thinner than the limit (extractFluxes1d
+    H_limit_fluxes)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mom6_tpu.param.vertical.diabatic_aux import \
+        apply_boundary_fluxes
+    from mom6_tpu.core.forcing import Fluxes
+    h_deep = jnp.full((3, 4, 4), 50.0)
+    h_thin = jnp.full((3, 4, 4), 0.02)   # 6 cm column
+    T = jnp.full((3, 4, 4), 10.0)
+    S = jnp.full((3, 4, 4), 35.0)
+    fl = Fluxes(sw=jnp.full((4, 4), 500.0))
+    kw = dict(dt=3600.0, rho0=1035.0, depth_limit_fluxes=1.0)
+    b_deep = apply_boundary_fluxes(h_deep, T, S, fl, **kw)
+    b_thin = apply_boundary_fluxes(h_thin, T, S, fl, **kw)
+    dT_deep = float(jnp.max(b_deep.T - T))
+    dT_thin = float(jnp.max(b_thin.T - T))
+    assert dT_deep > 0.0 and dT_thin > 0.0
+    # thin column: flux scaled by 0.06/1.0, so even though the layer
+    # is 2500x thinner, its warming stays bounded near the deep case
+    assert dT_thin < 200.0 * dT_deep
