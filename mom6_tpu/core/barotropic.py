@@ -79,6 +79,16 @@ class BarotropicCfg:
     # BOUND_BT_CORRECTION (MOM_barotropic.F90:1587): cap the eta_cor
     # pseudo mass source by what maxCFL_BT_cont velocities can carry
     bound_bt_corr: bool = False
+    # BT_STRONG_DRAG (MOM_barotropic.F90:1513,4641): harmonic-form
+    # per-substep viscous remnant n·r/(1+(n-1)·r) — a stronger
+    # retarding estimate under strong bottom drag than the geometric
+    # r^(1/n) decay
+    strong_drag: bool = False
+    # SSH_EXTRA [m]: headroom added to the depth in the safe external
+    # wave speed of set_dtbt (MOM_barotropic.F90:4697).  0 keeps this
+    # build's empirically-tuned subcycle CFL; < 0 selects the
+    # reference default min(10 m, 5% of max depth)
+    ssh_extra: float = 0.0
     maxcfl_bt_cont: float = 0.25     # MAXCFL_BT_CONT
     # fuse the subcycle into the Pallas TPU kernel when supported
     # (single device, fp32, no OBC; see barotropic_pallas.py)
@@ -122,7 +132,12 @@ def set_dtbt(domain: Domain, grid, vgrid, cfg: BarotropicCfg, dt: float,
     else:
         D = float(jnp.max(grid.bathyT)) if max_depth is None \
             else max_depth
-    c = math.sqrt(vgrid.g_Earth * max(D, 1.0))
+    # SSH_EXTRA: headroom for how much higher SSH might get, entering
+    # the safe external wave speed (MOM_barotropic.F90:4697,4907;
+    # default min(10 m, 5% of the maximum depth))
+    ssh_extra = cfg.ssh_extra if cfg.ssh_extra >= 0.0 \
+        else min(10.0, 0.05 * D)
+    c = math.sqrt(vgrid.g_Earth * max(D + ssh_extra, 1.0))
     dx = float(jnp.min(jnp.where(grid.dxT > 0, grid.dxT, jnp.inf)))
     dy = float(jnp.min(jnp.where(grid.dyT > 0, grid.dyT, jnp.inf)))
     dmin = min(dx, dy)
@@ -370,10 +385,17 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     av_rem_u = jnp.sum(frhatu * visc_rem_u, axis=0)
     av_rem_v = jnp.sum(frhatv * visc_rem_v, axis=0)
     Instep = 1.0 / nstep
-    bt_rem_u = jnp.where(av_rem_u > 0, av_rem_u ** Instep, 0.0) \
-        * grid.mask2dCu
-    bt_rem_v = jnp.where(av_rem_v > 0, av_rem_v ** Instep, 0.0) \
-        * grid.mask2dCv
+    if cfg.strong_drag:
+        # BT_STRONG_DRAG harmonic form (MOM_barotropic.F90:1513)
+        bt_rem_u = grid.mask2dCu * (nstep * av_rem_u) \
+            / (1.0 + (nstep - 1.0) * av_rem_u)
+        bt_rem_v = grid.mask2dCv * (nstep * av_rem_v) \
+            / (1.0 + (nstep - 1.0) * av_rem_v)
+    else:
+        bt_rem_u = jnp.where(av_rem_u > 0, av_rem_u ** Instep, 0.0) \
+            * grid.mask2dCu
+        bt_rem_v = jnp.where(av_rem_v > 0, av_rem_v ** Instep, 0.0) \
+            * grid.mask2dCv
 
     fill = domain.fill_halos
 

@@ -105,11 +105,10 @@ _PARITY_UNIMPL = [
     ("PRANDTL_TURB", float, 0.0),
     ("ML_OMEGA_FRAC", float, 0.0),
     ("BT_THICK_SCHEME", str, "FROM_BT_CONT"),
-    ("BT_STRONG_DRAG", bool, False), ("RECLAIM_FRAZIL", bool, True),
+    ("RECLAIM_FRAZIL", bool, True),
     ("BULK_RI_ML", float, 0.05),
     ("TKE_DECAY", float, 0.0), ("HMIX_MIN", float, 0.0),
     ("LIMIT_BUFFER_DETRAIN", bool, False),
-    ("USE_PSURF_IN_EOS", bool, False),
     ("USE_LAND_MASK_FOR_HVISC", bool, False),
     ("KV_ML_INVZ2", float, 0.0),
     ("OBC_FREESLIP_VORTICITY", bool, False),
@@ -119,7 +118,6 @@ _PARITY_UNIMPL = [
     ("PGF_STANLEY_T2_DET_COEFF", float, -1.0),
     ("STANLEY_PRM_DET_COEFF", float, -1.0),
     ("USE_MLD_ITERATION", bool, False),
-    ("SSH_EXTRA", float, 10.0),
     ("BBL_USE_EOS", bool, False), ("CORIOLIS_EN_DIS", bool, False),
     ("RECONSTRUCT_FOR_PRESSURE", bool, True),
 ]
@@ -990,6 +988,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         use_bt_cont=use_bt_cont,
         bound_bt_corr=pf.get("BOUND_BT_CORRECTION", bool, False),
         maxcfl_bt_cont=pf.get("MAXCFL_BT_CONT", float, 0.25),
+        strong_drag=pf.get("BT_STRONG_DRAG", bool, False),
+        ssh_extra=pf.get("SSH_EXTRA", float, 0.0, units="m"),
         use_pallas=pf.get("BT_USE_PALLAS", bool, True),
         wide_halo_period=pf.get("BT_WIDE_HALO_PERIOD", int, 1))
     split_cfg = None
@@ -1790,6 +1790,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                             bool, False)),
         depth_limit_fluxes=pf.get("DEPTH_LIMIT_FLUXES", float, 0.0,
                                   units="m"),
+        use_psurf_in_eos=pf.get("USE_PSURF_IN_EOS", bool, True),
         use_geothermal=geo_flux > 0.0,
         geothermal=GeothermalCfg(geothermal_flux=geo_flux, rho0=rho0),
         use_full_conv=pf.get("FULL_CONVECTION", bool, False),

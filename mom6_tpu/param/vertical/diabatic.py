@@ -70,6 +70,9 @@ class DiabaticCfg:
     # DEPTH_LIMIT_FLUXES: scale surface fluxes away where the column
     # is shallower than this (extractFluxes1d H_limit_fluxes)
     depth_limit_fluxes: float = 0.0
+    # USE_PSURF_IN_EOS: include the surface pressure in EOS /
+    # freezing-point calculations (MOM.F90:2428, default true)
+    use_psurf_in_eos: bool = True
     use_geothermal: bool = False   # GEOTHERMAL_FLUX > 0
     geothermal: GeothermalCfg = GeothermalCfg()
     use_full_conv: bool = False    # full convective adjustment
@@ -232,7 +235,14 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
     # deficit is returned to the caller as the frazil ice-model flux
     frazil = None
     if cfg.do_frazil and T is not None:
-        T, frazil = make_frazil(cfg.frazil, h, T, S)
+        # USE_PSURF_IN_EOS: the surface load enters the freezing
+        # point (sea-ice / ice-shelf depression of T_freeze)
+        psurf = forces.p_surf if (cfg.use_psurf_in_eos
+                                  and forces is not None) else None
+        T, frazil = make_frazil(cfg.frazil, h, T, S,
+                                angstrom=vgrid.angstrom
+                                if vgrid is not None else 1e-10,
+                                p_surf=psurf)
 
     # --- layered (isopycnal-mode) physics: thicknesses evolve ---
     if cfg.use_bml and T is not None and eos is not None:

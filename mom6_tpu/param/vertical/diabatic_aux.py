@@ -44,17 +44,46 @@ def t_freeze(cfg: FrazilCfg, S, p):
     return cfg.tfr_s0_p0 + cfg.dtfr_ds * S + cfg.dtfr_dp * p
 
 
-def make_frazil(cfg: FrazilCfg, h, T, S):
-    """Clamp sub-freezing water to the freezing point.
+def make_frazil(cfg: FrazilCfg, h, T, S, angstrom: float = 1e-10,
+                p_surf=None):
+    """Frazil formation with the reference's bottom-up deficit march
+    (make_frazil, MOM_diabatic_aux.F90:95-210): sub-freezing layers
+    add their heat deficit to an upward-propagating column deficit
+    which WARMER layers above absorb (cooling toward their own
+    freezing point) before any residual surfaces as frazil — not an
+    independent per-layer clamp.  Very thin layers are clamped but
+    never cooled by the propagating deficit (:195).
 
-    Returns (T_new, frazil) with frazil the column heat deficit
+    Returns (T_new, frazil) with frazil the surface heat deficit
     [J m-2] ≥ 0 that the ice model must extract as ice formation."""
     z_mid = jnp.cumsum(h, axis=0) - 0.5 * h
     p = cfg.rho0 * cfg.g * z_mid
+    if p_surf is not None:
+        # USE_PSURF_IN_EOS: the surface load (atmosphere/ice shelf)
+        # enters the freezing-point pressure (MOM.F90:2428,2757;
+        # make_frazil's pressure loop starts from p_surf, :162)
+        p = p + p_surf
     tf = t_freeze(cfg, S, p)
-    deficit = jnp.maximum(tf - T, 0.0)
-    frazil = cfg.rho0 * cfg.cp * jnp.sum(deficit * h, axis=0)
-    return T + deficit, frazil
+    hc = cfg.rho0 * cfg.cp * jnp.maximum(h, _H_NEGLECT)
+    thin = h <= 10.0 * angstrom
+
+    def up(fraz_col, xs):
+        t_k, tf_k, hc_k, thin_k = xs
+        # thick layer: absorb the deficit down to its freezing point,
+        # then contribute its own sub-freezing deficit
+        t_thick = jnp.maximum(tf_k, t_k - fraz_col / hc_k)
+        f_thick = jnp.maximum(fraz_col + hc_k * (tf_k - t_k), 0.0)
+        # thin layer: clamp only; the deficit passes through
+        t_thin = jnp.maximum(tf_k, t_k)
+        f_thin = fraz_col + hc_k * jnp.maximum(tf_k - t_k, 0.0)
+        t_new = jnp.where(thin_k, t_thin, t_thick)
+        f_new = jnp.where(thin_k, f_thin, f_thick)
+        return f_new, t_new
+
+    frazil, T_new = jax.lax.scan(
+        up, jnp.zeros_like(T[0]),
+        (T[::-1], tf[::-1], hc[::-1], thin[::-1]))
+    return T_new[::-1], frazil
 
 
 class BoundaryFluxResult(NamedTuple):

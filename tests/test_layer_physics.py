@@ -234,3 +234,47 @@ def test_direct_stress_spreads_momentum_over_hmix():
     assert out[True][1].max() > 10.0 * max(out[False][1].max(), 1e-12)
     # and layers below Hmix stay unforced
     assert out[True][3].max() < 1e-6
+
+
+def test_frazil_deficit_reclaimed_by_warm_water_above():
+    """The reference's make_frazil marches the heat deficit UPWARD:
+    sub-freezing deep water's deficit is absorbed by warmer layers
+    above (cooled toward their own freezing point) before any
+    residual surfaces as frazil (MOM_diabatic_aux.F90:150-210) — an
+    independent per-layer clamp would instead report the full
+    deficit."""
+    from mom6_tpu.param.vertical.diabatic_aux import (FrazilCfg,
+                                                      make_frazil,
+                                                      t_freeze)
+    cfg = FrazilCfg()
+    h = col([20.0] * 4)
+    S = jnp.full_like(h, 35.0)
+    # bottom layer 0.1 degC below its freezing point; plenty of warm
+    # water above
+    tf_bot = float(t_freeze(cfg, 35.0, cfg.rho0 * cfg.g * 70.0))
+    T = col([5.0, 4.0, 3.0, tf_bot - 0.1])
+    T2, frazil = make_frazil(cfg, h, T, S)
+    # the deficit (rho0 cp 0.1 K 20 m) is tiny vs the warm layers'
+    # heat content, so it is fully absorbed: no surface frazil
+    assert float(frazil[0, 0]) == 0.0
+    # bottom clamped to freezing; the layer above absorbed the heat
+    # deficit by cooling
+    assert abs(float(T2[3, 0, 0]) - tf_bot) < 1e-12
+    deficit = 0.1 * 20.0                       # K m
+    np.testing.assert_allclose(float(T2[2, 0, 0]),
+                               3.0 - deficit / 20.0, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(T2[:2]), np.asarray(T[:2]))
+    # heat conservation: column heat content unchanged when no frazil
+    np.testing.assert_allclose(float(jnp.sum(T2 * h)),
+                               float(jnp.sum(T * h)), rtol=1e-12)
+
+
+def test_bt_strong_drag_damps_faster():
+    """BT_STRONG_DRAG's harmonic per-substep remnant n r/(1+(n-1)r)
+    damps the barotropic velocity more than the geometric r^(1/n)
+    over the subcycle (MOM_barotropic.F90:1513)."""
+    n, r = 32.0, 0.5
+    geo = (r ** (1.0 / n)) ** n
+    strong = ((n * r) / (1.0 + (n - 1.0) * r)) ** n
+    assert strong < geo
+    np.testing.assert_allclose(geo, r, rtol=1e-12)
