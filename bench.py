@@ -18,16 +18,25 @@ BASELINE.json 50M points/s placeholder (the reference publishes no
 absolute numbers).
 
 Usage: python bench.py [--no-phases] [--no-om4]
-  --no-phases  skip the per-phase toggle probes (they are on by
-               default so the driver artifact always carries the
-               attribution; each probe compiles once, then replays
-               from the persistent cache)
+  --no-phases  skip the per-phase toggle probes
   --no-om4     skip the 1440x1088x25 configuration
+
+Time budget: the round-4 driver run timed out (rc=124, no numbers
+recorded) because the bench's total wall clock was unbounded — the
+OM4 child alone was allowed 80 minutes of compile time.  The bench is
+now stage-structured: the parent process NEVER initializes the TPU
+(single-tenant tunnel) and runs each stage (core / om4 / extras /
+phases) as a subprocess with both a soft in-process deadline and a
+hard subprocess timeout, dropping optional stages as the global
+budget (MOM6_BENCH_BUDGET_S, default 1500 s) runs down.  The final
+JSON line always prints, with `*_error`/`*_skipped` markers for
+anything that didn't fit.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -279,59 +288,8 @@ def _run_config(cfg_text, nsteps):
     return pts, 1e3 * wall / nsteps
 
 
-def _om4_child():
-    """Run ONLY the OM4 config and print one JSON line.  Executed as
-    a subprocess BEFORE the parent initializes the TPU: the OM4 design
-    point needs nearly all of HBM, and even with per-config cache
-    clearing the backend does not return enough of the earlier
-    configs' allocations for it to fit at the end of a long bench run
-    (fresh-process OM4 runs at ~944 ms/step; end-of-bench OM4
-    RESOURCE_EXHAUSTs)."""
+def _cache_on():
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                      1.0)
-    out = {}
-    try:
-        pts_om4, ms_om4 = _run_config(CONFIG + OM4_OVERRIDES,
-                                      nsteps=6)
-        out["om4_full_step_points_per_s"] = round(pts_om4, 1)
-        out["om4_full_step_ms"] = round(ms_om4, 2)
-    except Exception as exc:          # noqa: BLE001
-        out["om4_error"] = f"{type(exc).__name__}: {exc}"[:160]
-    print("OM4JSON:" + json.dumps(out))
-
-
-def _om4_subprocess():
-    """Spawn the OM4-only child (one TPU process at a time: the
-    parent has not touched jax yet when this runs)."""
-    import os
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--om4-only"],
-            capture_output=True, text=True, timeout=4800)
-        for line in r.stdout.splitlines():
-            if line.startswith("OM4JSON:"):
-                return json.loads(line[len("OM4JSON:"):])
-        return {"om4_error": ("child produced no result; tail: "
-                              + (r.stdout + r.stderr)[-120:])}
-    except Exception as exc:          # noqa: BLE001
-        return {"om4_error": f"subprocess: {exc}"[:160]}
-
-
-def main():
-    do_phases = "--no-phases" not in sys.argv
-    do_om4 = "--no-om4" not in sys.argv
-
-    # OM4 first, in its own process, before this process claims the
-    # TPU (single-tenant tunnel: two live TPU processes wedge it)
-    om4_out = _om4_subprocess() if do_om4 else {}
-
-    import jax
-    # persistent compile cache: the first bench after a source change
-    # pays the big-graph compiles once; subsequent runs replay
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
@@ -340,71 +298,181 @@ def main():
     except Exception:
         pass
 
+
+def _stage_deadline():
+    """Soft in-process deadline for a stage child, set by the parent
+    via MOM6_BENCH_STAGE_S (seconds from stage start)."""
+    return time.monotonic() + float(
+        os.environ.get("MOM6_BENCH_STAGE_S", "1e9"))
+
+
+def _stage_core():
+    """Headline full-step + dyn-core throughput at 512x512x25."""
+    _cache_on()
     pts_full, ms_full = _run_config(CONFIG, nsteps=12)
     pts_dyn, ms_dyn = _run_config(CONFIG + DYN_OVERRIDES, nsteps=12)
-
-    out = {
-        "metric": "full ocean step grid-points/s/chip "
-                  "(512x512x25 fp32: split RK2 + KPP thermo + GM + "
-                  "MLE + tracers + Z* ALE)",
+    return {
         "value": round(pts_full, 1),
-        "unit": "points/s",
         "vs_baseline": round(pts_full / 50e6, 3),
         "dyn_core_only_points_per_s": round(pts_dyn, 1),
         "full_step_ms": round(ms_full, 2),
         "dyn_step_ms": round(ms_dyn, 2),
     }
 
-    if "--no-landbench" not in sys.argv:
-        try:
-            out["land_block_bench"] = _land_bench()
-        except Exception as exc:          # noqa: BLE001
-            out["land_block_bench"] = f"err: {exc}"[:160]
 
-    if "--no-bgc" not in sys.argv:
+def _stage_om4():
+    """OM4-class 1440x1088x25 full step.  Runs in its own process:
+    the OM4 design point needs nearly all of HBM, and the backend
+    does not return enough of other configs' allocations for it to
+    fit after them (fresh-process OM4 ~900 ms/step; end-of-bench OM4
+    RESOURCE_EXHAUSTs)."""
+    _cache_on()
+    pts_om4, ms_om4 = _run_config(CONFIG + OM4_OVERRIDES, nsteps=6)
+    return {"om4_full_step_points_per_s": round(pts_om4, 1),
+            "om4_full_step_ms": round(ms_om4, 2)}
+
+
+def _stage_extras():
+    """Land-block elimination + BGC-on probes."""
+    _cache_on()
+    dl = _stage_deadline()
+    out = {}
+    try:
+        out["land_block_bench"] = _land_bench()
+    except Exception as exc:          # noqa: BLE001
+        out["land_block_bench"] = f"err: {exc}"[:160]
+    if time.monotonic() < dl - 60:
         try:
+            _, ms_full = _run_config(CONFIG, nsteps=8)
             out["bgc_bench"] = _bgc_probe(ms_full)
-        except Exception as exc:          # noqa: BLE001
+        except Exception as exc:      # noqa: BLE001
             out["bgc_bench"] = f"err: {exc}"[:160]
+    else:
+        out["bgc_bench"] = "skipped: stage deadline"
+    return out
 
-    if do_phases:
-        phases = {}
-        for tag, extra in PHASE_PROBES:
-            try:
-                _, ms = _run_config(CONFIG + DYN_OVERRIDES + extra,
-                                    nsteps=10)
-                phases[tag] = round(ms_dyn - ms, 2)
-            except Exception as exc:      # noqa: BLE001
-                phases[tag] = f"err: {exc}"[:80]
-        # residual = base minus the disable-able phase costs (the
-        # pallas probe is a gain and the *_half/_3 probes are partial
-        # attributions, not removable costs — excluded)
-        _attr_only = {"btstep_pallas_gain", "bt_substeps_half",
-                      "newton_iters_3"}
-        phases["btstep_plus_residual"] = round(
-            ms_dyn - sum(v for k, v in phases.items()
-                         if isinstance(v, float)
-                         and k not in _attr_only), 2)
-        out["dyn_phase_deltas_ms"] = phases
-        fph = {}
-        for tag, extra in FULL_PROBES:
-            try:
-                _, ms = _run_config(CONFIG + extra, nsteps=10)
-                fph[tag] = round(ms_full - ms, 2)
-            except Exception as exc:      # noqa: BLE001
-                fph[tag] = f"err: {exc}"[:80]
-        fph["dyn_plus_residual"] = round(
-            ms_full - sum(v for v in fph.values()
-                          if isinstance(v, float)), 2)
-        out["full_phase_deltas_ms"] = fph
 
-    out.update(om4_out)
+def _stage_phases():
+    """Config-toggle attribution probes (delta vs base ms/step).
+    Each probe is one extra compile (persistent-cache-backed); the
+    soft deadline drops remaining probes rather than overrunning."""
+    _cache_on()
+    dl = _stage_deadline()
+    _, ms_full = _run_config(CONFIG, nsteps=10)
+    _, ms_dyn = _run_config(CONFIG + DYN_OVERRIDES, nsteps=10)
+    phases = {}
+    for tag, extra in PHASE_PROBES:
+        if time.monotonic() > dl - 30:
+            phases[tag] = "skipped: stage deadline"
+            continue
+        try:
+            _, ms = _run_config(CONFIG + DYN_OVERRIDES + extra,
+                                nsteps=10)
+            phases[tag] = round(ms_dyn - ms, 2)
+        except Exception as exc:      # noqa: BLE001
+            phases[tag] = f"err: {exc}"[:80]
+    # residual = base minus the disable-able phase costs (the pallas
+    # probe is a gain and the *_half/_3 probes are partial
+    # attributions, not removable costs — excluded)
+    _attr_only = {"btstep_pallas_gain", "bt_substeps_half",
+                  "newton_iters_3"}
+    phases["btstep_plus_residual"] = round(
+        ms_dyn - sum(v for k, v in phases.items()
+                     if isinstance(v, float) and k not in _attr_only),
+        2)
+    fph = {}
+    for tag, extra in FULL_PROBES:
+        if time.monotonic() > dl - 30:
+            fph[tag] = "skipped: stage deadline"
+            continue
+        try:
+            _, ms = _run_config(CONFIG + extra, nsteps=10)
+            fph[tag] = round(ms_full - ms, 2)
+        except Exception as exc:      # noqa: BLE001
+            fph[tag] = f"err: {exc}"[:80]
+    fph["dyn_plus_residual"] = round(
+        ms_full - sum(v for v in fph.values()
+                      if isinstance(v, float)), 2)
+    return {"dyn_phase_deltas_ms": phases,
+            "full_phase_deltas_ms": fph}
+
+
+_STAGES = {"core": _stage_core, "om4": _stage_om4,
+           "extras": _stage_extras, "phases": _stage_phases}
+
+
+def _run_stage_child(name):
+    out = {}
+    try:
+        out = _STAGES[name]()
+    except Exception as exc:          # noqa: BLE001
+        out = {f"{name}_error": f"{type(exc).__name__}: {exc}"[:200]}
+    print("STAGEJSON:" + json.dumps(out))
+
+
+def _spawn_stage(name, soft_s):
+    """Run one stage as a subprocess (one TPU process at a time; the
+    parent never initializes the backend).  soft_s is the in-process
+    deadline; the hard subprocess timeout adds slack for TPU init."""
+    import subprocess
+    soft_s = max(soft_s, 60.0)
+    env = dict(os.environ, MOM6_BENCH_STAGE_S=str(soft_s))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--stage", name],
+            capture_output=True, text=True, timeout=soft_s + 120,
+            env=env)
+        for line in r.stdout.splitlines():
+            if line.startswith("STAGEJSON:"):
+                return json.loads(line[len("STAGEJSON:"):])
+        tail = (r.stdout + r.stderr)[-160:].replace("\n", " ")
+        return {f"{name}_error": "stage produced no result; tail: "
+                                 + tail}
+    except Exception as exc:          # noqa: BLE001
+        return {f"{name}_error": f"{type(exc).__name__}: {exc}"[:160]}
+
+
+def main():
+    t0 = time.monotonic()
+    budget = float(os.environ.get("MOM6_BENCH_BUDGET_S", "1500"))
+
+    def rem():
+        return budget - (time.monotonic() - t0)
+
+    out = {
+        "metric": "full ocean step grid-points/s/chip "
+                  "(512x512x25 fp32: split RK2 + KPP thermo + GM + "
+                  "MLE + tracers + Z* ALE)",
+        "value": 0.0,
+        "unit": "points/s",
+        "vs_baseline": 0.0,
+    }
+    out.update(_spawn_stage("core", min(840.0, rem() - 60.0)))
+
+    if "--no-om4" not in sys.argv:
+        if rem() > 240:
+            out.update(_spawn_stage("om4", min(700.0, rem() - 90.0)))
+        else:
+            out["om4_error"] = "skipped: bench budget exhausted"
+
+    if "--no-landbench" not in sys.argv and "--no-bgc" not in sys.argv:
+        if rem() > 220:
+            out.update(_spawn_stage("extras",
+                                    min(480.0, rem() - 90.0)))
+
+    if "--no-phases" not in sys.argv:
+        if rem() > 200:
+            out.update(_spawn_stage("phases",
+                                    min(600.0, rem() - 60.0)))
+        else:
+            out["phases_skipped"] = "bench budget exhausted"
 
     print(json.dumps(out))
 
 
-if "--om4-only" in sys.argv:
-    _om4_child()
+if "--stage" in sys.argv:
+    _run_stage_child(sys.argv[sys.argv.index("--stage") + 1])
     sys.exit(0)
 
 

@@ -303,7 +303,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                         e_tidal=e_tidal, varT_mult=varT_mult)
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
-                              kh_scale=kh_scale, kh_extra=kh_extra, **gme_kw)
+                              kh_scale=kh_scale, kh_extra=kh_extra,
+                              obc=obc, **gme_kw)
     diffu, diffv = dv.diffu, dv.diffv
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
     u_bc_accel = (ca.CAu + pf.PFu) + diffu

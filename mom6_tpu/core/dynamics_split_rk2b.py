@@ -149,7 +149,8 @@ def step_dyn_split_rk2b(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                         varT_mult=varT_mult)
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv_visc = horizontal_viscosity(grid, u_av, v_av, h_av, cfg.horvisc,
-                                   kh_scale=kh_scale, kh_extra=kh_extra, **gme_kw)
+                                   kh_scale=kh_scale, kh_extra=kh_extra,
+                                   obc=obc, **gme_kw)
     ca = coriolis_adv(grid, u_av, v_av, h_av, uh, vh, cfg.coriolis)
     u_bc_accel = (ca.CAu + pf.PFu) + dv_visc.diffu
     v_bc_accel = (ca.CAv + pf.PFv) + dv_visc.diffv
@@ -225,7 +226,7 @@ def step_dyn_split_rk2b(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     pbce, eta_pf = pf.pbce, pf.eta_pf
     dv_visc = horizontal_viscosity(grid, u_av_p, v_av_p, h_av,
                                    cfg.horvisc, kh_scale=kh_scale, kh_extra=kh_extra,
-                                   **gme_kw)
+                                   obc=obc, **gme_kw)
     ca = coriolis_adv(grid, u_av_p, v_av_p, h_av, uh, vh, cfg.coriolis)
     u_bc_accel = (ca.CAu + pf.PFu) + dv_visc.diffu
     v_bc_accel = (ca.CAv + pf.PFv) + dv_visc.diffv

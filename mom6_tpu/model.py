@@ -103,17 +103,10 @@ _PARITY_UNIMPL = [
     ("THICKNESSDIFFUSE_FIRST", bool, False),
     ("ISOTROPIC", bool, False),
     ("PRANDTL_TURB", float, 0.0),
-    ("ML_OMEGA_FRAC", float, 0.0),
     ("BT_THICK_SCHEME", str, "FROM_BT_CONT"),
     ("RECLAIM_FRAZIL", bool, True),
-    ("BULK_RI_ML", float, 0.05),
-    ("TKE_DECAY", float, 0.0), ("HMIX_MIN", float, 0.0),
     ("LIMIT_BUFFER_DETRAIN", bool, False),
-    ("USE_LAND_MASK_FOR_HVISC", bool, False),
     ("KV_ML_INVZ2", float, 0.0),
-    ("OBC_FREESLIP_VORTICITY", bool, False),
-    ("OBC_FREESLIP_STRAIN", bool, False),
-    ("OBC_ZERO_BIHARMONIC", bool, False),
     ("USE_STORED_SLOPES", bool, False),
     ("PGF_STANLEY_T2_DET_COEFF", float, -1.0),
     ("STANLEY_PRM_DET_COEFF", float, -1.0),
@@ -928,6 +921,21 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         gme_limiter=pf.get("GME_LIMITER", float, 1.0e7,
                            units="m2 s-1"),
         gme_kh=pf.get("KHTH", float, 0.0, units="m2 s-1"),
+        use_land_mask=pf.get("USE_LAND_MASK_FOR_HVISC", bool, True,
+                             desc="mask cell thicknesses before "
+                             "averaging to faces "
+                             "(MOM_hor_visc.F90:705,2270)"),
+        obc_zero_vorticity=pf.get("OBC_ZERO_VORTICITY", bool, False)
+        if obc is not None else False,
+        obc_freeslip_vorticity=pf.get("OBC_FREESLIP_VORTICITY", bool,
+                                      False)
+        if obc is not None else False,
+        obc_zero_strain=pf.get("OBC_ZERO_STRAIN", bool, False)
+        if obc is not None else False,
+        obc_freeslip_strain=pf.get("OBC_FREESLIP_STRAIN", bool, False)
+        if obc is not None else False,
+        obc_zero_biharmonic=pf.get("OBC_ZERO_BIHARMONIC", bool, False)
+        if obc is not None else False,
         dt=dt)
     pf.module("MOM_PressureForce")
     use_stanley_pgf = pf.get("USE_STANLEY_PGF", bool, False)
@@ -1797,6 +1805,22 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         # layered-mode column physics (only sensible without ALE)
         use_bml=use_bml,
         bml=BulkMixedLayerCfg(
+            mstar=pf.get("MSTAR", float, 1.2),
+            nstar=pf.get("NSTAR", float, 0.15), rho0=rho0,
+            bulk_ri=pf.get("BULK_RI_ML", float, 0.05,
+                           desc="efficiency with which mean kinetic "
+                           "energy released by mechanically forced "
+                           "entrainment is converted to TKE "
+                           "(MOM_bulk_mixed_layer.F90:3991)"),
+            tke_decay=pf.get("TKE_DECAY", float, 2.5,
+                             desc="ratio of the natural Ekman depth "
+                             "to the TKE decay scale "
+                             "(MOM_bulk_mixed_layer.F90:4000)"),
+            hmix_min=pf.get("HMIX_MIN", float, 0.0, units="m"),
+            omega_frac=pf.get("ML_OMEGA_FRAC", float, 0.0),
+            omega=pf.get("OMEGA", float, 7.2921e-5,
+                         units="s-1")) if use_bml else
+        BulkMixedLayerCfg(
             mstar=pf.get("MSTAR", float, 1.2),
             nstar=pf.get("NSTAR", float, 0.15), rho0=rho0),
         use_entrain_diffusive=pf.get("ENTRAIN_DIFFUSIVE", bool,

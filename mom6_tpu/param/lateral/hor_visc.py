@@ -70,6 +70,21 @@ class HorViscCfg:
     gme_efficiency: float = 1.0   # GME_EFFICIENCY
     gme_limiter: float = 1.0e7    # GME_LIMITER [m2 s-1]
     gme_kh: float = 0.0           # GM KH fed back (KHTH)
+    # USE_LAND_MASK_FOR_HVISC (MOM_hor_visc.F90:705,2270, default
+    # true): mask each CELL's thickness before averaging to faces, so
+    # arbitrary land values never enter hq; coast faces get half the
+    # wet thickness (the face-mask product would zero them and kill
+    # the NOSLIP wall stress)
+    use_land_mask: bool = True
+    # open-boundary treatment of the shear/vorticity at segment
+    # q-points and of the biharmonic Laplacian at segment faces
+    # (MOM_open_boundary.F90:468-516; applied in MOM_hor_visc.F90:735,
+    # :889, :1388)
+    obc_zero_vorticity: bool = False    # OBC_ZERO_VORTICITY
+    obc_freeslip_vorticity: bool = False  # OBC_FREESLIP_VORTICITY
+    obc_zero_strain: bool = False       # OBC_ZERO_STRAIN
+    obc_freeslip_strain: bool = False   # OBC_FREESLIP_STRAIN
+    obc_zero_biharmonic: bool = False   # OBC_ZERO_BIHARMONIC
 
 
 class HorViscResult(NamedTuple):
@@ -77,7 +92,44 @@ class HorViscResult(NamedTuple):
     diffv: jnp.ndarray
 
 
-def _strains(grid: Grid, u, v, no_slip: bool):
+def _obc_qline(f, obc, comps):
+    """Zero the given shear/vorticity component field at the q-point
+    line of each open edge (the reference's per-segment loops,
+    MOM_hor_visc.F90:735-770).  ``comps`` selects which edges act:
+    'ns' (N/S segments), 'ew', or 'both'."""
+    H = obc.halo
+    nj, ni = obc.njl, obc.nil
+    if comps in ("ns", "both"):
+        if obc.open_n:
+            jq = H + nj - 1
+            line = obc.strip_n[jq, :] > 0 \
+                if obc.strip_n is not None else True
+            f = f.at[..., jq, :].set(
+                jnp.where(line, 0.0, f[..., jq, :]))
+        if obc.open_s:
+            jq = H - 1
+            line = obc.strip_s[H, :] > 0 \
+                if obc.strip_s is not None else True
+            f = f.at[..., jq, :].set(
+                jnp.where(line, 0.0, f[..., jq, :]))
+    if comps in ("ew", "both"):
+        if obc.open_e:
+            iq = H + ni - 1
+            line = obc.strip_e[:, iq] > 0 \
+                if obc.strip_e is not None else True
+            f = f.at[..., :, iq].set(
+                jnp.where(line, 0.0, f[..., :, iq]))
+        if obc.open_w:
+            iq = H - 1
+            line = obc.strip_w[:, H] > 0 \
+                if obc.strip_w is not None else True
+            f = f.at[..., :, iq].set(
+                jnp.where(line, 0.0, f[..., :, iq]))
+    return f
+
+
+def _strains(grid: Grid, u, v, no_slip: bool, obc=None,
+             cfg: "HorViscCfg | None" = None):
     DY_dxT = grid.dyT * grid.IdxT
     DX_dyT = grid.dxT * grid.IdyT
     DY_dxBu = grid.dyBu * grid.IdxBu
@@ -87,11 +139,30 @@ def _strains(grid: Grid, u, v, no_slip: bool):
     sh_xx = dudx - dvdy
     dvdx = DY_dxBu * (ip1(grid.IdyCv * v) - grid.IdyCv * v)
     dudy = DX_dyBu * (jp1(grid.IdxCu * u) - grid.IdxCu * u)
+    s_dvdx, s_dudy = dvdx, dudy          # strain components
+    v_dvdx, v_dudy = dvdx, dudy          # vorticity components
+    if obc is not None and cfg is not None:
+        # OBC_ZERO_STRAIN kills both components at segment q-points;
+        # OBC_FREESLIP_STRAIN only the cross-boundary gradient of the
+        # tangential velocity (dudy on N/S, dvdx on E/W); likewise for
+        # the vorticity flags (MOM_hor_visc.F90:735-770)
+        if cfg.obc_zero_strain:
+            s_dvdx = _obc_qline(s_dvdx, obc, "both")
+            s_dudy = _obc_qline(s_dudy, obc, "both")
+        elif cfg.obc_freeslip_strain:
+            s_dudy = _obc_qline(s_dudy, obc, "ns")
+            s_dvdx = _obc_qline(s_dvdx, obc, "ew")
+        if cfg.obc_zero_vorticity:
+            v_dvdx = _obc_qline(v_dvdx, obc, "both")
+            v_dudy = _obc_qline(v_dudy, obc, "both")
+        elif cfg.obc_freeslip_vorticity:
+            v_dudy = _obc_qline(v_dudy, obc, "ns")
+            v_dvdx = _obc_qline(v_dvdx, obc, "ew")
     if no_slip:
-        sh_xy = (2.0 - grid.mask2dBu) * (dvdx + dudy)
+        sh_xy = (2.0 - grid.mask2dBu) * (s_dvdx + s_dudy)
     else:
-        sh_xy = grid.mask2dBu * (dvdx + dudy)
-    return sh_xx, sh_xy, dudx + dvdy, dvdx - dudy
+        sh_xy = grid.mask2dBu * (s_dvdx + s_dudy)
+    return sh_xx, sh_xy, dudx + dvdy, v_dvdx - v_dudy
 
 
 def _combine(base, les, add):
@@ -114,7 +185,7 @@ def horizontal_viscosity(grid: Grid, u, v, h,
                          cfg: HorViscCfg = HorViscCfg(),
                          u_bt=None, v_bt=None,
                          htot=None, kh_scale=None,
-                         kh_extra=None) -> HorViscResult:
+                         kh_extra=None, obc=None) -> HorViscResult:
     """(diffu, diffv) [m s-2] from Laplacian+biharmonic friction.
 
     Needs u, v valid to ≥2 halo rings, h to ≥1.  With USE_GME the
@@ -147,7 +218,8 @@ def horizontal_viscosity(grid: Grid, u, v, h,
     dy2q = grid.dyBu * grid.dyBu
     dx2q = grid.dxBu * grid.dxBu
 
-    sh_xx, sh_xy, div_xx, vort_xy = _strains(grid, u, v, cfg.no_slip)
+    sh_xx, sh_xy, div_xx, vort_xy = _strains(grid, u, v, cfg.no_slip,
+                                             obc=obc, cfg=cfg)
 
     # grid spacing scales for the nonlinear coefficients and bounds
     grid_sp_h2 = (2.0 * dx2h * dy2h) / (dx2h + dy2h + _H_NEGLECT)
@@ -270,7 +342,36 @@ def horizontal_viscosity(grid: Grid, u, v, h,
                  + Idx2dyCu * (dx2q * sh_xy - jm1(dx2q * sh_xy)))
         Del2v = (Idxdy2v * (dy2q * sh_xy - im1(dy2q * sh_xy))
                  - Idx2dyCv * (jp1(dx2h * sh_xx) - dx2h * sh_xx))
-        bh_xx, bh_xy, _, _ = _strains(grid, Del2u, Del2v, cfg.no_slip)
+        if obc is not None and cfg.obc_zero_biharmonic:
+            # zero the flow Laplacian at segment faces so no
+            # biharmonic stress acts across the boundary
+            # (MOM_hor_visc.F90:889-900): Del2u on E/W segments,
+            # Del2v on N/S
+            H_o = obc.halo
+            if obc.open_e:
+                iq = H_o + obc.nil - 1
+                line = obc.strip_e[:, iq] > 0 \
+                    if obc.strip_e is not None else True
+                Del2u = Del2u.at[..., :, iq].set(
+                    jnp.where(line, 0.0, Del2u[..., :, iq]))
+            if obc.open_w:
+                line = obc.strip_w[:, H_o] > 0 \
+                    if obc.strip_w is not None else True
+                Del2u = Del2u.at[..., :, H_o - 1].set(
+                    jnp.where(line, 0.0, Del2u[..., :, H_o - 1]))
+            if obc.open_n:
+                jq = H_o + obc.njl - 1
+                line = obc.strip_n[jq, :] > 0 \
+                    if obc.strip_n is not None else True
+                Del2v = Del2v.at[..., jq, :].set(
+                    jnp.where(line, 0.0, Del2v[..., jq, :]))
+            if obc.open_s:
+                line = obc.strip_s[H_o, :] > 0 \
+                    if obc.strip_s is not None else True
+                Del2v = Del2v.at[..., H_o - 1, :].set(
+                    jnp.where(line, 0.0, Del2v[..., H_o - 1, :]))
+        bh_xx, bh_xy, _, _ = _strains(grid, Del2u, Del2v, cfg.no_slip,
+                                      obc=obc, cfg=cfg)
         # background: constant or velocity-scale floor (:2604)
         Ah_h = jnp.maximum(jnp.asarray(cfg.ah),
                            cfg.ah_vel_scale * grid_sp_h3)
@@ -319,15 +420,39 @@ def horizontal_viscosity(grid: Grid, u, v, h,
     # surrounding face thicknesses (MOM_hor_visc.F90:1426): it vanishes
     # when any neighbor layer vanishes, so thin/massless layers never
     # receive stress divergences scaled by their thick neighbors.
-    h_u = 0.5 * (h + ip1(h)) * grid.mask2dCu
-    h_v = 0.5 * (h + jp1(h)) * grid.mask2dCv
+    # USE_LAND_MASK_FOR_HVISC (:705): mask per CELL, not per face — a
+    # coast face keeps half its wet cell's thickness, so hq at wall
+    # corners stays finite and the NOSLIP doubled shear exerts drag
+    if cfg.use_land_mask:
+        h_m = grid.mask2dT * h
+        h_u = 0.5 * (h_m + ip1(h_m))
+        h_v = 0.5 * (h_m + jp1(h_m))
+    else:
+        h_u = 0.5 * (h + ip1(h))
+        h_v = 0.5 * (h + jp1(h))
     h2uq = 4.0 * h_u * jp1(h_u)
     h2vq = 4.0 * h_v * ip1(h_v)
     hq = (2.0 * h2uq * h2vq) / (
         _H_NEGLECT + (h2uq + h2vq)
         * ((h_u + jp1(h_u)) + (h_v + ip1(h_v))))
+    if cfg.no_slip:
+        # coastal vorticity points (MOM_hor_visc.F90:1443-1465): the
+        # 4-face harmonic hq vanishes when any face is land, which
+        # would silence the doubled no-slip wall shear — rebuild hq
+        # there from the WET faces only
+        mcu, mcv = grid.mask2dCu, grid.mask2dCv
+        hu_w = mcu * h_u + jp1(mcu * h_u)
+        hv_w = mcv * h_v + ip1(mcv * h_v)
+        nu_w = mcu + jp1(mcu)
+        nv_w = mcv + ip1(mcv)
+        one_sided = (nu_w * nv_w) == 0.0
+        hq_coast = jnp.where(one_sided, hu_w + hv_w,
+                             2.0 * hu_w * hv_w
+                             / (hu_w + hv_w + _H_NEGLECT))
+        coastal = (grid.mask2dBu < 0.5) & ((nu_w + nv_w) > 0.0)
+        hq = jnp.where(coastal, hq_coast, hq)
     str_xx_h = str_xx * h
-    str_xy_h = str_xy * hq * grid.mask2dBu
+    str_xy_h = str_xy * hq
 
     diffu = ((grid.IdyCu * (dy2h * str_xx_h - ip1(dy2h * str_xx_h))
               + grid.IdxCu * (jm1(dx2q * str_xy_h) - dx2q * str_xy_h))

@@ -246,9 +246,21 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
 
     # --- layered (isopycnal-mode) physics: thicknesses evolve ---
     if cfg.use_bml and T is not None and eos is not None:
+        # cell-centered velocities and |f| for the bulk-Ri MKE release
+        # and the TKE decay scale (mechanical_entrainment,
+        # MOM_bulk_mixed_layer.F90:1530-1537,1789)
+        u_h = v_h = absf = None
+        if state.u is not None and cfg.bml.bulk_ri > 0.0:
+            from mom6_tpu.parallel.stencil import im1, jm1
+            u_h = 0.5 * (im1(state.u) + state.u)
+            v_h = 0.5 * (jm1(state.v) + state.v)
+        if grid is not None and cfg.bml.tke_decay > 0.0:
+            from mom6_tpu.parallel.stencil import im1, jm1
+            fq = jnp.abs(grid.CoriolisBu)
+            absf = 0.25 * ((fq + im1(jm1(fq))) + (im1(fq) + jm1(fq)))
         h, T, S, new_tracers, _ = bulk_mixed_layer(
             cfg.bml, h, T, S, eos, ustar, buoy_flux, dt,
-            tracers=new_tracers)
+            tracers=new_tracers, u=u_h, v=v_h, absf=absf)
     if cfg.use_entrain_diffusive:
         trs = dict(new_tracers) if new_tracers else {}
         if T is not None:
