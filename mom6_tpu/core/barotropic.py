@@ -76,6 +76,10 @@ class BarotropicCfg:
     dt_bt_filter: float = -0.25
     # USE_BT_CONT_TYPE: use the continuity-fitted face-area curves
     use_bt_cont: bool = True
+    # BT_THICK_SCHEME (MOM_barotropic.F90:4520,3495): per-layer face
+    # thickness estimate behind frhat — FROM_BT_CONT (default; HYBRID
+    # weights here), HYBRID, ARITHMETIC, HARMONIC
+    hvel_scheme: str = "FROM_BT_CONT"
     # BOUND_BT_CORRECTION (MOM_barotropic.F90:1587): cap the eta_cor
     # pseudo mass source by what maxCFL_BT_cont velocities can carry
     bound_bt_corr: bool = False
@@ -106,12 +110,45 @@ class BTResult(NamedTuple):
     vbt_av: jnp.ndarray
 
 
-def btcalc(grid: Grid, h):
+def _hvel_weights(h, h1, scheme, d0, d1):
+    """Per-layer thickness estimate at a velocity face under the
+    BT_THICK_SCHEME options (btcalc, MOM_barotropic.F90:3495-3539):
+    ARITHMETIC 0.5(h+h1); HARMONIC 2·h·h1/(h+h1); HYBRID arithmetic
+    above the shallower bottom, harmonic below, linearly blended
+    across the layer that straddles it."""
+    h_arith = 0.5 * (h + h1)
+    if scheme == "ARITHMETIC":
+        return h_arith
+    # h_harm = h·h1/(0.5(h+h1)) = 2·h·h1/(h+h1), the harmonic mean
+    # exactly as the reference's (h(i+1)*h(i))/(h_arith+h_neglect)
+    h_harm = (h * h1) / (h_arith + _H_NEGLECT)
+    if scheme == "HARMONIC":
+        return h_harm
+    # HYBRID (also the FROM_BT_CONT fallback): interfaces from the
+    # mean bottom -0.5(D+D1); layers whose bottom interface is above
+    # the SHALLOW bottom -D_min use the arithmetic mean, layers fully
+    # below it the harmonic mean, the straddling layer a linear blend
+    e_bot = -0.5 * (d0 + d1)
+    d_shallow = -jnp.minimum(d0, d1)
+    # e_top[k] = e_bot + sum_{j>=k} h_arith[j]
+    e_top = e_bot[None] + jnp.cumsum(h_arith[::-1], axis=0)[::-1]
+    wt = jnp.clip((e_top - d_shallow[None])
+                  / (h_arith + _H_NEGLECT), 0.0, 1.0)
+    return wt * h_arith + (1.0 - wt) * h_harm
+
+
+def btcalc(grid: Grid, h, scheme: str = "ARITHMETIC"):
     """frhatu/frhatv: fraction of total column thickness in each layer
-    at u and v faces (btcalc with ARITHMETIC hvel_scheme,
-    MOM_barotropic.F90:3492)."""
-    h_u = 0.5 * (h + ip1(h))
-    h_v = 0.5 * (h + jp1(h))
+    at u and v faces (btcalc, MOM_barotropic.F90:3482-3560), with the
+    BT_THICK_SCHEME face-thickness estimate.  FROM_BT_CONT (the
+    reference default) uses the HYBRID weights here: the reference
+    derives h_u from the BT_cont face areas in that mode, whose
+    zero-flow limit is the same shallow-bottom-aware estimate."""
+    sch = "HYBRID" if scheme == "FROM_BT_CONT" else scheme
+    if sch not in ("ARITHMETIC", "HARMONIC", "HYBRID"):
+        raise ValueError(f"Unknown BT_THICK_SCHEME '{scheme}'")
+    h_u = _hvel_weights(h, ip1(h), sch, grid.bathyT, ip1(grid.bathyT))
+    h_v = _hvel_weights(h, jp1(h), sch, grid.bathyT, jp1(grid.bathyT))
     frhatu = h_u * (grid.mask2dCu / (jnp.sum(h_u, 0) + _H_NEGLECT))
     frhatv = h_v * (grid.mask2dCv / (jnp.sum(h_v, 0) + _H_NEGLECT))
     return frhatu, frhatv
@@ -324,7 +361,7 @@ def btstep(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     if eta_pf is None:
         eta_pf = eta_in
 
-    frhatu, frhatv = btcalc(grid, h)
+    frhatu, frhatv = btcalc(grid, h, scheme=cfg.hvel_scheme)
     wt_u = frhatu * visc_rem_u
     wt_v = frhatv * visc_rem_v
 

@@ -110,6 +110,10 @@ class SplitDiags(NamedTuple):
     # reference's domore loop runs until this clears,
     # MOM_tracer_advect.F90:329)
     adv_residual: Optional[jnp.ndarray] = None
+    # shear-driven interface viscosity Prandtl_turb*kappa from the
+    # diabatic phase, consumed by the NEXT dynamics step's vertvisc
+    # (the visc%Kv_shear carry, MOM_vert_friction.F90:1892)
+    kv_shear: Optional[jnp.ndarray] = None
 
 
 def init_split_state(domain: Domain, grid: Grid, vgrid: VerticalGrid,
@@ -141,7 +145,7 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                        forces: MechForcing, dt: float, cfg: SplitCfg,
                        eos=None, x_first: bool = True, obc=None,
                        t=None, stoch_pattern=None, kh_scale=None,
-                       kh_extra=None,
+                       kh_extra=None, kv_shear=None,
                        ) -> tuple[State, SplitDynState, SplitDiags]:
     if obc is not None:
         if domain.tripolar_n:
@@ -224,13 +228,19 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     v_bc_accel = (ca.CAv + pf.PFv) + diffv
 
     dt_pred = dt * cfg.be
+    # shear-driven Kv from the previous diabatic phase (PRANDTL_TURB
+    # * kappa_shear; the visc%Kv_shear the reference adds to Kv_tot,
+    # MOM_vert_friction.F90:1892-1900)
+    kv_int = None
+    if kv_shear is not None:
+        kv_int = cfg.vertvisc.kv + kv_shear
     # BBL piston/thickness once per step from the pre-step state
     # (the reference's set_viscous_BBL cadence)
     bbl = set_viscous_bbl(grid, u, v, h, cfg.vertvisc, vgrid)
     ustar = surface_ustar(grid, rho0, forces) \
         if cfg.vertvisc.visc_ml_mode else None
-    coefs = vertvisc_coef(grid, u_av, v_av, h, cfg=cfg.vertvisc, bbl=bbl,
-                          ustar=ustar)
+    coefs = vertvisc_coef(grid, u_av, v_av, h, kv_int=kv_int,
+                          cfg=cfg.vertvisc, bbl=bbl, ustar=ustar)
     visc_rem_u, visc_rem_v = vertvisc_remnant(grid, coefs, dt_pred)
 
     # eta mass-source correction: the discrepancy between the layered
@@ -265,8 +275,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     up = grid.mask2dCu * (u + dt_pred * (u_bc_accel + bt.accel_layer_u))
     vp = grid.mask2dCv * (v + dt_pred * (v_bc_accel + bt.accel_layer_v))
 
-    coefs = vertvisc_coef(grid, up, vp, h, cfg=cfg.vertvisc, bbl=bbl,
-                          ustar=ustar)
+    coefs = vertvisc_coef(grid, up, vp, h, kv_int=kv_int,
+                          cfg=cfg.vertvisc, bbl=bbl, ustar=ustar)
     up, vp = vertvisc(grid, up, vp, h, coefs, dt_pred,
                       forces.taux, forces.tauy, rho0,
                       direct_stress=cfg.vertvisc.direct_stress,
@@ -325,8 +335,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     u_new = grid.mask2dCu * (u + dt * (u_bc_accel + bt.accel_layer_u))
     v_new = grid.mask2dCv * (v + dt * (v_bc_accel + bt.accel_layer_v))
 
-    coefs = vertvisc_coef(grid, u_new, v_new, h, cfg=cfg.vertvisc, bbl=bbl,
-                          ustar=ustar)
+    coefs = vertvisc_coef(grid, u_new, v_new, h, kv_int=kv_int,
+                          cfg=cfg.vertvisc, bbl=bbl, ustar=ustar)
     u_new, v_new = vertvisc(grid, u_new, v_new, h, coefs, dt,
                             forces.taux, forces.tauy, rho0,
                       direct_stress=cfg.vertvisc.direct_stress,

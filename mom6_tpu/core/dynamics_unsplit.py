@@ -73,6 +73,10 @@ class DynDiags(NamedTuple):
     int_tide_en: Optional[jnp.ndarray] = None
     # SPPT AR(1) pattern carried across steps when DO_SPPT is on
     sppt_pattern: Optional[jnp.ndarray] = None
+    # shear-driven Kv carry (see SplitDiags.kv_shear); the unsplit
+    # core does not consume it, but the orchestrator threads it so
+    # the diabatic->next-step plumbing is core-agnostic
+    kv_shear: Optional[jnp.ndarray] = None
 
 
 def step_dyn_unsplit(domain: Domain, grid: Grid, vgrid: VerticalGrid,

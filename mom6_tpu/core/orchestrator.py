@@ -57,6 +57,10 @@ class OceanCfg:
     tracer_adv: TracerAdvectCfg = TracerAdvectCfg()
     diabatic: DiabaticCfg = DiabaticCfg()
     thickness_diffuse: ThicknessDiffuseCfg = ThicknessDiffuseCfg()
+    # THICKNESSDIFFUSE_FIRST (MOM.F90:1157): apply the GM thickness
+    # diffusion (+ interface filter, MEKE step) before the dynamics
+    # instead of the default after-dynamics placement (:1297)
+    thickness_diffuse_first: bool = False
     interface_filter: InterfaceFilterCfg = InterfaceFilterCfg()
     ale: Optional[ALECfg] = None         # None → layered (no ALE)
     thermo: bool = True
@@ -120,7 +124,7 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                do_thermo: bool = True, uhtr_accum=None,
                vhtr_accum=None, obc_reservoirs=None, mld_prev=None,
                t=None, int_tide_en=None, sppt_pattern=None,
-               thermo_only=False):
+               thermo_only=False, kv_shear_prev=None):
     # ``thermo_only``: False = normal fused step; True = skip the
     # dynamics phase (PHASED_JIT phase 2: tracers + thermo/ALE);
     # "tracers" / "thermo" split phase 2 itself in two — the finer
@@ -244,6 +248,8 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 extras["frazil"] = dia["frazil"]
             if "mld" in dia:
                 extras["mld"] = dia["mld"]
+            if "kv_shear" in dia:
+                extras["kv_shear"] = dia["kv_shear"]
         # sponge restoring toward file profiles (MOM_diabatic_driver
         # applies the [ALE] sponge at the end of the column physics);
         # profiles are damped level-by-level (same-nk profile grids)
@@ -397,61 +403,78 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                 khth_2d = cfg.thickness_diffuse.khth \
                     * jnp.ones_like(res_fn)
 
-        # thickness diffusion / interface filter act before the dynamics
-        # (THICKNESSDIFFUSE, MOM.F90:1160-1186); their layer transports
-        # are added into the tracer-advection accumulators so T/S and
-        # passives ride the GM/filter mass redistribution (the reference
-        # accumulates uhD*dt into uhtr, MOM_thickness_diffuse.F90:602)
-        uh_param = vh_param = None
-        if cfg.thickness_diffuse.khth > 0.0 or khth_2d is not None:
-            h = domain.fill_halos(state.h, width=2)
-            kh2 = domain.fill_halos(khth_2d, width=2) \
-                if khth_2d is not None else None
-            gp_int = None
-            if use_meke and state.T is not None and eos is not None:
-                # interface reduced gravities N²·Δz from the actual
-                # stratification, for the GM PE-release MEKE source
-                from mom6_tpu.diagnostics.wave_speed import brunt_vaisala2
-                tt, ss = domain.fill_halos((state.T, state.S), width=2)
-                n2 = brunt_vaisala2(vgrid, h, tt, ss, eos)
-                dz = 0.5 * (h[:-1] + h[1:])
-                zed = jnp.zeros_like(h[:1])
-                gp_int = jnp.concatenate([zed, n2 * dz, zed], axis=0)
-            ru = rv = None
-            if res_u is not None:
-                ru = domain.fill_halos(res_u, width=2, stagger="U")
-                rv = domain.fill_halos(res_v, width=2, stagger="V")
-            td = thickness_diffuse(grid, vgrid, h, dt,
-                                   cfg.thickness_diffuse, khth_2d=kh2,
-                                   gprime_int=gp_int, res_u=ru,
-                                   res_v=rv)
-            state = state.replace(h=domain.fill_halos(td.h))
-            uh_param, vh_param = dt * td.uhD, dt * td.vhD
-            if use_meke:
-                # advance the prognostic eddy energy with the GM release
-                # as its source (MOM_MEKE.F90 step_forward_MEKE)
+        # thickness diffusion / interface filter (THICKNESSDIFFUSE):
+        # runs BEFORE the dynamics with THICKNESSDIFFUSE_FIRST
+        # (MOM.F90:1157-1170), AFTER it otherwise (:1297-1307, the
+        # reference default); layer transports are added into the
+        # tracer-advection accumulators so T/S and passives ride the
+        # GM/filter mass redistribution (the reference accumulates
+        # uhD*dt into uhtr, MOM_thickness_diffuse.F90:602)
+        def do_thickness_param(state):
+            uh_param = vh_param = None
+            if cfg.thickness_diffuse.khth > 0.0 or khth_2d is not None:
+                h = domain.fill_halos(state.h, width=2)
+                kh2 = domain.fill_halos(khth_2d, width=2) \
+                    if khth_2d is not None else None
+                gp_int = None
+                if use_meke and state.T is not None and eos is not None:
+                    # interface reduced gravities N²·Δz from the actual
+                    # stratification, for the GM PE-release MEKE source
+                    from mom6_tpu.diagnostics.wave_speed import \
+                        brunt_vaisala2
+                    tt, ss = domain.fill_halos((state.T, state.S),
+                                               width=2)
+                    n2 = brunt_vaisala2(vgrid, h, tt, ss, eos)
+                    dz = 0.5 * (h[:-1] + h[1:])
+                    zed = jnp.zeros_like(h[:1])
+                    gp_int = jnp.concatenate([zed, n2 * dz, zed],
+                                             axis=0)
+                ru = rv = None
+                if res_u is not None:
+                    ru = domain.fill_halos(res_u, width=2, stagger="U")
+                    rv = domain.fill_halos(res_v, width=2, stagger="V")
+                td = thickness_diffuse(grid, vgrid, h, dt,
+                                       cfg.thickness_diffuse,
+                                       khth_2d=kh2,
+                                       gprime_int=gp_int, res_u=ru,
+                                       res_v=rv)
+                state = state.replace(h=domain.fill_halos(td.h))
+                uh_param, vh_param = dt * td.uhD, dt * td.vhD
+                if use_meke:
+                    # advance the prognostic eddy energy with the GM
+                    # release as its source (step_forward_MEKE)
+                    meke_e = domain.fill_halos(state.meke, width=1)
+                    hsum = jnp.sum(h, axis=0) + 1e-30
+                    u_bt = jnp.sum(0.5 * (h + _ip1_(h)) * state.u,
+                                   axis=0) / hsum
+                    v_bt = jnp.sum(0.5 * (h + _jp1_(h)) * state.v,
+                                   axis=0) / hsum
+                    meke_new = step_meke(cfg.meke, grid, meke_e, dt,
+                                         gm_work=td.gm_work,
+                                         rd_dx=rd_dx,
+                                         sn=sn, u_bt=u_bt, v_bt=v_bt)
+                    state = state.replace(
+                        meke=domain.fill_halos(meke_new))
+            elif use_meke:
                 meke_e = domain.fill_halos(state.meke, width=1)
-                hsum = jnp.sum(h, axis=0) + 1e-30
-                u_bt = jnp.sum(0.5 * (h + _ip1_(h)) * state.u, axis=0) \
-                    / hsum
-                v_bt = jnp.sum(0.5 * (h + _jp1_(h)) * state.v, axis=0) \
-                    / hsum
                 meke_new = step_meke(cfg.meke, grid, meke_e, dt,
-                                     gm_work=td.gm_work, rd_dx=rd_dx,
-                                     sn=sn, u_bt=u_bt, v_bt=v_bt)
+                                     rd_dx=rd_dx, sn=sn)
                 state = state.replace(meke=domain.fill_halos(meke_new))
-        elif use_meke:
-            meke_e = domain.fill_halos(state.meke, width=1)
-            meke_new = step_meke(cfg.meke, grid, meke_e, dt, rd_dx=rd_dx,
-                                 sn=sn)
-            state = state.replace(meke=domain.fill_halos(meke_new))
-        if cfg.interface_filter.time_scale > 0.0:
-            h = domain.fill_halos(state.h, width=2)
-            hf, uhF, vhF = interface_filter(domain, grid, vgrid, h, dt,
-                                            cfg.interface_filter)
-            state = state.replace(h=domain.fill_halos(hf))
-            uh_param = dt * uhF if uh_param is None else uh_param + dt * uhF
-            vh_param = dt * vhF if vh_param is None else vh_param + dt * vhF
+            if cfg.interface_filter.time_scale > 0.0:
+                h = domain.fill_halos(state.h, width=2)
+                hf, uhF, vhF = interface_filter(domain, grid, vgrid, h,
+                                                dt, cfg.interface_filter)
+                state = state.replace(h=domain.fill_halos(hf))
+                uh_param = dt * uhF if uh_param is None \
+                    else uh_param + dt * uhF
+                vh_param = dt * vhF if vh_param is None \
+                    else vh_param + dt * vhF
+            return state, uh_param, vh_param
+
+        if cfg.thickness_diffuse_first:
+            state, uh_param, vh_param = do_thickness_param(state)
+        else:
+            uh_param = vh_param = None
 
         kh_scale = None
         if cfg.resoln_scaled_kh and res_fn is not None:
@@ -478,17 +501,28 @@ def step_ocean(domain: Domain, grid: Grid, vgrid: VerticalGrid,
                                else sppt_pattern),
                 kh_scale=kh_scale, kh_extra=kh_extra)
         elif cfg.split:
+            kvs = None
+            if kv_shear_prev is not None:
+                # the diabatic phase wrote Kv_shear on the pre-ALE
+                # grid; one-ring halo fill for the face averaging
+                kvs = domain.fill_halos(kv_shear_prev, width=1)
             state, split_state, diags = step_dyn_split_rk2(
                 domain, grid, vgrid, state, split_state, forces, dt,
                 cfg.split_cfg, eos=eos, x_first=x_first, obc=obc, t=t,
                 stoch_pattern=(sppt_pattern.get("sppt")
                                if isinstance(sppt_pattern, dict)
                                else sppt_pattern),
-                kh_scale=kh_scale, kh_extra=kh_extra)
+                kh_scale=kh_scale, kh_extra=kh_extra, kv_shear=kvs)
         else:
             state, diags = step_dyn_unsplit(
                 domain, grid, vgrid, state, forces, dt, cfg.unsplit_cfg,
                 eos=eos, t=t)
+
+        if not cfg.thickness_diffuse_first:
+            # the reference default: diffuse thickness right after the
+            # dynamics, before the transports are consumed
+            # (MOM.F90:1297-1307)
+            state, uh_param, vh_param = do_thickness_param(state)
 
         # --- mixed-layer restratification (MOM_mixed_layer_restrat.F90):
         # submesoscale overturning transports applied to h after the

@@ -29,6 +29,11 @@ class State:
     # prognostic parameterized mesoscale eddy energy [m2 s-2]
     # (MOM_MEKE.F90 MEKE%MEKE), present when USE_MEKE
     meke: Optional[jnp.ndarray] = None
+    # accumulated not-yet-extracted frazil heat deficit [J m-2]
+    # (tv%frazil, MOM_variables.F90; a restartable thermo field the
+    # ice model drains; RECLAIM_FRAZIL melts it back when the surface
+    # warms above freezing)
+    frazil: Optional[jnp.ndarray] = None
 
     def replace(self, **kw) -> "State":
         return dataclasses.replace(self, **kw)

@@ -74,6 +74,11 @@ class VertViscCfg:
     harmonic_visc: bool = False
     ml_ekman_coeff: float = 0.5   # decay-scale coefficient [nondim]
     vonkar: float = 0.41          # VON_KARMAN
+    # KV_ML_INVZ2 (MOM_vert_friction.F90:1877-1888): extra near-
+    # surface viscosity decaying as 1/z^2 (z in units of HMIX_FIXED)
+    # — the vintage massless-layer guard used without a surface
+    # boundary-layer scheme
+    kv_ml_invz2: float = 0.0      # [m2 s-1]
 
 
 class ViscCoefs(NamedTuple):
@@ -274,7 +279,17 @@ def vertvisc_coef(grid: Grid, u, v, h, kv_int=None,
                 + _H_NEGLECT
         else:
             dz = 0.5 * (h_face[:-1] + h_face[1:]) + _H_NEGLECT
-        a_int = kv_face[1:-1] / dz
+        kv_in = kv_face[1:-1]
+        if cfg.kv_ml_invz2 > 0.0:
+            # Kv += KV_ML_INVZ2 / (z^2 (1 + 0.09 z^6)), z the
+            # interface depth in units of HMIX_FIXED
+            # (MOM_vert_friction.F90:1877-1888)
+            i_hmix = 1.0 / (cfg.hmix_fixed + _H_NEGLECT)
+            z_t = (jnp.cumsum(h_face[:-1], axis=0)
+                   + _H_NEGLECT) * i_hmix
+            kv_in = kv_in + cfg.kv_ml_invz2 / (
+                (z_t * z_t) * (1.0 + 0.09 * z_t ** 6))
+        a_int = kv_in / dz
         if cfg.visc_ml_mode and ust_face is not None:
             a_int = ml_floor(a_int, h_face, ust_face, absf)
         a_top = jnp.zeros_like(h_face[0])[None]

@@ -100,13 +100,8 @@ _PARITY_POLICY = [
     ("PEN_SW_ABSORB_MINTHICK", float, 0.0),
 ]
 _PARITY_UNIMPL = [
-    ("THICKNESSDIFFUSE_FIRST", bool, False),
     ("ISOTROPIC", bool, False),
-    ("PRANDTL_TURB", float, 0.0),
-    ("BT_THICK_SCHEME", str, "FROM_BT_CONT"),
-    ("RECLAIM_FRAZIL", bool, True),
     ("LIMIT_BUFFER_DETRAIN", bool, False),
-    ("KV_ML_INVZ2", float, 0.0),
     ("USE_STORED_SLOPES", bool, False),
     ("PGF_STANLEY_T2_DET_COEFF", float, -1.0),
     ("STANLEY_PRM_DET_COEFF", float, -1.0),
@@ -224,7 +219,7 @@ class Model:
 
         def mk(x_first, do_thermo, thermo_only=False):
             def step(state, split_state, tracers, uacc, vacc, res,
-                     mld, t, iten, sppt_pat):
+                     mld, kvs, t, iten, sppt_pat):
                 # t: traced model time (s) at the step center, for
                 # time-interpolated file forcing / data_override
                 fc = self.forces_fn(t) if self.forces_fn is not None \
@@ -280,10 +275,11 @@ class Model:
                     uhtr_accum=uacc, vhtr_accum=vacc,
                     obc_reservoirs=res, mld_prev=mld, t=t,
                     int_tide_en=iten, sppt_pattern=sppt_pat,
-                    thermo_only=thermo_only)
+                    thermo_only=thermo_only, kv_shear_prev=kvs)
                 res_out = rest[0] if rest else None
                 return (st, a, tr, diags.uhtr, diags.vhtr,
                         diags.truncs, res_out, diags.mld,
+                        getattr(diags, "kv_shear", None),
                         diags.int_tide_en, diags.sppt_pattern)
             # donate the rotating state/accumulator buffers: the
             # caller always rebinds to the returned pytrees, and at
@@ -331,7 +327,8 @@ class Model:
             acc = carry
         else:
             acc = {"u": None, "v": None, "truncs": 0, "res": None,
-                   "mld": None, "iten": None, "sppt": None}
+                   "mld": None, "kv": None, "iten": None,
+                   "sppt": None}
             if use_res:
                 acc["res"] = self.obc.init_tracer_reservoirs(
                     self.tracers)
@@ -348,9 +345,10 @@ class Model:
                     else jnp.zeros_like(state.h)
                 t = jnp.asarray((n + 0.5) * self.dt,
                                 dtype=jnp.result_type(float))
-                s, a, tr, uh, vh, tn, res, mld, iten, spat = f1(
+                s, a, tr, uh, vh, tn, res, mld, kvs, iten, spat = f1(
                     state, split_state, tracers, ua, va, acc["res"],
-                    acc["mld"], t, acc["iten"], acc["sppt"])
+                    acc["mld"], acc["kv"], t, acc["iten"],
+                    acc["sppt"])
                 # drop the pre-step generation NOW: donation is
                 # unsupported on this TPU runtime, so without these
                 # dels three full state generations are live when
@@ -363,8 +361,10 @@ class Model:
                 # executables so no phase's temporaries stack on
                 # another's at the 16 GB HBM budget.
                 f2a = fns[(xf, "tracers")]
-                s, a, tr, uh, vh, _t2, res2, mld2, it2, sp2 = f2a(
-                    s, a, tr, uh, vh, res, mld, t, iten, spat)
+                s, a, tr, uh, vh, _t2, res2, mld2, kv2, it2, sp2 = \
+                    f2a(s, a, tr, uh, vh, res, mld, kvs, t, iten,
+                        spat)
+                kvs = kv2 if kv2 is not None else kvs
                 # carried fields pass through unchanged phases as
                 # None — keep the live value, don't clobber it
                 res = res2 if res2 is not None else res
@@ -372,8 +372,10 @@ class Model:
                 iten = it2 if it2 is not None else iten
                 spat = sp2 if sp2 is not None else spat
                 f2b = fns[(xf, "thermo")]
-                s, a, tr, uh, vh, _t3, res2, mld2, it2, sp2 = f2b(
-                    s, a, tr, uh, vh, res, mld, t, iten, spat)
+                s, a, tr, uh, vh, _t3, res2, mld2, kv2, it2, sp2 = \
+                    f2b(s, a, tr, uh, vh, res, mld, kvs, t, iten,
+                        spat)
+                kvs = kv2 if kv2 is not None else kvs
                 res = res2 if res2 is not None else res
                 mld = mld2 if mld2 is not None else mld
                 iten = it2 if it2 is not None else iten
@@ -382,6 +384,8 @@ class Model:
                     acc["res"] = res
                 if mld is not None:
                     acc["mld"] = mld
+                if kvs is not None:
+                    acc["kv"] = kvs
                 if iten is not None:
                     acc["iten"] = iten
                 if spat is not None:
@@ -401,13 +405,15 @@ class Model:
             # advance never recompiles
             t = jnp.asarray((n + 0.5) * self.dt,
                             dtype=jnp.result_type(float))
-            s, a, tr, uh, vh, tn, res, mld, iten, spat = f(
+            s, a, tr, uh, vh, tn, res, mld, kvs, iten, spat = f(
                 state, split_state, tracers, ua, va, acc["res"],
-                acc["mld"], t, acc["iten"], acc["sppt"])
+                acc["mld"], acc["kv"], t, acc["iten"], acc["sppt"])
             if res is not None:
                 acc["res"] = res
             if mld is not None:
                 acc["mld"] = mld
+            if kvs is not None:
+                acc["kv"] = kvs
             if iten is not None:
                 acc["iten"] = iten
             if spat is not None:
@@ -881,6 +887,10 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                            pf.get("HMIX_FIXED", float, 20.0),
                            units="m"),
         harmonic_visc=pf.get("HARMONIC_VISC", bool, False),
+        kv_ml_invz2=pf.get("KV_ML_INVZ2", float, 0.0, units="m2 s-1",
+                           desc="extra near-surface viscosity with a "
+                           "1/z^2 profile over HMIX_FIXED "
+                           "(MOM_vert_friction.F90:1877-1888)"),
         vonkar=pf.get("VON_KARMAN_CONST", float, 0.41))
     pf.module("MOM_hor_visc")
     # reference semantics: SMAGORINSKY_KH/AH are Booleans enabling the
@@ -998,6 +1008,10 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         maxcfl_bt_cont=pf.get("MAXCFL_BT_CONT", float, 0.25),
         strong_drag=pf.get("BT_STRONG_DRAG", bool, False),
         ssh_extra=pf.get("SSH_EXTRA", float, 0.0, units="m"),
+        hvel_scheme=pf.get("BT_THICK_SCHEME", str, "FROM_BT_CONT",
+                           desc="per-layer face-thickness estimate "
+                           "behind the barotropic frhat weights "
+                           "(MOM_barotropic.F90:4520)").upper(),
         use_pallas=pf.get("BT_USE_PALLAS", bool, True),
         wide_halo_period=pf.get("BT_WIDE_HALO_PERIOD", int, 1))
     split_cfg = None
@@ -1688,6 +1702,8 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         BulkMixedLayerCfg
     from mom6_tpu.param.vertical.entrain_diffusive import \
         EntrainDiffusiveCfg
+    from mom6_tpu.param.vertical.regularize_layers import \
+        RegularizeLayersCfg
     use_lmd94 = pf.get("USE_LMD94", bool, False)
     use_pp81 = pf.get("USE_PP81", bool, False)
     shear_cfg = ShearMixingCfg(
@@ -1722,6 +1738,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                  kd=pf.get("KD", float, 0.0)),
             use_shear=use_lmd94 or use_pp81,
             shear=shear_cfg,
+            prandtl_turb=pf.get("PRANDTL_TURB", float, 1.0,
+                                desc="turbulent Prandtl number "
+                                "converting shear-driven Kd into the "
+                                "Kv_shear the dynamics' vertvisc "
+                                "consumes "
+                                "(MOM_set_viscosity.F90:2957)"),
             use_kappa_shear=use_jackson,
             kappa_shear=KappaShearCfg(
                 rino_crit=pf.get("RINO_CRIT", float, 0.25),
@@ -1770,7 +1792,9 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         epbl=EPBLCfg(mstar=pf.get("EPBL_MSTAR", float, 1.2),
                      mstar_mode=pf.get("EPBL_MSTAR_MODE", int, 0),
                      nstar=pf.get("EPBL_NSTAR", float, 0.2),
-                     tke_decay=pf.get("EPBL_TKE_DECAY", float, 2.5)),
+                     # the reference's ePBL reads the shared
+                     # TKE_DECAY name (MOM_energetic_PBL.F90:2143)
+                     tke_decay=pf.get("TKE_DECAY", float, 2.5)),
         rho0=rho0,
         gust_const=pf.get("GUST_CONST", float, 0.0, units="Pa",
                           desc="background gustiness added to |tau| "
@@ -1804,6 +1828,10 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         use_full_conv=pf.get("FULL_CONVECTION", bool, False),
         # layered-mode column physics (only sensible without ALE)
         use_bml=use_bml,
+        # the BML energetics params are read unconditionally: several
+        # reference modules consume them (bulk_mixed_layer, ePBL,
+        # set_diffusivity ML_RADIATION, set_visc DYNAMIC_VISCOUS_ML),
+        # and configs like tc2 set them with BULKMIXEDLAYER=False
         bml=BulkMixedLayerCfg(
             mstar=pf.get("MSTAR", float, 1.2),
             nstar=pf.get("NSTAR", float, 0.15), rho0=rho0,
@@ -1818,21 +1846,25 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                              "(MOM_bulk_mixed_layer.F90:4000)"),
             hmix_min=pf.get("HMIX_MIN", float, 0.0, units="m"),
             omega_frac=pf.get("ML_OMEGA_FRAC", float, 0.0),
-            omega=pf.get("OMEGA", float, 7.2921e-5,
-                         units="s-1")) if use_bml else
-        BulkMixedLayerCfg(
-            mstar=pf.get("MSTAR", float, 1.2),
-            nstar=pf.get("NSTAR", float, 0.15), rho0=rho0),
+            omega=pf.get("OMEGA", float, 7.2921e-5, units="s-1")),
         use_entrain_diffusive=pf.get("ENTRAIN_DIFFUSIVE", bool,
                                      not use_regrid),
         entrain=EntrainDiffusiveCfg(
             max_ent_it=pf.get("MAX_ENT_IT", int, 5)),
         use_regularize=pf.get("REGULARIZE_SURFACE_LAYERS", bool,
                               False),
+        regularize=RegularizeLayersCfg(
+            hmix_min=pf.get("HMIX_MIN", float, 0.0, units="m")),
         do_frazil=pf.get("FRAZIL", bool, False),
         frazil=FrazilCfg(rho0=rho0, g=g_earth,
                          cp=pf.get("C_P", float, 3991.86795711963,
-                                   units="J kg-1 K-1")),
+                                   units="J kg-1 K-1"),
+                         reclaim=pf.get("RECLAIM_FRAZIL", bool, True,
+                                        desc="above-freezing surface "
+                                        "water melts pending frazil "
+                                        "before new frazil forms "
+                                        "(make_frazil, "
+                                        "MOM_diabatic_aux.F90:59)")),
         use_waves=pf.get("USE_WAVES", bool, False),
         waves=_build_waves_cfg(pf))
     pf.module("MOM_thickness_diffuse")
@@ -2197,6 +2229,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                          tracer_adv=adv_cfg,
                          diabatic=dia_cfg, ale=ale_cfg,
                          thickness_diffuse=td_cfg,
+                         thickness_diffuse_first=pf.get(
+                             "THICKNESSDIFFUSE_FIRST", bool, False,
+                             desc="diffuse thickness before the "
+                             "dynamics instead of after it "
+                             "(MOM.F90:1157,1297)"),
                          interface_filter=if_cfg,
                          thermo=thermo, adiabatic=adiabatic,
                          sponge_data=sponge_data,

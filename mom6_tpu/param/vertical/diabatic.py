@@ -242,7 +242,8 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
         T, frazil = make_frazil(cfg.frazil, h, T, S,
                                 angstrom=vgrid.angstrom
                                 if vgrid is not None else 1e-10,
-                                p_surf=psurf)
+                                p_surf=psurf,
+                                frazil_prev=state.frazil)
 
     # --- layered (isopycnal-mode) physics: thicknesses evolve ---
     if cfg.use_bml and T is not None and eos is not None:
@@ -287,4 +288,13 @@ def diabatic(state: State, fluxes: Optional[Fluxes], dt: float,
         dia["mld"] = mld
     if frazil is not None:
         dia["frazil"] = frazil
-    return state.replace(h=h, T=T, S=S), new_tracers, dia
+    if dres.kv_shear is not None:
+        # shear-driven Kv for the NEXT dynamics step's vertvisc (the
+        # visc%Kv_shear carry, MOM_vert_friction.F90:1892)
+        dia["kv_shear"] = dres.kv_shear
+    out = state.replace(h=h, T=T, S=S)
+    if frazil is not None:
+        # accumulated tv%frazil rides the prognostic state (and the
+        # restarts) until the ice model extracts it
+        out = out.replace(frazil=frazil)
+    return out, new_tracers, dia

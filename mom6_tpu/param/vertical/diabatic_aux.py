@@ -38,6 +38,11 @@ class FrazilCfg:
     rho0: float = 1035.0
     cp: float = 3991.86795711963  # [J kg-1 K-1]
     g: float = 9.81
+    # RECLAIM_FRAZIL (MOM_diabatic_aux.F90:59-80 of make_frazil):
+    # pending frazil heat deficit not yet extracted by the ice model
+    # is reclaimed by an above-freezing surface layer before any new
+    # frazil forms
+    reclaim: bool = True
 
 
 def t_freeze(cfg: FrazilCfg, S, p):
@@ -45,7 +50,7 @@ def t_freeze(cfg: FrazilCfg, S, p):
 
 
 def make_frazil(cfg: FrazilCfg, h, T, S, angstrom: float = 1e-10,
-                p_surf=None):
+                p_surf=None, frazil_prev=None):
     """Frazil formation with the reference's bottom-up deficit march
     (make_frazil, MOM_diabatic_aux.F90:95-210): sub-freezing layers
     add their heat deficit to an upward-propagating column deficit
@@ -53,6 +58,13 @@ def make_frazil(cfg: FrazilCfg, h, T, S, angstrom: float = 1e-10,
     freezing point) before any residual surfaces as frazil — not an
     independent per-layer clamp.  Very thin layers are clamped but
     never cooled by the propagating deficit (:195).
+
+    ``frazil_prev`` is the accumulated, not-yet-extracted column
+    frazil [J m-2] (the reference's tv%frazil): with cfg.reclaim it
+    is reclaimed by an above-freezing surface layer (cooling it
+    toward the surface freezing point) before this step's deficit
+    march, and the returned frazil is the ACCUMULATED total
+    (tv%frazil += fraz_col, MOM_diabatic_aux.F90:205).
 
     Returns (T_new, frazil) with frazil the surface heat deficit
     [J m-2] ≥ 0 that the ice model must extract as ice formation."""
@@ -66,6 +78,16 @@ def make_frazil(cfg: FrazilCfg, h, T, S, angstrom: float = 1e-10,
     tf = t_freeze(cfg, S, p)
     hc = cfg.rho0 * cfg.cp * jnp.maximum(h, _H_NEGLECT)
     thin = h <= 10.0 * angstrom
+
+    carried = jnp.zeros_like(T[0]) if frazil_prev is None \
+        else frazil_prev
+    if cfg.reclaim and frazil_prev is not None:
+        # surface reclaim (:59-80): above-freezing surface water
+        # melts the pending frazil, cooling toward T_freeze(surface)
+        warm = hc[0] * jnp.maximum(T[0] - tf[0], 0.0)
+        melt = jnp.minimum(carried, warm)
+        T = T.at[0].add(-melt / hc[0])
+        carried = carried - melt
 
     def up(fraz_col, xs):
         t_k, tf_k, hc_k, thin_k = xs
@@ -83,7 +105,7 @@ def make_frazil(cfg: FrazilCfg, h, T, S, angstrom: float = 1e-10,
     frazil, T_new = jax.lax.scan(
         up, jnp.zeros_like(T[0]),
         (T[::-1], tf[::-1], hc[::-1], thin[::-1]))
-    return T_new[::-1], frazil
+    return T_new[::-1], carried + frazil
 
 
 class BoundaryFluxResult(NamedTuple):

@@ -27,6 +27,11 @@ class RegularizeLayersCfg:
     h_def: float = 0.5           # deficit threshold [m] (REG_SFC_DEFICIT)
     donor_frac: float = 0.25     # max fraction taken from the donor
     n_sweeps: int = 2
+    # HMIX_MIN (MOM_regularize_layers.F90:768,644-673): minimum
+    # healthy mixed-layer thickness — the SURFACE layer is treated as
+    # deficient (and heals by borrowing from below) whenever it is
+    # thinner than this, not just thinner than h_def
+    hmix_min: float = 0.0
 
 
 def regularize_layers(cfg: RegularizeLayersCfg, h,
@@ -38,8 +43,15 @@ def regularize_layers(cfg: RegularizeLayersCfg, h,
     if tracers is not None:
         content = {name: t * h for name, t in tracers.items()}
 
+    # per-layer deficit targets: the surface layer's is floored by
+    # HMIX_MIN (the reference normalizes surface deficits by
+    # max(Hmix_min, h), :673)
+    target = jnp.full((h.shape[0] - 1,) + (1,) * (h.ndim - 1),
+                      cfg.h_def, h.dtype)
+    if cfg.hmix_min > cfg.h_def:
+        target = target.at[0].set(cfg.hmix_min)
     for _ in range(cfg.n_sweeps):
-        need = jnp.maximum(cfg.h_def - h[:-1], 0.0)
+        need = jnp.maximum(target - h[:-1], 0.0)
         give = jnp.minimum(need, cfg.donor_frac * h[1:])
         zero = jnp.zeros_like(h[:1])
         gain = jnp.concatenate([give, zero], axis=0)

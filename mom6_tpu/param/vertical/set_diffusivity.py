@@ -50,6 +50,10 @@ class DiffusivityCfg:
     ddiff: DoubleDiffusionCfg = DoubleDiffusionCfg()
     use_kappa_shear: bool = False  # USE_JACKSON_PARAM
     kappa_shear: KappaShearCfg = KappaShearCfg()
+    # PRANDTL_TURB (MOM_set_viscosity.F90:2957 / kappa_shear kv_io):
+    # turbulent Prandtl number converting the shear-driven diffusivity
+    # into the Kv_shear viscosity the dynamics' vertvisc consumes
+    prandtl_turb: float = 1.0
     use_tidal: bool = False       # INT_TIDE_DISSIPATION
     tidal: TidalMixingCfg = TidalMixingCfg()
     # user-prescribed lat/density band diffusivity
@@ -81,6 +85,11 @@ class DiffusivityResult(NamedTuple):
     kd_int: jnp.ndarray
     kv_int: jnp.ndarray
     kd_extra_S: Optional[jnp.ndarray] = None   # double-diff salt excess
+    # shear-driven interface viscosity Prandtl_turb * kappa_shear
+    # (the visc%Kv_shear the reference carries from the diabatic
+    # phase into the next dynamics step's vertvisc,
+    # MOM_kappa_shear.F90:330, MOM_vert_friction.F90:1892)
+    kv_shear: Optional[jnp.ndarray] = None
 
 
 def set_diffusivity(h, cfg: DiffusivityCfg, vgrid=None, u=None, v=None,
@@ -96,6 +105,7 @@ def set_diffusivity(h, cfg: DiffusivityCfg, vgrid=None, u=None, v=None,
     kd = bkgnd_mixing_coeffs(bk, h, lat)
     kv = cfg.kv_conversion * kd
     kd_extra_S = None
+    kv_shear = None
 
     needs_n2 = (cfg.use_shear or cfg.use_conv or cfg.use_kappa_shear
                 or cfg.use_tidal or cfg.use_lotw_bbl
@@ -105,11 +115,17 @@ def set_diffusivity(h, cfg: DiffusivityCfg, vgrid=None, u=None, v=None,
         if cfg.use_shear and u is not None:
             ks = shear_mixing_coeffs(cfg.shear, u, v, h, n2)
             kd = kd.at[1:-1].add(ks)
-            kv = kv.at[1:-1].add(ks)
+            kv = kv.at[1:-1].add(cfg.prandtl_turb * ks)
+            kv_shear = (jnp.zeros(shape, h.dtype) if kv_shear is None
+                        else kv_shear).at[1:-1].add(
+                cfg.prandtl_turb * ks)
         if cfg.use_kappa_shear and u is not None:
             kj = kappa_shear_coeffs(cfg.kappa_shear, u, v, h, n2)
             kd = kd.at[1:-1].add(kj)
-            kv = kv.at[1:-1].add(kj)
+            kv = kv.at[1:-1].add(cfg.prandtl_turb * kj)
+            kv_shear = (jnp.zeros(shape, h.dtype) if kv_shear is None
+                        else kv_shear).at[1:-1].add(
+                cfg.prandtl_turb * kj)
         if cfg.use_conv:
             kc = convection_coeffs(cfg.conv, n2)
             kd = kd.at[1:-1].add(kc)
@@ -156,7 +172,8 @@ def set_diffusivity(h, cfg: DiffusivityCfg, vgrid=None, u=None, v=None,
         kd = jnp.minimum(kd, cfg.kd_max)
     kd = kd.at[0].set(0.0).at[-1].set(0.0)
     return DiffusivityResult(kd_int=kd, kv_int=kv,
-                             kd_extra_S=kd_extra_S)
+                             kd_extra_S=kd_extra_S,
+                             kv_shear=kv_shear)
 
 
 def absf_2d(h, lat, omega: float = 7.2921e-5):

@@ -1,0 +1,83 @@
+"""Fused Pallas continuity == jnp continuity_ppm (interpret mode).
+
+The kernel mirrors continuity_ppm formula-for-formula; this asserts
+the drop-in equivalence on the compute domain (halos excluded: both
+paths leave them stale) for both sweep orders, with transport
+matching active.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mom6_tpu.parallel.domain import Domain
+from mom6_tpu.core.grid import cartesian_grid
+from mom6_tpu.core.vertical_grid import VerticalGrid
+from mom6_tpu.core.continuity_ppm import ContinuityCfg, continuity_ppm
+from mom6_tpu.core.continuity_pallas import (continuity_ppm_pallas,
+                                             pallas_continuity_supported)
+
+
+def _setup(ni=32, nj=24, nk=3, seed=0):
+    dn = Domain(ni=ni, nj=nj, halo=4, reentrant_x=True,
+                reentrant_y=True)
+    g = cartesian_grid(dn, lenlon_km=320.0, lenlat_km=240.0, f0=1e-4,
+                       depth_fn=lambda x, y: jnp.full(x.shape, 1000.0),
+                       max_depth=1000.0)
+    vg = VerticalGrid.uniform(nk=nk, gint=0.01)
+    rng = np.random.default_rng(seed)
+    h = jnp.asarray(300.0 + 30.0 * rng.standard_normal(
+        (nk, dn.njh, dn.nih)), jnp.float64)
+    u = jnp.asarray(0.3 * rng.standard_normal((nk, dn.njh, dn.nih)),
+                    jnp.float64)
+    v = jnp.asarray(0.3 * rng.standard_normal((nk, dn.njh, dn.nih)),
+                    jnp.float64)
+    vr_u = jnp.asarray(rng.uniform(0.5, 1.0, (nk, dn.njh, dn.nih)),
+                       jnp.float64)
+    vr_v = jnp.asarray(rng.uniform(0.5, 1.0, (nk, dn.njh, dn.nih)),
+                       jnp.float64)
+    h = dn.fill_halos(h)
+    u = dn.fill_halos(u)
+    v = dn.fill_halos(v)
+    vr_u = dn.fill_halos(vr_u)
+    vr_v = dn.fill_halos(vr_v)
+    uhbt = jnp.asarray(
+        50.0 * rng.standard_normal((dn.njh, dn.nih)), jnp.float64)
+    vhbt = jnp.asarray(
+        50.0 * rng.standard_normal((dn.njh, dn.nih)), jnp.float64)
+    uhbt = dn.fill_halos(uhbt)
+    vhbt = dn.fill_halos(vhbt)
+    return dn, g, vg, u, v, h, vr_u, vr_v, uhbt, vhbt
+
+
+@pytest.mark.parametrize("x_first", [True, False])
+def test_pallas_matches_jnp(x_first):
+    dn, g, vg, u, v, h, vr_u, vr_v, uhbt, vhbt = _setup()
+    cfg = ContinuityCfg()
+    assert pallas_continuity_supported(cfg, h.shape)
+    dt = 600.0
+    ref = continuity_ppm(g, vg, u, v, h, dt, cfg, uhbt=uhbt,
+                         vhbt=vhbt, visc_rem_u=vr_u, visc_rem_v=vr_v,
+                         x_first=x_first)
+    out = continuity_ppm_pallas(g, vg, u, v, h, dt, cfg, uhbt, vhbt,
+                                vr_u, vr_v, x_first=x_first,
+                                interpret=True)
+    H = dn.halo
+    sl = (slice(None), slice(H, -H), slice(H, -H))
+    for name in ("h", "uh", "vh", "u_cor", "v_cor"):
+        a = np.asarray(getattr(ref, name), np.float64)[sl]
+        b = np.asarray(getattr(out, name), np.float64)[sl]
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-6,
+                                   err_msg=name)
+
+
+def test_supported_gate():
+    cfg = ContinuityCfg()
+    assert not pallas_continuity_supported(
+        ContinuityCfg(upwind_1st=True), (3, 24, 40))
+    assert not pallas_continuity_supported(cfg, (3, 22, 40))
+    assert not pallas_continuity_supported(cfg, (3, 24, 40),
+                                           obc=object())
+    assert pallas_continuity_supported(cfg, (3, 24, 40))

@@ -115,13 +115,13 @@ def main():
                        jnp.ones_like(v), None, None))
 
     # ALE block
-    if m.ale_cfg is not None:
+    if m.ocean_cfg.ale is not None:
         from mom6_tpu.ale.ale_main import ale_regrid_remap
         age = {"age": T * 0.0}
         res["ale_full"] = t(
             lambda: ale_regrid_remap(g, vg, s.replace(h=h, T=T, S=S,
                                                       u=u, v=v),
-                                     m.ale_cfg, eos=eos, tracers=age,
+                                     m.ocean_cfg.ale, eos=eos, tracers=age,
                                      aux_u={"u_av": u_av,
                                             "diffu": zero3},
                                      aux_v={"v_av": v_av,
