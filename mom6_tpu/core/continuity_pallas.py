@@ -128,17 +128,23 @@ def _flux(u, h, h_W, h_E, dt, dlen, Idx_up, Idx_dn, face_mask, vr,
 def _sweep(vel, h, vr, hbt, dt, dlen, Idx_up, Idx_dn, Iarea, mask_f,
            mask_t, du_lim, cfg, roll_p, roll_m, h_min, h_min2):
     """One directional sweep: edges + Newton transport matching +
-    final flux + thickness update, all VMEM-resident."""
+    final flux + thickness update, all VMEM-resident.  The Newton
+    iteration is a fori_loop so Mosaic compiles ONE flux evaluation
+    per sweep, not newton_iters copies (the unrolled form blew the
+    TPU compile time past 13 minutes)."""
     h_W, h_E = _edges(h, mask_t, roll_p, roll_m, h_min2)
-    du = jnp.zeros_like(hbt)
-    for _ in range(cfg.newton_iters):
+
+    def newton(_, du):
         u_try = vel + vr * du[None]
         flux, dfdu = _flux(u_try, h, h_W, h_E, dt, dlen, Idx_up,
                            Idx_dn, mask_f, vr, roll_p)
         err = jnp.sum(flux, axis=0) - hbt
         denom = jnp.sum(dfdu, axis=0)
         step = -err / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
-        du = jnp.clip(du + step, -du_lim, du_lim)
+        return jnp.clip(du + step, -du_lim, du_lim)
+
+    du = jax.lax.fori_loop(0, cfg.newton_iters, newton,
+                           jnp.zeros_like(hbt))
     u_cor = vel + vr * du[None]
     flux, _ = _flux(u_cor, h, h_W, h_E, dt, dlen, Idx_up, Idx_dn,
                     mask_f, vr, roll_p)

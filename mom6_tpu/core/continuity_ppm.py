@@ -43,6 +43,11 @@ class ContinuityCfg:
     vol_cfl: bool = False          # CONT_PPM_VOLUME_BASED_CFL
     newton_iters: int = 6          # fixed iteration count for flux adjust
     cfl_limit: float = 0.9         # max CFL for velocity corrections
+    # CONTINUITY_USE_PALLAS: route transport-matched calls through
+    # the fused Pallas TPU kernel (continuity_pallas.py) when the
+    # configuration supports it (TPU backend, full-PPM scheme, no
+    # OBC/porous faces); equivalence is roundoff-level
+    use_pallas_fused: bool = False
 
 
 def continuity_stencil(cfg: ContinuityCfg) -> int:

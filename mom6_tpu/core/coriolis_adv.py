@@ -13,8 +13,10 @@ blending of AL81/AH90/Sadourny-energy by effective-Coriolis ratio),
 ROBUST_ENSTRO (:687 enstrophy form robust to vanishing layers, with
 PV_ADV_SCHEME centered/upwind1), and BOUND_CORIOLIS (:734 clamp of
 the PV flux to the surrounding f*v range).  KE schemes: KE_ARAKAWA
-(default), KE_SIMPLE_GUDONOV, KE_GUDONOV.  (CORIOLIS_EN_DIS needs the
-continuity solver's second transport estimate and is inert.)
+(default), KE_SIMPLE_GUDONOV, KE_GUDONOV.  CORIOLIS_EN_DIS (Hallberg
+200x, :590-664,:764-784) biases the Sadourny-energy PV flux between
+the continuity transports and a centered second estimate so the
+Coriolis term dissipates energy where they disagree.
 
 Positional convention: q[j, i] sits at the NE corner of cell (j, i);
 shifts I-1 → im1, J-1 → jm1 on the trailing axes.
@@ -43,6 +45,10 @@ class CoriolisCfg:
     no_slip: bool = False               # NOSLIP
     bound_coriolis: bool = False        # BOUND_CORIOLIS
     pv_adv_upwind: bool = False         # PV_ADV_SCHEME = PV_ADV_UPWIND1
+    # CORIOLIS_EN_DIS (MOM_CoriolisAdv.F90:1087): energy-dissipating
+    # biased Sadourny-energy PV flux using min/max of the continuity
+    # transport and a centered estimate, selected by sign(q*u)
+    coriolis_en_dis: bool = False
     blend_wt_lin: float = 0.125         # CORIOLIS_BLEND_WT_LIN
     blend_f_eff_max: float = 4.0        # CORIOLIS_BLEND_F_EFF_MAX
     h_tiny: float = 1e-10               # Angstrom thickness [m]
@@ -87,7 +93,47 @@ def coriolis_adv(grid: Grid, u, v, h, uh, vh,
     q = abs_vort * Ih_q
 
     # --- PV flux term ---
-    if cfg.scheme == "SADOURNY75_ENERGY":
+    if cfg.scheme == "SADOURNY75_ENERGY" and cfg.coriolis_en_dis:
+        # Hallberg's energy-dissipating bias (:590-664): the centered
+        # transport estimate is clip-blended against the continuity
+        # transport (RANGE=0.5 ladder), sorted into min/max, and each
+        # corner PV-flux term picks the branch that dissipates energy
+        # for the local sign of q*u (q*v for CAv)
+        def min_max(c, m, dlen):
+            c = jnp.where(dlen == 0.0, m, c)
+            ac, am = jnp.abs(c), jnp.abs(m)
+            m_adj = jnp.where(ac < 0.1 * am, 10.0 * c, m)
+            c_adj = jnp.where(
+                ac <= 0.25 * am, c,
+                jnp.where(ac < 0.5 * am, 3.0 * c - 0.5 * m,
+                          jnp.where(ac <= 2.0 * am, m, 0.5 * c)))
+            c_adj = jnp.where(ac < 0.1 * am, c, c_adj)
+            return (jnp.minimum(c_adj, m_adj),
+                    jnp.maximum(c_adj, m_adj))
+
+        uh_c = 0.5 * grid.dyCu * u * (h + ip1(h))
+        vh_c = 0.5 * grid.dxCv * v * (h + jp1(h))
+        uh_min, uh_max = min_max(uh_c, uh, grid.dyCu)
+        vh_min, vh_max = min_max(vh_c, vh, grid.dxCv)
+
+        def pick(qq, sel, pr_min, pr_max):
+            # sel<0 -> max branch, sel>0 -> min, ==0 -> average
+            return jnp.where(
+                sel == 0.0, qq * 0.5 * (pr_max + pr_min),
+                jnp.where(sel < 0.0, qq * pr_max, qq * pr_min))
+
+        vmin_p = vh_min + ip1(vh_min)
+        vmax_p = vh_max + ip1(vh_max)
+        t1 = pick(q, q * u, vmin_p, vmax_p)
+        t2 = pick(jm1(q), jm1(q) * u, jm1(vmin_p), jm1(vmax_p))
+        CAu = 0.25 * (t1 + t2) * grid.IdxCu
+        umin_p = uh_min + jp1(uh_min)
+        umax_p = uh_max + jp1(uh_max)
+        # CAv = -q*uh: the dissipative branch flips (q*v>0 -> max)
+        s1 = pick(im1(q), -(im1(q) * v), im1(umin_p), im1(umax_p))
+        s2 = pick(q, -(q * v), umin_p, umax_p)
+        CAv = -0.25 * (s1 + s2) * grid.IdyCv
+    elif cfg.scheme == "SADOURNY75_ENERGY":
         A = q * (vh + ip1(vh))
         CAu = 0.25 * (A + jm1(A)) * grid.IdxCu
         B = q * (uh + jp1(uh))

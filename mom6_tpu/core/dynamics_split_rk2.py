@@ -173,6 +173,24 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     rho0 = vgrid.Rho0
     T, S = state.T, state.S
 
+    # transport-matched continuity dispatch: the fused Pallas kernel
+    # when enabled+supported (TPU backend, full PPM, no OBC/porous),
+    # else the jnp path
+    def run_continuity(uu, vv, hh, uhbt, vhbt, vr_u, vr_v):
+        if (cfg.continuity.use_pallas_fused and obc is None
+                and grid.porous_DavgU is None
+                and jax.default_backend() == "tpu"):
+            from mom6_tpu.core.continuity_pallas import (
+                continuity_ppm_pallas, pallas_continuity_supported)
+            if pallas_continuity_supported(cfg.continuity, hh.shape):
+                return continuity_ppm_pallas(
+                    grid, vgrid, uu, vv, hh, dt, cfg.continuity,
+                    uhbt, vhbt, vr_u, vr_v, x_first=x_first)
+        return continuity_ppm(grid, vgrid, uu, vv, hh, dt,
+                              cfg.continuity, uhbt=uhbt, vhbt=vhbt,
+                              visc_rem_u=vr_u, visc_rem_v=vr_v,
+                              x_first=x_first)
+
     # grouped passes (do_group_pass analog): one fused exchange per
     # width class instead of one message per field; falls back to
     # per-leaf fills for OBC extension or tripolar sign/stagger cases
@@ -236,7 +254,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         kv_int = cfg.vertvisc.kv + kv_shear
     # BBL piston/thickness once per step from the pre-step state
     # (the reference's set_viscous_BBL cadence)
-    bbl = set_viscous_bbl(grid, u, v, h, cfg.vertvisc, vgrid)
+    bbl = set_viscous_bbl(grid, u, v, h, cfg.vertvisc, vgrid,
+                          T=T, S=S, eos=eos)
     ustar = surface_ustar(grid, rho0, forces) \
         if cfg.vertvisc.visc_ml_mode else None
     coefs = vertvisc_coef(grid, u_av, v_av, h, kv_int=kv_int,
@@ -290,10 +309,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         visc_rem_u, visc_rem_v = fill_face_scalars(visc_rem_u,
                                                    visc_rem_v)
 
-    res = continuity_ppm(grid, vgrid, up, vp, h, dt, cfg.continuity,
-                         uhbt=bt.uhbtav, vhbt=bt.vhbtav,
-                         visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
-                         x_first=x_first)
+    res = run_continuity(up, vp, h, bt.uhbtav, bt.vhbtav,
+                         visc_rem_u, visc_rem_v)
     if use_group:
         (hp, (uh, vh), (u_av, v_av)) = domain.fill_halos_group(
             (res.h, (res.uh, res.vh), (res.u_cor, res.v_cor)))
@@ -357,10 +374,8 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
         visc_rem_u, visc_rem_v = fill_face_scalars(visc_rem_u,
                                                    visc_rem_v)
 
-    res = continuity_ppm(grid, vgrid, u_new, v_new, h, dt, cfg.continuity,
-                         uhbt=bt.uhbtav, vhbt=bt.vhbtav,
-                         visc_rem_u=visc_rem_u, visc_rem_v=visc_rem_v,
-                         x_first=x_first)
+    res = run_continuity(u_new, v_new, h, bt.uhbtav, bt.vhbtav,
+                         visc_rem_u, visc_rem_v)
     if use_group:
         (h_new, (uh, vh), (u_av, v_av)) = domain.fill_halos_group(
             (res.h, (res.uh, res.vh), (res.u_cor, res.v_cor)))

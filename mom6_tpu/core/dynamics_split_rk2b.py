@@ -157,7 +157,8 @@ def step_dyn_split_rk2b(domain: Domain, grid: Grid, vgrid: VerticalGrid,
 
     # BBL properties and full-dt viscous remnant for the
     # instantaneous-velocity reconstruction (RK2b:598-642)
-    bbl = set_viscous_bbl(grid, u_av, v_av, h, cfg.vertvisc, vgrid)
+    bbl = set_viscous_bbl(grid, u_av, v_av, h, cfg.vertvisc,
+                          vgrid, T=T, S=S, eos=eos)
     ustar = surface_ustar(grid, rho0, forces) \
         if cfg.vertvisc.visc_ml_mode else None
     coefs = vertvisc_coef(grid, u_av, v_av, h, cfg=cfg.vertvisc, bbl=bbl,

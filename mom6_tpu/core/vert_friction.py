@@ -72,6 +72,10 @@ class VertViscCfg:
     # HARMONIC_VISC: harmonic (vs arithmetic) mean thicknesses in the
     # interior viscous coupling (MOM_vert_friction.F90:121-128)
     harmonic_visc: bool = False
+    # BBL_USE_EOS (MOM_set_viscosity.F90:336,462): the BBL
+    # stratification ladder uses in-situ EOS density differences from
+    # T/S instead of the coordinate Rlay targets
+    bbl_use_eos: bool = False
     ml_ekman_coeff: float = 0.5   # decay-scale coefficient [nondim]
     vonkar: float = 0.41          # VON_KARMAN
     # KV_ML_INVZ2 (MOM_vert_friction.F90:1877-1888): extra near-
@@ -109,7 +113,7 @@ def _hab_interfaces(h_face):
 @jax.named_scope("set_viscous_bbl")
 def set_viscous_bbl(grid: Grid, u, v, h,
                     cfg: VertViscCfg = VertViscCfg(),
-                    vgrid=None) -> BBLInfo:
+                    vgrid=None, T=None, S=None, eos=None) -> BBLInfo:
     """Bottom-boundary-layer piston velocity and thickness at u/v
     faces (set_viscous_BBL, MOM_set_viscosity.F90): the near-bottom
     velocity is averaged over the bottom HBBL meters,
@@ -132,14 +136,28 @@ def set_viscous_bbl(grid: Grid, u, v, h,
     # carry their stratification in Rlay only weakly and mostly see
     # the rotational limit)
     gp_int = None
-    if vgrid is not None and cfg.dynamic_bbl:
+    gp_u = gp_v = None
+    if (cfg.bbl_use_eos and cfg.dynamic_bbl and vgrid is not None
+            and T is not None and S is not None and eos is not None):
+        # BBL_USE_EOS: interface reduced gravities from the actual
+        # T/S stratification (locally-referenced potential density
+        # difference across each interior interface,
+        # MOM_set_viscosity.F90:462-520)
+        z_int = jnp.cumsum(h, axis=0)[:-1]
+        p_int = vgrid.Rho0 * vgrid.g_Earth * z_int
+        drho = eos.density(T[1:], S[1:], p_int) \
+            - eos.density(T[:-1], S[:-1], p_int)
+        gp_h = jnp.maximum(vgrid.g_Earth * drho / vgrid.Rho0, 0.0)
+        gp_u = 0.5 * (gp_h + ip1(gp_h))
+        gp_v = 0.5 * (gp_h + jp1(gp_h))
+    elif vgrid is not None and cfg.dynamic_bbl:
         import numpy as _np
         rl = _np.asarray(vgrid.Rlay)
         gp = _np.maximum(vgrid.g_Earth * (rl[1:] - rl[:-1])
                          / vgrid.Rho0, 0.0)
         gp_int = jnp.asarray(gp.reshape((-1,) + (1,) * (h.ndim - 1)))
 
-    def face_bbl(h_face, umag2_face, absf):
+    def face_bbl(h_face, umag2_face, absf, gp_face=None):
         hab = _hab_interfaces(h_face)
         if cfg.linear_drag:
             piston = cfg.cdrag * cfg.drag_bg_vel \
@@ -150,7 +168,9 @@ def set_viscous_bbl(grid: Grid, u, v, h,
         u_bbl2 = jnp.sum(w * umag2_face, axis=0) \
             / jnp.maximum(jnp.sum(w, axis=0), 1e-10)
         ustar = jnp.sqrt(cfg.cdrag * (u_bbl2 + cfg.drag_bg_vel ** 2))
-        if gp_int is not None and nk > 1:
+        if gp_face is None:
+            gp_face = gp_int
+        if gp_face is not None and nk > 1:
             # KW99 stratification limit: the largest height h with
             # Σ_{K below h} g'_K (h − hab_K) ≤ 400 u*²
             targ = 400.0 * ustar * ustar
@@ -159,8 +179,8 @@ def set_viscous_bbl(grid: Grid, u, v, h,
             # in the segment ABOVE interface k (the interface-k term
             # vanishes at h = habi[k], so the same sums also evaluate
             # f(habi[k]) for the reachability test)
-            gcum = jnp.cumsum(gp_int[::-1], axis=0)[::-1]
-            gh = jnp.cumsum((gp_int * habi)[::-1], axis=0)[::-1]
+            gcum = jnp.cumsum(gp_face[::-1], axis=0)[::-1]
+            gh = jnp.cumsum((gp_face * habi)[::-1], axis=0)[::-1]
             lhs = habi * gcum - gh
             ok = lhs <= targ[None]
             # per-segment crossing: h = (targ + Σg'hab)/Σg', valid
@@ -197,9 +217,9 @@ def set_viscous_bbl(grid: Grid, u, v, h,
     u_at_v = 0.25 * ((u + jp1(u)) + im1(u + jp1(u)))
     fq = jnp.abs(grid.CoriolisBu)
     pu, tu = face_bbl(h_u, u * u + v_at_u * v_at_u,
-                      0.5 * (fq + jm1(fq)))
+                      0.5 * (fq + jm1(fq)), gp_face=gp_u)
     pv, tv = face_bbl(h_v, v * v + u_at_v * u_at_v,
-                      0.5 * (fq + im1(fq)))
+                      0.5 * (fq + im1(fq)), gp_face=gp_v)
     return BBLInfo(piston_u=pu, thick_u=tu, piston_v=pv, thick_v=tv)
 
 

@@ -98,15 +98,15 @@ _PARITY_POLICY = [
     # (diabatic_aux), so the flag carries no choice here
     ("ABSORB_ALL_SW", bool, False),
     ("PEN_SW_ABSORB_MINTHICK", float, 0.0),
+    # set by tc2's historical MOM_input but absent from the current
+    # reference source (no get_param reads them anywhere under
+    # /root/reference/src) — nothing to implement
+    ("PGF_STANLEY_T2_DET_COEFF", float, -1.0),
+    ("STANLEY_PRM_DET_COEFF", float, -1.0),
 ]
 _PARITY_UNIMPL = [
     ("ISOTROPIC", bool, False),
     ("LIMIT_BUFFER_DETRAIN", bool, False),
-    ("USE_STORED_SLOPES", bool, False),
-    ("PGF_STANLEY_T2_DET_COEFF", float, -1.0),
-    ("STANLEY_PRM_DET_COEFF", float, -1.0),
-    ("USE_MLD_ITERATION", bool, False),
-    ("BBL_USE_EOS", bool, False), ("CORIOLIS_EN_DIS", bool, False),
     ("RECONSTRUCT_FOR_PRESSURE", bool, True),
 ]
 # retained for external callers; the audit loop reads the split lists
@@ -847,13 +847,24 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         # TPU extension: fixed Newton count for the uhbt-matching flux
         # adjustment (the reference iterates to tolerance with
         # bisection fallback; a fixed count is jit-static)
-        newton_iters=pf.get("CONT_NEWTON_ITERS", int, 6))
+        newton_iters=pf.get("CONT_NEWTON_ITERS", int, 6),
+        use_pallas_fused=pf.get("CONTINUITY_USE_PALLAS", bool, True,
+                                desc="TPU extension: fused Pallas "
+                                "kernel for the transport-matched "
+                                "continuity sweeps (both sweeps + "
+                                "Newton in VMEM); falls back to the "
+                                "jnp path off-TPU or when "
+                                "unsupported"))
     pf.module("MOM_CoriolisAdv")
     cor = CoriolisCfg(
         scheme=pf.get("CORIOLIS_SCHEME", str, "SADOURNY75_ENERGY"),
         ke_scheme=pf.get("KE_SCHEME", str, "KE_ARAKAWA"),
         no_slip=pf.get("NOSLIP", bool, False),
         bound_coriolis=pf.get("BOUND_CORIOLIS", bool, False),
+        coriolis_en_dis=pf.get("CORIOLIS_EN_DIS", bool, False,
+                               desc="energy-dissipating biased "
+                               "Sadourny-energy PV flux "
+                               "(MOM_CoriolisAdv.F90:1087)"),
         pv_adv_upwind=pf.get("PV_ADV_SCHEME", str, "PV_ADV_CENTERED"
                              ).upper() == "PV_ADV_UPWIND1",
         blend_wt_lin=pf.get("CORIOLIS_BLEND_WT_LIN", float, 0.125),
@@ -887,6 +898,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                            pf.get("HMIX_FIXED", float, 20.0),
                            units="m"),
         harmonic_visc=pf.get("HARMONIC_VISC", bool, False),
+        bbl_use_eos=pf.get("BBL_USE_EOS", bool, False,
+                           desc="BBL stratification ladder from EOS "
+                           "in-situ density differences instead of "
+                           "the Rlay targets "
+                           "(MOM_set_viscosity.F90:336)"),
         kv_ml_invz2=pf.get("KV_ML_INVZ2", float, 0.0, units="m2 s-1",
                            desc="extra near-surface viscosity with a "
                            "1/z^2 profile over HMIX_FIXED "
@@ -1790,6 +1806,11 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                    cv=pf.get("KPP_CV", float, 1.7)),
         use_epbl=use_epbl,
         epbl=EPBLCfg(mstar=pf.get("EPBL_MSTAR", float, 1.2),
+                     use_mld_iteration=pf.get(
+                         "USE_MLD_ITERATION", bool, True,
+                         desc="iterate the ePBL MLD/mstar coupling "
+                         "(MOM_energetic_PBL.F90:2252)"),
+                     mld_iters=pf.get("EPBL_MLD_MAX_ITS", int, 3),
                      mstar_mode=pf.get("EPBL_MSTAR_MODE", int, 0),
                      nstar=pf.get("EPBL_NSTAR", float, 0.2),
                      # the reference's ePBL reads the shared
@@ -1935,7 +1956,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                units="m"),
         gill_equatorial_ld=pf.get("GILL_EQUATORIAL_LD", bool, True),
         interpolate_res_fn=pf.get("INTERPOLATE_RES_FN", bool, False),
-        varmix_ktop=pf.get("VARMIX_KTOP", int, 2))
+        varmix_ktop=pf.get("VARMIX_KTOP", int, 2),
+        use_stored_slopes=pf.get(
+            "USE_STORED_SLOPES", bool, False,
+            desc="Eady rate from true EOS isoneutral slopes instead "
+            "of interface-height gradients "
+            "(MOM_lateral_mixing_coeffs.F90:495)"))
     pf.module("MOM_mixed_layer_restrat")
     use_mle = pf.get("MIXEDLAYER_RESTRAT", bool, False)
     mle_cfg = MLRestratCfg(

@@ -51,6 +51,12 @@ class VarMixCfg:
     # below layer 1) entering the SN integral
     # (calc_slope_functions_using_just_e, :829)
     varmix_ktop: int = 2
+    # USE_STORED_SLOPES (MOM_lateral_mixing_coeffs.F90:1279,495):
+    # True -> the Eady rate uses true EOS isoneutral slopes
+    # (calc_Visbeck_coeffs_old on calc_isoneutral_slopes output);
+    # False (reference default) -> slopes from interface-height
+    # gradients only (calc_slope_functions_using_just_e)
+    use_stored_slopes: bool = False
 
 
 class VarMixResult(NamedTuple):
@@ -143,9 +149,11 @@ def calc_eady_rate(cfg: VarMixCfg, grid: Grid, vgrid: VerticalGrid,
     interface-height gradient and N² the Rlay jumps."""
     from mom6_tpu.parallel.stencil import im1, jm1
 
-    if T is None or eos is None:
-        # layered fallback: slopes from interface-height gradients,
-        # N² from the Rlay jumps
+    if T is None or eos is None or not cfg.use_stored_slopes:
+        # calc_slope_functions_using_just_e: slopes from interface-
+        # height gradients, N² from the coordinate (Rlay) jumps —
+        # the reference default; USE_STORED_SLOPES selects the
+        # EOS-slope branch below
         zs = jnp.cumsum(h, axis=0)[:-1]
         e = -zs
         sx = (e - im1(e)) * grid.IdxT

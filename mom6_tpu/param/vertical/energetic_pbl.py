@@ -47,7 +47,12 @@ class EPBLCfg:
     tke_decay: float = 2.5       # TKE_DECAY: e-foldings over h_bl
     min_mld: float = 1.0
     max_mld: float = 0.0         # 0 → no cap
+    # USE_MLD_ITERATION (MOM_energetic_PBL.F90:2252, default true):
+    # resolve the MLD<->mstar/decay coupling by fixed-point iteration;
+    # False makes a single pass from the initial MLD guess
+    use_mld_iteration: bool = True
     mld_iters: int = 3           # MLD↔decay fixed-point iterations
+                                 # (EPBL_MLD_MAX_ITS analog)
     c_k: float = 0.55            # Kd = c_k · v* · l(z)
     vstar_scale: float = 1.0
     min_mix_len: float = 1.0     # [m]
@@ -116,7 +121,8 @@ def energetic_pbl(cfg: EPBLCfg, h, T, S, eos, rho0, g, dt,
     # fixed-point iteration: mstar depends on the MLD it determines
     # (the reference iterates per column, :860)
     mld = jnp.maximum(h[0], cfg.min_mld)
-    for _ in range(max(cfg.mld_iters, 1)):
+    n_its = max(cfg.mld_iters, 1) if cfg.use_mld_iteration else 1
+    for _ in range(n_its):
         mstar = _mstar_value(cfg, ustar, absf, mld)
         mech = mstar * rho0 * ustar[None] ** 3 * dt
         conv = cfg.nstar * rho0 * w_star3[None] * z_int[1:] * dt

@@ -247,9 +247,16 @@ def test_visbeck_kh_from_eady_rate():
         (10.0 - 2.0 * jnp.arange(nk).reshape(-1, 1, 1))
         + x[None, None, :] * jnp.ones((nk, 12, 12))))
     S = d.fill_halos(d.pad(jnp.full((nk, 12, 12), 35.0)))
-    cfg = VarMixCfg(khth_slope_cff=0.1)
+    # USE_STORED_SLOPES=True: Eady rate from EOS isoneutral slopes —
+    # a T front with FLAT interfaces still yields SN > 0.  The
+    # reference-default just-e branch sees only the (flat) interface
+    # heights and gives 0 here.
+    cfg = VarMixCfg(khth_slope_cff=0.1, use_stored_slopes=True)
     sn = calc_eady_rate(cfg, g, vg, h, T, S, LinearEOS())
     assert float(jnp.max(d.interior(sn))) > 0.0
+    sn_just_e = calc_eady_rate(
+        VarMixCfg(khth_slope_cff=0.1), g, vg, h, T, S, LinearEOS())
+    assert float(jnp.max(d.interior(sn_just_e))) == 0.0
     kh = visbeck_kh(cfg, g, sn)
     assert float(jnp.max(d.interior(kh))) > 0.0
     # no front (uniform T) -> SN = 0 -> KH = 0
