@@ -41,12 +41,14 @@ from mom6_tpu.core.continuity_ppm import ContinuityCfg, ContinuityResult
 __all__ = ["continuity_ppm_pallas", "pallas_continuity_supported"]
 
 TJ = 8        # output rows per grid step
-# extra x-swept rows feeding the y-sweep stencil: the y flux at an
-# output row reaches 3 rows out through the PPM edge slopes
-# (edge -> slope -> neighbor-h chain), and the h update adds its
-# southward vh neighbor — 3 rows of validity each side suffice, with
-# the corrupted window-edge rows falling inside the domain halo
-NPAD = 3
+# the y-sweep stencil reaches 3 rows out of an output row (PPM edge
+# -> slope -> neighbor-h chain, + the southward vh in the h update);
+# the DMA window must also be (8,128)-TILE-ALIGNED in HBM (Mosaic
+# rejects misaligned memref slices), so each block reads the three
+# aligned TJ-row blocks around it: W = 3*TJ, start = TJ*(j-1)
+# clamped at the walls.  Corrupted wall-window rows fall inside the
+# domain halo (halo >= 4 > stencil reach 3)
+W_ROWS = 3 * TJ
 
 
 def pallas_continuity_supported(cfg: ContinuityCfg, grid_shape,
@@ -58,7 +60,7 @@ def pallas_continuity_supported(cfg: ContinuityCfg, grid_shape,
     return (not cfg.upwind_1st and not cfg.simple_2nd
             and not cfg.monotonic and not cfg.vol_cfl
             and obc is None and not porous
-            and njh % TJ == 0 and njh >= TJ + 2 * NPAD)
+            and njh % TJ == 0 and njh >= W_ROWS)
 
 
 def _edges(h, mask, roll_p, roll_m, h_min2):
@@ -154,16 +156,16 @@ def _sweep(vel, h, vr, hbt, dt, dlen, Idx_up, Idx_dn, Iarea, mask_f,
 
 def _kernel(u_hbm, v_hbm, h_hbm, vru_hbm, vrv_hbm, ub_hbm, vb_hbm,
             g_hbm, h_out, uh_out, vh_out, ucor_out, vcor_out,
-            *, dt, cfg, h_min, x_first, njh):
+            *, dt, cfg, h_min, x_first, njh, interpret_mode=False):
     """Fused two-sweep continuity on a TJ+2*NPAD-row window, DMA'd
     from HBM.  g_hbm stacks the 2-D grid constants (dyCu, IdxT,
     IareaT, maskCu, dxCu, dxCv, IdyT, maskCv, maskT, dyCv)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    W = TJ + 2 * NPAD
+    W = W_ROWS
     j = pl.program_id(0)
-    start = jnp.clip(j * TJ - NPAD, 0, njh - W)
+    start = jnp.clip((j - 1) * TJ, 0, njh - W)   # tile-aligned
     off = j * TJ - start              # output rows inside the window
 
     nk = u_hbm.shape[0]
@@ -207,17 +209,26 @@ def _kernel(u_hbm, v_hbm, h_hbm, vru_hbm, vrv_hbm, ub_hbm, vb_hbm,
 
         h_min2 = 2.0 * h_min
 
+        # mosaic-native circular shifts (pltpu.roll); jnp.roll's
+        # slice+concat lowering stalled the TPU compile
+        def _rl(f, sh, ax):
+            if interpret_mode:
+                return jnp.roll(f, sh, axis=ax)
+            # pltpu.roll requires a non-negative shift
+            size = f.shape[ax]
+            return pltpu.roll(f, sh % size, axis=f.ndim + ax)
+
         def roll_xp(f):
-            return jnp.roll(f, -1, axis=-1)
+            return _rl(f, -1, -1)
 
         def roll_xm(f):
-            return jnp.roll(f, 1, axis=-1)
+            return _rl(f, 1, -1)
 
         def roll_yp(f):
-            return jnp.roll(f, -1, axis=-2)
+            return _rl(f, -1, -2)
 
         def roll_ym(f):
-            return jnp.roll(f, 1, axis=-2)
+            return _rl(f, 1, -2)
 
         du_lim_x = cfg.cfl_limit * dxCu / dt
         du_lim_y = cfg.cfl_limit * dyCv / dt
@@ -255,13 +266,13 @@ def _kernel(u_hbm, v_hbm, h_hbm, vru_hbm, vrv_hbm, ub_hbm, vb_hbm,
         def _():
             write(0)
 
-        @pl.when(off == NPAD)
+        @pl.when(off == TJ)
         def _():
-            write(NPAD)
+            write(TJ)
 
-        @pl.when(off == 2 * NPAD)
+        @pl.when(off == 2 * TJ)
         def _():
-            write(2 * NPAD)
+            write(2 * TJ)
 
     pl.run_scoped(
         body,
@@ -299,7 +310,7 @@ def continuity_ppm_pallas(grid: Grid, vgrid: VerticalGrid, u, v, h,
 
     kern = functools.partial(_kernel, dt=dt, cfg=cfg,
                              h_min=vgrid.angstrom, x_first=x_first,
-                             njh=njh)
+                             njh=njh, interpret_mode=interpret)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec((nk, TJ, nih), lambda j: (0, j, 0),
                             memory_space=pltpu.VMEM)

@@ -177,15 +177,18 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     # when enabled+supported (TPU backend, full PPM, no OBC/porous),
     # else the jnp path
     def run_continuity(uu, vv, hh, uhbt, vhbt, vr_u, vr_v):
+        import os as _os
+        interp = _os.environ.get("MOM6_PALLAS_INTERPRET") == "1"
         if (cfg.continuity.use_pallas_fused and obc is None
                 and grid.porous_DavgU is None
-                and jax.default_backend() == "tpu"):
+                and (interp or jax.default_backend() == "tpu")):
             from mom6_tpu.core.continuity_pallas import (
                 continuity_ppm_pallas, pallas_continuity_supported)
             if pallas_continuity_supported(cfg.continuity, hh.shape):
                 return continuity_ppm_pallas(
                     grid, vgrid, uu, vv, hh, dt, cfg.continuity,
-                    uhbt, vhbt, vr_u, vr_v, x_first=x_first)
+                    uhbt, vhbt, vr_u, vr_v, x_first=x_first,
+                    interpret=interp)
         return continuity_ppm(grid, vgrid, uu, vv, hh, dt,
                               cfg.continuity, uhbt=uhbt, vhbt=vhbt,
                               visc_rem_u=vr_u, visc_rem_v=vr_v,

@@ -50,6 +50,12 @@ class PressureForceCfg:
     # 1 = midpoint).  5 recovers the reference's analytic-integral
     # accuracy for any EOS without per-form closed forms.
     quad_points: int = 1
+    # RECONSTRUCT_FOR_PRESSURE (MOM_PressureForce_FV.F90:980, default
+    # = USE_REGRIDDING): limited-PLM vertical reconstruction of T/S
+    # inside the layer density integrals instead of the
+    # constant-by-layer values (int_density_dz_generic_plm,
+    # MOM_density_integrals.F90:388); needs quad_points=5 to matter
+    reconstruct: bool = False
 
 
 class PressureForceResult(NamedTuple):
@@ -72,24 +78,52 @@ _BOOLE_W = (7.0 / 90.0, 32.0 / 90.0, 12.0 / 90.0, 32.0 / 90.0,
             7.0 / 90.0)
 
 
+def _plm_profile(t, h):
+    """Monotonized-central limited PLM edge values of a cell-mean
+    profile within each layer: (t_top, t_bot) with the layer mean
+    preserved (the PLM pressure reconstruction of
+    MOM_density_integrals.F90:388 int_density_dz_generic_plm)."""
+    t_up = jnp.concatenate([t[:1], t[:-1]], axis=0)
+    t_dn = jnp.concatenate([t[1:], t[-1:]], axis=0)
+    d_up = t - t_up
+    d_dn = t_dn - t
+    slp = 0.5 * (d_up + d_dn)
+    lim = 2.0 * jnp.minimum(jnp.abs(d_up), jnp.abs(d_dn))
+    slp = jnp.sign(slp) * jnp.minimum(jnp.abs(slp), lim)
+    slp = jnp.where(d_up * d_dn > 0.0, slp, 0.0)
+    return t - 0.5 * slp, t + 0.5 * slp
+
+
 def _layer_densities(vgrid: VerticalGrid, h, e, T, S, eos, rho0, g,
-                     quad_points: int = 1):
+                     quad_points: int = 1, reconstruct: bool = False):
     """Layer-mean in-situ density (nk, njh, nih).
 
     quad_points=5 evaluates the EOS at 5 Boole-rule levels through
-    each layer (T/S uniform within the layer, pressure varying) — the
-    vertically exact layer density integral for any smooth EOS, the
+    each layer (pressure varying) — the vertically exact layer
+    density integral for any smooth EOS, the
     int_density_dz_generic_pcm analog
-    (MOM_density_integrals.F90:228)."""
+    (MOM_density_integrals.F90:228).  With ``reconstruct``
+    (RECONSTRUCT_FOR_PRESSURE) the T/S sampled at each level follow
+    the limited-PLM in-layer profile instead of the layer mean, so
+    EOS nonlinearity sees the stratification within layers
+    (int_density_dz_generic_plm, :388)."""
     if T is None or eos is None:
         rlay = vgrid.Rlay.reshape(-1, 1, 1)
         return jnp.broadcast_to(rlay, h.shape)
     if quad_points == 5:
+        if reconstruct:
+            T_t, T_b = _plm_profile(T, h)
+            S_t, S_b = _plm_profile(S, h)
         rho = 0.0
         for m, w in enumerate(_BOOLE_W):
             frac = m / 4.0
             z = e[:-1] * (1.0 - frac) + e[1:] * frac
-            rho = rho + w * eos.density(T, S, -rho0 * g * z)
+            if reconstruct:
+                Tm = T_t * (1.0 - frac) + T_b * frac
+                Sm = S_t * (1.0 - frac) + S_b * frac
+            else:
+                Tm, Sm = T, S
+            rho = rho + w * eos.density(Tm, Sm, -rho0 * g * z)
         return rho
     z_mid = 0.5 * (e[:-1] + e[1:])
     p_mid = -rho0 * g * z_mid
@@ -126,7 +160,8 @@ def pressure_force(grid: Grid, vgrid: VerticalGrid, h, T=None, S=None,
         return res
 
     rho = _layer_densities(vgrid, h, e, T, S, eos, rho0, g,
-                           quad_points=cfg.quad_points)
+                           quad_points=cfg.quad_points,
+                           reconstruct=cfg.reconstruct)
     if cfg.stanley_coeff >= 0.0 and T is not None and eos is not None:
         # Stanley parameterization: rho += 0.5 varT d2rho/dT2
         from mom6_tpu.core.stoch_eos import (calc_varT,

@@ -105,9 +105,7 @@ _PARITY_POLICY = [
     ("STANLEY_PRM_DET_COEFF", float, -1.0),
 ]
 _PARITY_UNIMPL = [
-    ("ISOTROPIC", bool, False),
     ("LIMIT_BUFFER_DETRAIN", bool, False),
-    ("RECONSTRUCT_FOR_PRESSURE", bool, True),
 ]
 # retained for external callers; the audit loop reads the split lists
 _PARITY_INERT = _PARITY_POLICY + _PARITY_UNIMPL
@@ -586,6 +584,13 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
     else:
         depth_fn = _topo_fn(topo_config, max_depth, min_depth, lenlon,
                             lenlat, west, south)
+    isotropic = pf.get("ISOTROPIC", bool, False,
+                       desc="isotropic (Mercator) spacing: dy tracks "
+                       "dx*cos(lat), the meridional extent set by the "
+                       "zonal resolution "
+                       "(MOM_grid_initialize.F90:703); read for any "
+                       "spherical-family GRID_CONFIG, selects the "
+                       "Mercator metrics when GRID_CONFIG=spherical")
     if grid_config == "cartesian":
         if axis_units.startswith("k"):
             grid = cartesian_grid(domain, lenlon_km=lenlon,
@@ -603,10 +608,20 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
                                   depth_fn=depth_fn, max_depth=max_depth,
                                   min_depth=min_depth)
     elif grid_config == "spherical":
-        grid = spherical_grid(domain, west_lon=west, lenlon=lenlon,
-                              south_lat=south, lenlat=lenlat,
-                              depth_fn=depth_fn, max_depth=max_depth,
-                              min_depth=min_depth)
+        if isotropic:
+            from mom6_tpu.core.grid import mercator_grid
+            grid = mercator_grid(domain, west_lon=west,
+                                 lenlon=lenlon, south_lat=south,
+                                 north_lat=south + lenlat,
+                                 depth_fn=depth_fn,
+                                 max_depth=max_depth,
+                                 min_depth=min_depth)
+        else:
+            grid = spherical_grid(domain, west_lon=west,
+                                  lenlon=lenlon, south_lat=south,
+                                  lenlat=lenlat, depth_fn=depth_fn,
+                                  max_depth=max_depth,
+                                  min_depth=min_depth)
     elif grid_config == "mercator":
         from mom6_tpu.core.grid import mercator_grid
         grid = mercator_grid(domain, west_lon=west, lenlon=lenlon,
@@ -848,7 +863,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         # adjustment (the reference iterates to tolerance with
         # bisection fallback; a fixed count is jit-static)
         newton_iters=pf.get("CONT_NEWTON_ITERS", int, 6),
-        use_pallas_fused=pf.get("CONTINUITY_USE_PALLAS", bool, True,
+        use_pallas_fused=pf.get("CONTINUITY_USE_PALLAS", bool, False,
                                 desc="TPU extension: fused Pallas "
                                 "kernel for the transport-matched "
                                 "continuity sweeps (both sweeps + "
@@ -975,7 +990,13 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         # active EOS (the reference's analytic int_density_dz);
         # PGF_QUAD_POINTS=1 falls back to midpoint sampling
         quad_points=pf.get("PGF_QUAD_POINTS", int,
-                           5 if thermo else 1))
+                           5 if thermo else 1),
+        reconstruct=pf.get("RECONSTRUCT_FOR_PRESSURE", bool,
+                           use_regrid,
+                           desc="limited-PLM T/S reconstruction in "
+                           "the FV pressure integrals; default set "
+                           "by USE_REGRIDDING "
+                           "(MOM_PressureForce_FV.F90:980)"))
 
     # ---- astronomical tides + self-attraction and loading
     # (MOM_tidal_forcing.F90 / MOM_self_attr_load.F90) ----

@@ -111,3 +111,48 @@ def test_quadrature_layer_density_exact_for_linear_compressibility():
         / 400.0
     np.testing.assert_allclose(float(w5[0, 0, 0]),
                                float(w_tz[0, 0, 0]), rtol=1e-9)
+
+
+def test_reconstruct_for_pressure():
+    """RECONSTRUCT_FOR_PRESSURE (MOM_PressureForce_FV.F90:980): PLM
+    in-layer T/S profiles in the Boole density integral.  With a
+    LINEAR EOS the layer-mean density is unchanged (the PLM is
+    mean-preserving under the Boole weights); with the nonlinear
+    WRIGHT EOS the reconstruction changes the pressure force."""
+    import dataclasses
+    from mom6_tpu.eos import make_eos
+    dn, g, vg = _setup() if '_setup' in globals() else (None,) * 3
+    if dn is None:
+        from mom6_tpu.parallel.domain import Domain
+        from mom6_tpu.core.grid import cartesian_grid
+        from mom6_tpu.core.vertical_grid import VerticalGrid
+        dn = Domain(ni=12, nj=12, halo=4, reentrant_x=True,
+                    reentrant_y=True)
+        g = cartesian_grid(dn, lenlon_km=120.0, lenlat_km=120.0,
+                           f0=1e-4, max_depth=2000.0)
+        vg = VerticalGrid.uniform(nk=6)
+    import numpy as np
+    import jax.numpy as jnp
+    nk = 6
+    rng = np.random.default_rng(1)
+    h = dn.fill_halos(jnp.asarray(
+        300.0 + 10.0 * rng.standard_normal((nk, dn.njh, dn.nih))))
+    T = dn.fill_halos(jnp.asarray(
+        18.0 - 2.0 * np.arange(nk).reshape(-1, 1, 1)
+        + 0.3 * rng.standard_normal((nk, dn.njh, dn.nih))))
+    S = dn.fill_halos(jnp.full((nk, dn.njh, dn.nih), 35.0))
+    base = PressureForceCfg(quad_points=5)
+    rec = dataclasses.replace(base, reconstruct=True)
+    H = dn.halo
+    sl = (slice(None), slice(H, -H), slice(H, -H))
+    for eos_name, expect_same in (("LINEAR", True), ("WRIGHT", False)):
+        eos = make_eos(eos_name)
+        r0 = pressure_force(g, vg, h, T, S, eos, cfg=base)
+        r1 = pressure_force(g, vg, h, T, S, eos, cfg=rec)
+        a = np.asarray(r0.PFu)[sl]
+        b = np.asarray(r1.PFu)[sl]
+        if expect_same:
+            np.testing.assert_allclose(b, a, atol=1e-10)
+        else:
+            assert not np.allclose(b, a), \
+                "reconstruction inert with a nonlinear EOS"
