@@ -1,27 +1,34 @@
-"""Fused Pallas TPU kernel for the PPM continuity step.
+"""Fused Pallas TPU kernels for the PPM continuity step.
 
 The jnp continuity path (continuity_ppm.py) is a pipeline of ~30
 stencil phases per call — PPM edge reconstruction, 7 Newton flux
 evaluations per direction, the final flux, and the thickness update —
-and XLA materializes many phase boundaries to HBM.  At 512x512x25
-that phase-boundary traffic, not FLOPs, is the cost.  This kernel
-runs the ENTIRE directionally-split update (x-sweep PPM edges +
-Newton transport matching + flux + h update, then the y-sweep of the
-same) in VMEM for a block of rows: each input field is DMA'd from
-HBM once per block (a TJ+2*NPAD-row window), each output written
-once.
+and XLA materializes many phase boundaries to HBM; at 512x512x25 the
+transport-matched call reads ~9 ms on a v5e chip, dominated by that
+phase-boundary traffic, not FLOPs.
 
-Blocking: the x-sweep is row-local, so only the y-sweep needs north/
-south neighbors — halo-ring recompute: the x-sweep runs on NPAD
-extra rows each side of the block, giving the y-sweep the valid h1
-neighbors it needs.  Windows are clamped at the domain walls, which
-only corrupts rows that lie inside the array-edge halo (the caller
-guarantees halo >= NPAD+1 and refreshes halos after the call, like
-the jnp path).
+Design: one kernel per directional sweep, exploiting that each sweep
+shifts in exactly ONE axis:
+
+* the x-sweep is row-local (shifts only along lanes), so it runs on
+  plain row-blocked VMEM BlockSpecs — every input read from HBM
+  once, every output written once, the whole sweep (edges + Newton
+  + final flux + h update) fused in VMEM;
+* the y-sweep is lane-local (shifts only along rows), so it runs on
+  a 2-D (row-block, lane-block) grid where each input arrives as
+  THREE row-shifted BlockSpecs (previous/current/next, clamped at
+  the walls) concatenated into a 3*TJ-row window — halo-ring
+  recompute with rows corrupted by the wall clamp falling inside the
+  domain halo (halo >= 4 > the 3-row stencil reach).
+
+Lane dims are zero-padded to a 128 multiple (Mosaic's lane tiling);
+the padded columns alias the same physical memory XLA's tiled layout
+already allocates, and the rolls' wraparound only corrupts lane-edge
+halo columns the caller refreshes anyway.
 
 Semantics mirror continuity_ppm formula-for-formula (same Newton
-iteration count, same limiter); equivalence is tested to fp32
-roundoff in tests/test_continuity_pallas.py.
+iteration count, same limiter); equivalence is tested to roundoff in
+tests/test_continuity_pallas.py (f64 interpret mode, bitwise-tight).
 
 Reference: zonal_mass_flux / zonal_flux_adjust,
 /root/reference/src/core/MOM_continuity_PPM.F90:640-1247.
@@ -40,27 +47,20 @@ from mom6_tpu.core.continuity_ppm import ContinuityCfg, ContinuityResult
 
 __all__ = ["continuity_ppm_pallas", "pallas_continuity_supported"]
 
-TJ = 8        # output rows per grid step
-# the y-sweep stencil reaches 3 rows out of an output row (PPM edge
-# -> slope -> neighbor-h chain, + the southward vh in the h update);
-# the DMA window must also be (8,128)-TILE-ALIGNED in HBM (Mosaic
-# rejects misaligned memref slices), so each block reads the three
-# aligned TJ-row blocks around it: W = 3*TJ, start = TJ*(j-1)
-# clamped at the walls.  Corrupted wall-window rows fall inside the
-# domain halo (halo >= 4 > stencil reach 3)
-W_ROWS = 3 * TJ
+TJ = 8         # output rows per block
+LT = 256       # lane tile for the y-sweep kernel
 
 
 def pallas_continuity_supported(cfg: ContinuityCfg, grid_shape,
                                 obc=None, porous=False) -> bool:
-    """The fused kernel covers the production configuration: full PPM
+    """The fused kernels cover the production configuration: full PPM
     (not upwind/simple-2nd), positive-definite limiter, no porous
     barriers, no OBC coupling, njh divisible by TJ."""
     nk, njh, nih = grid_shape
     return (not cfg.upwind_1st and not cfg.simple_2nd
             and not cfg.monotonic and not cfg.vol_cfl
             and obc is None and not porous
-            and njh % TJ == 0 and njh >= W_ROWS)
+            and njh % TJ == 0 and njh >= 3 * TJ)
 
 
 def _edges(h, mask, roll_p, roll_m, h_min2):
@@ -131,9 +131,8 @@ def _sweep(vel, h, vr, hbt, dt, dlen, Idx_up, Idx_dn, Iarea, mask_f,
            mask_t, du_lim, cfg, roll_p, roll_m, h_min, h_min2):
     """One directional sweep: edges + Newton transport matching +
     final flux + thickness update, all VMEM-resident.  The Newton
-    iteration is a fori_loop so Mosaic compiles ONE flux evaluation
-    per sweep, not newton_iters copies (the unrolled form blew the
-    TPU compile time past 13 minutes)."""
+    iteration is a fori_loop so Mosaic compiles ONE flux evaluation,
+    not newton_iters copies."""
     h_W, h_E = _edges(h, mask_t, roll_p, roll_m, h_min2)
 
     def newton(_, du):
@@ -154,138 +153,118 @@ def _sweep(vel, h, vr, hbt, dt, dlen, Idx_up, Idx_dn, Iarea, mask_f,
     return h_new, flux, u_cor
 
 
-def _kernel(u_hbm, v_hbm, h_hbm, vru_hbm, vrv_hbm, ub_hbm, vb_hbm,
-            g_hbm, h_out, uh_out, vh_out, ucor_out, vcor_out,
-            *, dt, cfg, h_min, x_first, njh, interpret_mode=False):
-    """Fused two-sweep continuity on a TJ+2*NPAD-row window, DMA'd
-    from HBM.  g_hbm stacks the 2-D grid constants (dyCu, IdxT,
-    IareaT, maskCu, dxCu, dxCv, IdyT, maskCv, maskT, dyCv)."""
-    import jax.experimental.pallas as pl
+def _mk_rolls(interpret_mode):
     from jax.experimental.pallas import tpu as pltpu
 
-    W = W_ROWS
-    j = pl.program_id(0)
-    start = jnp.clip((j - 1) * TJ, 0, njh - W)   # tile-aligned
-    off = j * TJ - start              # output rows inside the window
+    def _rl(f, sh, ax):
+        if interpret_mode:
+            return jnp.roll(f, sh, axis=ax)
+        size = f.shape[ax]
+        return pltpu.roll(f, sh % size, axis=f.ndim + ax)
+    return _rl
 
-    nk = u_hbm.shape[0]
-    nih = u_hbm.shape[-1]
-    dtype = h_out.dtype
 
-    def body(uw, vw, hw, vruw, vrvw, ubw, vbw, gww, sems):
-        copies = [
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(start, W), :], uw, sems.at[0]),
-            pltpu.make_async_copy(
-                v_hbm.at[:, pl.ds(start, W), :], vw, sems.at[1]),
-            pltpu.make_async_copy(
-                h_hbm.at[:, pl.ds(start, W), :], hw, sems.at[2]),
-            pltpu.make_async_copy(
-                vru_hbm.at[:, pl.ds(start, W), :], vruw, sems.at[3]),
-            pltpu.make_async_copy(
-                vrv_hbm.at[:, pl.ds(start, W), :], vrvw, sems.at[4]),
-            pltpu.make_async_copy(
-                ub_hbm.at[pl.ds(start, W), :], ubw, sems.at[5]),
-            pltpu.make_async_copy(
-                vb_hbm.at[pl.ds(start, W), :], vbw, sems.at[6]),
-            pltpu.make_async_copy(
-                g_hbm.at[:, pl.ds(start, W), :], gww, sems.at[7]),
-        ]
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
+def _kernel_x(u_ref, h_ref, vru_ref, ub_ref, g_ref,
+              h_out, uh_out, ucor_out,
+              *, dt, cfg, h_min, interpret_mode):
+    """Row-blocked x-sweep: lane shifts only, so no row halo at all.
+    g_ref stacks (dyCu, IdxT, IdxT_ip1, IareaT, maskCu, dxCu, maskT)."""
+    _rl = _mk_rolls(interpret_mode)
+    u = u_ref[...]
+    h = h_ref[...]
+    vru = vru_ref[...]
+    uhbt = ub_ref[...][0]
+    gw = g_ref[...]
+    dyCu, IdxT, IdxT_ip1, IareaT, maskCu, dxCu, maskT = \
+        [gw[i] for i in range(7)]
 
-        u = uw[...]
-        v = vw[...]
-        h = hw[...]
-        vru = vruw[...]
-        vrv = vrvw[...]
-        uhbt = ubw[...]
-        vhbt = vbw[...]
-        gw = gww[...]
-        (dyCu, IdxT, IareaT, maskCu, dxCu, dxCv, IdyT, maskCv,
-         maskT, dyCv) = [gw[i] for i in range(10)]
+    def roll_p(f):
+        return _rl(f, -1, -1)
 
-        h_min2 = 2.0 * h_min
+    def roll_m(f):
+        return _rl(f, 1, -1)
 
-        # mosaic-native circular shifts (pltpu.roll); jnp.roll's
-        # slice+concat lowering stalled the TPU compile
-        def _rl(f, sh, ax):
-            if interpret_mode:
-                return jnp.roll(f, sh, axis=ax)
-            # pltpu.roll requires a non-negative shift
-            size = f.shape[ax]
-            return pltpu.roll(f, sh % size, axis=f.ndim + ax)
+    h1, uh, u_cor = _sweep(
+        u, h, vru, uhbt, dt, dyCu, IdxT, IdxT_ip1, IareaT, maskCu,
+        maskT, cfg.cfl_limit * dxCu / dt, cfg, roll_p, roll_m,
+        h_min, 2.0 * h_min)
+    h_out[...] = h1
+    uh_out[...] = uh
+    ucor_out[...] = u_cor
 
-        def roll_xp(f):
-            return _rl(f, -1, -1)
 
-        def roll_xm(f):
-            return _rl(f, 1, -1)
+def _run_x(grid, vgrid, u, h, vr_u, uhbt, dt, cfg, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from mom6_tpu.parallel.stencil import ip1
 
-        def roll_yp(f):
-            return _rl(f, -1, -2)
+    nk, njh, nih = h.shape
+    nb = njh // TJ
+    gx = jnp.stack([grid.dyCu, grid.IdxT, ip1(grid.IdxT),
+                    grid.IareaT, grid.mask2dCu, grid.dxCu,
+                    grid.mask2dT], axis=0).astype(h.dtype)
+    spec3 = pl.BlockSpec((nk, TJ, nih), lambda j: (0, j, 0),
+                         memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((1, TJ, nih), lambda j: (0, j, 0),
+                         memory_space=pltpu.VMEM)
+    specg = pl.BlockSpec((7, TJ, nih), lambda j: (0, j, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel_x, dt=dt, cfg=cfg,
+                             h_min=vgrid.angstrom,
+                             interpret_mode=interpret)
+    shp = jax.ShapeDtypeStruct(h.shape, h.dtype)
+    return pl.pallas_call(
+        kern, grid=(nb,),
+        in_specs=[spec3, spec3, spec3, spec2, specg],
+        out_specs=(spec3,) * 3,
+        out_shape=(shp,) * 3,
+        interpret=interpret,
+    )(u, h, vr_u, uhbt[None], gx)
 
-        def roll_ym(f):
-            return _rl(f, 1, -2)
 
-        du_lim_x = cfg.cfl_limit * dxCu / dt
-        du_lim_y = cfg.cfl_limit * dyCv / dt
+def _run_y(grid, vgrid, v, h, vr_v, vhbt, dt, cfg, interpret):
+    """y-sweep via the PROVEN row-local kernel on transposed arrays:
+    swapping rows and lanes turns the y-direction (row-shift) sweep
+    into a lane-shift sweep, so the same no-halo row-blocked kernel
+    applies; the y-direction grid constants map onto the x-kernel's
+    slots (dlen=dxCv, Idx_up=IdyT, Idx_dn=jp1(IdyT), du_lim from
+    dyCv).  Two tiled transposes per field (~0.5 ms total at
+    512x512x25) buy a kernel that fits VMEM with no windowed blocks
+    (the windowed variant wanted 32 MB of scoped VMEM vs the chip's
+    16 MB)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from mom6_tpu.parallel.stencil import jp1
 
-        def x_sweep(hx):
-            return _sweep(u, hx, vru, uhbt, dt, dyCu, IdxT,
-                          roll_xp(IdxT), IareaT, maskCu, maskT,
-                          du_lim_x, cfg, roll_xp, roll_xm,
-                          h_min, h_min2)
+    nk, njh, nih = h.shape
 
-        def y_sweep(hy):
-            return _sweep(v, hy, vrv, vhbt, dt, dxCv, IdyT,
-                          roll_yp(IdyT), IareaT, maskCv, maskT,
-                          du_lim_y, cfg, roll_yp, roll_ym,
-                          h_min, h_min2)
+    def T2(f):
+        return jnp.swapaxes(f, -1, -2)
 
-        if x_first:
-            h1, uh, u_cor = x_sweep(h)
-            h2, vh, v_cor = y_sweep(h1)
-        else:
-            h1, vh, v_cor = y_sweep(h)
-            h2, uh, u_cor = x_sweep(h1)
+    gy = jnp.stack([grid.dxCv, grid.IdyT, jp1(grid.IdyT),
+                    grid.IareaT, grid.mask2dCv, grid.dyCv,
+                    grid.mask2dT], axis=0).astype(h.dtype)
+    gyT = T2(gy)
 
-        # Mosaic cannot dynamic-slice VALUES, so the (three-valued)
-        # window offset selects one of three static slices: off=0 at
-        # the south wall, 2*NPAD at the north wall, NPAD elsewhere
-        def write(o):
-            h_out[...] = h2[:, o:o + TJ, :]
-            uh_out[...] = uh[:, o:o + TJ, :]
-            vh_out[...] = vh[:, o:o + TJ, :]
-            ucor_out[...] = u_cor[:, o:o + TJ, :]
-            vcor_out[...] = v_cor[:, o:o + TJ, :]
-
-        @pl.when(off == 0)
-        def _():
-            write(0)
-
-        @pl.when(off == TJ)
-        def _():
-            write(TJ)
-
-        @pl.when(off == 2 * TJ)
-        def _():
-            write(2 * TJ)
-
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((nk, W, nih), dtype),
-        pltpu.VMEM((nk, W, nih), dtype),
-        pltpu.VMEM((nk, W, nih), dtype),
-        pltpu.VMEM((nk, W, nih), dtype),
-        pltpu.VMEM((nk, W, nih), dtype),
-        pltpu.VMEM((W, nih), dtype),
-        pltpu.VMEM((W, nih), dtype),
-        pltpu.VMEM((10, W, nih), dtype),
-        pltpu.SemaphoreType.DMA((8,)),
-    )
+    nbT = nih // TJ   # transposed row count = lane count, TJ-blocked
+    spec3 = pl.BlockSpec((nk, TJ, njh), lambda j: (0, j, 0),
+                         memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((1, TJ, njh), lambda j: (0, j, 0),
+                         memory_space=pltpu.VMEM)
+    specg = pl.BlockSpec((7, TJ, njh), lambda j: (0, j, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel_x, dt=dt, cfg=cfg,
+                             h_min=vgrid.angstrom,
+                             interpret_mode=interpret)
+    shpT = jax.ShapeDtypeStruct((nk, nih, njh), h.dtype)
+    h2T, vhT, vcorT = pl.pallas_call(
+        kern, grid=(nbT,),
+        in_specs=[spec3, spec3, spec3, spec2, specg],
+        out_specs=(spec3,) * 3,
+        out_shape=(shpT,) * 3,
+        interpret=interpret,
+    )(T2(v), T2(h), T2(vr_v), T2(vhbt)[None], gyT)
+    return T2(h2T), T2(vhT), T2(vcorT)
 
 
 def continuity_ppm_pallas(grid: Grid, vgrid: VerticalGrid, u, v, h,
@@ -296,35 +275,54 @@ def continuity_ppm_pallas(grid: Grid, vgrid: VerticalGrid, u, v, h,
     """Drop-in fused replacement for continuity_ppm with transport
     matching (uhbt/vhbt required).  Output halos are NOT valid —
     exactly like the jnp path, the caller refreshes them."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     nk, njh, nih = h.shape
-    nb = njh // TJ
     vr_u = visc_rem_u if visc_rem_u is not None else jnp.ones_like(u)
     vr_v = visc_rem_v if visc_rem_v is not None else jnp.ones_like(v)
-    gconst = jnp.stack([grid.dyCu, grid.IdxT, grid.IareaT,
-                        grid.mask2dCu, grid.dxCu, grid.dxCv,
-                        grid.IdyT, grid.mask2dCv, grid.mask2dT,
-                        grid.dyCv], axis=0).astype(h.dtype)
 
-    kern = functools.partial(_kernel, dt=dt, cfg=cfg,
-                             h_min=vgrid.angstrom, x_first=x_first,
-                             njh=njh, interpret_mode=interpret)
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    out_spec = pl.BlockSpec((nk, TJ, nih), lambda j: (0, j, 0),
-                            memory_space=pltpu.VMEM)
-    shp = jax.ShapeDtypeStruct(h.shape, h.dtype)
-    outs = pl.pallas_call(
-        kern,
-        grid=(nb,),
-        in_specs=[any_spec] * 8,
-        out_specs=(out_spec,) * 5,
-        out_shape=(shp,) * 5,
-        interpret=interpret,
-    )(u.astype(h.dtype), v.astype(h.dtype), h,
-      vr_u.astype(h.dtype), vr_v.astype(h.dtype),
-      uhbt.astype(h.dtype), vhbt.astype(h.dtype), gconst)
-    h_new, uh, vh, u_cor, v_cor = outs
-    return ContinuityResult(h=h_new, uh=uh, vh=vh, u_cor=u_cor,
-                            v_cor=v_cor)
+    # Mosaic lane tiling: zero-pad the lane axis to a 128 multiple
+    # (same physical memory XLA's tiled layout already allocates);
+    # lane rolls wrap through the pad, corrupting only lane-edge halo
+    # columns the caller refreshes anyway.
+    nih_pad = -(-nih // 128) * 128
+    pad_n = nih_pad - nih
+
+    def _pad(f):
+        if pad_n == 0:
+            return f
+        widths = [(0, 0)] * (f.ndim - 1) + [(0, pad_n)]
+        return jnp.pad(f, widths)
+
+    import dataclasses as _dc
+    gp = grid
+    if pad_n:
+        gp = _dc.replace(
+            grid,
+            **{name: _pad(getattr(grid, name))
+               for name in ("dyCu", "IdxT", "IareaT", "mask2dCu",
+                            "dxCu", "mask2dT", "dxCv", "IdyT",
+                            "mask2dCv", "dyCv")})
+    uu = _pad(u.astype(h.dtype))
+    vv = _pad(v.astype(h.dtype))
+    hh = _pad(h)
+    vru = _pad(vr_u.astype(h.dtype))
+    vrv = _pad(vr_v.astype(h.dtype))
+    ub = _pad(uhbt.astype(h.dtype))
+    vb = _pad(vhbt.astype(h.dtype))
+
+    if x_first:
+        h1, uh, u_cor = _run_x(gp, vgrid, uu, hh, vru, ub, dt, cfg,
+                               interpret)
+        h2, vh, v_cor = _run_y(gp, vgrid, vv, h1, vrv, vb, dt, cfg,
+                               interpret)
+    else:
+        h1, vh, v_cor = _run_y(gp, vgrid, vv, hh, vrv, vb, dt, cfg,
+                               interpret)
+        h2, uh, u_cor = _run_x(gp, vgrid, uu, h1, vru, ub, dt, cfg,
+                               interpret)
+
+    def _unpad(f):
+        return f[..., :nih] if pad_n else f
+
+    return ContinuityResult(h=_unpad(h2), uh=_unpad(uh),
+                            vh=_unpad(vh), u_cor=_unpad(u_cor),
+                            v_cor=_unpad(v_cor))
