@@ -279,17 +279,22 @@ def continuity_ppm_pallas(grid: Grid, vgrid: VerticalGrid, u, v, h,
     vr_u = visc_rem_u if visc_rem_u is not None else jnp.ones_like(u)
     vr_v = visc_rem_v if visc_rem_v is not None else jnp.ones_like(v)
 
-    # Mosaic lane tiling: zero-pad the lane axis to a 128 multiple
-    # (same physical memory XLA's tiled layout already allocates);
-    # lane rolls wrap through the pad, corrupting only lane-edge halo
-    # columns the caller refreshes anyway.
+    # Mosaic lane tiling: zero-pad BOTH horizontal axes to 128
+    # multiples — the y-sweep runs transposed, so the row axis
+    # becomes its lane axis and non-multiple widths force Mosaic
+    # into unpadded relayouts that blow the 16 MB scoped-VMEM budget.
+    # The rolls wrap through the pad, corrupting only pad/halo
+    # rows+columns the caller refreshes anyway.
     nih_pad = -(-nih // 128) * 128
+    njh_pad = -(-njh // 128) * 128
     pad_n = nih_pad - nih
+    pad_j = njh_pad - njh
 
     def _pad(f):
-        if pad_n == 0:
+        if pad_n == 0 and pad_j == 0:
             return f
-        widths = [(0, 0)] * (f.ndim - 1) + [(0, pad_n)]
+        widths = ([(0, 0)] * (f.ndim - 2)
+                  + [(0, pad_j), (0, pad_n)])
         return jnp.pad(f, widths)
 
     import dataclasses as _dc
@@ -321,7 +326,9 @@ def continuity_ppm_pallas(grid: Grid, vgrid: VerticalGrid, u, v, h,
                                interpret)
 
     def _unpad(f):
-        return f[..., :nih] if pad_n else f
+        if pad_n == 0 and pad_j == 0:
+            return f
+        return f[..., :njh, :nih]
 
     return ContinuityResult(h=_unpad(h2), uh=_unpad(uh),
                             vh=_unpad(vh), u_cor=_unpad(u_cor),

@@ -863,7 +863,7 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         # adjustment (the reference iterates to tolerance with
         # bisection fallback; a fixed count is jit-static)
         newton_iters=pf.get("CONT_NEWTON_ITERS", int, 6),
-        use_pallas_fused=pf.get("CONTINUITY_USE_PALLAS", bool, False,
+        use_pallas_fused=pf.get("CONTINUITY_USE_PALLAS", bool, True,
                                 desc="TPU extension: fused Pallas "
                                 "kernel for the transport-matched "
                                 "continuity sweeps (both sweeps + "

@@ -147,10 +147,13 @@ def advect_tracers(domain, grid: Grid, tracers: dict, h_end, uhtr, vhtr,
     # accumulated-CFL-derived pair count (a 15-pair unroll at
     # DT_THERM=12*DT fell off an XLA compilation cliff)
     def pair(_, carry):
+        # NOTE: the refresh of (ts, hvol, *_rem) halos happens at the
+        # END of the body, not the top — the caller paints OBC tracer
+        # reservoirs and boundary-face transports into the halo bands
+        # before calling, and a top-of-body fill would zero them on
+        # the FIRST pair and silence all open-boundary tracer import
+        # (the round-4 fori_loop refactor did exactly that)
         ts, hvol, uh_rem, vh_rem = carry
-        ts = domain.fill_halos(ts, width=2)
-        hvol, uh_rem, vh_rem = domain.fill_halos(
-            (hvol, uh_rem, vh_rem), width=2)
         if x_first:
             ts, hvol, uh_rem = _sweep_x(grid, ts, hvol, uh_rem, frac)
             ts = domain.fill_halos(ts, width=2)
@@ -161,6 +164,9 @@ def advect_tracers(domain, grid: Grid, tracers: dict, h_end, uhtr, vhtr,
             ts = domain.fill_halos(ts, width=2)
             hvol, vh_rem = domain.fill_halos((hvol, vh_rem), width=2)
             ts, hvol, uh_rem = _sweep_x(grid, ts, hvol, uh_rem, frac)
+        ts = domain.fill_halos(ts, width=2)
+        hvol, uh_rem, vh_rem = domain.fill_halos(
+            (hvol, uh_rem, vh_rem), width=2)
         return ts, hvol, uh_rem, vh_rem
 
     ts, hvol, uh_rem, vh_rem = jax.lax.fori_loop(
