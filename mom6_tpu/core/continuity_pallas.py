@@ -57,10 +57,17 @@ def pallas_continuity_supported(cfg: ContinuityCfg, grid_shape,
     (not upwind/simple-2nd), positive-definite limiter, no porous
     barriers, no OBC coupling, njh divisible by TJ."""
     nk, njh, nih = grid_shape
+    # a (nk, TJ, lanes) block must fit the 16 MB VMEM with its
+    # double-buffered inputs/outputs and sweep temporaries: at
+    # nk=25 that bounds the padded lane width to ~1024 (the OM4-class
+    # 1440-wide rows fall back to the jnp path)
+    lanes_pad = -(-nih // 128) * 128
+    rows_pad = -(-njh // 128) * 128
+    vmem_ok = nk * max(lanes_pad, rows_pad) * TJ * 4 * 16 <= 14e6
     return (not cfg.upwind_1st and not cfg.simple_2nd
             and not cfg.monotonic and not cfg.vol_cfl
             and obc is None and not porous
-            and njh % TJ == 0 and njh >= 3 * TJ)
+            and njh % TJ == 0 and njh >= 3 * TJ and vmem_ok)
 
 
 def _edges(h, mask, roll_p, roll_m, h_min2):
