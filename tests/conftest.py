@@ -31,6 +31,9 @@ _SMOKE_MODULES = {
     # the flagship verbatim-reference-config goldens: these being red
     # at snapshot is exactly what the smoke tier exists to prevent
     "test_ref_cases",
+    # the fused Pallas continuity must stay bitwise-equivalent to the
+    # jnp path (interpret mode); it is the default production path
+    "test_continuity_pallas",
 }
 
 
