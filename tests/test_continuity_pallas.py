@@ -81,3 +81,34 @@ def test_supported_gate():
     assert not pallas_continuity_supported(cfg, (3, 24, 40),
                                            obc=object())
     assert pallas_continuity_supported(cfg, (3, 24, 40))
+
+
+def test_pallas_matches_jnp_with_land():
+    """Equivalence must hold through the PPM edge mask logic at a
+    coastline (mask2dT enters the slope zeroing and wall fallbacks)."""
+    dn, g, vg, u, v, h, vr_u, vr_v, uhbt, vhbt = _setup(seed=3)
+    # carve a land strip through the domain
+    depth = jnp.full((dn.njh, dn.nih), 1000.0)
+    depth = depth.at[:, dn.halo + 10:dn.halo + 14].set(0.0)
+    import dataclasses as dc
+    maskT = (depth > 0).astype(h.dtype)
+    from mom6_tpu.parallel.stencil import ip1, jp1
+    maskCu = maskT * ip1(maskT)
+    maskCv = maskT * jp1(maskT)
+    g2 = dc.replace(g, mask2dT=maskT, mask2dCu=maskCu,
+                    mask2dCv=maskCv)
+    u = u * maskCu
+    v = v * maskCv
+    cfg = ContinuityCfg()
+    ref = continuity_ppm(g2, vg, u, v, h, 600.0, cfg, uhbt=uhbt,
+                         vhbt=vhbt, visc_rem_u=vr_u, visc_rem_v=vr_v)
+    out = continuity_ppm_pallas(g2, vg, u, v, h, 600.0, cfg, uhbt,
+                                vhbt, vr_u, vr_v, interpret=True)
+    H = dn.halo
+    sl = (slice(None), slice(H, -H), slice(H, -H))
+    for name in ("h", "uh", "vh"):
+        a = np.asarray(getattr(ref, name), np.float64)[sl]
+        b = np.asarray(getattr(out, name), np.float64)[sl]
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-12,
+                                   err_msg=name)
