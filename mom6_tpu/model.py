@@ -1384,6 +1384,12 @@ def build_model(pf: ParamFile, layout=(1, 1), sharded=False) -> Model:
         u0 = pad3(uraw) * grid.mask2dCu
         v0 = pad3(vraw) * grid.mask2dCv
     state = State(u=u0, v=v0, h=h, T=T, S=S)
+    if pf.get("FRAZIL", bool, False) and T is not None:
+        # allocate the accumulated-frazil field up front (tv%frazil is
+        # allocated when FRAZIL=True) so the State pytree structure is
+        # stable from step 0 — restart templates must match the saved
+        # leaf count
+        state = state.replace(frazil=jnp.zeros_like(h[0]))
     if ice_shelf is not None:
         # depress the initial free surface into isostatic balance with
         # the ice load (depress_surface / TRIM_IC_FOR_P_SURF,

@@ -123,3 +123,52 @@ def test_hybrid_weights_between_arith_and_harm():
     assert (np.asarray(wy)[inner] <= hi[inner] + 1e-9).all()
     with pytest.raises(ValueError):
         btcalc(g, h, scheme="NONSense")
+
+
+def test_frazil_restart_roundtrip(tmp_path):
+    """FRAZIL runs carry tv%frazil in the prognostic State; the field
+    must be allocated from step 0 so restart templates match the
+    saved pytree structure (bitwise restart invariance)."""
+    import jax.numpy as jnp
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
+    from mom6_tpu.framework.restart import (save_restart,
+                                            restore_restart)
+    CFG = """
+NIGLOBAL = 8
+NJGLOBAL = 8
+NK = 4
+DT = 600.0
+DAYMAX = 1.0
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 80.0
+LENLAT = 80.0
+REENTRANT_X = True
+TOPO_CONFIG = flat
+MAXIMUM_DEPTH = 400.0
+F_0 = 1.0e-4
+TS_CONFIG = linear
+T_RANGE = 30.0
+T_REF = -1.0
+EQN_OF_STATE = LINEAR
+WIND_CONFIG = zero
+BUOY_CONFIG = zero
+FRAZIL = True
+"""
+    m = build_model(ParamFile(text=CFG))
+    assert m.state.frazil is not None       # allocated up front
+    step = m.step_fn()
+    s, a, tr = m.state, m.split_state, m.tracers
+    for k in range(2):
+        s, a, tr = step(s, a, tr, n=k)
+    assert s.frazil is not None
+    p = str(tmp_path / "restart")
+    save_restart(p, {"state": s, "split": a})
+    m2 = build_model(ParamFile(text=CFG))
+    trees, _ = restore_restart(p, {"state": m2.state,
+                                   "split": m2.split_state})
+    s2 = trees["state"]
+    np.testing.assert_array_equal(np.asarray(s2.h), np.asarray(s.h))
+    np.testing.assert_array_equal(np.asarray(s2.frazil),
+                                  np.asarray(s.frazil))
