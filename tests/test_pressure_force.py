@@ -156,3 +156,50 @@ def test_reconstruct_for_pressure():
         else:
             assert not np.allclose(b, a), \
                 "reconstruction inert with a nonlinear EOS"
+
+
+def test_reconstruct_wired_into_model():
+    """RECONSTRUCT_FOR_PRESSURE defaults on with USE_REGRIDDING and
+    changes the simulated state with a nonlinear EOS; turning it off
+    recovers the constant-by-layer PGF."""
+    from mom6_tpu.framework.config import ParamFile
+    from mom6_tpu.model import build_model
+    import numpy as np
+    CFG = """
+NIGLOBAL = 12
+NJGLOBAL = 12
+NK = 6
+DT = 600.0
+DAYMAX = 1.0
+GRID_CONFIG = cartesian
+AXIS_UNITS = k
+LENLON = 120.0
+LENLAT = 120.0
+REENTRANT_X = True
+TOPO_CONFIG = spoon
+MINIMUM_DEPTH = 300.0
+MAXIMUM_DEPTH = 1200.0
+F_0 = 1.0e-4
+TS_CONFIG = linear
+T_RANGE = 8.0
+EQN_OF_STATE = WRIGHT
+USE_REGRIDDING = True
+REGRIDDING_COORDINATE_MODE = Z*
+WIND_CONFIG = gyres
+TAUX_MAGNITUDE = 0.1
+BUOY_CONFIG = zero
+"""
+
+    def run(extra):
+        m = build_model(ParamFile(text=CFG + extra))
+        step = m.step_fn()
+        s, a, tr = m.state, m.split_state, m.tracers
+        for k in range(3):
+            s, a, tr = step(s, a, tr, n=k)
+        return np.asarray(m.domain.interior(s.u))
+
+    u_on = run("")                                   # default: on
+    u_off = run("RECONSTRUCT_FOR_PRESSURE = False\n")
+    assert np.isfinite(u_on).all() and np.isfinite(u_off).all()
+    assert not np.allclose(u_on, u_off), \
+        "PGF reconstruction is inert in the model"
