@@ -220,9 +220,20 @@ def main(argv=None):
     state, split_state = model.state, model.split_state
     step0, t_days = 0, 0.0
     if args.restart_from:
-        trees, meta = restore_restart(
-            args.restart_from, {"state": state, "split": split_state})
+        templates = {"state": state, "split": split_state}
+        if model.tracers:
+            # registered tracers restart like the reference's
+            # register_restart per-tracer fields
+            templates["tracers"] = model.tracers
+        try:
+            trees, meta = restore_restart(args.restart_from, templates)
+        except KeyError:
+            # older restart without the tracers tree
+            templates.pop("tracers", None)
+            trees, meta = restore_restart(args.restart_from, templates)
         state, split_state = trees["state"], trees["split"]
+        if "tracers" in trees:
+            model.tracers = trees["tracers"]
         step0, t_days = int(meta["step"]), float(meta["time_days"])
 
     if offline_mode:
@@ -392,9 +403,12 @@ def main(argv=None):
 
     if restint > 0 or True:
         with clock("restart save"):
+            _trees = {"state": state, "split": split_state}
+            if tracers:
+                _trees["tracers"] = tracers
             save_restart(
                 os.path.join(args.case_dir, "RESTART", "MOM.res"),
-                {"state": state, "split": split_state},
+                _trees,
                 meta={"step": step0 + nsteps,
                       "time_days": daymax})
 
