@@ -219,28 +219,55 @@ def main(argv=None):
     daymax = args.days if args.days is not None else model.daymax
     state, split_state = model.state, model.split_state
     step0, t_days = 0, 0.0
+    restored_carry = None
     if args.restart_from:
+        import json as _json
+        import jax.numpy as _jnp
+        with open(args.restart_from + ".json") as _f:
+            _saved = set(_json.load(_f)["trees"])
         templates = {"state": state, "split": split_state}
-        if model.tracers:
+        if model.tracers and "tracers" in _saved:
             # registered tracers restart like the reference's
             # register_restart per-tracer fields
             templates["tracers"] = model.tracers
-        try:
-            trees, meta = restore_restart(args.restart_from, templates)
-        except KeyError:
-            # older restart without the tracers tree
-            templates.pop("tracers", None)
-            trees, meta = restore_restart(args.restart_from, templates)
+        # cross-step physics carries the reference registers in its
+        # restart files (MLD, visc%Kv_shear, internal-tide En, SPPT
+        # pattern, the transport accumulators): single-leaf trees, so
+        # any array stands in as the structural template
+        _leaf = _jnp.zeros(1)
+        _carry_names = ("u", "v", "mld", "kv", "iten", "sppt",
+                        "sppt_p", "sppt_k")
+        for _n in _carry_names:
+            if f"carry_{_n}" in _saved:
+                templates[f"carry_{_n}"] = _leaf
+        if "carry_res" in _saved and model.obc is not None \
+                and model.tracers:
+            templates["carry_res"] = \
+                model.obc.init_tracer_reservoirs(model.tracers)
+        trees, meta = restore_restart(args.restart_from, templates)
         state, split_state = trees["state"], trees["split"]
         if "tracers" in trees:
             model.tracers = trees["tracers"]
+        restored_carry = {"u": None, "v": None, "truncs": 0,
+                          "res": None, "mld": None, "kv": None,
+                          "iten": None, "sppt": None}
+        for _n in ("u", "v", "mld", "kv", "iten", "sppt"):
+            if f"carry_{_n}" in trees:
+                restored_carry[_n] = trees[f"carry_{_n}"]
+        if "carry_sppt_p" in trees or "carry_sppt_k" in trees:
+            restored_carry["sppt"] = {
+                "sppt": trees.get("carry_sppt_p"),
+                "skeb": trees.get("carry_sppt_k")}
+        if "carry_res" in trees:
+            restored_carry["res"] = trees["carry_res"]
+        restored_carry["truncs"] = int(meta.get("truncs", 0))
         step0, t_days = int(meta["step"]), float(meta["time_days"])
 
     if offline_mode:
         _run_offline(args, model, off_cfg, daymax, t_days)
         return
 
-    step = model.step_fn()
+    step = model.step_fn(carry=restored_carry)
     # DTBT reset swaps between these memoized closures; keying by
     # nstep keeps each closure's jax.jit caches warm, so a revisited
     # substep count (e.g. a CFL estimate oscillating 8<->9) never
@@ -406,11 +433,28 @@ def main(argv=None):
             _trees = {"state": state, "split": split_state}
             if tracers:
                 _trees["tracers"] = tracers
+            _c = step.carry()
+            for _n in ("u", "v", "mld", "kv", "iten"):
+                if _c.get(_n) is not None:
+                    _trees[f"carry_{_n}"] = _c[_n]
+            _sp = _c.get("sppt")
+            if isinstance(_sp, dict):
+                # SPPT+SKEB pattern pair: two single-leaf trees so
+                # the restore template stays structure-free
+                if _sp.get("sppt") is not None:
+                    _trees["carry_sppt_p"] = _sp["sppt"]
+                if _sp.get("skeb") is not None:
+                    _trees["carry_sppt_k"] = _sp["skeb"]
+            elif _sp is not None:
+                _trees["carry_sppt"] = _sp
+            if _c.get("res") is not None:
+                _trees["carry_res"] = _c["res"]
             save_restart(
                 os.path.join(args.case_dir, "RESTART", "MOM.res"),
                 _trees,
                 meta={"step": step0 + nsteps,
-                      "time_days": daymax})
+                      "time_days": daymax,
+                      "truncs": int(_c.get("truncs", 0))})
 
     # MOM_cpu_clock end-of-run summary (mpp_clock report analog)
     report = clock.report()

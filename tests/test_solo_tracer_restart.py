@@ -37,8 +37,18 @@ WIND_CONFIG = gyres
 TAUX_MAGNITUDE = 0.1
 BUOY_CONFIG = zero
 USE_IDEAL_AGE_TRACER = True
+USE_REGRIDDING = True
+REGRIDDING_COORDINATE_MODE = Z*
+USE_KPP = True
+KD = 1.0e-5
+MIXEDLAYER_RESTRAT = True
 ENERGYSAVEDAYS = 1.0
 """
+# USE_KPP + MIXEDLAYER_RESTRAT make the cross-step MLD carry
+# load-bearing: without carry_mld in the restart, the restarted leg's
+# first MLE step would see mld=None and diverge from the
+# uninterrupted run — the bitwise assertion below proves the carries
+# restore
 
 
 def _case(tmp_path, name):
