@@ -14,12 +14,16 @@ shifts in exactly ONE axis:
   plain row-blocked VMEM BlockSpecs — every input read from HBM
   once, every output written once, the whole sweep (edges + Newton
   + final flux + h update) fused in VMEM;
-* the y-sweep is lane-local (shifts only along rows), so it runs on
-  a 2-D (row-block, lane-block) grid where each input arrives as
-  THREE row-shifted BlockSpecs (previous/current/next, clamped at
-  the walls) concatenated into a 3*TJ-row window — halo-ring
-  recompute with rows corrupted by the wall clamp falling inside the
-  domain halo (halo >= 4 > the 3-row stencil reach).
+* the y-sweep transposes rows<->lanes (two cheap XLA transposes per
+  field) and reuses the SAME row-local kernel with the y-direction
+  grid constants in the x slots;
+* rows too wide for whole-row VMEM blocks (OM4-class 1440+ lanes)
+  use the lane-tiled variant: a 2-D (row-block, lane-tile) grid
+  where each LTX-lane output tile recomputes the sweep on a
+  3*LTX-lane window assembled from three lane-shifted BlockSpecs
+  (clamped to consecutive tiles at the walls) — 3x input read
+  amplification, still far below the jnp path's ~30 phase-boundary
+  round trips.
 
 Lane dims are zero-padded to a 128 multiple (Mosaic's lane tiling);
 the padded columns alias the same physical memory XLA's tiled layout
@@ -48,7 +52,21 @@ from mom6_tpu.core.continuity_ppm import ContinuityCfg, ContinuityResult
 __all__ = ["continuity_ppm_pallas", "pallas_continuity_supported"]
 
 TJ = 8         # output rows per block
-LT = 256       # lane tile for the y-sweep kernel
+LTX = 128      # output lane tile for the lane-tiled (wide-row) sweep
+
+
+def _fits_direct(nk: int, lanes: int) -> bool:
+    """Whole-row VMEM blocks: a (nk, TJ, lanes) block must fit the
+    16 MB scoped VMEM with double-buffered inputs/outputs and the
+    sweep temporaries — at nk=25 that bounds the lane width to ~1024."""
+    return nk * lanes * TJ * 4 * 16 <= 14e6
+
+
+def _fits_tiled(nk: int, lanes: int) -> bool:
+    """Lane-tiled blocks: VMEM holds a 3*LTX-lane window per field
+    regardless of the row width, so only nk is bounded (~40 at the
+    28-buffer budget below)."""
+    return lanes >= 3 * LTX and nk * TJ * (3 * LTX) * 4 * 28 <= 14e6
 
 
 def pallas_continuity_supported(cfg: ContinuityCfg, grid_shape,
@@ -57,13 +75,13 @@ def pallas_continuity_supported(cfg: ContinuityCfg, grid_shape,
     (not upwind/simple-2nd), positive-definite limiter, no porous
     barriers, no OBC coupling, njh divisible by TJ."""
     nk, njh, nih = grid_shape
-    # a (nk, TJ, lanes) block must fit the 16 MB VMEM with its
-    # double-buffered inputs/outputs and sweep temporaries: at
-    # nk=25 that bounds the padded lane width to ~1024 (the OM4-class
-    # 1440-wide rows fall back to the jnp path)
+    # each sweep runs with the swept axis on lanes (the y-sweep
+    # transposed), whole-row blocked when the row fits VMEM and
+    # lane-tiled (3-tile recompute windows) when it does not
     lanes_pad = -(-nih // 128) * 128
     rows_pad = -(-njh // 128) * 128
-    vmem_ok = nk * max(lanes_pad, rows_pad) * TJ * 4 * 16 <= 14e6
+    vmem_ok = all(_fits_direct(nk, p) or _fits_tiled(nk, p)
+                  for p in (lanes_pad, rows_pad))
     return (not cfg.upwind_1st and not cfg.simple_2nd
             and not cfg.monotonic and not cfg.vol_cfl
             and obc is None and not porous
@@ -200,6 +218,94 @@ def _kernel_x(u_ref, h_ref, vru_ref, ub_ref, g_ref,
     ucor_out[...] = u_cor
 
 
+def _kernel_x_tiled(u0, u1, u2, h0, hh1, hh2, r0, r1, r2,
+                    b0, b1, b2, g0, g1, g2,
+                    h_out, uh_out, ucor_out,
+                    *, dt, cfg, h_min, nbl, interpret_mode):
+    """Lane-tiled x-sweep for rows too wide for whole-row VMEM blocks
+    (OM4-class 1440+ lanes).  Each (TJ, LTX) output block recomputes
+    the sweep on a 3*LTX-lane window assembled from three lane-shifted
+    copies of every input (clamped to consecutive tiles at the walls,
+    so the window always covers three REAL neighboring tiles).  The
+    3-lane stencil reach stays inside the window for every output
+    lane; the lane-roll wraparound at the window edge only corrupts
+    lanes that are domain halo at the array walls."""
+    from jax.experimental import pallas as pl
+    _rl = _mk_rolls(interpret_mode)
+
+    def cat(a, b, c):
+        return jnp.concatenate([a[...], b[...], c[...]], axis=-1)
+
+    u = cat(u0, u1, u2)
+    h = cat(h0, hh1, hh2)
+    vru = cat(r0, r1, r2)
+    uhbt = cat(b0, b1, b2)[0]
+    gw = cat(g0, g1, g2)
+    dyCu, IdxT, IdxT_ip1, IareaT, maskCu, dxCu, maskT = \
+        [gw[i] for i in range(7)]
+
+    def roll_p(f):
+        return _rl(f, -1, -1)
+
+    def roll_m(f):
+        return _rl(f, 1, -1)
+
+    h1, uh, u_cor = _sweep(
+        u, h, vru, uhbt, dt, dyCu, IdxT, IdxT_ip1, IareaT, maskCu,
+        maskT, cfg.cfl_limit * dxCu / dt, cfg, roll_p, roll_m,
+        h_min, 2.0 * h_min)
+
+    # which third of the window this program's output tile occupies:
+    # pos = i - base, base = clip(i-1, 0, nbl-3)
+    pid = pl.program_id(1)
+    pos = pid - jnp.clip(pid - 1, 0, nbl - 3)
+    for p in range(3):
+        @pl.when(pos == p)
+        def _(p=p):
+            sl = slice(p * LTX, (p + 1) * LTX)
+            h_out[...] = h1[:, :, sl]
+            uh_out[...] = uh[:, :, sl]
+            ucor_out[...] = u_cor[:, :, sl]
+
+
+def _run_tiled(g9, vgrid, vel, h, vr, bt, dt, cfg, interpret):
+    """Launch the lane-tiled sweep: 2-D (row-block, lane-tile) grid,
+    every input passed three times with lane-shifted index maps."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nk, njh, nih = h.shape
+    nbj, nbl = njh // TJ, nih // LTX
+    assert nbl >= 3, "lane-tiled sweep needs >= 3 lane tiles"
+
+    def win_specs(nc):
+        return [pl.BlockSpec(
+            (nc, TJ, LTX),
+            lambda j, i, o=o: (0, j, jnp.clip(i - 1, 0, nbl - 3) + o),
+            memory_space=pltpu.VMEM) for o in range(3)]
+
+    in_specs = (win_specs(nk) + win_specs(nk) + win_specs(nk)
+                + win_specs(1) + win_specs(7))
+    out_spec = pl.BlockSpec((nk, TJ, LTX), lambda j, i: (0, j, i),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel_x_tiled, dt=dt, cfg=cfg,
+                             h_min=vgrid.angstrom, nbl=nbl,
+                             interpret_mode=interpret)
+    shp = jax.ShapeDtypeStruct(h.shape, h.dtype)
+    return pl.pallas_call(
+        kern, grid=(nbj, nbl),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * 3,
+        out_shape=(shp,) * 3,
+        interpret=interpret,
+    )(vel, vel, vel, h, h, h, vr, vr, vr, bt, bt, bt, g9, g9, g9)
+
+
+def _force_tiled():
+    import os
+    return os.environ.get("MOM6_PALLAS_FORCE_TILED") == "1"
+
+
 def _run_x(grid, vgrid, u, h, vr_u, uhbt, dt, cfg, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -210,6 +316,9 @@ def _run_x(grid, vgrid, u, h, vr_u, uhbt, dt, cfg, interpret):
     gx = jnp.stack([grid.dyCu, grid.IdxT, ip1(grid.IdxT),
                     grid.IareaT, grid.mask2dCu, grid.dxCu,
                     grid.mask2dT], axis=0).astype(h.dtype)
+    if not _fits_direct(nk, nih) or _force_tiled():
+        return _run_tiled(gx, vgrid, u, h, vr_u, uhbt[None], dt, cfg,
+                          interpret)
     spec3 = pl.BlockSpec((nk, TJ, nih), lambda j: (0, j, 0),
                          memory_space=pltpu.VMEM)
     spec2 = pl.BlockSpec((1, TJ, nih), lambda j: (0, j, 0),
@@ -252,6 +361,14 @@ def _run_y(grid, vgrid, v, h, vr_v, vhbt, dt, cfg, interpret):
                     grid.IareaT, grid.mask2dCv, grid.dyCv,
                     grid.mask2dT], axis=0).astype(h.dtype)
     gyT = T2(gy)
+
+    if not _fits_direct(nk, njh) or _force_tiled():
+        # transposed lanes (= rows) too wide for whole-row blocks:
+        # the lane-tiled sweep on the transposed arrays
+        h2T, vhT, vcorT = _run_tiled(gyT, vgrid, T2(v), T2(h),
+                                     T2(vr_v), T2(vhbt)[None], dt,
+                                     cfg, interpret)
+        return T2(h2T), T2(vhT), T2(vcorT)
 
     nbT = nih // TJ   # transposed row count = lane count, TJ-blocked
     spec3 = pl.BlockSpec((nk, TJ, njh), lambda j: (0, j, 0),

@@ -81,6 +81,34 @@ def test_supported_gate():
     assert not pallas_continuity_supported(cfg, (3, 24, 40),
                                            obc=object())
     assert pallas_continuity_supported(cfg, (3, 24, 40))
+    # OM4-class wide rows: covered by the lane-tiled sweep
+    assert pallas_continuity_supported(cfg, (25, 1096, 1448))
+    # but very deep wide configs exceed even the tiled VMEM budget
+    assert not pallas_continuity_supported(cfg, (60, 1096, 1448))
+
+
+def test_tiled_matches_jnp(monkeypatch):
+    """The lane-tiled (wide-row) sweep must agree with the jnp path
+    exactly like the whole-row kernel.  ni=504 -> nih_pad=512 (4 lane
+    tiles: exercises wall clamping at BOTH edges plus the interior
+    consecutive-window mapping), nj=376 -> njh_pad=384 (3 tiles: the
+    degenerate all-clamped case) on the transposed y-sweep."""
+    monkeypatch.setenv("MOM6_PALLAS_FORCE_TILED", "1")
+    dn, g, vg, u, v, h, vr_u, vr_v, uhbt, vhbt = _setup(
+        ni=504, nj=376, nk=2, seed=5)
+    cfg = ContinuityCfg()
+    ref = continuity_ppm(g, vg, u, v, h, 600.0, cfg, uhbt=uhbt,
+                         vhbt=vhbt, visc_rem_u=vr_u, visc_rem_v=vr_v)
+    out = continuity_ppm_pallas(g, vg, u, v, h, 600.0, cfg, uhbt,
+                                vhbt, vr_u, vr_v, interpret=True)
+    H = dn.halo
+    sl = (slice(None), slice(H, -H), slice(H, -H))
+    for name in ("h", "uh", "vh", "u_cor", "v_cor"):
+        a = np.asarray(getattr(ref, name), np.float64)[sl]
+        b = np.asarray(getattr(out, name), np.float64)[sl]
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-12,
+                                   err_msg=name)
 
 
 def test_pallas_matches_jnp_with_land():
