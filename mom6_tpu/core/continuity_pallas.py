@@ -49,7 +49,8 @@ from mom6_tpu.core.grid import Grid
 from mom6_tpu.core.vertical_grid import VerticalGrid
 from mom6_tpu.core.continuity_ppm import ContinuityCfg, ContinuityResult
 
-__all__ = ["continuity_ppm_pallas", "pallas_continuity_supported"]
+__all__ = ["continuity_ppm_pallas", "pallas_continuity_supported",
+           "set_up_bt_cont_pallas"]
 
 TJ = 8         # output rows per block
 LTX = 128      # output lane tile for the lane-tiled (wide-row) sweep
@@ -304,6 +305,250 @@ def _run_tiled(g9, vgrid, vel, h, vr, bt, dt, cfg, interpret):
 def _force_tiled():
     import os
     return os.environ.get("MOM6_PALLAS_FORCE_TILED") == "1"
+
+
+# ---------------------------------------------------------------------
+# Fused set_up_BT_cont: the face-area curve fit is the same lane-local
+# structure as the sweep (PPM edges + 6 flux probes + pointwise fit),
+# so it reuses _edges/_flux inside one kernel per direction
+# ---------------------------------------------------------------------
+
+def _btcont_math(u, h, vr, dt, cfg, h_min, dyC, Idx_up, Idx_dn,
+                 maskC, maskT, dlenF, roll_p, roll_m):
+    """VMEM-resident mirror of continuity_ppm._bt_cont_1dir (probe the
+    layered flux at the zero-transport and one-signed CFL-limited
+    corrections, fit the 3-segment marginal-area curve).  Returns the
+    (6, TJ, L) stack (FA_far_minus, FA_0_minus, FA_0_plus,
+    FA_far_plus, u_turn_minus, u_turn_plus)."""
+    h_W, h_E = _edges(h, maskT, roll_p, roll_m, 2.0 * h_min)
+    du_lim = cfg.cfl_limit * dlenF / dt
+
+    def fl(du):
+        return _flux(u + vr * du[None], h, h_W, h_E, dt, dyC,
+                     Idx_up, Idx_dn, maskC, vr, roll_p)
+
+    def newton(_, du0):
+        flux, dfdu = fl(du0)
+        err = jnp.sum(flux, axis=0)
+        denom = jnp.sum(dfdu, axis=0)
+        step = -err / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        return jnp.clip(du0 + step, -du_lim, du_lim)
+
+    du0 = jax.lax.fori_loop(0, 3, newton, jnp.zeros_like(du_lim))
+    du_max = du_lim
+    du_cfl = 1.0e-6 * dlenF / dt
+    vr_max = jnp.max(vr, axis=0)
+    vr_lim = jnp.maximum(vr, 0.1 * vr_max[None]) + 1e-30
+    duL_req = jnp.max((du_cfl[None] * vr - u) / vr_lim, axis=0)
+    duL = jnp.clip(jnp.maximum(du0 + du_cfl, duL_req), 0.0, du_max)
+    duR_req = jnp.min(-(u + du_cfl[None] * vr) / vr_lim, axis=0)
+    duR = jnp.clip(jnp.minimum(du0 - du_cfl, duR_req), -du_max, 0.0)
+
+    def probe(du):
+        flux, dfdu = fl(du)
+        return jnp.sum(flux, axis=0), jnp.sum(dfdu, axis=0)
+
+    _, fa_0 = probe(du0)
+    uh_l, fa_l = probe(duL)
+    uh_r, fa_r = probe(duR)
+
+    def fit(d_probe, uh_tot, fa_far):
+        d_safe = jnp.where(d_probe != 0.0, d_probe, 1.0)
+        fa_avg = jnp.where(d_probe != 0.0, uh_tot / d_safe, fa_0)
+        hi = jnp.maximum(fa_0, fa_far)
+        lo = jnp.minimum(fa_0, fa_far)
+        fa0_adj = jnp.where(fa_avg < lo, fa_avg, fa_0)
+        fa_avg = jnp.clip(fa_avg, lo, hi)
+        denom = fa_far - fa0_adj
+        degen = jnp.abs(denom) <= 1e-12 * jnp.abs(fa0_adj)
+        u_turn = jnp.where(
+            degen, 0.0,
+            (1.5 * d_probe) * ((fa_far - fa_avg)
+                               / jnp.where(degen, 1.0, denom)))
+        return fa0_adj, u_turn
+
+    fa_w0, u_ww = fit(duL - du0, uh_l, fa_l)
+    fa_e0, u_ee = fit(duR - du0, uh_r, fa_r)
+    u_ww = jnp.maximum(u_ww, 0.0)
+    u_ee = jnp.minimum(u_ee, 0.0)
+    return jnp.stack([fa_r, fa_e0, fa_w0, fa_l, u_ee, u_ww], axis=0)
+
+
+def _kernel_bt(u_ref, h_ref, vr_ref, g_ref, out_ref,
+               *, dt, cfg, h_min, interpret_mode):
+    """Row-blocked BT_cont curve fit; g_ref uses the SAME 7-field
+    stack layout as _kernel_x (IareaT is unused here)."""
+    _rl = _mk_rolls(interpret_mode)
+    u = u_ref[...]
+    h = h_ref[...]
+    vr = vr_ref[...]
+    gw = g_ref[...]
+    dyC, Idx_up, Idx_dn, _unused, maskC, dlenF, maskT = \
+        [gw[i] for i in range(7)]
+
+    def roll_p(f):
+        return _rl(f, -1, -1)
+
+    def roll_m(f):
+        return _rl(f, 1, -1)
+
+    out_ref[...] = _btcont_math(u, h, vr, dt, cfg, h_min, dyC,
+                                Idx_up, Idx_dn, maskC, maskT, dlenF,
+                                roll_p, roll_m)
+
+
+def _kernel_bt_tiled(u0, u1, u2, h0, hh1, hh2, r0, r1, r2,
+                     g0, g1, g2, out_ref,
+                     *, dt, cfg, h_min, nbl, interpret_mode):
+    """Lane-tiled BT_cont curve fit (same windowing as
+    _kernel_x_tiled)."""
+    from jax.experimental import pallas as pl
+    _rl = _mk_rolls(interpret_mode)
+
+    def cat(a, b, c):
+        return jnp.concatenate([a[...], b[...], c[...]], axis=-1)
+
+    u = cat(u0, u1, u2)
+    h = cat(h0, hh1, hh2)
+    vr = cat(r0, r1, r2)
+    gw = cat(g0, g1, g2)
+    dyC, Idx_up, Idx_dn, _unused, maskC, dlenF, maskT = \
+        [gw[i] for i in range(7)]
+
+    def roll_p(f):
+        return _rl(f, -1, -1)
+
+    def roll_m(f):
+        return _rl(f, 1, -1)
+
+    res = _btcont_math(u, h, vr, dt, cfg, h_min, dyC, Idx_up,
+                       Idx_dn, maskC, maskT, dlenF, roll_p, roll_m)
+    pid = pl.program_id(1)
+    pos = pid - jnp.clip(pid - 1, 0, nbl - 3)
+    for p in range(3):
+        @pl.when(pos == p)
+        def _(p=p):
+            out_ref[...] = res[:, :, p * LTX:(p + 1) * LTX]
+
+
+def _run_btcont(g9, vgrid, vel, h, vr, dt, cfg, interpret):
+    """One direction's curve fit: direct row-blocked when the row fits
+    VMEM, lane-tiled otherwise.  Returns a (6, njh, nih) stack."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nk, njh, nih = h.shape
+    shp = jax.ShapeDtypeStruct((6, njh, nih), h.dtype)
+    if not _fits_direct(nk, nih) or _force_tiled():
+        nbj, nbl = njh // TJ, nih // LTX
+        assert nbl >= 3, "lane-tiled BT_cont needs >= 3 lane tiles"
+
+        def win_specs(nc):
+            return [pl.BlockSpec(
+                (nc, TJ, LTX),
+                lambda j, i, o=o: (0, j,
+                                   jnp.clip(i - 1, 0, nbl - 3) + o),
+                memory_space=pltpu.VMEM) for o in range(3)]
+
+        kern = functools.partial(_kernel_bt_tiled, dt=dt, cfg=cfg,
+                                 h_min=vgrid.angstrom, nbl=nbl,
+                                 interpret_mode=interpret)
+        return pl.pallas_call(
+            kern, grid=(nbj, nbl),
+            in_specs=(win_specs(nk) + win_specs(nk) + win_specs(nk)
+                      + win_specs(7)),
+            out_specs=pl.BlockSpec((6, TJ, LTX), lambda j, i: (0, j, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=shp,
+            interpret=interpret,
+        )(vel, vel, vel, h, h, h, vr, vr, vr, g9, g9, g9)
+
+    nb = njh // TJ
+    spec3 = pl.BlockSpec((nk, TJ, nih), lambda j: (0, j, 0),
+                         memory_space=pltpu.VMEM)
+    specg = pl.BlockSpec((7, TJ, nih), lambda j: (0, j, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel_bt, dt=dt, cfg=cfg,
+                             h_min=vgrid.angstrom,
+                             interpret_mode=interpret)
+    return pl.pallas_call(
+        kern, grid=(nb,),
+        in_specs=[spec3, spec3, spec3, specg],
+        out_specs=pl.BlockSpec((6, TJ, nih), lambda j: (0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=shp,
+        interpret=interpret,
+    )(vel, h, vr, g9)
+
+
+def set_up_bt_cont_pallas(grid: Grid, vgrid: VerticalGrid, u, v, h,
+                          dt, cfg: ContinuityCfg,
+                          visc_rem_u=None, visc_rem_v=None,
+                          interpret: bool = False):
+    """Drop-in fused replacement for continuity_ppm.set_up_bt_cont
+    (set_up_BT_cont, MOM_continuity_PPM.F90:757): both directions'
+    PPM edges + 6 flux probes + curve fits run in VMEM-resident
+    kernels instead of ~16 XLA phase-boundary round trips."""
+    from mom6_tpu.core.continuity_ppm import BTContFaces
+    from mom6_tpu.parallel.stencil import ip1, jp1
+    import dataclasses as _dc
+
+    nk, njh, nih = h.shape
+    vr_u = visc_rem_u if visc_rem_u is not None else jnp.ones_like(u)
+    vr_v = visc_rem_v if visc_rem_v is not None else jnp.ones_like(v)
+
+    nih_pad = -(-nih // 128) * 128
+    njh_pad = -(-njh // 128) * 128
+    pad_n = nih_pad - nih
+    pad_j = njh_pad - njh
+
+    def _pad(f):
+        if pad_n == 0 and pad_j == 0:
+            return f
+        widths = ([(0, 0)] * (f.ndim - 2)
+                  + [(0, pad_j), (0, pad_n)])
+        return jnp.pad(f, widths)
+
+    gp = grid
+    if pad_n or pad_j:
+        gp = _dc.replace(
+            grid,
+            **{name: _pad(getattr(grid, name))
+               for name in ("dyCu", "IdxT", "IareaT", "mask2dCu",
+                            "dxCu", "mask2dT", "dxCv", "IdyT",
+                            "mask2dCv", "dyCv")})
+    uu = _pad(u.astype(h.dtype))
+    vv = _pad(v.astype(h.dtype))
+    hh = _pad(h)
+    vru = _pad(vr_u.astype(h.dtype))
+    vrv = _pad(vr_v.astype(h.dtype))
+
+    def T2(f):
+        return jnp.swapaxes(f, -1, -2)
+
+    gx = jnp.stack([gp.dyCu, gp.IdxT, ip1(gp.IdxT), gp.IareaT,
+                    gp.mask2dCu, gp.dxCu, gp.mask2dT],
+                   axis=0).astype(h.dtype)
+    res_x = _run_btcont(gx, vgrid, uu, hh, vru, dt, cfg, interpret)
+
+    gy = jnp.stack([gp.dxCv, gp.IdyT, jp1(gp.IdyT), gp.IareaT,
+                    gp.mask2dCv, gp.dyCv, gp.mask2dT],
+                   axis=0).astype(h.dtype)
+    res_yT = _run_btcont(T2(gy), vgrid, T2(vv), T2(hh), T2(vrv), dt,
+                         cfg, interpret)
+    res_y = T2(res_yT)
+
+    def _unpad(f):
+        if pad_n == 0 and pad_j == 0:
+            return f
+        return f[..., :njh, :nih]
+
+    rx = [_unpad(res_x[i]) for i in range(6)]
+    ry = [_unpad(res_y[i]) for i in range(6)]
+    return BTContFaces(FA_u_EE=rx[0], FA_u_E0=rx[1], FA_u_W0=rx[2],
+                       FA_u_WW=rx[3], uBT_EE=rx[4], uBT_WW=rx[5],
+                       FA_v_NN=ry[0], FA_v_N0=ry[1], FA_v_S0=ry[2],
+                       FA_v_SS=ry[3], vBT_NN=ry[4], vBT_SS=ry[5])
 
 
 def _run_x(grid, vgrid, u, h, vr_u, uhbt, dt, cfg, interpret):

@@ -281,9 +281,21 @@ def step_dyn_split_rk2(domain: Domain, grid: Grid, vgrid: VerticalGrid,
     # MOM_barotropic.F90:3189 apply_velocity_OBCs); fall back to the
     # linearized Datu·ubt transports there until BT_OBC lands
     if cfg.barotropic.use_bt_cont and obc is None:
-        bt_cont = set_up_bt_cont(grid, vgrid, u, v, h, dt,
-                                 cfg.continuity, visc_rem_u,
-                                 visc_rem_v)
+        import os as _os
+        _interp = _os.environ.get("MOM6_PALLAS_INTERPRET") == "1"
+        if (cfg.continuity.use_pallas_fused
+                and grid.porous_DavgU is None
+                and (_interp or jax.default_backend() == "tpu")):
+            from mom6_tpu.core.continuity_pallas import (
+                set_up_bt_cont_pallas, pallas_continuity_supported)
+            if pallas_continuity_supported(cfg.continuity, h.shape):
+                bt_cont = set_up_bt_cont_pallas(
+                    grid, vgrid, u, v, h, dt, cfg.continuity,
+                    visc_rem_u, visc_rem_v, interpret=_interp)
+        if bt_cont is None:
+            bt_cont = set_up_bt_cont(grid, vgrid, u, v, h, dt,
+                                     cfg.continuity, visc_rem_u,
+                                     visc_rem_v)
         uhbt_in = jnp.sum(uh, axis=0)
         vhbt_in = jnp.sum(vh, axis=0)
 

@@ -111,6 +111,38 @@ def test_tiled_matches_jnp(monkeypatch):
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("tiled", [False, True])
+def test_bt_cont_pallas_matches_jnp(monkeypatch, tiled):
+    """Fused set_up_BT_cont == jnp set_up_bt_cont (f64 interpret,
+    bitwise-tight) in both the whole-row and lane-tiled kernels."""
+    from mom6_tpu.core.continuity_ppm import set_up_bt_cont
+    from mom6_tpu.core.continuity_pallas import set_up_bt_cont_pallas
+    if tiled:
+        monkeypatch.setenv("MOM6_PALLAS_FORCE_TILED", "1")
+        dn, g, vg, u, v, h, vr_u, vr_v, _, _ = _setup(
+            ni=504, nj=376, nk=2, seed=7)
+    else:
+        dn, g, vg, u, v, h, vr_u, vr_v, _, _ = _setup(seed=7)
+    cfg = ContinuityCfg()
+    ref = set_up_bt_cont(g, vg, u, v, h, 600.0, cfg, vr_u, vr_v)
+    out = set_up_bt_cont_pallas(g, vg, u, v, h, 600.0, cfg, vr_u,
+                                vr_v, interpret=True)
+    H = dn.halo
+    sl = (slice(H, -H), slice(H, -H))
+    for name in ref._fields:
+        a = np.asarray(getattr(ref, name), np.float64)[sl]
+        b = np.asarray(getattr(out, name), np.float64)[sl]
+        scale = np.abs(a).max() + 1e-6
+        # the u_turn fit divides by the cancellation FA_far - FA_0
+        # (~1e-8 relative at near-degenerate faces), which amplifies
+        # the shape-dependent XLA fusion ulps of the tiled windows
+        # (~1e-15 on the FA fields) to ~1e-10; btstep re-anchors the
+        # curve through the uhbt0 residual, so that noise is inert
+        atol = 3e-9 if name.startswith(("uBT", "vBT")) else 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=atol,
+                                   err_msg=name)
+
+
 def test_pallas_matches_jnp_with_land():
     """Equivalence must hold through the PPM edge mask logic at a
     coastline (mask2dT enters the slope zeroing and wall fallbacks)."""
